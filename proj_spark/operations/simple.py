@@ -1,0 +1,281 @@
+"""Infrastructure operations and simple (mostly cylindrical) projections.
+
+Semantics per the reference:
+  latlong/noop      src/projections/latlong.cpp, src/conversions/noop.cpp
+  geoc              geographic <-> geocentric latitude (src/conversions/geoc.cpp)
+  axisswap          src/conversions/axisswap.cpp
+  unitconvert       src/conversions/unitconvert.cpp (linear units)
+  affine/geogoffset src/transformations/affine.cpp
+  eqc               src/projections/eqc.cpp   x = cos(lat_ts)·lam, y = phi-phi0
+  gall              src/projections/gall.cpp  x = lam/sqrt2, y = (1+1/sqrt2)tan(phi/2)
+  mill              src/projections/mill.cpp  y = 1.25·log(tan(pi/4+0.4phi))
+  cea               src/projections/cea.cpp   authalic equal-area cylinder
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from proj_spark import mathutils as mu
+from proj_spark.operations.base import Operation
+
+
+def authset(es: float) -> np.ndarray:
+    """Series for latitude from authalic latitude (Snyder 3-18)."""
+    p00, p01, p02 = 1 / 3.0, 31 / 180.0, 517 / 5040.0
+    p10, p11 = 23 / 360.0, 251 / 3780.0
+    p20 = 761 / 45360.0
+    es2 = es * es
+    es3 = es2 * es
+    return np.array([
+        es * p00 + es2 * p01 + es3 * p02,
+        es2 * p10 + es3 * p11,
+        es3 * p20,
+    ])
+
+
+def authlat(beta: np.ndarray, apa: np.ndarray) -> np.ndarray:
+    t = beta + beta
+    return beta + apa[0] * np.sin(t) + apa[1] * np.sin(t + t) + apa[2] * np.sin(t + t + t)
+
+
+class LatLong(Operation):
+    """Geodetic identity CRS tag; kernel is a no-op in radians."""
+
+    proj_name = "latlong"
+    right = "radians"
+
+    def fwd(self, lam, phi):
+        return np.asarray(lam, dtype=np.float64), np.asarray(phi, dtype=np.float64)
+
+    def inv(self, x, y):
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+
+
+class Noop(LatLong):
+    proj_name = "noop"
+
+
+class GeocentricLat(Operation):
+    """Geographic <-> geocentric latitude: phi' = atan((1-es)·tan(phi))."""
+
+    proj_name = "geoc"
+    right = "radians"
+
+    def fwd(self, lam, phi):
+        phi = np.asarray(phi, dtype=np.float64)
+        return np.asarray(lam, dtype=np.float64), np.arctan(self.one_es * np.tan(phi))
+
+    def inv(self, x, y):
+        y = np.asarray(y, dtype=np.float64)
+        return np.asarray(x, dtype=np.float64), np.arctan(np.tan(y) / self.one_es)
+
+
+class Eqc(Operation):
+    proj_name = "eqc"
+
+    def setup(self) -> None:
+        self.rc = math.cos(float(self.params.get("lat_ts", 0.0)) * np.pi / 180.0)
+        if self.rc <= 0.0:
+            raise ValueError("lat_ts larger than 90")
+        self.es = 0.0
+
+    def _fwd(self, lam, phi):
+        return self.rc * lam, phi - self.phi0
+
+    def _inv(self, x, y):
+        return x / self.rc, y + self.phi0
+
+
+class Gall(Operation):
+    proj_name = "gall"
+    XF = 0.70710678118654752440
+    YF = 1.70710678118654752440
+
+    def setup(self) -> None:
+        self.es = 0.0
+
+    def _fwd(self, lam, phi):
+        return self.XF * lam, self.YF * np.tan(0.5 * phi)
+
+    def _inv(self, x, y):
+        return x / self.XF, 2.0 * np.arctan(y / self.YF)
+
+
+class Mill(Operation):
+    proj_name = "mill"
+
+    def setup(self) -> None:
+        self.es = 0.0
+
+    def _fwd(self, lam, phi):
+        return lam, np.log(np.tan(mu.FORTPI + phi * 0.4)) * 1.25
+
+    def _inv(self, x, y):
+        return x, 2.5 * (np.arctan(np.exp(0.8 * y)) - mu.FORTPI)
+
+
+class Cea(Operation):
+    proj_name = "cea"
+
+    def setup(self) -> None:
+        t = 0.0
+        if "lat_ts" in self.params:
+            t = float(self.params["lat_ts"]) * np.pi / 180.0
+            self.k0 = math.cos(t)
+            if self.k0 < 0.0:
+                raise ValueError("lat_ts larger than 90")
+        if self.es != 0.0:
+            st = math.sin(t)
+            self.k0 /= math.sqrt(1.0 - self.es * st * st)
+            self.apa = authset(self.es)
+            self.qp = float(mu.qsfn(np.float64(1.0), self.e, self.one_es))
+
+    def _fwd(self, lam, phi):
+        x = self.k0 * lam
+        if self.es != 0.0:
+            y = 0.5 * mu.qsfn(np.sin(phi), self.e, self.one_es) / self.k0
+        else:
+            y = np.sin(phi) / self.k0
+        return x, y
+
+    def _inv(self, x, y):
+        if self.es != 0.0:
+            phi = authlat(np.arcsin(np.clip(2.0 * y * self.k0 / self.qp, -1.0, 1.0)), self.apa)
+        else:
+            yy = y * self.k0
+            t = np.abs(yy)
+            phi = np.where(t >= 1.0,
+                           np.where(yy < 0.0, -mu.HALFPI, mu.HALFPI),
+                           np.arcsin(np.clip(yy, -1.0, 1.0)))
+            phi = np.where(t - 1e-10 > 1.0, np.nan, phi)
+        return x / self.k0, phi
+
+
+class GeogOffset(Operation):
+    """Constant angular/vertical offsets +dlon +dlat (radians io)."""
+
+    proj_name = "geogoffset"
+    right = "radians"
+
+    def setup(self) -> None:
+        sec2rad = np.pi / 180.0 / 3600.0
+        self.dlon = float(self.params.get("dlon", 0.0)) * sec2rad
+        self.dlat = float(self.params.get("dlat", 0.0)) * sec2rad
+
+    def fwd(self, lam, phi):
+        return np.asarray(lam, dtype=np.float64) + self.dlon, np.asarray(phi, dtype=np.float64) + self.dlat
+
+    def inv(self, x, y):
+        return np.asarray(x, dtype=np.float64) - self.dlon, np.asarray(y, dtype=np.float64) - self.dlat
+
+
+class Affine(Operation):
+    """2-D affine on projected/cartesian coordinates:
+    x' = xoff + s11·x + s12·y ; y' = yoff + s21·x + s22·y."""
+
+    proj_name = "affine"
+    left = right = "projected"
+
+    def setup(self) -> None:
+        g = self.params.get
+        self.xoff = float(g("xoff", 0.0))
+        self.yoff = float(g("yoff", 0.0))
+        self.s11 = float(g("s11", 1.0))
+        self.s12 = float(g("s12", 0.0))
+        self.s21 = float(g("s21", 0.0))
+        self.s22 = float(g("s22", 1.0))
+        det = self.s11 * self.s22 - self.s12 * self.s21
+        self.det = det
+
+    def fwd(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        return (self.xoff + self.s11 * x + self.s12 * y,
+                self.yoff + self.s21 * x + self.s22 * y)
+
+    def inv(self, x, y):
+        if self.det == 0.0:
+            raise ValueError("affine: singular matrix has no inverse")
+        dx = np.asarray(x, dtype=np.float64) - self.xoff
+        dy = np.asarray(y, dtype=np.float64) - self.yoff
+        return ((self.s22 * dx - self.s12 * dy) / self.det,
+                (-self.s21 * dx + self.s11 * dy) / self.det)
+
+
+#: linear units table (subset of the reference's pj_units, src/units.cpp:14-38)
+UNITS_TO_METER: dict[str, float] = {
+    "km": 1000.0,
+    "m": 1.0,
+    "dm": 0.1,
+    "cm": 0.01,
+    "mm": 0.001,
+    "kmi": 1852.0,
+    "in": 0.0254,
+    "ft": 0.3048,
+    "yd": 0.9144,
+    "mi": 1609.344,
+    "fath": 1.8288,
+    "ch": 20.1168,
+    "link": 0.201168,
+    "us-in": 1.0 / 39.37,
+    "us-ft": 0.304800609601219,
+    "us-yd": 0.914401828803658,
+    "us-ch": 20.11684023368047,
+    "us-mi": 1609.347218694437,
+    "ind-yd": 0.91439523,
+    "ind-ft": 0.30479841,
+    "ind-ch": 20.11669506,
+}
+
+
+class UnitConvert(Operation):
+    """Linear unit conversion on x/y (+xy_in= +xy_out=)."""
+
+    proj_name = "unitconvert"
+    left = right = "projected"
+
+    def setup(self) -> None:
+        def factor(key: str) -> float:
+            v = self.params.get(key, "m")
+            if isinstance(v, str) and v in UNITS_TO_METER:
+                return UNITS_TO_METER[v]
+            return float(v)
+        self.f = factor("xy_in") / factor("xy_out")
+        zi = self.params.get("z_in", "m")
+        zo = self.params.get("z_out", "m")
+        self.fz = (UNITS_TO_METER.get(zi, 1.0) if isinstance(zi, str) else float(zi)) / (
+            UNITS_TO_METER.get(zo, 1.0) if isinstance(zo, str) else float(zo))
+
+    def fwd(self, x, y):
+        return np.asarray(x, dtype=np.float64) * self.f, np.asarray(y, dtype=np.float64) * self.f
+
+    def inv(self, x, y):
+        return np.asarray(x, dtype=np.float64) / self.f, np.asarray(y, dtype=np.float64) / self.f
+
+
+class AxisSwap(Operation):
+    """Reorder / sign-flip axes: +order=2,1 or +order=-1,2 etc."""
+
+    proj_name = "axisswap"
+    left = right = "projected"
+
+    def setup(self) -> None:
+        order = str(self.params.get("order", "1,2"))
+        toks = order.split(",")[:2]
+        self.idx = [abs(int(t)) - 1 for t in toks]
+        self.sgn = [-1.0 if t.startswith("-") else 1.0 for t in toks]
+
+    def fwd(self, x, y):
+        cols = [np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)]
+        return self.sgn[0] * cols[self.idx[0]], self.sgn[1] * cols[self.idx[1]]
+
+    def inv(self, x, y):
+        ins = [np.asarray(x, dtype=np.float64) * self.sgn[0],
+               np.asarray(y, dtype=np.float64) * self.sgn[1]]
+        out = [None, None]
+        out[self.idx[0]] = ins[0]
+        out[self.idx[1]] = ins[1]
+        return out[0], out[1]
