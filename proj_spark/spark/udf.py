@@ -1,0 +1,118 @@
+"""pandas-UDF wrappers around the NumPy coordinate kernels.
+
+One compiled Operation (plan-time constants only: floats + small ndarrays)
+is closed over by a scalar pandas UDF; Spark serializes the closure to
+executors once per task. Each Arrow batch (~64k rows) is transformed by a
+single NumPy call — no per-row Python, mirroring the columnar contract of
+the reference's proj_trans_generic (src/4D_api.cpp:353-460).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+XY_SCHEMA = StructType([
+    StructField("x", DoubleType()),
+    StructField("y", DoubleType()),
+])
+
+XYZ_SCHEMA = StructType([
+    StructField("x", DoubleType()),
+    StructField("y", DoubleType()),
+    StructField("z", DoubleType()),
+])
+
+LONLAT_SCHEMA = StructType([
+    StructField("lon", DoubleType()),
+    StructField("lat", DoubleType()),
+])
+
+
+def fwd_udf(op) -> "pandas_udf":
+    """(lon_deg, lat_deg) -> struct(x, y) meters, via op.fwd_deg."""
+
+    @pandas_udf(XY_SCHEMA)
+    def _f(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        x, y = op.fwd_deg(lon.to_numpy(dtype=np.float64), lat.to_numpy(dtype=np.float64))
+        return pd.DataFrame({"x": x, "y": y})
+
+    return _f
+
+
+def inv_udf(op) -> "pandas_udf":
+    """(x, y) meters -> struct(lon, lat) degrees, via op.inv_deg."""
+
+    @pandas_udf(LONLAT_SCHEMA)
+    def _f(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        lon, lat = op.inv_deg(x.to_numpy(dtype=np.float64), y.to_numpy(dtype=np.float64))
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    return _f
+
+
+def cart_fwd_udf(op) -> "pandas_udf":
+    """(lon_deg, lat_deg, h) -> struct(x, y, z) geocentric meters."""
+
+    @pandas_udf(XYZ_SCHEMA)
+    def _f(lon: pd.Series, lat: pd.Series, h: pd.Series) -> pd.DataFrame:
+        x, y, z = op.fwd3d(
+            np.radians(lon.to_numpy(dtype=np.float64)),
+            np.radians(lat.to_numpy(dtype=np.float64)),
+            h.to_numpy(dtype=np.float64),
+        )
+        return pd.DataFrame({"x": x, "y": y, "z": z})
+
+    return _f
+
+
+def helmert_udf(h) -> "pandas_udf":
+    """(x, y, z) -> struct(x, y, z) via a Helmert transform (epoch-free)."""
+
+    @pandas_udf(XYZ_SCHEMA)
+    def _f(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.DataFrame:
+        ox, oy, oz = h.fwd(
+            x.to_numpy(dtype=np.float64),
+            y.to_numpy(dtype=np.float64),
+            z.to_numpy(dtype=np.float64),
+        )
+        return pd.DataFrame({"x": ox, "y": oy, "z": oz})
+
+    return _f
+
+
+def project(df: DataFrame, projstring: str, lon_col: str = "lon", lat_col: str = "lat",
+            out_x: str = "x", out_y: str = "y") -> DataFrame:
+    """Project lon/lat degree columns with any registered operation.
+
+    Web Mercator is special-cased to *native Spark expressions* (no UDF,
+    stays inside whole-stage codegen) since its math is closed-form.
+    """
+    from proj_spark import create
+
+    if projstring.strip().startswith("+proj=webmerc"):
+        op = create(projstring)
+        a = op.a
+        lam = F.radians(F.col(lon_col))
+        phi = F.radians(F.col(lat_col))
+        return df.withColumn(out_x, a * lam).withColumn(
+            out_y, a * F.log(F.tan(F.lit(np.pi / 4) + phi / 2)))
+    op = create(projstring)
+    u = fwd_udf(op)
+    tmp = "_prj"
+    out = df.withColumn(tmp, u(F.col(lon_col), F.col(lat_col)))
+    return (out.withColumn(out_x, F.col(f"{tmp}.x"))
+               .withColumn(out_y, F.col(f"{tmp}.y"))
+               .drop(tmp))
+
+
+def webmerc_x(lon: Column, a: float = 6378137.0) -> Column:
+    return F.lit(a) * F.radians(lon)
+
+
+def webmerc_y(lat: Column, a: float = 6378137.0) -> Column:
+    return F.lit(a) * F.log(F.tan(F.lit(np.pi / 4) + F.radians(lat) / 2))

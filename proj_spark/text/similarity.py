@@ -1,0 +1,98 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed
+approximate variant.
+
+Brute force is the exactness baseline: a single scan with a JVM-side
+dot product (F.aggregate over zip_with) — no UDF, no shuffle except the
+final top-k.  The scale path buckets vectors by random-hyperplane LSH
+(deterministic planes) so queries only scan matching buckets.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_expr(vec_col: Column, query: list[float]) -> Column:
+    """JVM-side dot product of array<float> column with a literal vector."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(vec_col: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(vec_col, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_expr(vec_col: Column, query: list[float]) -> Column:
+    qn = math.sqrt(sum(v * v for v in query)) or 1.0
+    return dot_expr(vec_col, query) / (norm_expr(vec_col) * F.lit(qn))
+
+
+def brute_force_topk(embeddings: DataFrame, query: list[float], k: int,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k: one scan + global top-k (TreeAggregate-style
+    orderBy().limit() — Spark turns this into per-partition top-k + merge)."""
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), query), 8).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic pseudo-random unit hyperplanes (no RNG: hash mix)."""
+    idx = np.arange(dim * n_planes, dtype=np.uint64)
+    v = (idx * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = v ^ (v >> np.uint64(31))
+    g = (v.astype(np.float64) / 2**64) * 2.0 - 1.0
+    return g.reshape(n_planes, dim)
+
+
+def lsh_bucket_expr(vec_col: Column, dim: int, n_planes: int = 12) -> Column:
+    """Sign-LSH bucket id: bit b set iff vec . plane_b > 0 (pure SQL)."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = F.lit(0).cast("long")
+    for b in range(n_planes):
+        q = F.array(*[F.lit(float(x)) for x in planes[b]])
+        d = F.aggregate(F.zip_with(vec_col, q, lambda a, bb: a * bb),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(embeddings: DataFrame, query: list[float], k: int,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_planes: int = 12, probe_hamming: int = 2) -> DataFrame:
+    """Approximate cosine top-k: scan only buckets within `probe_hamming`
+    bits of the query's bucket (multi-probe sign-LSH)."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes)
+    qv = np.asarray(query)
+    qbucket = 0
+    for b in range(n_planes):
+        if float(planes[b] @ qv) > 0:
+            qbucket |= 1 << b
+    bucketed = embeddings.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), dim, n_planes))
+    near = F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming
+    scored = (bucketed.where(near)
+              .select(F.col(id_col),
+                      F.round(cosine_expr(F.col(vec_col), query), 8).alias("cosine")))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def knn_pairs_topk(embeddings: DataFrame, k: int, vec_col: str = "embedding",
+                   id_col: str = "vec_id", n_planes: int = 8) -> DataFrame:
+    """All-pairs approximate neighbors: bucket join + per-id top-k window.
+    (The all-pairs analogue of lsh_topk; used for embedding near-dup.)"""
+    b = embeddings.withColumn("_bucket",
+                              lsh_bucket_expr(F.col(vec_col), None, n_planes))
+    raise NotImplementedError("all-pairs ANN lands with the multimodal round")

@@ -1,0 +1,241 @@
+"""End-to-end Spark tests: pages synthesis/extraction, projection UDFs,
+cells/tiles, PIP join, kNN, dedup — each checked against an independent
+NumPy brute-force oracle at small scale."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from proj_spark.pages import synth_pages, extract_geotags
+from proj_spark.spark.udf import project
+from proj_spark.spatial import cells
+from proj_spark.spatial.pip import pip_join, pip_expr
+from proj_spark.spatial.knn import knn_join, EARTH_R
+
+
+N_PAGES = 2000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, N_PAGES).cache()
+
+
+@pytest.fixture(scope="module")
+def geo(spark, pages):
+    return extract_geotags(pages).where(F.col("lat").isNotNull()).cache()
+
+
+def test_pages_schema_and_determinism(spark, pages):
+    assert [f.name for f in pages.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    assert dict(pages.dtypes)["html"] == "binary"
+    a = pages.orderBy("url").limit(5).collect()
+    b = synth_pages(spark, N_PAGES).orderBy("url").limit(5).collect()
+    assert a == b  # fully deterministic, no RNG
+
+
+def test_geotag_extraction_and_text_invariant(spark, pages, geo):
+    n = pages.count()
+    g = geo.count()
+    assert g == n  # every synthetic page carries a tag
+    # text byte-identity: extraction must not touch text
+    joined = pages.select("url", F.col("text").alias("t0")).join(
+        geo.select("url", "text"), "url")
+    assert joined.where(F.col("t0") != F.col("text")).count() == 0
+    # spot-check one row's lat/lon against the values embedded in html
+    row = geo.select("url", "html", "lat", "lon").first()
+    html = bytes(row["html"]).decode()
+    assert f"{row['lat']}" in html and f"{row['lon']}" in html
+
+
+def test_webmerc_expr_matches_kernel(spark, geo):
+    from proj_spark import create
+    df = project(geo.select("url", "lon", "lat"), "+proj=webmerc +ellps=WGS84")
+    pdf = df.limit(500).toPandas()
+    op = create("+proj=webmerc +ellps=WGS84")
+    x, y = op.fwd_deg(pdf["lon"].to_numpy(), pdf["lat"].to_numpy())
+    assert np.max(np.abs(pdf["x"].to_numpy() - x)) < 1e-6
+    assert np.max(np.abs(pdf["y"].to_numpy() - y)) < 1e-6
+
+
+def test_utm_udf_known_value(spark):
+    df = spark.createDataFrame([(12.0, 56.0)], ["lon", "lat"])
+    out = project(df, "+proj=utm +zone=32 +ellps=GRS80").first()
+    assert abs(out["x"] - 687071.43910944) < 1e-6
+    assert abs(out["y"] - 6210141.32674801) < 1e-6
+
+
+def test_cells_pack_roundtrip(spark):
+    df = spark.createDataFrame([(2.0, 1.0), (-74.0, 40.7), (139.7, 35.7)], ["lon", "lat"])
+    z = 12
+    out = df.select(
+        cells.tile_x(F.col("lon"), z).alias("x"),
+        cells.tile_y(F.col("lat"), z).alias("y"),
+        cells.cell_id(F.col("lon"), F.col("lat"), z).alias("cell"),
+    ).withColumn("z2", cells.cell_z(F.col("cell"))) \
+     .withColumn("x2", cells.cell_x(F.col("cell"))) \
+     .withColumn("y2", cells.cell_y(F.col("cell"))) \
+     .withColumn("parent", cells.cell_parent(F.col("cell")))
+    for r in out.collect():
+        assert r["z2"] == z and r["x2"] == r["x"] and r["y2"] == r["y"]
+        assert cells_unpack(r["parent"]) == (z - 1, r["x"] // 2, r["y"] // 2)
+    # slippy-map oracle for one known point
+    r = out.collect()[1]
+    n = 1 << z
+    ex = int(((-74.0) + 180.0) / 360.0 * n)
+    phi = math.radians(40.7)
+    ey = int((1.0 - math.asinh(math.tan(phi)) / math.pi) / 2.0 * n)
+    assert (r["x"], r["y"]) == (ex, ey)
+
+
+def cells_unpack(cell: int):
+    return cell >> 58, (cell >> 29) & ((1 << 29) - 1), cell & ((1 << 29) - 1)
+
+
+def test_neighbor_cells(spark):
+    df = spark.createDataFrame([(10.0, 50.0)], ["lon", "lat"])
+    z = 10
+    out = df.select(F.explode(cells.neighbor_cells(
+        cells.cell_id(F.col("lon"), F.col("lat"), z), 1)).alias("c")).collect()
+    got = {cells_unpack(r["c"]) for r in out}
+    base = [cells_unpack(r["c"]) for r in out]
+    zc, xc, yc = min(base)[0], None, None
+    center = df.select(cells.cell_id(F.col("lon"), F.col("lat"), z).alias("c")).first()["c"]
+    _, x0, y0 = cells_unpack(center)
+    exp = {(z, x0 + dx, y0 + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+    assert got == exp
+
+
+def _square(cx, cy, r):
+    return [
+        {"lon": cx - r, "lat": cy - r}, {"lon": cx + r, "lat": cy - r},
+        {"lon": cx + r, "lat": cy + r}, {"lon": cx - r, "lat": cy + r},
+        {"lon": cx - r, "lat": cy - r},
+    ]
+
+
+def _diamond(cx, cy, r):
+    return [
+        {"lon": cx, "lat": cy - r}, {"lon": cx + r, "lat": cy},
+        {"lon": cx, "lat": cy + r}, {"lon": cx - r, "lat": cy},
+        {"lon": cx, "lat": cy - r},
+    ]
+
+
+def _pip_oracle(px, py, ring):
+    vx = np.array([v["lon"] for v in ring])
+    vy = np.array([v["lat"] for v in ring])
+    x1, y1, x2, y2 = vx[:-1], vy[:-1], vx[1:], vy[1:]
+    inside = np.zeros(len(px), dtype=bool)
+    for i in range(len(px)):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cond = ((y1 > py[i]) != (y2 > py[i])) & (
+                px[i] < (x2 - x1) * (py[i] - y1) / (y2 - y1) + x1)
+        inside[i] = cond.sum() % 2 == 1
+    return inside
+
+
+def test_pip_join_matches_bruteforce(spark, geo):
+    polys = spark.createDataFrame(
+        [(1, _square(-74.0, 40.7, 1.2)), (2, _diamond(2.35, 48.86, 1.5)),
+         (3, _square(139.7, 35.7, 0.8)), (4, _diamond(-74.5, 40.2, 1.0))],
+        ["admin_id", "ring"])
+    pts = geo.select("url", "lon", "lat").limit(800).cache()
+    got = (pip_join(pts, polys, z=6)
+           .select("url", "admin_id").orderBy("url", "admin_id").collect())
+    pdf = pts.toPandas()
+    rings = {r["admin_id"]: r["ring"] for r in polys.collect()}
+    exp = []
+    for aid, ring in rings.items():
+        m = _pip_oracle(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+                        [{"lon": v["lon"], "lat": v["lat"]} for v in ring])
+        exp += [(u, aid) for u in pdf["url"][m]]
+    assert sorted((r["url"], r["admin_id"]) for r in got) == sorted(exp)
+
+
+def test_knn_matches_bruteforce(spark, geo):
+    data = geo.select(F.col("url").alias("data_id"), "lon", "lat").limit(1000).cache()
+    queries = spark.createDataFrame(
+        [(1, -74.0, 40.7), (2, 2.3, 48.8), (3, 139.7, 35.7), (4, 0.0, 0.0)],
+        ["query_id", "lon", "lat"])
+    k = 5
+    got = knn_join(queries, data, k=k, z=9).orderBy("query_id", "rank").collect()
+    pdf = data.toPandas()
+    dl = np.radians(pdf["lat"].to_numpy())
+    dn = np.radians(pdf["lon"].to_numpy())
+    for q in queries.collect():
+        ql, qn = math.radians(q["lat"]), math.radians(q["lon"])
+        h = (np.sin((dl - ql) / 2) ** 2
+             + np.cos(ql) * np.cos(dl) * np.sin((dn - qn) / 2) ** 2)
+        dist = 2 * EARTH_R * np.arcsin(np.sqrt(h))
+        order = sorted(zip(dist, pdf["data_id"]))[:k]
+        mine = [(r["dist_m"], r["data_id"]) for r in got if r["query_id"] == q["query_id"]]
+        assert len(mine) == k, f"query {q['query_id']} got {len(mine)}"
+        for (ed, eid), (gd, gid) in zip(order, mine):
+            assert eid == gid and abs(ed - gd) < 1e-6, (q["query_id"], eid, gid)
+
+
+def test_dedup_and_stats(spark):
+    from proj_spark.text.dedup import exact_dedup, minhash_lsh_candidates, ngram_jaccard_udf
+    from proj_spark.text.analysis import doc_stats, lang_guess
+    rows = [
+        (1, "the cat sat on the mat and it was happy for a while"),
+        (2, "the cat sat on the mat and it was happy for a while"),   # exact dup of 1
+        (3, "the cat sat on the mat and it was happy for a whilee"),  # near dup
+        (4, "der hund ist nicht mit der katze und das ist gut so"),
+        (5, "completely different content about solar panels efficiency"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = exact_dedup(docs).collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in d}
+    assert groups[1] == 2 and groups[3] == 1
+    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=16).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in cands}
+    assert (1, 2) in pairs and (1, 3) in pairs  # dup + near-dup found
+    jac = ngram_jaccard_udf()
+    verified = (docs.alias("a").join(docs.alias("b"),
+                F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"),
+                        jac(F.col("a.text"), F.col("b.text")).alias("j")))
+    jmap = {(r["ia"], r["ib"]): r["j"] for r in verified.collect()}
+    assert jmap[(1, 2)] == 1.0
+    assert 0.7 < jmap[(1, 3)] < 1.0
+    assert jmap[(1, 5)] < 0.2
+    s = doc_stats(docs).orderBy("doc_id").collect()
+    assert s[0]["n_tokens"] == 13
+    lg = docs.select("doc_id", lang_guess(F.col("text")).alias("lg")).collect()
+    m = {r["doc_id"]: r["lg"] for r in lg}
+    assert m[1] == "en" and m[4] == "de"
+
+
+def test_simhash_near_dups(spark):
+    from proj_spark.text.dedup import simhash_near_dups
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank todaz"),
+        (3, "totally unrelated text about databases and distributed query engines"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(docs, max_hamming=8).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_cosine_topk(spark):
+    from proj_spark.text.similarity import brute_force_topk, lsh_topk
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [float(x) for x in vecs[7]]
+    got = brute_force_topk(emb, q, 5).collect()
+    qv = np.asarray(q)
+    cos = (vecs @ qv) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(qv))
+    exp = list(np.argsort(-cos)[:5])
+    assert [r["vec_id"] for r in got] == exp
+    assert got[0]["vec_id"] == 7 and abs(got[0]["cosine"] - 1.0) < 1e-6
+    approx = lsh_topk(emb, q, 5, n_planes=8, probe_hamming=3).collect()
+    assert approx[0]["vec_id"] == 7  # LSH must at least find the point itself
