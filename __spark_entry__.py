@@ -1,38 +1,596 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the engine's operator surface (SURVEY.md §2) as
+(spark, sf_dir) -> DataFrame callables; `oracle_sql()` gives each one a
+DuckDB-runnable oracle on the same inputs.
+
+The geospatial queries run over the engine's `pages` table
+(url, warc_ts, html binary, text, lang — BASELINE.json input_hint),
+synthesized deterministically by pure integer arithmetic
+(proj_spark.pages.synth_pages) so the DuckDB oracle can regenerate the
+*identical* rows from `range()` + the same closed-form math.  The Spark
+side runs the REAL pipeline — html synthesis → regexp geotag extraction
+→ kernels/joins — while the oracle computes lat/lon directly; the two
+agree exactly because extraction is a lossless %.6f round-trip.
+
+Float-parity rules used throughout (Spark JVM vs DuckDB libm):
+  - outputs are integers, strings, or doubles rounded coarsely enough
+    that a 1-2 ulp libm difference cannot flip the rounded value;
+  - no order-dependent float aggregates (sums of doubles) — counts,
+    min/max, and exact-rational divisions only;
+  - identical parenthesization in both dialects.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from proj_spark.pages import CITY_CENTERS, extract_geotags, pages_table
+from proj_spark.spatial import cells
+from proj_spark.spatial.knn import haversine_sql, knn_join
+from proj_spark.spatial.pip import pip_join
+from proj_spark.text import analysis
+
+# ---------------------------------------------------------------------------
+# pages synthesis parameters (must mirror proj_spark.pages.synth_pages)
+# ---------------------------------------------------------------------------
+
+N_DOMAINS = 1000
+ORACLE_SF = 0.01          # the driver's correctness gate runs at sf=0.01
+PAGES_PER_SF = 6_000_000  # sf0.01 -> 60k pages (lineitem-scale)
+
+
+def _n_pages(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else ORACLE_SF
+    return int(round(PAGES_PER_SF * sf))
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages -> geotagged points (url, domain, lang, lat, lon).
+
+    Full engine path: html synthesis -> geotag regexp extraction.  The
+    `text`/`html` columns are pruned by Catalyst everywhere they are not
+    referenced (verified via ReadSchema in the plan).
+    """
+    pages = pages_table(spark, _n_pages(sf_dir), N_DOMAINS)
+    pts = extract_geotags(pages).where(F.col("lat").isNotNull())
+    return pts.select(
+        "url",
+        F.regexp_extract("url", r"site(\d+)\.", 1).alias("domain"),
+        "lang", "lat", "lon",
+    )
+
+
+def _pages_cte(n: int) -> str:
+    """DuckDB CTE regenerating the exact (url, domain, lang, lat, lon)
+    rows of `_points` by the same deterministic integer arithmetic."""
+    lons = ", ".join(repr(c[0]) for c in CITY_CENTERS)
+    lats = ", ".join(repr(c[1]) for c in CITY_CENTERS)
+    return f"""
+pages_base AS (
+  SELECT range AS i,
+         (range * 2654435761) % 2147483648 AS h,
+         ((range * 48271) % 20001 - 10000) / 10000.0 AS j1,
+         ((range * 69621) % 20001 - 10000) / 10000.0 AS j2
+  FROM range(0, {n})
+),
+pages_geo AS (
+  SELECT i, h, j1, j2,
+         h % (h % {N_DOMAINS} + 1) AS dom,
+         CAST(h % 40 AS INT) AS cidx,
+         (h % 10) < 7 AS clustered
+  FROM pages_base
+),
+pages AS (
+  SELECT i,
+         'https://site' || CAST(dom AS VARCHAR) || '.example/page/' || CAST(i AS VARCHAR) AS url,
+         CAST(dom AS VARCHAR) AS domain,
+         (['en','de','fr','es','pt','ja'])[CAST(dom % 6 AS INT) + 1] AS lang,
+         ROUND(CASE WHEN clustered THEN ([{lats}])[cidx + 1] + j2 * 1.0
+                    ELSE ROUND(j2 * 59.99, 6) END, 6) AS lat,
+         ROUND(CASE WHEN clustered THEN ([{lons}])[cidx + 1] + j1 * 1.5
+                    ELSE ROUND(j1 * 179.99, 6) END, 6) AS lon
+  FROM pages_geo
+)"""
+
+
+# ---------------------------------------------------------------------------
+# admin polygons (diamonds around the first 12 city centers)
+# ---------------------------------------------------------------------------
+
+N_ADMINS = 12
+
+
+def _admin_specs() -> list[tuple[int, float, float, float, float]]:
+    out = []
+    for d in range(N_ADMINS):
+        cx, cy = CITY_CENTERS[d]
+        rx = 0.5 + (d % 5) * 0.1
+        ry = 0.4 + (d % 3) * 0.1
+        out.append((d, cx, cy, rx, ry))
+    return out
+
+
+def _admin_polygons(spark: SparkSession) -> DataFrame:
+    rows = []
+    for d, cx, cy, rx, ry in _admin_specs():
+        ring = [(cx + rx, cy), (cx, cy + ry), (cx - rx, cy), (cx, cy - ry),
+                (cx + rx, cy)]
+        rows.append((d, [{"lon": x, "lat": y} for x, y in ring]))
+    return spark.createDataFrame(
+        rows, "admin_id long, ring array<struct<lon:double,lat:double>>")
+
+
+def _admin_values_sql() -> str:
+    vals = ", ".join(f"({d}, {cx!r}, {cy!r}, {rx!r}, {ry!r})"
+                     for d, cx, cy, rx, ry in _admin_specs())
+    return (f"(VALUES {vals}) AS admins(admin_id, cx, cy, rx, ry)")
+
+
+# ---------------------------------------------------------------------------
+# knn query points (10 cities)
+# ---------------------------------------------------------------------------
+
+N_KNN_QUERIES = 10
+KNN_K = 5
+
+
+def _knn_queries_df(spark: SparkSession) -> DataFrame:
+    rows = [(q, CITY_CENTERS[2 * q][0], CITY_CENTERS[2 * q][1])
+            for q in range(N_KNN_QUERIES)]
+    return spark.createDataFrame(rows, "query_id long, lon double, lat double")
+
+
+def _knn_values_sql() -> str:
+    vals = ", ".join(
+        f"({q}, {CITY_CENTERS[2 * q][0]!r}, {CITY_CENTERS[2 * q][1]!r})"
+        for q in range(N_KNN_QUERIES))
+    return f"(VALUES {vals}) AS qp(query_id, qlon, qlat)"
+
+
+# ---------------------------------------------------------------------------
+# queries — geospatial layer
+# ---------------------------------------------------------------------------
+
+def q_tile_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 densest webmerc z8 tiles (raster<->vector tile assignment)."""
+    z = 8
+    pts = _points(spark, sf_dir)
+    return (pts
+            .select(cells.tile_x(F.col("lon"), z).alias("tile_x"),
+                    cells.tile_y(F.col("lat"), z).alias("tile_y"),
+                    "url", "domain")
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("domain").alias("n_domains"))
+            .orderBy(F.col("n_pages").desc(), "tile_x", "tile_y")
+            .limit(100))
+
+
+def _sql_tile_density(n: int) -> str:
+    z = 8
+    return f"""WITH {_pages_cte(n)}
+SELECT {cells.tile_x_sql('lon', z)} AS tile_x,
+       {cells.tile_y_sql('lat', z)} AS tile_y,
+       COUNT(*) AS n_pages, COUNT(DISTINCT domain) AS n_domains
+FROM pages
+GROUP BY 1, 2
+ORDER BY n_pages DESC, tile_x, tile_y
+LIMIT 100"""
+
+
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cell prefix aggregation: z12 cells rolled up to z6."""
+    pts = _points(spark, sf_dir)
+    fine = pts.select(cells.cell_id(F.col("lon"), F.col("lat"), 12).alias("cell12"))
+    return (fine
+            .select(cells.cell_parent(F.col("cell12"), 6).alias("cell6"))
+            .groupBy("cell6")
+            .agg(F.count("*").alias("n_pages"))
+            .where(F.col("n_pages") >= 5))
+
+
+def _sql_cell_rollup(n: int) -> str:
+    # parent-of-z12 == direct z6 encoding (floor composition); the oracle
+    # uses the direct form, so this also checks the hierarchy property
+    return f"""WITH {_pages_cte(n)}
+SELECT {cells.cell_id_sql('lon', 'lat', 6)} AS cell6, COUNT(*) AS n_pages
+FROM pages
+GROUP BY 1
+HAVING COUNT(*) >= 5"""
+
+
+def q_pip_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join vs 12 admin diamonds -> per-admin stats."""
+    pts = _points(spark, sf_dir)
+    polys = _admin_polygons(spark)
+    hits = pip_join(pts, polys, z=7)
+    return (hits.groupBy("admin_id")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("domain").alias("n_domains")))
+
+
+def _sql_pip_admin(n: int) -> str:
+    return f"""WITH {_pages_cte(n)}
+SELECT admin_id, COUNT(*) AS n_pages, COUNT(DISTINCT domain) AS n_domains
+FROM pages, {_admin_values_sql()}
+WHERE ABS(lon - cx) / rx + ABS(lat - cy) / ry < 1.0
+GROUP BY admin_id"""
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 nearest pages per query city via cell-ring expansion."""
+    pts = _points(spark, sf_dir)
+    qs = _knn_queries_df(spark)
+    res = knn_join(qs, pts, k=KNN_K, z=9, query_id="query_id", data_id="url")
+    return res.select("query_id", "url",
+                      F.round("dist_m", 3).alias("dist_m"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_knn(n: int) -> str:
+    dist = haversine_sql("qlon", "qlat", "lon", "lat")
+    return f"""WITH {_pages_cte(n)},
+scored AS (
+  SELECT query_id, url, {dist} AS dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {dist}, url) AS rnk
+  FROM pages, {_knn_values_sql()}
+)
+SELECT query_id, url, ROUND(dist, 3) AS dist_m, rnk AS rank
+FROM scored WHERE rnk <= {KNN_K}"""
+
+
+def q_utm_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM zone assignment (pure expr — src/projections/tmerc.cpp:541-589
+    zone logic) + per-zone/hemisphere counts."""
+    pts = _points(spark, sf_dir)
+    zone = F.least(F.floor((F.col("lon") + 180.0) / 6.0) + 1, F.lit(60)).cast("long")
+    hemi = F.when(F.col("lat") >= 0, "N").otherwise("S")
+    return (pts.select(zone.alias("zone"), hemi.alias("hemi"))
+            .groupBy("zone", "hemi").agg(F.count("*").alias("n_pages")))
+
+
+def _sql_utm_zones(n: int) -> str:
+    return f"""WITH {_pages_cte(n)}
+SELECT CAST(LEAST(FLOOR((lon + 180.0) / 6.0) + 1, 60) AS BIGINT) AS zone,
+       CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END AS hemi,
+       COUNT(*) AS n_pages
+FROM pages GROUP BY 1, 2"""
+
+
+def q_webmerc_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator projection (native expr, src/projections/merc.cpp:92-100)
+    + per-z5-tile bbox of projected meters."""
+    from proj_spark.spark.udf import webmerc_x, webmerc_y
+    z = 5
+    pts = _points(spark, sf_dir)
+    prj = pts.select(
+        cells.tile_x(F.col("lon"), z).alias("tile_x"),
+        cells.tile_y(F.col("lat"), z).alias("tile_y"),
+        webmerc_x(F.col("lon")).alias("mx"),
+        webmerc_y(F.col("lat")).alias("my"))
+    return (prj.groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n_pages"),
+                 F.round(F.min("mx"), 3).alias("min_x"),
+                 F.round(F.max("mx"), 3).alias("max_x"),
+                 F.round(F.min("my"), 3).alias("min_y"),
+                 F.round(F.max("my"), 3).alias("max_y"))
+            .where(F.col("n_pages") >= 10))
+
+
+def _sql_webmerc_bbox(n: int) -> str:
+    z = 5
+    a = 6378137.0
+    mx = f"({a!r} * RADIANS(lon))"
+    my = f"({a!r} * LN(TAN(PI()/4 + RADIANS(lat)/2)))"
+    return f"""WITH {_pages_cte(n)}
+SELECT {cells.tile_x_sql('lon', z)} AS tile_x,
+       {cells.tile_y_sql('lat', z)} AS tile_y,
+       COUNT(*) AS n_pages,
+       ROUND(MIN({mx}), 3) AS min_x, ROUND(MAX({mx}), 3) AS max_x,
+       ROUND(MIN({my}), 3) AS min_y, ROUND(MAX({my}), 3) AS max_y
+FROM pages
+GROUP BY 1, 2
+HAVING COUNT(*) >= 10"""
+
+
+def q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project zone-31..33 pages through the exact TM kernel (etmerc VUDF,
+    Poder/Engsager series — src/projections/tmerc.cpp:341-498).
+
+    No SQL oracle (the 6th-order complex Clenshaw series is not reasonably
+    expressible in ANSI SQL); accuracy is gated by the gie fixture tests.
+    """
+    from proj_spark.spark.udf import project
+    pts = _points(spark, sf_dir)
+    zone = (F.floor((F.col("lon") + 180.0) / 6.0) + 1).cast("int")
+    out = None
+    for zn in (31, 32, 33):
+        part = pts.where(zone == zn)
+        prj = project(part, f"+proj=utm +zone={zn} +ellps=GRS80",
+                      out_x="easting", out_y="northing")
+        agg = (prj.agg(F.count("*").alias("n_pages"),
+                       F.round(F.min("easting"), 3).alias("min_e"),
+                       F.round(F.max("easting"), 3).alias("max_e"),
+                       F.round(F.min("northing"), 3).alias("min_n"),
+                       F.round(F.max("northing"), 3).alias("max_n"))
+               .select(F.lit(zn).cast("long").alias("zone"), "*"))
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# queries — text / dedup / similarity layer (documents + embeddings tables)
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/quality stats + content fingerprint."""
+    stats = analysis.doc_stats(_docs(spark, sf_dir))
+    return stats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars_c").cast("long").alias("n_chars_c"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_tok_len", "digit_ratio", "punct_ratio", "quality", "fp")
+
+
+def _sql_doc_stats() -> str:
+    toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')"
+    n_tok = f"len({toks})"
+    tot = f"list_aggregate(list_transform({toks}, t -> len(t)), 'sum')"
+    mtl = f"(CASE WHEN {n_tok} > 0 THEN CAST({tot} AS DOUBLE) / {n_tok} ELSE 0.0 END)"
+    n = "len(text)"
+    digits = f"({n} - len(regexp_replace(text, '[0-9]', '', 'g')))"
+    punct = f"({n} - len(regexp_replace(text, '[.,;:!?''\"()-]', '', 'g')))"
+    dr = f"(CASE WHEN {n} > 0 THEN CAST({digits} AS DOUBLE) / {n} ELSE 0.0 END)"
+    pr = f"(CASE WHEN {n} > 0 THEN CAST({punct} AS DOUBLE) / {n} ELSE 0.0 END)"
+    len_ok = f"LEAST(CAST({n_tok} AS DOUBLE) / 50.0, 1.0)"
+    word_ok = f"(CASE WHEN {mtl} >= 3.0 AND {mtl} <= 10.0 THEN 1.0 ELSE 0.5 END)"
+    noise_ok = f"GREATEST(0.0, 1.0 - ({dr} + {pr}) * 2.0)"
+    return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({n} AS BIGINT) AS n_chars_c,
+       CAST({n_tok} AS BIGINT) AS n_tokens,
+       ROUND({mtl}, 6) AS mean_tok_len,
+       ROUND({dr}, 6) AS digit_ratio,
+       ROUND({pr}, 6) AS punct_ratio,
+       ROUND({len_ok} * {word_ok} * {noise_ok}, 6) AS quality,
+       md5(text) AS fp
+FROM documents"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 hash group-by (one shuffle on the digest)."""
+    from proj_spark.text.dedup import exact_dedup
+    d = exact_dedup(_docs(spark, sf_dir))
+    return d.select("text_md5", F.col("keep_id").cast("long").alias("keep_id"),
+                    F.col("dup_count").cast("long").alias("dup_count"))
+
+
+def _sql_exact_dedup() -> str:
+    return """SELECT md5(text) AS text_md5,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1"""
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-based language ID vs the labeled lang column."""
+    docs = _docs(spark, sf_dir)
+    g = docs.select(F.col("lang"), analysis.lang_guess(F.col("text")).alias("guess"))
+    return g.groupBy("lang", "guess").agg(F.count("*").alias("n_docs"))
+
+
+def _sql_lang_confusion() -> str:
+    toks = ("list_distinct(list_transform(list_filter("
+            "regexp_split_to_array(trim(text), '\\s+'), t -> t != ''), t -> lower(t)))")
+    hits = {lang: f"len(list_intersect({toks}, {words!r}))"
+            for lang, words in analysis.STOPWORDS.items()}
+    best = "GREATEST(" + ", ".join(hits.values()) + ")"
+    case = "CASE WHEN " + " WHEN ".join(
+        f"{best} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
+        for lang in analysis.STOPWORDS) + " ELSE 'und' END"
+    return f"""SELECT lang, {case.replace("WHEN", "WHEN", 1)} AS guess, COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2"""
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-30 tokens (explode -> hash agg -> global top-k)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(analysis.tokens(F.lower(F.col("text")))).alias("token"))
+    return (toks.groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "token").limit(30))
+
+
+def _sql_token_topk() -> str:
+    return """SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                t -> t != '')) AS token
+      FROM documents)
+GROUP BY 1 ORDER BY n DESC, token LIMIT 30"""
+
+
+# 20-char shingles: wide enough that vocabulary-level n-grams don't become
+# ubiquitous (a shingle shared by thousands of docs makes the
+# join-on-shingle pair count quadratic in document frequency)
+NGRAM_W = 20
+NGRAM_TOPK = 200
+
+
+def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top near-dup pairs by exact 8-gram Jaccard, computed distributed:
+    explode distinct shingles -> self-equi-join on shingle -> count =
+    |intersection| -> |union| from per-doc set sizes.  This is the
+    shuffle-on-shingle plan that scales (no O(n^2) cross join)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(F.expr(
+            f"array_distinct(transform(sequence(1, greatest(length(text) - {NGRAM_W - 1}, 0)),"
+            f" i -> substring(text, i, {NGRAM_W})))")).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    j = (inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+         .select(F.col("id_a").cast("long").alias("id_a"),
+                 F.col("id_b").cast("long").alias("id_b"),
+                 (F.col("n_inter").cast("double")
+                  / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard")))
+    return (j.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(NGRAM_TOPK)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def _sql_ngram_pairs() -> str:
+    return f"""WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([substring(text, i, {NGRAM_W})
+          for i in generate_series(1, greatest(len(text) - {NGRAM_W - 1}, 0))])) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.id_a
+  JOIN sizes sb ON sb.doc_id = inter.id_b
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+FROM j ORDER BY jaccard DESC, id_a, id_b LIMIT {NGRAM_TOPK}"""
+
+
+EMB_K = 20
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (JVM-side dot
+    product, no UDF; global top-k via orderBy().limit())."""
+    from proj_spark.text.similarity import brute_force_topk
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(v) for v in qrow[0]]
+    res = brute_force_topk(emb, query, EMB_K)
+    return res.select(F.col("vec_id").cast("long").alias("vec_id"), "cosine")
+
+
+def _sql_embed_topk() -> str:
+    return f"""WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(qv, qv))), 8) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id LIMIT {EMB_K}"""
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banded near-dup candidates, verified by exact n-gram
+    Jaccard (rows-only: the minhash family is not SQL-expressible)."""
+    from proj_spark.text.dedup import minhash_lsh_candidates, ngram_jaccard_udf
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cand = minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingle=5)
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    jac = ngram_jaccard_udf(shingle=5)
+    verified = (cand.join(F.broadcast(ta), "id_a").join(F.broadcast(tb), "id_b")
+                .withColumn("jaccard", F.round(jac(F.col("text_a"), F.col("text_b")), 6))
+                .where(F.col("jaccard") >= 0.5)
+                .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"))
+    return verified.orderBy("id_a", "id_b")
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (rows-only; hamming <= 3)."""
+    from proj_spark.text.dedup import simhash_near_dups
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = simhash_near_dups(docs)
+    return d.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+                    F.col("hamming").cast("long")).orderBy("id_a", "id_b")
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream rollup: per (type, hour) counts + exact cents sum."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.select("event_type",
+                      F.hour("ts").cast("long").alias("hr"),
+                      F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+            .groupBy("event_type", "hr")
+            .agg(F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents")))
+
+
+def _sql_events_hourly() -> str:
+    return """SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_cents
+FROM events GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: webmerc tile density of geotagged pages at sf0.001."""
+    return q_tile_density(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_density": q_tile_density,
+        "cell_rollup": q_cell_rollup,
+        "pip_admin": q_pip_admin,
+        "knn": q_knn,
+        "utm_zones": q_utm_zones,
+        "webmerc_bbox": q_webmerc_bbox,
+        "utm_project": q_utm_project,
+        "doc_stats": q_doc_stats,
+        "exact_dedup": q_exact_dedup,
+        "lang_confusion": q_lang_confusion,
+        "token_topk": q_token_topk,
+        "ngram_pairs": q_ngram_pairs,
+        "embed_topk": q_embed_topk,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n = int(round(PAGES_PER_SF * ORACLE_SF))
+    return {
+        "tile_density": _sql_tile_density(n),
+        "cell_rollup": _sql_cell_rollup(n),
+        "pip_admin": _sql_pip_admin(n),
+        "knn": _sql_knn(n),
+        "utm_zones": _sql_utm_zones(n),
+        "webmerc_bbox": _sql_webmerc_bbox(n),
+        "doc_stats": _sql_doc_stats(),
+        "exact_dedup": _sql_exact_dedup(),
+        "lang_confusion": _sql_lang_confusion(),
+        "token_topk": _sql_token_topk(),
+        "ngram_pairs": _sql_ngram_pairs(),
+        "embed_topk": _sql_embed_topk(),
+        "events_hourly": _sql_events_hourly(),
+        # utm_project / minhash_neardup / simhash_neardup: rows-only
+        # (non-SQL-expressible kernels; gated by the gie fixture pytest suite)
+    }

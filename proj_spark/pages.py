@@ -18,6 +18,8 @@ codegen'd, and `text` is untouched.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -60,14 +62,19 @@ def synth_pages(spark: SparkSession, n_rows: int, n_domains: int = 1000) -> Data
     lon = F.round(lon, 6)
     lat = F.round(lat, 6)
 
+    # fixed-point formatting: a plain double->string cast flips to
+    # scientific notation below 1e-3 (lon near 0 -> "5.0E-5"), which the
+    # extraction regexp would silently truncate
+    lat_s = F.format_string("%.6f", lat)
+    lon_s = F.format_string("%.6f", lon)
     icbm = F.pmod(i, F.lit(10)) == 3  # 10% use the ICBM meta variant
     geotag = F.when(
         icbm,
-        F.concat(F.lit('<meta name="ICBM" content="'), lat.cast("string"),
-                 F.lit(", "), lon.cast("string"), F.lit('">')),
+        F.concat(F.lit('<meta name="ICBM" content="'), lat_s,
+                 F.lit(", "), lon_s, F.lit('">')),
     ).otherwise(
-        F.concat(F.lit('<meta name="geo.position" content="'), lat.cast("string"),
-                 F.lit(";"), lon.cast("string"), F.lit('">')),
+        F.concat(F.lit('<meta name="geo.position" content="'), lat_s,
+                 F.lit(";"), lon_s, F.lit('">')),
     )
     html = F.encode(F.concat(
         F.lit("<html><head>"), geotag,
@@ -84,6 +91,26 @@ def synth_pages(spark: SparkSession, n_rows: int, n_domains: int = 1000) -> Data
         url.alias("url"), warc_ts.alias("warc_ts"), html.alias("html"),
         text.alias("text"), lang.alias("lang"),
     )
+
+
+def pages_table(spark: SparkSession, n_rows: int, n_domains: int = 1000) -> DataFrame:
+    """The pages *table*: synthesis materialized to parquet once per scale.
+
+    Real deployments read pages from an Iceberg/parquet table; synthesizing
+    lazily instead would (a) recompute the html construction once per
+    downstream expression after Catalyst's projection collapse (the whole
+    synth expr gets re-inlined into every regexp_extract, blowing past the
+    64 KB codegen method limit), and (b) redo the work per query.  A
+    one-time parquet write restores the scan->prune->push-down shape the
+    engine is designed around.
+    """
+    cache_root = os.environ.get("PROJ_SPARK_CACHE",
+                                os.path.join(os.path.dirname(os.path.dirname(
+                                    os.path.abspath(__file__))), ".cache"))
+    path = os.path.join(cache_root, f"pages_{n_rows}_{n_domains}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_pages(spark, n_rows, n_domains).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def extract_geotags(pages: DataFrame) -> DataFrame:

@@ -1,10 +1,30 @@
-"""kNN via cell-ring expansion + exact geodesic re-rank.
+"""kNN via cell-ring expansion + exact distance re-rank.
 
-For each query point: join candidate data points sharing a cell within
-Chebyshev ring r of the query cell, compute exact distance, keep top-k by
-window.  Queries that found < k candidates expand to a wider ring
-(driver-side loop, few iterations).  At scale the data side is hash-
-partitioned by cell once; the (small) query side is broadcast each round.
+Contract: the *query* side is small (10^0..10^5 points — per-city probes,
+admin centroids); the *data* side is the trillion-row pages table.  Each
+round therefore broadcasts the query ring-cells against the big side
+(map-side hash join, no shuffle of the data), keeps top-k per query with
+a window, and returns only k x |Q| rows — which the driver can hold.
+
+The round loop is coordinated on the driver: completion stats (k-th
+distance per query) are tiny, and deciding "done" in Python avoids the
+anti-join lineage chains that would otherwise recompute every prior
+round at each iteration.
+
+Correctness of the expansion: a query is complete only when its k-th
+neighbor distance is <= a *lower bound* of the distance to the ring-box
+boundary, so no point outside the searched box can be closer:
+  - to the N/S box edges (parallels): d >= R * |phi_q - phi_edge|
+    (any path must traverse that latitude change);
+  - to the E/W box edges (meridians): the cross-track bound
+    d >= R * asin(sin(|dlam|) * cos(phi_q)) for the full meridian,
+    which lower-bounds the distance to the edge segment.
+Both bounds are exact on the sphere used by the haversine ranking; for
+the ellipsoidal (vincenty) ranking a 0.995 safety factor absorbs the
+<0.34% flattening discrepancy.
+
+Queries straddling the antimeridian are not wrapped (cells clamp at
+x=0 / x=2^z-1), matching the cell-cover convention engine-wide.
 
 Distance column: haversine by default (closed-form, expressible in ANSI
 SQL for oracles); `distance="vincenty"` swaps in the ellipsoidal UDF for
@@ -20,7 +40,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 from proj_spark.spatial import cells
@@ -58,6 +78,47 @@ def vincenty_dist_udf(lon1: pd.Series, lat1: pd.Series,
     return pd.Series(s12)
 
 
+def _tile_x(lon: float, z: int) -> int:
+    n = 1 << z
+    return min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+
+
+def _tile_y(lat: float, z: int) -> int:
+    n = 1 << z
+    phi = math.radians(lat)
+    v = math.floor((1.0 - math.asinh(math.tan(phi)) / math.pi) / 2.0 * n)
+    return min(max(int(v), 0), n - 1)
+
+
+def _tile2lon(x: int, z: int) -> float:
+    return x / (1 << z) * 360.0 - 180.0
+
+
+def _tile2lat(y: int, z: int) -> float:
+    return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / (1 << z)))))
+
+
+def _safe_radius(qlon: float, qlat: float, ring: int, z: int) -> float:
+    """Lower bound (meters) of distance from the query to the boundary of
+    its (2*ring+1)^2 cell box; +inf for world-clamped edges."""
+    n = 1 << z
+    qx, qy = _tile_x(qlon, z), _tile_y(qlat, z)
+    phi_q = math.radians(qlat)
+    bounds = []
+    if qy - ring > 0:
+        bounds.append(EARTH_R * abs(phi_q - math.radians(_tile2lat(qy - ring, z))))
+    if qy + ring + 1 < n:
+        bounds.append(EARTH_R * abs(phi_q - math.radians(_tile2lat(qy + ring + 1, z))))
+    for xedge in (qx - ring, qx + ring + 1):
+        if 0 < xedge < n:
+            dlam = abs(math.radians(qlon - _tile2lon(xedge, z)))
+            if dlam < math.pi / 2:
+                bounds.append(EARTH_R * math.asin(math.sin(dlam) * math.cos(phi_q)))
+            else:
+                bounds.append(EARTH_R * dlam * 0.5)  # crude but >= box distance
+    return min(bounds) if bounds else math.inf
+
+
 def knn_join(queries: DataFrame, data: DataFrame, k: int, z: int = 9,
              query_id: str = "query_id", data_id: str = "data_id",
              q_lon: str = "lon", q_lat: str = "lat",
@@ -65,19 +126,21 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int, z: int = 9,
              distance: str = "haversine", max_ring: int = 16) -> DataFrame:
     """k nearest data points per query point.
 
-    Returns (query_id, data_id, dist_m, rank).  Deterministic tie-break on
-    (dist_m, data_id).  The ring starts at 1 and doubles until every query
-    has k neighbors or max_ring is hit (a ring that spans the whole grid
-    degenerates to the brute-force join, so termination is guaranteed).
+    Returns (query_id, data_id, dist_m, rank) with deterministic
+    tie-break on (dist_m, data_id).  Ring starts at 1 and doubles until
+    every query's k-th distance fits inside the proven-covered radius;
+    stragglers (empty oceans) fall back to a brute-force pass.
     """
+    spark = data.sparkSession
     d = data.select(
         F.col(data_id), F.col(d_lon).alias("_dlon"), F.col(d_lat).alias("_dlat"),
         cells.cell_id(F.col(d_lon), F.col(d_lat), z).alias("_dcell"))
-    d = d.repartition(F.col("_dcell")).cache()
 
-    q_all = queries.select(
-        F.col(query_id), F.col(q_lon).alias("_qlon"), F.col(q_lat).alias("_qlat"),
-        cells.cell_id(F.col(q_lon), F.col(q_lat), z).alias("_qcell"))
+    qid_field = queries.schema[query_id]
+    did_field = data.schema[data_id]
+    qrows = [(r[0], float(r[1]), float(r[2]))
+             for r in queries.select(query_id, q_lon, q_lat).collect()]
+    safety = 0.995 if distance == "vincenty" else 1.0
 
     def dist_col():
         if distance == "vincenty":
@@ -86,43 +149,72 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int, z: int = 9,
         return haversine_expr(F.col("_qlon"), F.col("_qlat"),
                               F.col("_dlon"), F.col("_dlat"))
 
-    pending = q_all
-    results = None
+    cand_schema = StructType([
+        StructField(query_id, qid_field.dataType),
+        StructField("_qlon", DoubleType()),
+        StructField("_qlat", DoubleType()),
+        StructField("_cell", LongType()),
+    ])
+
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_m"), F.col(data_id))
+
+    def topk_of(cand: DataFrame) -> list:
+        return (cand.withColumn("dist_m", dist_col())
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(query_id, data_id, "dist_m", "rank")
+                .collect())
+
+    out_rows: list = []
+    remaining = qrows
     ring = 1
-    while ring <= max_ring:
-        cand_cells = pending.withColumn(
-            "_cell", F.explode(cells.neighbor_cells(F.col("_qcell"), ring)))
-        cand = F.broadcast(cand_cells).join(d, F.col("_cell") == F.col("_dcell"), "inner")
-        w = Window.partitionBy(query_id).orderBy(F.col("dist_m"), F.col(data_id))
-        topk = (cand.withColumn("dist_m", dist_col())
-                    .withColumn("rank", F.row_number().over(w))
-                    .where(F.col("rank") <= k))
-        # a query is complete when it has k neighbors AND its k-th distance
-        # fits inside the guaranteed-covered radius of the current ring
-        # (ring * cell_height); cell height at zoom z >= 40075km/2^z * cos(85°)
-        # -- conservatively use the worst-case shrink at high latitude via
-        # the query latitude itself.
-        cell_w_m = 2 * math.pi * EARTH_R / (1 << z)
-        counts = (topk.groupBy(query_id)
-                  .agg(F.count("*").alias("_n"), F.max("dist_m").alias("_dmax"),
-                       F.max(F.abs(F.col("_qlat"))).alias("_alat")))
-        safe_r = F.lit(ring * cell_w_m) * F.cos(F.radians(F.col("_alat")))
-        done_ids = counts.where((F.col("_n") >= k) & (F.col("_dmax") <= safe_r)) \
-                         .select(query_id)
-        got = topk.join(F.broadcast(done_ids), query_id, "inner") \
-                  .select(query_id, data_id, "dist_m", "rank")
-        results = got if results is None else results.unionByName(got)
-        pending = pending.join(F.broadcast(done_ids), query_id, "left_anti")
-        if pending.isEmpty():
-            break
+    n = 1 << z
+    while remaining and ring <= max_ring:
+        cand_rows = []
+        whole_world = []
+        for qid, qlon, qlat in remaining:
+            qx, qy = _tile_x(qlon, z), _tile_y(qlat, z)
+            seen = set()
+            for dx in range(-ring, ring + 1):
+                for dy in range(-ring, ring + 1):
+                    x = min(max(qx + dx, 0), n - 1)
+                    y = min(max(qy + dy, 0), n - 1)
+                    c = (z << cells.Z_SHIFT) | (x << cells.X_SHIFT) | y
+                    if c not in seen:
+                        seen.add(c)
+                        cand_rows.append((qid, qlon, qlat, c))
+            if qx - ring <= 0 and qx + ring + 1 >= n and qy - ring <= 0 and qy + ring + 1 >= n:
+                whole_world.append(qid)
+        cand_df = F.broadcast(spark.createDataFrame(cand_rows, cand_schema))
+        cand = cand_df.join(d, F.col("_cell") == F.col("_dcell"), "inner")
+        got = topk_of(cand)
+        by_q: dict = {}
+        for r in got:
+            by_q.setdefault(r[0], []).append(r)
+        still = []
+        world = set(whole_world)
+        for qid, qlon, qlat in remaining:
+            rows = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+            bound = safety * _safe_radius(qlon, qlat, ring, z)
+            if qid in world or (len(rows) >= k and rows[-1]["dist_m"] <= bound):
+                out_rows.extend(rows)
+            else:
+                still.append((qid, qlon, qlat))
+        remaining = still
         ring *= 2
-    else:
-        # exhausted rings: brute-force the stragglers (tiny by now)
-        cand = F.broadcast(pending).crossJoin(d)
-        w = Window.partitionBy(query_id).orderBy(F.col("dist_m"), F.col(data_id))
-        got = (cand.withColumn("dist_m", dist_col())
-                   .withColumn("rank", F.row_number().over(w))
-                   .where(F.col("rank") <= k)
-                   .select(query_id, data_id, "dist_m", "rank"))
-        results = got if results is None else results.unionByName(got)
-    return results
+    if remaining:
+        # brute force the stragglers: tiny query side x full data scan
+        rem_df = F.broadcast(spark.createDataFrame(
+            [(qid, qlon, qlat) for qid, qlon, qlat in remaining],
+            StructType([StructField(query_id, qid_field.dataType),
+                        StructField("_qlon", DoubleType()),
+                        StructField("_qlat", DoubleType())])))
+        out_rows.extend(topk_of(rem_df.crossJoin(d)))
+
+    out_schema = StructType([
+        StructField(query_id, qid_field.dataType),
+        StructField(data_id, did_field.dataType),
+        StructField("dist_m", DoubleType()),
+        StructField("rank", IntegerType()),
+    ])
+    return spark.createDataFrame(out_rows, out_schema)
