@@ -90,18 +90,26 @@ class Operation:
         nan = np.float64(np.nan)
         return np.where(bad, nan, x), np.where(bad, nan, y)
 
+    #: plausibility bound for projected-plane inputs to inv (meters);
+    #: mirrors the reference erroring on absurd coordinates rather than
+    #: returning garbage (src/inv.cpp:39-60 input checks)
+    INV_RANGE_M = 1e10
+
     def inv(self, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """projected meters -> lon/lat radians (NaN on invalid input)."""
         x = np.asarray(x, dtype=np.float64) - self.x0
         y = np.asarray(y, dtype=np.float64) - self.y0
+        bad = (~np.isfinite(x) | ~np.isfinite(y)
+               | (np.abs(x) > self.INV_RANGE_M) | (np.abs(y) > self.INV_RANGE_M))
         if self.right == "classic":
             x = x * self.ell.ra
             y = y * self.ell.ra
-        lam, phi = self._inv(x, y)
+        lam, phi = self._inv(np.where(bad, 0.0, x), np.where(bad, 0.0, y))
         lam = lam + self.lam0
         if not self.over:
             lam = mu.adjlon(lam)
-        return lam, phi
+        nan = np.float64(np.nan)
+        return np.where(bad, nan, lam), np.where(bad, nan, phi)
 
     # degree convenience wrappers (what the gie-derived tests feed/expect)
     def fwd_deg(self, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -278,3 +278,48 @@ def utm_zone_from_lonlat(lon_deg: np.ndarray, lat_deg: np.ndarray) -> np.ndarray
     """Standard UTM zone number from longitude (1..60); vectorized."""
     z = np.floor((np.asarray(lon_deg) + 180.0) / 6.0).astype(np.int64) + 1
     return np.clip(z, 1, 60)
+
+
+class UTMBatch:
+    """All-zones UTM forward in ONE vectorized pass.
+
+    The etmerc coefficients (src/projections/tmerc.cpp:432-487) depend
+    only on the ellipsoid; a UTM zone changes nothing but lam0 (and the
+    constant k0/x0/y0 — src/projections/tmerc.cpp:541-589).  So a batch
+    that mixes all 60 zones — the normal case for an arbitrary-partition
+    pages table — projects in a single kernel call with a per-row lam0,
+    instead of 60 masked sub-batches whose small sizes would throw away
+    NumPy's vectorization.  Results are bit-identical to the per-zone
+    `+proj=utm +zone=N` operations (same formulas, same order).
+    """
+
+    def __init__(self, params: dict | None = None):
+        p = dict(params or {})
+        p.setdefault("ellps", "GRS80")
+        self.south = "south" in p
+        p.pop("south", None)
+        p.update({"lon_0": 0.0, "lat_0": 0.0, "k_0": 0.9996,
+                  "x_0": 0.0, "y_0": 0.0})
+        self.op = TMercExact(p)
+        self.x0 = 500000.0
+        self.y0 = 10000000.0 if self.south else 0.0
+
+    def fwd_deg(self, lon_deg: np.ndarray, lat_deg: np.ndarray):
+        """(lon, lat) degrees -> (zone, easting, northing)."""
+        lon_deg = np.asarray(lon_deg, dtype=np.float64)
+        lat_deg = np.asarray(lat_deg, dtype=np.float64)
+        lam = np.radians(lon_deg)
+        phi = np.radians(lat_deg)
+        zone = utm_zone_from_lonlat(lon_deg, lat_deg)
+        lam0 = ((zone - 1) + 0.5) * 6.0 - 180.0
+        lam0 = lam0 * np.pi / 180.0
+        # prepare semantics of Operation.fwd (src/fwd.cpp:41-102)
+        bad = (np.abs(phi) - mu.HALFPI > mu.EPS_LAT) | (lam > 10.0) | (lam < -10.0)
+        bad |= ~np.isfinite(lam) | ~np.isfinite(phi)
+        phi = np.clip(phi, -mu.HALFPI, mu.HALFPI)
+        lam = mu.adjlon(mu.adjlon(lam) - lam0)
+        x, y = self.op._fwd(np.where(bad, 0.0, lam), np.where(bad, 0.0, phi))
+        x = self.op.a * x + self.x0
+        y = self.op.a * y + self.y0
+        nan = np.float64(np.nan)
+        return zone, np.where(bad, nan, x), np.where(bad, nan, y)

@@ -36,10 +36,22 @@ CITY_CENTERS: list[tuple[float, float]] = [
 ]
 
 
-def synth_pages(spark: SparkSession, n_rows: int, n_domains: int = 1000) -> DataFrame:
-    """Deterministic Common-Crawl-style pages table with embedded geotags."""
-    df = spark.range(0, n_rows).withColumnRenamed("id", "i")
-    i = F.col("i")
+def _round6(x):
+    """round(x, 6) as pure arithmetic: half-away-from-zero on x*1e6.
+
+    Chosen over F.round for two reasons: (a) no per-row BigDecimal
+    allocation (F.round on doubles churns the GC at 10^8-row scale and
+    falls out of cheap codegen), and (b) it is the *same* algorithm
+    DuckDB's ROUND(double, n) uses (std::round(v*1e6)/1e6), so oracle
+    parity holds bit-for-bit on the synthesized coordinates."""
+    scaled = x * F.lit(1e6)
+    mag = F.floor(F.abs(scaled) + F.lit(0.5))
+    return F.signum(scaled) * mag / F.lit(1e6)
+
+
+def _geo_columns(i, n_domains: int):
+    """The deterministic (h, dom, url, lon, lat) column expressions shared
+    by the full pages synthesis and the html-free points synthesis."""
     # Zipf-ish skew: domain = i mod (1 + (i*knuth) mod n_domains) biases
     # small domain ids to be hot
     h = F.pmod(i * F.lit(2654435761), F.lit(2 ** 31))
@@ -56,11 +68,26 @@ def synth_pages(spark: SparkSession, n_rows: int, n_domains: int = 1000) -> Data
     j2 = (F.pmod(i * F.lit(69621), F.lit(20001)) - F.lit(10000)) / F.lit(10000.0)
     clustered = F.pmod(h, F.lit(10)) < 7
     lon = F.when(clustered, F.element_at(centers_lon, cidx + 1) + j1 * F.lit(1.5)) \
-           .otherwise(F.round(j1 * F.lit(179.99), 6))
+           .otherwise(_round6(j1 * F.lit(179.99)))
     lat = F.when(clustered, F.element_at(centers_lat, cidx + 1) + j2 * F.lit(1.0)) \
-           .otherwise(F.round(j2 * F.lit(59.99), 6))
-    lon = F.round(lon, 6)
-    lat = F.round(lat, 6)
+           .otherwise(_round6(j2 * F.lit(59.99)))
+    return h, dom, url, _round6(lon), _round6(lat)
+
+
+def synth_points(spark: SparkSession, n_rows: int, n_domains: int = 1000) -> DataFrame:
+    """Geotagged points only (url, domain, lon, lat) — the post-extraction
+    shape — for kernel-bound benchmarking without html materialization."""
+    df = spark.range(0, n_rows).withColumnRenamed("id", "i")
+    h, dom, url, lon, lat = _geo_columns(F.col("i"), n_domains)
+    return df.select(url.alias("url"), dom.cast("string").alias("domain"),
+                     lon.alias("lon"), lat.alias("lat"))
+
+
+def synth_pages(spark: SparkSession, n_rows: int, n_domains: int = 1000) -> DataFrame:
+    """Deterministic Common-Crawl-style pages table with embedded geotags."""
+    df = spark.range(0, n_rows).withColumnRenamed("id", "i")
+    i = F.col("i")
+    h, dom, url, lon, lat = _geo_columns(i, n_domains)
 
     # fixed-point formatting: a plain double->string cast flips to
     # scientific notation below 1e-3 (lon near 0 -> "5.0E-5"), which the
@@ -107,7 +134,7 @@ def pages_table(spark: SparkSession, n_rows: int, n_domains: int = 1000) -> Data
     cache_root = os.environ.get("PROJ_SPARK_CACHE",
                                 os.path.join(os.path.dirname(os.path.dirname(
                                     os.path.abspath(__file__))), ".cache"))
-    path = os.path.join(cache_root, f"pages_{n_rows}_{n_domains}")
+    path = os.path.join(cache_root, f"pages_v2_{n_rows}_{n_domains}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         synth_pages(spark, n_rows, n_domains).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

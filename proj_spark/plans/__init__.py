@@ -1,0 +1,3 @@
+"""Physical-plan layer: checkpointed stages with per-partition lineage."""
+
+from proj_spark.plans.checkpoint import CheckpointedStage  # noqa: F401

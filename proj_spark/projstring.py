@@ -55,12 +55,13 @@ def _registry() -> dict:
         "geoc": GeocentricLat, "affine": Affine, "geogoffset": GeogOffset,
         "unitconvert": UnitConvert, "axisswap": AxisSwap, "noop": Noop,
     }
-    try:
-        from proj_spark.operations import azimuthal, pseudocyl, misc  # noqa: F401
-        for mod in (azimuthal, pseudocyl, misc):
-            reg.update(getattr(mod, "REGISTRY", {}))
-    except ImportError:
-        pass
+    import importlib
+    for modname in ("azimuthal", "pseudocyl", "conic", "misc"):
+        try:
+            mod = importlib.import_module(f"proj_spark.operations.{modname}")
+        except ImportError:
+            continue
+        reg.update(getattr(mod, "REGISTRY", {}))
     return reg
 
 

@@ -110,6 +110,48 @@ def project(df: DataFrame, projstring: str, lon_col: str = "lon", lat_col: str =
                .drop(tmp))
 
 
+def utm_fwd_udf(ellps: str = "GRS80", south: bool = False) -> "pandas_udf":
+    """(lon_deg, lat_deg) -> struct(zone int, x, y): auto-zoned UTM.
+
+    One UDF handles every zone: per Arrow batch, rows are grouped by zone
+    (np.unique — at most 60 groups) and each group runs the exact etmerc
+    kernel for its zone.  This keeps the whole-table projection a single
+    map-side pass — no per-zone filtering, no repartition — which is the
+    shape that scales: zone mix within a batch costs one extra indexed
+    gather, while 60 filtered passes would scan the table 60 times.
+    Zone logic mirrors src/projections/tmerc.cpp:541-589.
+    """
+    from pyspark.sql.types import IntegerType
+
+    schema = StructType([
+        StructField("zone", IntegerType()),
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+    ])
+    suffix = " +south" if south else ""
+
+    @pandas_udf(schema)
+    def _f(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        from proj_spark.operations.tmerc import UTMBatch
+
+        key = (ellps, south)
+        op = _UTM_OP_CACHE.get(key)
+        if op is None:
+            params = {"ellps": ellps}
+            if south:
+                params["south"] = True
+            op = _UTM_OP_CACHE[key] = UTMBatch(params)
+        zone, x, y = op.fwd_deg(lon.to_numpy(dtype=np.float64),
+                                lat.to_numpy(dtype=np.float64))
+        return pd.DataFrame({"zone": zone.astype(np.int32), "x": x, "y": y})
+
+    return _f
+
+
+# per-executor-worker UTM kernel cache (setup amortized across batches)
+_UTM_OP_CACHE: dict = {}
+
+
 def webmerc_x(lon: Column, a: float = 6378137.0) -> Column:
     return F.lit(a) * F.radians(lon)
 

@@ -78,6 +78,19 @@ def vincenty_dist_udf(lon1: pd.Series, lat1: pd.Series,
     return pd.Series(s12)
 
 
+@pandas_udf(DoubleType())
+def karney_dist_udf(lon1: pd.Series, lat1: pd.Series,
+                    lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+    """Round-off-exact WGS84 ellipsoidal distance (Karney order-6 series;
+    reference src/geodesic.c geod_inverse)."""
+    from proj_spark.operations.karney import Geodesic
+    g = Geodesic(6378137.0, 1 / 298.257223563)
+    s12, _, _ = g.inverse(
+        np.radians(lat1.to_numpy(np.float64)), np.radians(lon1.to_numpy(np.float64)),
+        np.radians(lat2.to_numpy(np.float64)), np.radians(lon2.to_numpy(np.float64)))
+    return pd.Series(s12)
+
+
 def _tile_x(lon: float, z: int) -> int:
     n = 1 << z
     return min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
@@ -140,12 +153,15 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int, z: int = 9,
     did_field = data.schema[data_id]
     qrows = [(r[0], float(r[1]), float(r[2]))
              for r in queries.select(query_id, q_lon, q_lat).collect()]
-    safety = 0.995 if distance == "vincenty" else 1.0
+    safety = 0.995 if distance in ("vincenty", "karney") else 1.0
 
     def dist_col():
         if distance == "vincenty":
             return vincenty_dist_udf(F.col("_qlon"), F.col("_qlat"),
                                      F.col("_dlon"), F.col("_dlat"))
+        if distance == "karney":
+            return karney_dist_udf(F.col("_qlon"), F.col("_qlat"),
+                                   F.col("_dlon"), F.col("_dlat"))
         return haversine_expr(F.col("_qlon"), F.col("_qlat"),
                               F.col("_dlon"), F.col("_dlat"))
 

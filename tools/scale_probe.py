@@ -1,0 +1,55 @@
+"""Scaling-probe worker: one pinned Spark run of the kernel pipeline.
+
+Usage:  taskset -c <cpus> python tools/scale_probe.py <cores> <rows>
+
+Runs synthesize -> auto-zoned exact-TM projection (etmerc VUDF) ->
+cell encode -> rollup -> count at local[<cores>], prints
+``RESULT <cores> <best_sec> <rows_per_sec>``.
+
+Invoked by bench.py's scaling_probe with the process pinned (taskset)
+to exactly <cores> CPUs, so the python UDF workers and the JVM share
+the same budget a real <cores>-core executor would have.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from proj_spark.pages import synth_points  # noqa: E402
+from proj_spark.spark.session import get_spark  # noqa: E402
+from proj_spark.spark.udf import utm_fwd_udf  # noqa: E402
+from proj_spark.spatial import cells  # noqa: E402
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    n = int(sys.argv[2])
+    spark = get_spark(f"scale-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=max(cores, 8))
+    pts = synth_points(spark, n).select("lon", "lat")
+    u = utm_fwd_udf()
+
+    def job() -> int:
+        return (pts.withColumn("_u", u(F.col("lon"), F.col("lat")))
+                .select(F.col("_u.zone").alias("zone"),
+                        cells.cell_parent(
+                            cells.cell_id(F.col("lon"), F.col("lat"), 12), 6)
+                        .alias("c6"))
+                .groupBy("zone", "c6").count().count())
+
+    job()  # warm: spawn python workers, compile codegen, JIT
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        job()
+        times.append(time.time() - t0)
+    best = min(times)
+    print(f"RESULT {cores} {best:.3f} {n / best:.1f}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
