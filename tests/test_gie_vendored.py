@@ -42,7 +42,7 @@ def _op_or_none(projstring):
 
 # expected minimum implemented coverage of the vendored corpus — bump as
 # operations land; guards against registry regressions
-MIN_IMPLEMENTED_OPS = 22
+MIN_IMPLEMENTED_OPS = 110
 
 
 def test_registry_coverage():
