@@ -47,6 +47,11 @@ class Operation:
         self.params = params
         self.ell: Ellipsoid = ellipsoid_from_params(params)
         self.a = self.ell.a
+        #: 1/a for the inverse prepare step.  Kept SEPARATE from self.a to
+        #: mirror the reference exactly: operators overriding P->a in their
+        #: constructor (krovak) do not refresh P->ra, which pj_init derived
+        #: earlier — the published krovak test vectors depend on that quirk.
+        self.ra = 1.0 / self.ell.a
         self.es = self.ell.es
         self.e = self.ell.e
         self.one_es = self.ell.one_es
@@ -102,8 +107,8 @@ class Operation:
         bad = (~np.isfinite(x) | ~np.isfinite(y)
                | (np.abs(x) > self.INV_RANGE_M) | (np.abs(y) > self.INV_RANGE_M))
         if self.right == "classic":
-            x = x * self.ell.ra
-            y = y * self.ell.ra
+            x = x * self.ra
+            y = y * self.ra
         lam, phi = self._inv(np.where(bad, 0.0, x), np.where(bad, 0.0, y))
         lam = lam + self.lam0
         if not self.over:
