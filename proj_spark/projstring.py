@@ -56,7 +56,8 @@ def _registry() -> dict:
         "unitconvert": UnitConvert, "axisswap": AxisSwap, "noop": Noop,
     }
     import importlib
-    for modname in ("azimuthal", "pseudocyl", "conic", "misc"):
+    for modname in ("azimuthal", "pseudocyl", "conic", "misc", "special",
+                    "dggs", "datum"):
         try:
             mod = importlib.import_module(f"proj_spark.operations.{modname}")
         except ImportError:

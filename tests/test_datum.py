@@ -1,0 +1,237 @@
+"""Datum transformations: grids, Molodensky, Molodensky-Badekas, Horner,
+deformation — semantics per the reference (see operations/datum.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from proj_spark import create
+from proj_spark.operations.datum import (Grid, GRID_REGISTRY, nad_cvt,
+                                         nad_intr)
+
+D2R = np.pi / 180.0
+
+
+def analytic_hgrid(n=41, lam0=-0.2, phi0=0.6, span=0.4):
+    """Smooth synthetic shift grid: dlam = A sin(lam)cos(phi) etc."""
+    dl = span / (n - 1)
+    lams = lam0 + dl * np.arange(n)
+    phis = phi0 + dl * np.arange(n)
+    L, P = np.meshgrid(lams, phis)
+    A = 2e-6  # ~0.4 m in angle units
+    cvs = np.stack([A * np.sin(3 * L) * np.cos(2 * P),
+                    A * np.cos(2 * L) * np.sin(3 * P)], axis=-1)
+    return Grid(ll=(lam0, phi0), del_=(dl, dl), cvs=cvs)
+
+
+def analytic_vgrid(n=31, lam0=-0.2, phi0=0.6, span=0.4):
+    dl = span / (n - 1)
+    lams = lam0 + dl * np.arange(n)
+    phis = phi0 + dl * np.arange(n)
+    L, P = np.meshgrid(lams, phis)
+    return Grid(ll=(lam0, phi0), del_=(dl, dl),
+                cvs=40.0 + 5.0 * np.sin(4 * L) * np.cos(5 * P))
+
+
+@pytest.fixture(scope="module")
+def pts():
+    rng = np.random.default_rng(3)
+    lam = rng.uniform(-0.15, 0.15, 500)
+    phi = rng.uniform(0.65, 0.95, 500)
+    return lam, phi
+
+
+def test_nad_intr_matches_analytic(pts):
+    g = analytic_hgrid(n=801)  # fine grid -> bilinear ~ analytic
+    lam, phi = pts
+    dl, dp = nad_intr(lam - g.ll[0], phi - g.ll[1], g)
+    A = 2e-6
+    assert np.allclose(dl, A * np.sin(3 * lam) * np.cos(2 * phi), atol=1e-11)
+    assert np.allclose(dp, A * np.cos(2 * lam) * np.sin(3 * phi), atol=1e-11)
+
+
+def test_nad_intr_outside_is_nan():
+    g = analytic_hgrid()
+    dl, dp = nad_intr(np.array([-0.5]), np.array([0.1]), g)
+    assert np.isnan(dl[0]) and np.isnan(dp[0])
+
+
+def test_hgridshift_roundtrip(pts):
+    g = analytic_hgrid()
+    GRID_REGISTRY["test_h"] = g
+    try:
+        op = create("+proj=hgridshift +grids=test_h")
+        lam, phi = pts
+        l2, p2, _ = op.fwd3d(lam, phi, None)
+        # forward convention: lam -= dlam, phi += dphi (nad_cvt)
+        dl, dp = nad_intr(lam - g.ll[0], phi - g.ll[1], g)
+        assert np.allclose(l2, lam - dl, atol=1e-14)
+        assert np.allclose(p2, phi + dp, atol=1e-14)
+        l3, p3, _ = op.inv3d(l2, p2, None)
+        assert np.allclose(l3, lam, atol=1e-11)
+        assert np.allclose(p3, phi, atol=1e-11)
+    finally:
+        del GRID_REGISTRY["test_h"]
+
+
+def test_hgridshift_null_is_identity(pts):
+    op = create("+proj=hgridshift +grids=null")
+    lam, phi = pts
+    l2, p2, _ = op.fwd3d(lam, phi, None)
+    assert np.array_equal(l2, lam) and np.array_equal(p2, phi)
+
+
+def test_vgridshift_sign_and_roundtrip(pts):
+    g = analytic_vgrid()
+    # direct construction with an injected grid object
+    from proj_spark.operations.datum import VGridShift
+    op = VGridShift({"proj": "vgridshift", "grid_object": g})
+    lam, phi = pts
+    z = np.full_like(lam, 100.0)
+    _, _, z2 = op.fwd3d(lam, phi, z)
+    val = nad_intr(lam - g.ll[0], phi - g.ll[1], g)
+    # historical convention: forward subtracts the geoid undulation
+    assert np.allclose(z2, z - val, atol=1e-12)
+    _, _, z3 = op.inv3d(lam, phi, z2)
+    assert np.allclose(z3, z, atol=1e-12)
+
+
+def test_molodensky_matches_exact_7param_route(pts):
+    """Standard Molodensky ~ cart -> helmert(3param) -> cart_inv within
+    decimeters for a pure translation (textbook accuracy bound)."""
+    dx, dy, dz = 84.87, 96.49, 116.95
+    mol = create(f"+proj=molodensky +ellps=WGS84 +dx={dx} +dy={dy} +dz={dz} "
+                 "+da=0 +df=0")
+    cart = create("+proj=cart +ellps=WGS84")
+    lam, phi = pts
+    z = np.zeros_like(lam)
+    ml, mp, mz = mol.fwd3d(lam, phi, z)
+    X, Y, Z = cart.fwd3d(lam, phi, z)
+    el, ep, ez = cart.inv3d(X + dx, Y + dy, Z + dz)
+    assert np.allclose(ml, el, atol=3e-8)   # ~0.2 m in angle
+    assert np.allclose(mp, ep, atol=3e-8)
+    assert np.allclose(mz, ez, atol=0.2)
+    # inverse restores
+    il, ip, iz = mol.inv3d(ml, mp, mz)
+    assert np.allclose(il, lam, atol=1e-9)
+    assert np.allclose(ip, phi, atol=1e-9)
+
+
+def test_molodensky_abridged_close_to_standard(pts):
+    common = "+ellps=WGS84 +dx=84.87 +dy=96.49 +dz=116.95 +da=251 +df=1.4e-5"
+    std = create(f"+proj=molodensky {common}")
+    abr = create(f"+proj=molodensky {common} +abridged")
+    lam, phi = pts
+    sl, sp, sz = std.fwd3d(lam, phi, np.zeros_like(lam))
+    al, ap, az = abr.fwd3d(lam, phi, np.zeros_like(lam))
+    assert np.allclose(sl, al, atol=5e-8)
+    assert np.allclose(sp, ap, atol=5e-8)
+    assert np.allclose(sz, az, atol=1.0)
+
+
+def test_molobadekas_refp_zero_equals_helmert():
+    mb = create("+proj=molobadekas +x=10 +y=-20 +z=30 +rx=0.1 +ry=-0.2 "
+                "+rz=0.3 +s=2.5 +px=0 +py=0 +pz=0 "
+                "+convention=coordinate_frame")
+    he = create("+proj=helmert +x=10 +y=-20 +z=30 +rx=0.1 +ry=-0.2 +rz=0.3 "
+                "+s=2.5 +convention=coordinate_frame")
+    rng = np.random.default_rng(5)
+    X = rng.uniform(-6.4e6, 6.4e6, 200)
+    Y = rng.uniform(-6.4e6, 6.4e6, 200)
+    Z = rng.uniform(-6.4e6, 6.4e6, 200)
+    bx, by, bz = mb.fwd3d(X, Y, Z)
+    hx, hy, hz = he.fwd(X, Y, Z)
+    assert np.allclose(bx, hx, atol=1e-6)
+    assert np.allclose(by, hy, atol=1e-6)
+    assert np.allclose(bz, hz, atol=1e-6)
+    ix, iy, iz = mb.inv3d(bx, by, bz)
+    assert np.allclose(ix, X, atol=1e-6)
+
+
+def test_molobadekas_refp_shifts_rotation_center():
+    """With a rotation about refp, the refp itself maps to refp + T."""
+    mb = create("+proj=molobadekas +x=5 +y=6 +z=7 +rx=100 +ry=-50 +rz=30 "
+                "+s=0 +px=1000 +py=2000 +pz=3000 "
+                "+convention=coordinate_frame")
+    x, y, z = mb.fwd3d(np.array([1000.0]), np.array([2000.0]),
+                       np.array([3000.0]))
+    assert np.allclose([x[0], y[0], z[0]], [1005.0, 2006.0, 3007.0])
+
+
+def test_horner_real_identity_plus_offset():
+    # order-1 polynomial: out_u = 10 + 1*u ; out_v = -20 + 1*v.
+    # gen_pol layout: u-poly = [c, e, n], v-poly = [c, n, e]
+    op = create("+proj=horner +deg=1 +range=1e7 "
+                "+fwd_u=10,1,0 +fwd_v=-20,1,0 "
+                "+inv_u=-10,1,0 +inv_v=20,1,0")
+    u = np.array([100.0, -5.0])
+    v = np.array([7.0, 9.0])
+    U, V = op.fwd(u, v)
+    assert np.allclose(U, u + 10)
+    assert np.allclose(V, v - 20)
+    u2, v2 = op.inv(U, V)
+    assert np.allclose(u2, u)
+    assert np.allclose(v2, v)
+
+
+def test_horner_complex_translation_rotationless():
+    # complex polynomial c0 + c1*z with c1 = 1: pure translation by c0
+    op = create("+proj=horner +deg=1 +range=1e7 "
+                "+fwd_c=5,-3,1,0 +inv_c=-5,3,1,0")
+    u = np.array([10.0, 20.0])
+    v = np.array([1.0, 2.0])
+    U, V = op.fwd(u, v)
+    # complex horner: (N + iE) = (c0_N + i c0_E) + (c1_N + i c1_E)(n + ie)
+    u2, v2 = op.inv(U, V)
+    assert np.allclose(u2, u, atol=1e-9)
+    assert np.allclose(v2, v, atol=1e-9)
+
+
+def test_deformation_velocity_shift():
+    from proj_spark.operations.datum import Deformation
+    hg = analytic_hgrid()
+    # velocity grid in mm/yr
+    hg = Grid(ll=hg.ll, del_=hg.del_, cvs=hg.cvs * 1e7)  # ~20 mm/yr
+    vg = analytic_vgrid()
+    op = Deformation({"proj": "deformation", "ellps": "GRS80",
+                      "grid_object": hg, "vgrid_object": vg, "dt": 10.0})
+    cart = create("+proj=cart +ellps=GRS80")
+    lam = np.array([0.02, -0.05])
+    phi = np.array([0.8, 0.85])
+    X, Y, Z = cart.fwd3d(lam, phi, np.zeros_like(lam))
+    x2, y2, z2, _ = op.fwd4d(X, Y, Z, None)
+    shift = np.hypot(np.hypot(x2 - X, y2 - Y), z2 - Z)
+    assert np.all(shift > 0.01) and np.all(shift < 10.0)
+    x3, y3, z3, _ = op.inv4d(x2, y2, z2, None)
+    assert np.allclose(x3, X, atol=1e-6)
+    assert np.allclose(y3, Y, atol=1e-6)
+    assert np.allclose(z3, Z, atol=1e-6)
+
+
+def test_factors_mercator_sphere():
+    from proj_spark.operations.factors import factors
+    op = create("+proj=merc +R=6400000")
+    phi = np.radians(np.array([0.0, 30.0, 60.0]))
+    lam = np.zeros_like(phi)
+    f = factors(op, lam, phi)
+    sec = 1.0 / np.cos(phi)
+    assert np.allclose(f["h"], sec, rtol=1e-6)
+    assert np.allclose(f["k"], sec, rtol=1e-6)
+    assert np.allclose(f["omega"], 0.0, atol=1e-5)   # conformal
+    assert np.allclose(f["s"], sec * sec, rtol=1e-5)
+    assert np.allclose(f["conv"], 0.0, atol=1e-9)
+
+
+def test_factors_utm_scale():
+    from proj_spark.operations.factors import factors
+    op = create("+proj=utm +zone=32 +ellps=GRS80")
+    # on the central meridian (9E) the scale is exactly k0 = 0.9996
+    f = factors(op, np.radians(np.array([9.0])), np.radians(np.array([45.0])))
+    assert abs(f["k"][0] - 0.9996) < 1e-7
+    assert abs(f["h"][0] - 0.9996) < 1e-7
+    assert abs(f["conv"][0]) < 1e-9
+    # convergence grows away from the central meridian
+    f2 = factors(op, np.radians(np.array([12.0])),
+                 np.radians(np.array([45.0])))
+    assert 0.02 < f2["conv"][0] < 0.06
