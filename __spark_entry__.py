@@ -300,29 +300,112 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= 10"""
 
 
+DATUM_HELMERT = ("+proj=helmert +x=598.1 +y=73.7 +z=418.2 "
+                 "+rx=0.202 +ry=0.045 +rz=-2.455 +s=6.7 "
+                 "+convention=position_vector")
+
+
+def q_datum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical 7-parameter datum pipeline over every page:
+    cart fwd -> Helmert (DHDN->ETRS89 parameters) -> cart inverse
+    (Bowring), binned by the induced (dlat, dlon) shift in arcseconds.
+
+    Three chained Arrow-batched VUDFs (the reference's
+    longlat->cart->helmert->cart^-1 pipeline, src/pipeline.cpp:60-66);
+    the oracle replays the identical float math in SQL with constants
+    lifted from the compiled operator, so the comparison covers the
+    kernel bit-for-bit at 0.001-arcsec binning.
+    """
+    from proj_spark import create
+    from proj_spark.spark.udf import datum_pipeline_udf
+
+    cart = create("+proj=cart +ellps=GRS80")
+    hel = create(DATUM_HELMERT)
+    pts = _points(spark, sf_dir)
+    c = pts.withColumn("_g", datum_pipeline_udf(cart, hel)(
+        F.col("lon"), F.col("lat")))
+    dlat = F.round((F.col("_g.lat") - F.col("lat")) * 3600.0, 3)
+    dlon = F.round((F.col("_g.lon") - F.col("lon")) * 3600.0, 3)
+    return (c.select(dlat.alias("dlat_as"), dlon.alias("dlon_as"))
+            .groupBy("dlat_as", "dlon_as")
+            .agg(F.count("*").alias("n_pages")))
+
+
+def _sql_datum_shift(n: int) -> str:
+    from proj_spark import create
+
+    cart = create("+proj=cart +ellps=GRS80")
+    hel = create(DATUM_HELMERT)
+    trans, r, scale = hel._params_at(hel.t_epoch)
+    a = repr(cart.a)
+    es = repr(cart.es)
+    e2s = repr(cart.ell.e2s)
+    b = repr(cart.ell.b)
+    one_es = repr(cart.one_es)
+    hx = f"""({scale!r} * (({r[0,0]!r}) * cx + ({r[0,1]!r}) * cy
+              + ({r[0,2]!r}) * cz) + {trans[0]!r})"""
+    hy = f"""({scale!r} * (({r[1,0]!r}) * cx + ({r[1,1]!r}) * cy
+              + ({r[1,2]!r}) * cz) + {trans[1]!r})"""
+    hz = f"""({scale!r} * (({r[2,0]!r}) * cx + ({r[2,1]!r}) * cy
+              + ({r[2,2]!r}) * cz) + {trans[2]!r})"""
+    return f"""WITH {_pages_cte(n)},
+geo AS (
+  SELECT lat, lon, RADIANS(lat) AS phi, RADIANS(lon) AS lam FROM pages
+),
+cartf AS (
+  SELECT lat, lon,
+         ({a} / SQRT(1.0 - {es} * SIN(phi) * SIN(phi)) + 0.0)
+             * COS(phi) * COS(lam) AS cx,
+         ({a} / SQRT(1.0 - {es} * SIN(phi) * SIN(phi)) + 0.0)
+             * COS(phi) * SIN(lam) AS cy,
+         ({a} / SQRT(1.0 - {es} * SIN(phi) * SIN(phi)) * (1.0 - {es}) + 0.0)
+             * SIN(phi) AS cz
+  FROM geo
+),
+helm AS (
+  SELECT lat, lon, {hx} AS x2, {hy} AS y2, {hz} AS z2 FROM cartf
+),
+bow AS (
+  SELECT lat, lon, x2, y2, z2,
+         SQRT(x2 * x2 + y2 * y2) AS p,
+         ATAN2(z2 * {a}, SQRT(x2 * x2 + y2 * y2) * {b}) AS theta
+  FROM helm
+),
+inv AS (
+  SELECT lat, lon,
+         DEGREES(ATAN2(z2 + {e2s} * {b} * SIN(theta) * SIN(theta) * SIN(theta),
+                       p - {es} * {a} * COS(theta) * COS(theta) * COS(theta)))
+             AS lat2,
+         DEGREES(ATAN2(y2, x2)) AS lon2
+  FROM bow
+)
+SELECT ROUND((lat2 - lat) * 3600.0, 3) AS dlat_as,
+       ROUND((lon2 - lon) * 3600.0, 3) AS dlon_as,
+       COUNT(*) AS n_pages
+FROM inv GROUP BY 1, 2"""
+
+
 def q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Project zone-31..33 pages through the exact TM kernel (etmerc VUDF,
-    Poder/Engsager series — src/projections/tmerc.cpp:341-498).
+    """Project EVERY page through the exact TM kernel (etmerc VUDF,
+    Poder/Engsager series — src/projections/tmerc.cpp:341-498), auto-zoned
+    per row in a single map-side pass, then aggregate per zone.
 
     No SQL oracle (the 6th-order complex Clenshaw series is not reasonably
     expressible in ANSI SQL); accuracy is gated by the gie fixture tests.
     """
-    from proj_spark.spark.udf import project
+    from proj_spark.spark.udf import utm_fwd_udf
     pts = _points(spark, sf_dir)
-    zone = (F.floor((F.col("lon") + 180.0) / 6.0) + 1).cast("int")
-    out = None
-    for zn in (31, 32, 33):
-        part = pts.where(zone == zn)
-        prj = project(part, f"+proj=utm +zone={zn} +ellps=GRS80",
-                      out_x="easting", out_y="northing")
-        agg = (prj.agg(F.count("*").alias("n_pages"),
-                       F.round(F.min("easting"), 3).alias("min_e"),
-                       F.round(F.max("easting"), 3).alias("max_e"),
-                       F.round(F.min("northing"), 3).alias("min_n"),
-                       F.round(F.max("northing"), 3).alias("max_n"))
-               .select(F.lit(zn).cast("long").alias("zone"), "*"))
-        out = agg if out is None else out.unionByName(agg)
-    return out
+    u = utm_fwd_udf()
+    prj = (pts.withColumn("_utm", u(F.col("lon"), F.col("lat")))
+           .select(F.col("_utm.zone").cast("long").alias("zone"),
+                   F.col("_utm.x").alias("easting"),
+                   F.col("_utm.y").alias("northing")))
+    return (prj.groupBy("zone")
+            .agg(F.count("*").alias("n_pages"),
+                 F.round(F.min("easting"), 3).alias("min_e"),
+                 F.round(F.max("easting"), 3).alias("max_e"),
+                 F.round(F.min("northing"), 3).alias("min_n"),
+                 F.round(F.max("northing"), 3).alias("max_n")))
 
 
 # ---------------------------------------------------------------------------
@@ -563,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_zones": q_utm_zones,
         "webmerc_bbox": q_webmerc_bbox,
         "utm_project": q_utm_project,
+        "datum_shift": q_datum_shift,
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
         "lang_confusion": q_lang_confusion,
@@ -584,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": _sql_knn(n),
         "utm_zones": _sql_utm_zones(n),
         "webmerc_bbox": _sql_webmerc_bbox(n),
+        "datum_shift": _sql_datum_shift(n),
         "doc_stats": _sql_doc_stats(),
         "exact_dedup": _sql_exact_dedup(),
         "lang_confusion": _sql_lang_confusion(),

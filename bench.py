@@ -26,7 +26,7 @@ from proj_spark.spark.session import get_spark  # noqa: E402
 # agg) plus the scalable text/dedup/similarity ops
 HEADLINE = [
     "tile_density", "cell_rollup", "pip_admin", "knn", "utm_zones",
-    "webmerc_bbox", "utm_project", "doc_stats", "exact_dedup",
+    "webmerc_bbox", "utm_project", "datum_shift", "doc_stats", "exact_dedup",
     "token_topk", "ngram_pairs", "embed_topk", "events_hourly",
 ]
 
@@ -67,6 +67,7 @@ def scaling_probe(sf_dir: str, n_pages: int) -> dict:
 
     results = {}
     rates = {}
+    time.sleep(5)  # let the previous session's JVM fully wind down
     for cores, cpuset in SCALING_PAIRS:
         cmd = ["python", os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                       "tools", "scale_probe.py"),

@@ -158,3 +158,39 @@ def webmerc_x(lon: Column, a: float = 6378137.0) -> Column:
 
 def webmerc_y(lat: Column, a: float = 6378137.0) -> Column:
     return F.lit(a) * F.log(F.tan(F.lit(np.pi / 4) + F.radians(lat) / 2))
+
+
+def cart_inv_udf(op) -> "pandas_udf":
+    """(X, Y, Z) geocentric meters -> struct(lon, lat) degrees (Bowring)."""
+
+    @pandas_udf(LONLAT_SCHEMA)
+    def _f(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.DataFrame:
+        lam, phi, _ = op.inv3d(
+            x.to_numpy(dtype=np.float64),
+            y.to_numpy(dtype=np.float64),
+            z.to_numpy(dtype=np.float64),
+        )
+        return pd.DataFrame({"lon": np.degrees(lam), "lat": np.degrees(phi)})
+
+    return _f
+
+
+def datum_pipeline_udf(cart, helmert) -> "pandas_udf":
+    """(lon_deg, lat_deg) -> struct(lon, lat) after the canonical
+    cart -> helmert -> cart^-1 datum pipeline, FUSED into one Arrow pass.
+
+    Mirrors the reference pipeline composer's elision of intermediate
+    prepare/finalize steps (src/fwd.cpp:173,192; SURVEY.md 4.1): one
+    JVM->Python transfer for the whole chain instead of three.
+    """
+
+    @pandas_udf(LONLAT_SCHEMA)
+    def _f(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lam = np.radians(lon.to_numpy(dtype=np.float64))
+        phi = np.radians(lat.to_numpy(dtype=np.float64))
+        x, y, z = cart.fwd3d(lam, phi, np.zeros_like(lam))
+        x, y, z = helmert.fwd(x, y, z)
+        lam2, phi2, _ = cart.inv3d(x, y, z)
+        return pd.DataFrame({"lon": np.degrees(lam2), "lat": np.degrees(phi2)})
+
+    return _f

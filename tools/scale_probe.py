@@ -41,8 +41,9 @@ def main() -> None:
                 .groupBy("zone", "c6").count().count())
 
     job()  # warm: spawn python workers, compile codegen, JIT
+    job()
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         job()
         times.append(time.time() - t0)
