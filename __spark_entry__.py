@@ -305,6 +305,38 @@ DATUM_HELMERT = ("+proj=helmert +x=598.1 +y=73.7 +z=418.2 "
                  "+convention=position_vector")
 
 
+def q_domain_top_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain 2 northernmost pages (window + row_number) for hot
+    domains, with the domain page-counts computed by the skew-immune
+    salted two-phase aggregation (spatial/skew.py)."""
+    from proj_spark.spatial.skew import salted_count
+
+    pts = _points(spark, sf_dir)
+    counts = salted_count(pts, ["domain"], "url", k=16, count_name="n_pages")
+    hot = counts.where(F.col("n_pages") >= 200)
+    w = Window.partitionBy("domain").orderBy(F.col("lat").desc(), "url")
+    ranked = (pts.join(F.broadcast(hot), "domain")
+              .withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= 2))
+    return ranked.select("domain", "url", "lat",
+                         F.col("rank").cast("long").alias("rank"),
+                         F.col("n_pages"))
+
+
+def _sql_domain_top_pages(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+counts AS (
+  SELECT domain, COUNT(*) AS n_pages FROM pages GROUP BY 1 HAVING COUNT(*) >= 200
+),
+ranked AS (
+  SELECT p.domain, p.url, p.lat, c.n_pages,
+         ROW_NUMBER() OVER (PARTITION BY p.domain
+                            ORDER BY p.lat DESC, p.url) AS rank
+  FROM pages p JOIN counts c ON p.domain = c.domain
+)
+SELECT domain, url, lat, rank, n_pages FROM ranked WHERE rank <= 2"""
+
+
 def q_datum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical 7-parameter datum pipeline over every page:
     cart fwd -> Helmert (DHDN->ETRS89 parameters) -> cart inverse
@@ -647,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webmerc_bbox": q_webmerc_bbox,
         "utm_project": q_utm_project,
         "datum_shift": q_datum_shift,
+        "domain_top_pages": q_domain_top_pages,
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
         "lang_confusion": q_lang_confusion,
@@ -669,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
         "utm_zones": _sql_utm_zones(n),
         "webmerc_bbox": _sql_webmerc_bbox(n),
         "datum_shift": _sql_datum_shift(n),
+        "domain_top_pages": _sql_domain_top_pages(n),
         "doc_stats": _sql_doc_stats(),
         "exact_dedup": _sql_exact_dedup(),
         "lang_confusion": _sql_lang_confusion(),

@@ -50,6 +50,21 @@ _C1P_COEFF = [(205, -432, 768, 1536), (4005, -4736, 3840, 12288),
               (38081, 61440)]
 _C2_COEFF = [(1, 2, 16, 32), (35, 64, 384, 2048), (15, 80, 768),
              (7, 35, 512), (63, 1280), (77, 2048)]
+NC4 = 6
+_C4_COEFF = [
+    (97, 15015), (1088, 156, 45045), (-224, -4784, 1573, 45045),
+    (-10656, 14144, -4576, -858, 45045),
+    (64, 624, -4576, 6864, -3003, 15015),
+    (100, 208, 572, 3432, -12012, 30030, 45045),
+    (1, 9009), (-2944, 468, 135135), (5792, 1040, -1287, 135135),
+    (5952, -11648, 9152, -2574, 135135),
+    (-64, -624, 4576, -6864, 3003, 135135),
+    (8, 10725), (1856, -936, 225225), (-8448, 4992, -1144, 225225),
+    (-1440, 4160, -4576, 1716, 225225),
+    (-136, 63063), (1024, -208, 105105), (3584, -3328, 1144, 315315),
+    (-128, 135135), (-2560, 832, 405405),
+    (128, 99099),
+]
 
 
 def _polyval(coeffs, x):
@@ -163,6 +178,15 @@ class Geodesic:
         for row in _C3_COEFF:
             poly, denom = row[:-1], row[-1]
             self.C3x.append(_polyval([p / denom for p in poly], n))
+        self.C4x = []
+        for row in _C4_COEFF:
+            poly, denom = row[:-1], row[-1]
+            self.C4x.append(_polyval([p / denom for p in poly], n))
+        if self.e2 > 0:
+            self.c2 = (a * a + self.b * self.b
+                       * np.arctanh(np.sqrt(self.e2)) / np.sqrt(self.e2)) / 2
+        else:
+            self.c2 = a * a
 
     # -- coefficient evaluation -------------------------------------------
 
@@ -176,6 +200,17 @@ class Geodesic:
         for lvl in range(1, NC3):
             m = NC3 - lvl - 1
             out.append(mult * _polyval(self.C3x[o:o + m + 1], eps))
+            o += m + 1
+            mult = mult * eps
+        return out
+
+    def _C4f(self, eps):
+        out = []
+        o = 0
+        mult = 1.0
+        for lvl in range(NC4):
+            m = NC4 - lvl - 1
+            out.append(mult * _polyval(self.C4x[o:o + m + 1], eps))
             o += m + 1
             mult = mult * eps
         return out
@@ -314,8 +349,11 @@ class Geodesic:
 
     # -- inverse ------------------------------------------------------------
 
-    def inverse(self, lat1, lon1, lat2, lon2):
-        """(rad, rad, rad, rad) -> (s12 meters, azi1 rad, azi2 rad)."""
+    def inverse(self, lat1, lon1, lat2, lon2, want_area: bool = False):
+        """(rad, rad, rad, rad) -> (s12 m, azi1 rad, azi2 rad[, S12 m^2]).
+
+        S12 is the signed area between the geodesic and the equator
+        (geod_geninverse's GEOD_AREA output), used by polygon_area."""
         g = self
         lat1 = np.asarray(lat1, dtype=np.float64)
         lon1 = np.asarray(lon1, dtype=np.float64)
@@ -406,13 +444,25 @@ class Geodesic:
             calp2 = np.where(equato, 0.0, calp2)
 
         # --- general branch (Newton)
+        somg12 = np.zeros(n)
+        comg12 = np.ones(n)
+        if np.any(equato):
+            omg12e = lam12 / g.f1
+            somg12 = np.where(equato, np.sin(omg12e), somg12)
+            comg12 = np.where(equato, np.cos(omg12e), comg12)
         general = ~meridian & ~equato
         if np.any(general):
             idx = np.nonzero(general)[0]
             res = self._inverse_general(
                 sbet1[idx], cbet1[idx], dn1[idx], sbet2[idx], cbet2[idx],
                 dn2[idx], lam12[idx], slam12[idx], clam12[idx])
-            s12[idx], salp1[idx], calp1[idx], salp2[idx], calp2[idx] = res
+            (s12[idx], salp1[idx], calp1[idx], salp2[idx], calp2[idx],
+             somg12[idx], comg12[idx]) = res
+
+        if want_area:
+            S12 = self._area_S12(sbet1, cbet1, sbet2, cbet2, salp1, calp1,
+                                 salp2, calp2, somg12, comg12, meridian)
+            S12 = S12 * swapp * lonsign * latsign
 
         # undo canonicalization
         sw = swapp < 0
@@ -428,7 +478,87 @@ class Geodesic:
         calp2 = calp2 * swapp * latsign
         azi1 = np.arctan2(salp1, calp1)
         azi2 = np.arctan2(salp2, calp2)
+        if want_area:
+            return (s12.reshape(shape), azi1.reshape(shape),
+                    azi2.reshape(shape), S12.reshape(shape))
         return s12.reshape(shape), azi1.reshape(shape), azi2.reshape(shape)
+
+    def _area_S12(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1,
+                  salp2, calp2, somg12, comg12, meridian):
+        """Signed geodesic-to-equator area (geod_geninverse_int AREA
+        block, canonical coordinates)."""
+        g = self
+        salp0 = salp1 * cbet1
+        calp0 = np.hypot(calp1, salp1 * sbet1)
+        nondeg = (calp0 != 0.0) & (salp0 != 0.0)
+        ssig1 = sbet1
+        csig1 = calp1 * cbet1
+        ssig2 = sbet2
+        csig2 = calp2 * cbet2
+        ssig1, csig1 = _norm2(np.where(nondeg, ssig1, 0.0),
+                              np.where(nondeg, csig1, 1.0))
+        ssig2, csig2 = _norm2(np.where(nondeg, ssig2, 0.0),
+                              np.where(nondeg, csig2, 1.0))
+        k2 = calp0 * calp0 * g.ep2
+        eps = k2 / (2 * (1 + np.sqrt(1 + k2)) + k2)
+        A4 = g.a * g.a * calp0 * salp0 * g.e2
+        C4a = self._C4f(eps)
+        B41 = _sincos_series(False, ssig1, csig1, C4a)
+        B42 = _sincos_series(False, ssig2, csig2, C4a)
+        S12 = np.where(nondeg, A4 * (B42 - B41), 0.0)
+        # the spherical-excess term alp12
+        easy = (~meridian & (comg12 > -0.7071) & (sbet2 - sbet1 < 1.75))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            domg12 = 1 + comg12
+            dbet1 = 1 + cbet1
+            dbet2 = 1 + cbet2
+            alp12_easy = 2 * np.arctan2(
+                somg12 * (sbet1 * dbet2 + sbet2 * dbet1),
+                domg12 * (sbet1 * sbet2 + dbet1 * dbet2))
+        salp12 = salp2 * calp1 - calp2 * salp1
+        calp12 = calp2 * calp1 + salp2 * salp1
+        deg = (salp12 == 0.0) & (calp12 < 0.0)
+        salp12 = np.where(deg, TINY * calp1, salp12)
+        calp12 = np.where(deg, -1.0, calp12)
+        alp12 = np.where(easy, alp12_easy, np.arctan2(salp12, calp12))
+        return S12 + g.c2 * alp12
+
+    @staticmethod
+    def _transit(lon1, lon2):
+        """+-1 when the edge crosses the prime meridian (transit())."""
+        lon1 = _adjlon(lon1)
+        lon2 = _adjlon(lon2)
+        lon12 = _adjlon(lon2 - lon1)
+        return np.where((lon1 <= 0) & (lon2 > 0) & (lon12 > 0), 1,
+                        np.where((lon2 <= 0) & (lon1 > 0) & (lon12 < 0),
+                                 -1, 0))
+
+    def polygon_area(self, lats, lons):
+        """(perimeter m, area m^2) of a polygon given vertex arrays in
+        radians (unclosed; counter-clockwise positive), per the
+        reference's geod_polygonarea accumulation + areareduceA."""
+        lats = np.asarray(lats, dtype=np.float64).ravel()
+        lons = np.asarray(lons, dtype=np.float64).ravel()
+        lat2 = np.roll(lats, -1)
+        lon2 = np.roll(lons, -1)
+        s12, _, _, S12 = self.inverse(lats, lons, lat2, lon2, want_area=True)
+        import math
+
+        perimeter = float(np.sum(s12))
+        area = float(np.sum(S12))
+        crossings = int(np.sum(self._transit(lons, lon2)))
+        area0 = 4 * np.pi * self.c2
+        # areareduceA: IEEE remainder, pole-crossing half-sphere fixup,
+        # clockwise -> counter-clockwise, reduce into (-area0/2, area0/2]
+        area = math.remainder(area, area0)
+        if crossings % 2:
+            area += (1.0 if area < 0 else -1.0) * area0 / 2
+        area = -area
+        if area > area0 / 2:
+            area -= area0
+        elif area <= -area0 / 2:
+            area += area0
+        return perimeter, area
 
     def _eps_meridian(self):
         k2 = self.ep2  # calp0 = 1 on a meridian
@@ -444,6 +574,9 @@ class Geodesic:
         s12 = np.zeros(n)
         salp2 = np.zeros(n)
         calp2 = np.zeros(n)
+        omg12 = lam12 / (g.f1 * dnm)
+        somg12 = np.where(short, np.sin(omg12), 0.0)
+        comg12 = np.where(short, np.cos(omg12), 1.0)
         if np.any(short):
             s12 = np.where(short, sig12 * g.b * dnm, s12)
             salp2 = np.where(short, salp2_s, salp2)
@@ -452,7 +585,7 @@ class Geodesic:
         newt = ~short
         if np.any(newt):
             j = np.nonzero(newt)[0]
-            (ns12, nsalp1, ncalp1, nsalp2, ncalp2) = self._newton(
+            (ns12, nsalp1, ncalp1, nsalp2, ncalp2, ndomg12) = self._newton(
                 sbet1[j], cbet1[j], dn1[j], sbet2[j], cbet2[j], dn2[j],
                 lam12[j], slam12[j], clam12[j], salp1[j], calp1[j])
             s12[j] = ns12
@@ -460,7 +593,11 @@ class Geodesic:
             calp1[j] = ncalp1
             salp2[j] = nsalp2
             calp2[j] = ncalp2
-        return s12, salp1, calp1, salp2, calp2
+            # omg12 = lam12 - domg12
+            sd, cd = np.sin(ndomg12), np.cos(ndomg12)
+            somg12[j] = slam12[j] * cd - clam12[j] * sd
+            comg12[j] = clam12[j] * cd + slam12[j] * sd
+        return s12, salp1, calp1, salp2, calp2, somg12, comg12
 
     def _newton(self, sbet1, cbet1, dn1, sbet2, cbet2, dn2,
                 lam12, slam12, clam12, salp1, calp1):
@@ -476,21 +613,22 @@ class Geodesic:
         # frozen state at convergence
         F = {k: np.zeros(n) for k in
              ("sig12", "ssig1", "csig1", "ssig2", "csig2", "eps",
-              "salp2", "calp2")}
+              "salp2", "calp2", "domg12")}
         for it in range(MAXIT2):
             act = np.nonzero(~done)[0]
             if act.size == 0:
                 break
             diffp = it < MAXIT1
             (v, a_salp2, a_calp2, a_sig12, a_ssig1, a_csig1, a_ssig2,
-             a_csig2, a_eps, _domg, dv) = self._lambda12(
+             a_csig2, a_eps, a_domg, dv) = self._lambda12(
                 sbet1[act], cbet1[act], dn1[act], sbet2[act], cbet2[act],
                 dn2[act], salp1[act], calp1[act], slam12[act], clam12[act],
                 diffp)
             for key, val in (("sig12", a_sig12), ("ssig1", a_ssig1),
                              ("csig1", a_csig1), ("ssig2", a_ssig2),
                              ("csig2", a_csig2), ("eps", a_eps),
-                             ("salp2", a_salp2), ("calp2", a_calp2)):
+                             ("salp2", a_salp2), ("calp2", a_calp2),
+                             ("domg12", a_domg)):
                 F[key][act] = val
             brk = tripb[act] | ~(np.abs(v) >= np.where(tripn[act], 8, 1) * TOL0)
             done[act[brk]] = True
@@ -537,7 +675,7 @@ class Geodesic:
         s12b, _, _ = self._lengths(F["eps"], F["sig12"], F["ssig1"],
                                    F["csig1"], dn1, F["ssig2"], F["csig2"],
                                    dn2, cbet1, cbet2)
-        return s12b * g.b, salp1, calp1, F["salp2"], F["calp2"]
+        return s12b * g.b, salp1, calp1, F["salp2"], F["calp2"], F["domg12"]
 
     # -- direct -------------------------------------------------------------
 
