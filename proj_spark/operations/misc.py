@@ -761,3 +761,101 @@ REGISTRY = {
         Bacon, Apian, Ortel, Comill, Patterson, Times, VanDG, Aitoff, Wintri,
     )
 }
+
+
+class ObTran(Operation):
+    """General oblique transformation: rotate the sphere so a chosen
+    pole/equator becomes the frame of a child projection
+    (ob_tran.cpp:18; operator composition).
+
+    The child kernel is invoked RAW (no child prepare/finalize), exactly
+    as the reference calls Q->link->fwd directly."""
+
+    proj_name = "ob_tran"
+    TOL = 1e-10
+
+    def setup(self) -> None:
+        from proj_spark.projstring import _registry
+        p = self.params
+        o_proj = p.get("o_proj")
+        if not o_proj or o_proj == "ob_tran":
+            raise ValueError("ob_tran: +o_proj missing or recursive")
+        child_params = {k: v for k, v in p.items() if k != "proj"}
+        child_params["proj"] = o_proj
+        reg = _registry()
+        if o_proj not in reg:
+            raise NotImplementedError(f"ob_tran: child {o_proj!r} missing")
+        self.link = reg[o_proj](child_params)
+        if "o_alpha" in p:
+            lamc = float(p.get("o_lon_c", 0.0)) * D2R
+            phic = float(p.get("o_lat_c", 0.0)) * D2R
+            alpha = float(p["o_alpha"]) * D2R
+            if abs(abs(phic) - mu.HALFPI) <= self.TOL:
+                raise ValueError("ob_tran: |o_lat_c| = 90")
+            self.lamp = lamc + np.arctan2(-np.cos(alpha),
+                                          -np.sin(alpha) * np.sin(phic))
+            phip = np.arcsin(np.cos(phic) * np.sin(alpha))
+        elif "o_lat_p" in p:
+            self.lamp = float(p.get("o_lon_p", 0.0)) * D2R
+            phip = float(p["o_lat_p"]) * D2R
+        else:
+            lam1 = float(p.get("o_lon_1", 0.0)) * D2R
+            phi1 = float(p.get("o_lat_1", 0.0)) * D2R
+            lam2 = float(p.get("o_lon_2", 0.0)) * D2R
+            phi2 = float(p.get("o_lat_2", 0.0)) * D2R
+            con = abs(phi1)
+            if (abs(phi1 - phi2) <= self.TOL or con <= self.TOL
+                    or abs(con - mu.HALFPI) <= self.TOL
+                    or abs(abs(phi2) - mu.HALFPI) <= self.TOL):
+                raise ValueError("ob_tran: invalid o_lat_1/o_lat_2")
+            self.lamp = np.arctan2(
+                np.cos(phi1) * np.sin(phi2) * np.cos(lam1)
+                - np.sin(phi1) * np.cos(phi2) * np.cos(lam2),
+                np.sin(phi1) * np.cos(phi2) * np.sin(lam2)
+                - np.cos(phi1) * np.sin(phi2) * np.sin(lam1))
+            phip = np.arctan(-np.cos(self.lamp - lam1) / np.tan(phi1))
+        self.oblique = abs(phip) > self.TOL
+        self.cphip = np.cos(phip)
+        self.sphip = np.sin(phip)
+        # latlong child: angular output, no a-scaling (reference sets
+        # P->right = WHATEVER)
+        if getattr(self.link, "right", "classic") == "radians" \
+                or getattr(self.link, "proj_name", "") in (
+                    "latlong", "longlat", "latlon", "lonlat"):
+            self.right = "projected"
+
+    def _fwd(self, lam, phi):
+        coslam = np.cos(lam)
+        sinphi = np.sin(phi)
+        cosphi = np.cos(phi)
+        if self.oblique:
+            lam2 = mu.adjlon(np.arctan2(
+                cosphi * np.sin(lam),
+                self.sphip * cosphi * coslam + self.cphip * sinphi)
+                + self.lamp)
+            phi2 = aasin(self.sphip * sinphi
+                         - self.cphip * cosphi * coslam)
+        else:
+            lam2 = mu.adjlon(np.arctan2(cosphi * np.sin(lam), sinphi)
+                             + self.lamp)
+            phi2 = aasin(-cosphi * coslam)
+        return self.link._fwd(lam2, phi2)
+
+    def _inv(self, x, y):
+        lam, phi = self.link._inv(x, y)
+        lam = lam - self.lamp
+        coslam = np.cos(lam)
+        sinphi = np.sin(phi)
+        cosphi = np.cos(phi)
+        if self.oblique:
+            phi2 = aasin(self.sphip * sinphi + self.cphip * cosphi * coslam)
+            lam2 = np.arctan2(cosphi * np.sin(lam),
+                              self.sphip * cosphi * coslam
+                              - self.cphip * sinphi)
+        else:
+            phi2 = aasin(cosphi * coslam)
+            lam2 = np.arctan2(cosphi * np.sin(lam), -sinphi)
+        return lam2, phi2
+
+
+REGISTRY["ob_tran"] = ObTran

@@ -53,6 +53,10 @@ class LatLong(Operation):
     def inv(self, x, y):
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
 
+    # raw-kernel views (used when composed, e.g. under ob_tran)
+    _fwd = fwd
+    _inv = inv
+
 
 class Noop(LatLong):
     proj_name = "noop"
@@ -279,3 +283,110 @@ class AxisSwap(Operation):
         out[self.idx[0]] = ins[0]
         out[self.idx[1]] = ins[1]
         return out[0], out[1]
+
+
+# ---------------------------------------------------------------------------
+# time-unit conversions (src/conversions/unitconvert.cpp:102-260)
+# ---------------------------------------------------------------------------
+
+def _leaps_through(year):
+    """Number of leap years in [1, year]."""
+    y = np.asarray(year, dtype=np.int64)
+    return y // 4 - y // 100 + y // 400
+
+
+def _is_leap(year):
+    y = np.asarray(year, dtype=np.int64)
+    return ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+
+
+def _days_in_year(year):
+    return np.where(_is_leap(year), 366, 365)
+
+
+_CUMDAYS = np.array([0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334])
+
+
+def decimalyear_to_mjd(dy):
+    """Decimal year -> modified julian date (reference :159-183)."""
+    dy = np.asarray(dy, dtype=np.float64)
+    year = np.floor(dy).astype(np.int64)
+    frac = dy - year
+    mjd = (year - 1859) * 365.0 + 14 + 31
+    mjd = mjd + frac * _days_in_year(year)
+    mjd = mjd + (_leaps_through(year - 1) - _leaps_through(1858))
+    return np.where((dy < -10000) | (dy > 10000), 0.0, mjd)
+
+
+def mjd_to_decimalyear(mjd):
+    """Modified julian date -> decimal year (reference :186-205)."""
+    mjd = np.asarray(mjd, dtype=np.float64)
+    year = (1859 + (mjd - 45.0) / 365.2425).astype(np.int64)
+    for _ in range(3):  # settle the year boundary
+        start = ((year - 1859) * 365.0 + 45
+                 + (_leaps_through(year - 1) - _leaps_through(1858)))
+        year = np.where(mjd < start, year - 1, year)
+        end = ((year - 1858) * 365.0 + 45
+               + (_leaps_through(year) - _leaps_through(1858)))
+        year = np.where(mjd >= end, year + 1, year)
+    start = ((year - 1859) * 365.0 + 45
+             + (_leaps_through(year - 1) - _leaps_through(1858)))
+    return year + (mjd - start) / _days_in_year(year)
+
+
+def gps_week_to_mjd(w):
+    return 44244.0 + np.asarray(w, dtype=np.float64) * 7.0
+
+
+def mjd_to_gps_week(mjd):
+    return (np.asarray(mjd, dtype=np.float64) - 44244.0) / 7.0
+
+
+def yyyymmdd_to_mjd(v):
+    v = np.asarray(v, dtype=np.float64)
+    year = np.floor(v / 10000).astype(np.int64)
+    month = np.floor((v - year * 10000) / 100).astype(np.int64)
+    day = np.floor(v - year * 10000 - month * 100).astype(np.int64)
+    m = np.clip(month, 1, 12)
+    doy = _CUMDAYS[m - 1] + np.where(_is_leap(year) & (m > 2), 1, 0) + day
+    total = doy + (year - 1859) * 365.0 \
+        + (_leaps_through(year - 1) - _leaps_through(1858))
+    return total + 13 + 31
+
+
+def mjd_to_yyyymmdd(mjd):
+    mjd = np.asarray(mjd, dtype=np.float64)
+    dy = mjd_to_decimalyear(mjd)
+    year = np.floor(dy).astype(np.int64)
+    start = ((year - 1859) * 365.0 + 45
+             + (_leaps_through(year - 1) - _leaps_through(1858)))
+    doy = np.floor(mjd - start).astype(np.int64)  # 0-based day of year
+    leap_adj = np.where(_is_leap(year), 1, 0)
+    cum = np.concatenate([_CUMDAYS, [365]])
+    month = np.zeros_like(year)
+    day = np.zeros_like(year)
+    for mo in range(1, 13):
+        lo = _CUMDAYS[mo - 1] + (leap_adj if mo > 2 else 0)
+        hi = (cum[mo] + (leap_adj if mo >= 2 else 0))
+        sel = (doy >= lo) & (doy < hi)
+        month = np.where(sel, mo, month)
+        day = np.where(sel, doy - lo + 1, day)
+    return year * 10000.0 + month * 100.0 + day
+
+
+TIME_UNITS = {
+    "mjd": (lambda t: np.asarray(t, dtype=np.float64),
+            lambda t: np.asarray(t, dtype=np.float64)),
+    "decimalyear": (decimalyear_to_mjd, mjd_to_decimalyear),
+    "gps_week": (gps_week_to_mjd, mjd_to_gps_week),
+    "yyyymmdd": (yyyymmdd_to_mjd, mjd_to_yyyymmdd),
+}
+
+
+def convert_time(t, t_in: str, t_out: str):
+    """Convert a time column between the reference's time units."""
+    if t_in not in TIME_UNITS or t_out not in TIME_UNITS:
+        raise ValueError(f"unknown time unit: {t_in!r} / {t_out!r}")
+    to_mjd, _ = TIME_UNITS[t_in]
+    _, from_mjd = TIME_UNITS[t_out]
+    return from_mjd(to_mjd(t))

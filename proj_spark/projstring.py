@@ -49,6 +49,7 @@ def _registry() -> dict:
         "aea": AEA,
         "leac": LEAC,
         "cart": Cart,
+        "geocent": Cart,
         "helmert": Helmert,
         "latlong": LatLong, "longlat": LatLong, "latlon": LatLong, "lonlat": LatLong,
         "eqc": Eqc, "cea": Cea, "gall": Gall, "mill": Mill,
@@ -87,8 +88,23 @@ def create(definition: str):
     return reg[name](params)
 
 
+class _PushPop:
+    """Marker step for the pipeline's coordinate-slot stacks
+    (src/pipeline.cpp:600-649): +proj=push/pop +v_1..+v_4."""
+
+    def __init__(self, kind: str, params: dict):
+        self.kind = kind
+        self.slots = [i for i in (1, 2, 3, 4) if f"v_{i}" in params]
+
+
 class Pipeline:
-    """Composition of +step operations; fwd applies steps left-to-right."""
+    """Composition of +step operations; fwd applies steps left-to-right.
+
+    Carries (x, y, z, t) through every step, preferring each operator's
+    highest available arity (fwd4d > fwd3d > fwd), mirroring the
+    reference's pj_fwd4d kernel dispatch (src/fwd.cpp:234-260).  push/
+    pop steps save/restore coordinate slots across steps using the four
+    pipeline-owned stacks."""
 
     def __init__(self, steps: list, inverted: list[bool]):
         self.steps = steps
@@ -111,22 +127,76 @@ class Pipeline:
             name = merged.get("proj")
             if name == "pipeline":
                 raise ValueError("nested pipelines are not allowed")
+            if name in ("push", "pop"):
+                steps.append(_PushPop(name, merged))
+                inverted.append(inv)
+                continue
             reg = _registry()
             steps.append(reg[name](merged))
             inverted.append(inv)
         return cls(steps, inverted)
 
+    @staticmethod
+    def _apply_step(op, inverse: bool, c: list):
+        x, y, z, t = c
+        f4 = getattr(op, "inv4d" if inverse else "fwd4d", None)
+        if f4 is not None:
+            out = f4(x, y, z, t)
+            return [out[0], out[1], out[2], out[3] if len(out) > 3 else t]
+        f3 = getattr(op, "inv3d" if inverse else "fwd3d", None)
+        if f3 is not None:
+            try:
+                ox, oy, oz = f3(x, y, z)
+                return [ox, oy, oz, t]
+            except NotImplementedError:
+                pass
+        f2 = op.inv if inverse else op.fwd
+        try:
+            # cartesian-space ops (helmert) take 3 positional args
+            ox, oy, oz = f2(x, y, z)
+            return [ox, oy, oz, t]
+        except TypeError:
+            ox, oy = f2(x, y)
+            return [ox, oy, z, t]
+
+    def _run(self, x, y, z, t, inverse: bool):
+        c = [np.asarray(x, dtype=np.float64),
+             np.asarray(y, dtype=np.float64),
+             np.zeros_like(np.asarray(x, dtype=np.float64)) if z is None
+             else np.asarray(z, dtype=np.float64),
+             np.zeros_like(np.asarray(x, dtype=np.float64)) if t is None
+             else np.asarray(t, dtype=np.float64)]
+        stacks = {1: [], 2: [], 3: [], 4: []}
+        order = (zip(reversed(self.steps), reversed(self.inverted))
+                 if inverse else zip(self.steps, self.inverted))
+        for op, inv in order:
+            if isinstance(op, _PushPop):
+                # in the reverse pass a push acts as a pop and vice versa
+                kind = op.kind
+                if inverse:
+                    kind = "pop" if kind == "push" else "push"
+                for slot in op.slots:
+                    if kind == "push":
+                        stacks[slot].append(np.array(c[slot - 1], copy=True))
+                    elif stacks[slot]:
+                        c[slot - 1] = stacks[slot].pop()
+                continue
+            c = self._apply_step(op, inv != inverse, c)
+        return c
+
     def fwd(self, lam, phi):
-        x, y = np.asarray(lam, dtype=np.float64), np.asarray(phi, dtype=np.float64)
-        for op, inv in zip(self.steps, self.inverted):
-            x, y = (op.inv(x, y) if inv else op.fwd(x, y))
-        return x, y
+        c = self._run(lam, phi, None, None, inverse=False)
+        return c[0], c[1]
 
     def inv(self, x, y):
-        x, y = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
-        for op, inv in zip(reversed(self.steps), reversed(self.inverted)):
-            x, y = (op.fwd(x, y) if inv else op.inv(x, y))
-        return x, y
+        c = self._run(x, y, None, None, inverse=True)
+        return c[0], c[1]
+
+    def fwd4d(self, lam, phi, z=None, t=None):
+        return tuple(self._run(lam, phi, z, t, inverse=False))
+
+    def inv4d(self, x, y, z=None, t=None):
+        return tuple(self._run(x, y, z, t, inverse=True))
 
     def fwd_deg(self, lon, lat):
         return self.fwd(np.radians(np.asarray(lon, dtype=np.float64)),

@@ -235,3 +235,66 @@ def test_factors_utm_scale():
     f2 = factors(op, np.radians(np.array([12.0])),
                  np.radians(np.array([45.0])))
     assert 0.02 < f2["conv"][0] < 0.06
+
+
+def test_time_unit_conversions():
+    from proj_spark.operations.simple import convert_time
+    # 2000-01-01 is MJD 51544; GPS week 0 begins at MJD 44244
+    assert np.allclose(convert_time(np.array([2000.0]), "decimalyear", "mjd"),
+                       [51544.0])
+    assert np.allclose(convert_time(np.array([51544.0]), "mjd", "decimalyear"),
+                       [2000.0])
+    assert np.allclose(convert_time(np.array([0.0]), "gps_week", "mjd"),
+                       [44244.0])
+    assert np.allclose(convert_time(np.array([20000101.0]), "yyyymmdd", "mjd"),
+                       [51544.0])
+    assert np.allclose(convert_time(np.array([51544.0]), "mjd", "yyyymmdd"),
+                       [20000101.0])
+    # roundtrips across leap years
+    dy = np.array([1999.5, 2000.123, 2004.9, 2100.0, 1960.25])
+    assert np.allclose(convert_time(convert_time(dy, "decimalyear", "mjd"),
+                                    "mjd", "decimalyear"), dy, atol=1e-9)
+    ymd = np.array([19700215.0, 20000229.0, 20231231.0, 18600101.0])
+    assert np.allclose(convert_time(convert_time(ymd, "yyyymmdd", "mjd"),
+                                    "mjd", "yyyymmdd"), ymd)
+
+
+def test_pipeline_4d_datum_route(pts):
+    """pipeline(cart -> helmert -> inv cart) == the fused datum chain."""
+    pipe = create("+proj=pipeline "
+                  "+step +proj=cart +ellps=GRS80 "
+                  "+step +proj=helmert +x=598.1 +y=73.7 +z=418.2 "
+                  "+rx=0.202 +ry=0.045 +rz=-2.455 +s=6.7 "
+                  "+convention=position_vector "
+                  "+step +inv +proj=cart +ellps=GRS80")
+    cart = create("+proj=cart +ellps=GRS80")
+    hel = create("+proj=helmert +x=598.1 +y=73.7 +z=418.2 +rx=0.202 "
+                 "+ry=0.045 +rz=-2.455 +s=6.7 +convention=position_vector")
+    lam, phi = pts
+    pl, pp, pz, _ = pipe.fwd4d(lam, phi, np.zeros_like(lam), None)
+    X, Y, Z = cart.fwd3d(lam, phi, np.zeros_like(lam))
+    X, Y, Z = hel.fwd(X, Y, Z)
+    el, ep, ez = cart.inv3d(X, Y, Z)
+    assert np.allclose(pl, el, atol=1e-15)
+    assert np.allclose(pp, ep, atol=1e-15)
+    assert np.allclose(pz, ez, atol=1e-9)
+    # and the pipeline inverse restores the input
+    il, ip, iz, _ = pipe.inv4d(pl, pp, pz, None)
+    assert np.allclose(il, lam, atol=1e-12)
+    assert np.allclose(ip, phi, atol=1e-12)
+
+
+def test_pipeline_push_pop_preserves_z(pts):
+    """push/pop carries z across a 2-D step that would drop it."""
+    pipe = create("+proj=pipeline +ellps=GRS80 "
+                  "+step +proj=push +v_3 "
+                  "+step +proj=utm +zone=32 "
+                  "+step +inv +proj=utm +zone=32 "
+                  "+step +proj=pop +v_3")
+    lam = np.radians(np.array([9.0, 12.0]))
+    phi = np.radians(np.array([45.0, 56.0]))
+    z = np.array([123.0, -7.0])
+    ol, op_, oz, _ = pipe.fwd4d(lam, phi, z, None)
+    assert np.allclose(ol, lam, atol=1e-12)
+    assert np.allclose(op_, phi, atol=1e-12)
+    assert np.array_equal(oz, z)

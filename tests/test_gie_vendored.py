@@ -28,7 +28,7 @@ with open(os.path.join(_HERE, "gie_vendored.json")) as f:
 
 # ops whose vendored vectors are not plain 2D lon/lat<->x/y (3D/4D or
 # nested-operation semantics) — covered by dedicated tests instead
-EXCLUDE = {"geocent", "pipeline", "ob_tran"}
+EXCLUDE = {"geocent", "pipeline"}
 
 BLOCKS = [b for b in _DATA["blocks"] if b["proj"] not in EXCLUDE]
 
