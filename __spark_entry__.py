@@ -618,6 +618,84 @@ FROM embeddings, q
 ORDER BY cosine DESC, vec_id LIMIT {EMB_K}"""
 
 
+EMB_PAIR_K = 3
+
+
+def q_embed_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs top-k cosine neighbors per vector (small-side
+    broadcast self-join; at 10^12 scale this becomes knn_pairs_topk's
+    LSH bucket join — tested separately as an approximate op)."""
+    from proj_spark.text.similarity import cosine_pair_expr
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("_v")))
+    l = emb.alias("l")
+    r = emb.alias("r")
+    cand = (l.join(F.broadcast(r), F.col("l.vec_id") != F.col("r.vec_id"))
+            .select(F.col("l.vec_id").cast("long").alias("vec_id"),
+                    F.col("r.vec_id").cast("long").alias("nbr_id"),
+                    F.round(cosine_pair_expr(F.col("l._v"), F.col("r._v")),
+                            8).alias("cosine")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(),
+                                             F.col("nbr_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= EMB_PAIR_K)
+            .select("vec_id", "nbr_id", "cosine",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def _sql_embed_allpairs() -> str:
+    return f"""WITH pairs AS (
+  SELECT CAST(l.vec_id AS BIGINT) AS vec_id,
+         CAST(r.vec_id AS BIGINT) AS nbr_id,
+         ROUND(list_dot_product(CAST(l.embedding AS DOUBLE[]),
+                                CAST(r.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]),
+                                        CAST(l.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]),
+                                          CAST(r.embedding AS DOUBLE[])))),
+               8) AS cosine
+  FROM embeddings l JOIN embeddings r ON l.vec_id <> r.vec_id
+),
+ranked AS (
+  SELECT vec_id, nbr_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, nbr_id) AS rank
+  FROM pairs
+)
+SELECT vec_id, nbr_id, cosine, rank FROM ranked WHERE rank <= {EMB_PAIR_K}"""
+
+
+def q_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs neighbors via sign-LSH buckets (rows-only:
+    recall depends on the deterministic hyperplanes, verified against
+    the exact query in tests)."""
+    from proj_spark.text.similarity import knn_pairs_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (knn_pairs_topk(emb, k=EMB_PAIR_K, dim=64, n_planes=4,
+                           n_tables=12)
+            .select(F.col("vec_id").cast("long"),
+                    F.col("nbr_id").cast("long"), "cosine",
+                    F.col("rank").cast("long")))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: binary media -> mapInPandas decode (stubbed
+    deterministic codec) -> fixed-width features -> per-kind stats
+    (rows-only: the decode stub is engine-internal)."""
+    from proj_spark.text.multimodal import media_features, synth_media
+    n = max(300, _n_pages(sf_dir) // 200)
+    media = synth_media(spark, n)
+    feats = media_features(media)
+    return (feats.select("kind", F.col("n_bytes"),
+                         F.element_at("feature", 1).alias("f0"))
+            .groupBy("kind")
+            .agg(F.count("*").alias("n_assets"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.round(F.min("f0"), 6).alias("min_f0"),
+                 F.round(F.max("f0"), 6).alias("max_f0")))
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banded near-dup candidates, verified by exact n-gram
     Jaccard (rows-only: the minhash family is not SQL-expressible)."""
@@ -686,6 +764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "ngram_pairs": q_ngram_pairs,
         "embed_topk": q_embed_topk,
+        "embed_allpairs": q_embed_allpairs,
+        "ann_pairs": q_ann_pairs,
+        "media_features": q_media_features,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "events_hourly": q_events_hourly,
@@ -709,6 +790,7 @@ def oracle_sql() -> dict[str, str]:
         "token_topk": _sql_token_topk(),
         "ngram_pairs": _sql_ngram_pairs(),
         "embed_topk": _sql_embed_topk(),
+        "embed_allpairs": _sql_embed_allpairs(),
         "events_hourly": _sql_events_hourly(),
         # utm_project / minhash_neardup / simhash_neardup: rows-only
         # (non-SQL-expressible kernels; gated by the gie fixture pytest suite)

@@ -89,10 +89,57 @@ def lsh_topk(embeddings: DataFrame, query: list[float], k: int,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
-def knn_pairs_topk(embeddings: DataFrame, k: int, vec_col: str = "embedding",
-                   id_col: str = "vec_id", n_planes: int = 8) -> DataFrame:
-    """All-pairs approximate neighbors: bucket join + per-id top-k window.
-    (The all-pairs analogue of lsh_topk; used for embedding near-dup.)"""
-    b = embeddings.withColumn("_bucket",
-                              lsh_bucket_expr(F.col(vec_col), None, n_planes))
-    raise NotImplementedError("all-pairs ANN lands with the multimodal round")
+def cosine_pair_expr(a: Column, b: Column) -> Column:
+    """JVM-side cosine between two array<double> columns."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    return dot / (norm_expr(a) * norm_expr(b))
+
+
+def knn_pairs_topk(embeddings: DataFrame, k: int, dim: int,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   n_planes: int = 6, n_tables: int = 8) -> DataFrame:
+    """All-pairs approximate nearest neighbors: MULTI-TABLE sign-LSH
+    bucket self-join + per-id cosine top-k window.
+
+    Candidate pairs form when two vectors share a bucket in ANY of
+    `n_tables` independent hash tables of `n_planes` hyperplanes each
+    (the banding trick: one table of m planes has recall
+    (1 - theta/pi)^m, L tables lift it to 1 - (1 - p)^L).  The join
+    shuffles on (table, bucket) keys, so work is sum of squared bucket
+    sizes — never n^2.  Exact cosine verifies every candidate.
+    Returns (vec_id, nbr_id, cosine, rank) with rank <= k."""
+    from pyspark.sql.window import Window
+
+    vec = F.col(vec_col).cast("array<double>")
+    planes = _hyperplanes(dim, n_planes * n_tables)
+    tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for b_ in range(n_planes):
+            q = F.array(*[F.lit(float(x))
+                          for x in planes[t * n_planes + b_]])
+            d = F.aggregate(F.zip_with(vec, q, lambda a, bb: a * bb),
+                            F.lit(0.0), lambda acc, x: acc + x)
+            bucket = bucket + F.when(d > 0, F.lit(1 << b_).cast("long"))                 .otherwise(F.lit(0).cast("long"))
+        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    b = (embeddings.select(F.col(id_col), vec.alias("_v"),
+                           F.explode(F.array(*tables)).alias("_tb"))
+         .select(id_col, "_v", F.col("_tb.t").alias("_t"),
+                 F.col("_tb.b").alias("_b")))
+    left = b.alias("l")
+    right = b.alias("r")
+    cand = (left.join(right, (F.col("l._t") == F.col("r._t"))
+                      & (F.col("l._b") == F.col("r._b"))
+                      & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias(id_col),
+                    F.col(f"r.{id_col}").alias("nbr_id"),
+                    F.col("l._v").alias("_va"), F.col("r._v").alias("_vb"))
+            .dropDuplicates([id_col, "nbr_id"])
+            .select(F.col(id_col), F.col("nbr_id"),
+                    F.round(cosine_pair_expr(F.col("_va"), F.col("_vb")),
+                            8).alias("cosine")))
+    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(),
+                                           F.col("nbr_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
