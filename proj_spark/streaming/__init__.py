@@ -1,0 +1,4 @@
+"""Structured Streaming jobs over the engine's tables."""
+
+from proj_spark.streaming.jobs import (  # noqa: F401
+    stream_events_hourly, stream_tile_density, stream_domain_running_counts)

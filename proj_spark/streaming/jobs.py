@@ -1,0 +1,119 @@
+"""Structured Streaming jobs: the engine's batch operators re-expressed
+as incremental pipelines.
+
+The reference is a batch library (no streaming analogue; SURVEY.md
+§1.3), but the engine's ingestion story at 10^12 rows is incremental:
+new WARC drops land as files, and the same tile/cell/extraction
+operators run as a stream.  These jobs follow the standard shape:
+
+    readStream (file source, schema pinned from the static table)
+      -> the SAME transformation functions used in batch
+      -> watermarked windowed aggregation / arbitrary stateful op
+      -> sink (tested with availableNow + memory sink, deployed with a
+         checkpointLocation for exactly-once file->table pipelines)
+
+Because transformations are shared with the batch path, streaming
+correctness reduces to "stream result == batch result on the same
+files", which is exactly what the tests assert.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from proj_spark.pages import extract_geotags
+from proj_spark.spatial import cells
+
+
+def _streaming_reader(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None):
+    static = spark.read.parquet(path)
+    reader = (spark.readStream.schema(static.schema)
+              .format("parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def stream_events_hourly(spark: SparkSession, events_dir: str,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Per (event_type, hour window) counts with late-data watermarking.
+
+    The watermark bounds state: windows older than max(event time) -
+    watermark are finalized and dropped, so state size is O(active
+    windows), independent of stream length."""
+    ev = _streaming_reader(spark, events_dir)
+    # watermarks require TIMESTAMP (with zone); NTZ sources are cast in
+    # the session's UTC zone
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (ev.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("hour_start"), "event_type",
+                    "n_events"))
+
+
+def stream_tile_density(spark: SparkSession, pages_dir: str, z: int = 8,
+                        max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming webmerc tile counts: the batch extraction + tile
+    operators applied to a file stream of pages."""
+    pages = _streaming_reader(spark, pages_dir, max_files_per_trigger)
+    pts = extract_geotags(pages).where(F.col("lat").isNotNull())
+    return (pts.select(cells.tile_x(F.col("lon"), z).alias("tile_x"),
+                       cells.tile_y(F.col("lat"), z).alias("tile_y"))
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n_pages")))
+
+
+_STATE_SCHEMA = StructType([StructField("total", LongType()),
+                            StructField("batches", IntegerType())])
+_OUT_SCHEMA = StructType([
+    StructField("domain", StringType()),
+    StructField("total_pages", LongType()),
+    StructField("batches_seen", IntegerType()),
+])
+
+
+def stream_domain_running_counts(spark: SparkSession, pages_dir: str,
+                                 max_files_per_trigger: int = 1) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-domain
+    running page totals across micro-batches — the pattern for
+    incremental dedup registries / per-key quotas at ingest time."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pages = _streaming_reader(spark, pages_dir, max_files_per_trigger)
+    doms = pages.select(
+        F.regexp_extract("url", r"site(\d+)\.", 1).alias("domain"))
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            total, batches = state.get
+            total += n
+            batches += 1
+        else:
+            total, batches = n, 1
+        state.update((total, batches))
+        yield pd.DataFrame({"domain": [key[0]], "total_pages": [total],
+                            "batches_seen": [batches]})
+
+    return (doms.groupBy("domain")
+            .applyInPandasWithState(update, _OUT_SCHEMA, _STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  mode: str = "complete") -> None:
+    """Drain a streaming DataFrame into an in-memory table (tests /
+    interactive debugging); blocks until all available data is done."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination()

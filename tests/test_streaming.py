@@ -1,0 +1,83 @@
+"""Structured Streaming jobs: stream result == batch result on the same
+files, plus stateful operator semantics across micro-batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from proj_spark.pages import pages_table
+from proj_spark.streaming import (stream_domain_running_counts,
+                                  stream_events_hourly, stream_tile_density)
+from proj_spark.streaming.jobs import run_to_memory
+
+EVENTS_SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark):
+    pages_table(spark, 6000)  # materialize the sf0.001 pages cache
+    import os
+    root = os.environ.get("PROJ_SPARK_CACHE",
+                          "/root/repo/.cache")
+    return os.path.join(root, "pages_v2_6000_1000")
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # the file stream source needs a DIRECTORY of files
+    import shutil
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(EVENTS_SRC, d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_events_hourly_matches_batch(spark, events_dir):
+    run_to_memory(stream_events_hourly(spark, events_dir), "ev_hourly")
+    got = {(r["hour_start"], r["event_type"]): r["n_events"]
+           for r in spark.table("ev_hourly").collect()}
+    batch = (spark.read.parquet(EVENTS_SRC)
+             .withColumn("ts", F.col("ts").cast("timestamp"))
+             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count("*").alias("n"))
+             .select(F.col("w.start").alias("h"), "event_type", "n"))
+    want = {(r["h"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_tile_density_matches_batch(spark, pages_dir):
+    run_to_memory(stream_tile_density(spark, pages_dir, z=6), "tiles")
+    got = {(r["tile_x"], r["tile_y"]): r["n_pages"]
+           for r in spark.table("tiles").collect()}
+    from proj_spark.pages import extract_geotags
+    from proj_spark.spatial import cells
+    pts = extract_geotags(spark.read.parquet(pages_dir))
+    batch = (pts.select(cells.tile_x(F.col("lon"), 6).alias("x"),
+                        cells.tile_y(F.col("lat"), 6).alias("y"))
+             .groupBy("x", "y").count())
+    want = {(r["x"], r["y"]): r["count"] for r in batch.collect()}
+    assert got == want
+
+
+def test_stateful_running_counts(spark, pages_dir):
+    import glob
+    n_files = len(glob.glob(f"{pages_dir}/part-*.parquet"))
+    assert n_files > 1  # multiple micro-batches
+    run_to_memory(stream_domain_running_counts(spark, pages_dir), "run_counts",
+                  mode="update")
+    # final state per domain: take the row with the max batches_seen
+    rows = spark.table("run_counts").collect()
+    finals = {}
+    for r in rows:
+        cur = finals.get(r["domain"])
+        if cur is None or r["batches_seen"] > cur["batches_seen"]:
+            finals[r["domain"]] = r
+    batch = (spark.read.parquet(pages_dir)
+             .select(F.regexp_extract("url", r"site(\d+)\.", 1)
+                     .alias("domain"))
+             .groupBy("domain").count())
+    want = {r["domain"]: r["count"] for r in batch.collect()}
+    got = {d: r["total_pages"] for d, r in finals.items()}
+    assert got == want
+    # at least one hot domain spans several micro-batches
+    assert max(r["batches_seen"] for r in finals.values()) > 1
