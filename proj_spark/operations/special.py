@@ -1299,3 +1299,145 @@ class Misrsom(SOMBase):
 
 
 REGISTRY.update({c.proj_name: c for c in (ImwP, Lsat, Misrsom)})
+
+
+class Bertin1953(_SphOp):
+    """Bertin 1953 oblique world projection; no inverse
+    (bertin1953.cpp, formula by Philippe Riviere)."""
+
+    proj_name = "bertin1953"
+
+    def _setup(self) -> None:
+        self.phi0 = -42.0 * D2R
+        self.lam0 = 0.0
+        self.cdp = np.cos(self.phi0)
+        self.sdp = np.sin(self.phi0)
+
+    def _fwd(self, lam, phi):
+        fu, k, w = 1.4, 12.0, 1.68
+        lam = lam + (-16.5 * D2R)
+        cosphi = np.cos(phi)
+        x = np.cos(lam) * cosphi
+        y = np.sin(lam) * cosphi
+        z = np.sin(phi)
+        z0 = z * self.cdp + x * self.sdp
+        lam = np.arctan2(y, x * self.cdp - z * self.sdp)
+        phi = np.arcsin(np.clip(z0, -1, 1))
+        lam = mu.adjlon(lam)
+        d = (lam - phi + 1.6) * (lam + phi + fu) / 8.0
+        hit = lam + phi < -fu
+        lam = np.where(hit, lam + d, lam)
+        phi = np.where(hit, phi - 0.8 * d * np.sin(phi + np.pi / 2.0), phi)
+        cosphi = np.cos(phi)
+        d = np.sqrt(2.0 / (1.0 + cosphi * np.cos(lam / 2.0)))
+        xo = w * d * cosphi * np.sin(lam / 2.0)
+        yo = d * np.sin(phi)
+        d = (1.0 - np.cos(lam * phi)) / k
+        xo = np.where(yo < 0.0, xo * (1.0 + d), xo)
+        yo = np.where(yo > 0.0, yo * (1.0 + d / 1.5 * xo * xo), yo)
+        return xo, yo
+
+
+def _geod2geoc(a, es, phi, lam, h):
+    s = np.sin(phi)
+    n = a / np.sqrt(1.0 - es * s * s)
+    x = (n + h) * np.cos(phi) * np.cos(lam)
+    y = (n + h) * np.cos(phi) * np.sin(lam)
+    z = (n * (1.0 - es) + h) * s
+    return x, y, z
+
+
+def _geoc2geod(a, es, x, y, z):
+    if es == 0.0:
+        # sphere: exact closed form
+        r = np.sqrt(x * x + y * y + z * z)
+        phi = np.arcsin(np.clip(z / r, -1, 1))
+        lam = np.arctan2(y, x)
+        return phi, lam, r - a
+    b = a * np.sqrt(1.0 - es)
+    e2s = es / (1.0 - es)
+    p = np.hypot(x, y)
+    theta = np.arctan2(z * a, p * b)
+    st, ct = np.sin(theta), np.cos(theta)
+    phi = np.arctan2(z + e2s * b * st ** 3, p - es * a * ct ** 3)
+    lam = np.arctan2(y, x)
+    s = np.sin(phi)
+    n = a / np.sqrt(1.0 - es * s * s)
+    c = np.cos(phi)
+    h = np.where(np.abs(c) < 1e-6, np.abs(z) - b, p / c - n)
+    return phi, lam, h
+
+
+class SCH(Operation):
+    """Spherical Cross-track Height (sch.cpp; SAR ground coordinates).
+
+    fwd3d: (lam, phi, h) radians/m -> (s, c, h) meters along/cross the
+    peg-point heading on the local sphere of curvature."""
+
+    proj_name = "sch"
+    left = "radians"
+    right = "cartesian"   # kernel emits meters; no extra a-scaling
+
+    def setup(self) -> None:
+        p = self.params
+        for key in ("plat_0", "plon_0", "phdg_0"):
+            if key not in p:
+                raise ValueError(f"sch: missing +{key}")
+        self.plat = float(p["plat_0"]) * D2R
+        self.plon = float(p["plon_0"]) * D2R
+        self.phdg = float(p["phdg_0"]) * D2R
+        self.h0 = float(p.get("h_0", 0.0))
+        clt, slt = np.cos(self.plat), np.sin(self.plat)
+        clo, slo = np.cos(self.plon), np.sin(self.plon)
+        temp = np.sqrt(1.0 - self.es * slt * slt)
+        reast = self.a / temp
+        rnorth = self.a * (1.0 - self.es) / temp ** 3
+        chdg, shdg = np.cos(self.phdg), np.sin(self.phdg)
+        self.rcurv = self.h0 + (reast * rnorth) / (
+            reast * chdg * chdg + rnorth * shdg * shdg)
+        self.M = np.array([
+            [clt * clo, -shdg * slo - slt * clo * chdg,
+             slo * chdg - slt * clo * shdg],
+            [clt * slo, clo * shdg - slt * slo * chdg,
+             -clo * chdg - slt * slo * shdg],
+            [slt, clt * chdg, clt * shdg],
+        ])
+        px, py, pz = _geod2geoc(self.a, self.es,
+                                np.float64(self.plat), np.float64(self.plon),
+                                np.float64(self.h0))
+        self.off = np.array([px - self.rcurv * clt * clo,
+                             py - self.rcurv * clt * slo,
+                             pz - self.rcurv * slt])
+
+    def fwd3d(self, lam, phi, h):
+        h = np.zeros_like(np.asarray(lam, dtype=np.float64)) if h is None \
+            else np.asarray(h, dtype=np.float64)
+        x, y, z = _geod2geoc(self.a, self.es, phi, lam, h)
+        t = np.stack([x - self.off[0], y - self.off[1], z - self.off[2]])
+        p = np.einsum("ji,j...->i...", self.M, t)   # M^T @ t
+        lat_s, lon_s, h_s = _geoc2geod(self.rcurv, 0.0, p[0], p[1], p[2])
+        return lon_s * self.rcurv, lat_s * self.rcurv, h_s
+
+    def inv3d(self, s, c, h):
+        lat_s = np.asarray(c, dtype=np.float64) / self.rcurv
+        lon_s = np.asarray(s, dtype=np.float64) / self.rcurv
+        x, y, z = _geod2geoc(self.rcurv, 0.0, lat_s, lon_s,
+                             np.asarray(h, dtype=np.float64))
+        t = np.stack([x, y, z])
+        p = np.einsum("ij,j...->i...", self.M, t)   # M @ t
+        p = p + self.off[:, None] if p.ndim > 1 else p + self.off
+        phi, lam, hh = _geoc2geod(self.a, self.es, p[0], p[1], p[2])
+        return lam, phi, hh
+
+    # 2-D views for the uniform interface
+    def _fwd(self, lam, phi):
+        x, y, _ = self.fwd3d(lam, phi, None)
+        return x / self.a, y / self.a  # classic a-units for base finalize
+
+    def _inv(self, x, y):
+        lam, phi, _ = self.inv3d(x * self.a, y * self.a,
+                                 np.zeros_like(np.asarray(x)))
+        return lam, phi
+
+
+REGISTRY.update({"bertin1953": Bertin1953, "sch": SCH})

@@ -298,3 +298,27 @@ def test_pipeline_push_pop_preserves_z(pts):
     assert np.allclose(ol, lam, atol=1e-12)
     assert np.allclose(op_, phi, atol=1e-12)
     assert np.array_equal(oz, z)
+
+
+def test_sch_roundtrip_and_peg():
+    op = create("+proj=sch +plat_0=40 +plon_0=-75 +phdg_0=90 +ellps=WGS84")
+    lam = np.radians(np.array([-75.0, -74.8, -75.3]))
+    phi = np.radians(np.array([40.0, 40.1, 39.9]))
+    h = np.array([0.0, 120.0, -30.0])
+    s, c, hh = op.fwd3d(lam, phi, h)
+    assert abs(s[0]) < 1e-6 and abs(c[0]) < 1e-6 and abs(hh[0]) < 1e-6
+    l2, p2, h2 = op.inv3d(s, c, hh)
+    assert np.allclose(l2, lam, atol=1e-12)
+    assert np.allclose(p2, phi, atol=1e-12)
+    assert np.allclose(h2, h, atol=1e-6)
+
+
+def test_full_pj_list_registry_coverage():
+    """Every operation in the reference's pj_list (165 ops) resolves."""
+    import re
+    from proj_spark.projstring import _registry
+    names = set(re.findall(r"PROJ_HEAD\(([a-z0-9_]+)",
+                           open("/root/reference/src/pj_list.h").read()))
+    reg = set(_registry().keys()) | {"pipeline", "push", "pop"}
+    missing = names - reg
+    assert not missing, f"missing from registry: {sorted(missing)}"
