@@ -322,3 +322,77 @@ def test_full_pj_list_registry_coverage():
     reg = set(_registry().keys()) | {"pipeline", "push", "pop"}
     missing = names - reg
     assert not missing, f"missing from registry: {sorted(missing)}"
+
+
+def test_molodensky_gie_vectors():
+    """Golden vectors from more_builtins.gie:37-72 (AGD66-style shift)."""
+    common = ("+proj=molodensky +a=6378160 +rf=298.25 +da=-23 "
+              "+df=-8.120449e-8 +dx=-134 +dy=-48 +dz=149")
+    for variant in ("", " +abridged"):
+        op = create(common + variant)
+        lam, phi, z = op.fwd3d(np.radians(np.array([144.9667])),
+                               np.radians(np.array([-37.8])),
+                               np.array([50.0]))
+        # tolerance 2 m ground distance (gie compares geodesic dist)
+        coslat = np.cos(np.radians(37.8))
+        assert abs(np.degrees(lam[0]) - 144.968) * 111320 * coslat < 2
+        assert abs(np.degrees(phi[0]) - (-37.79848)) * 111320 < 2
+        assert abs(z[0] - 46.378) < 2
+        # roundtrip within 1 m
+        il, ip, iz = op.inv3d(lam, phi, z)
+        assert abs(np.degrees(il[0]) - 144.9667) * 111320 * coslat < 1
+        assert abs(iz[0] - 50.0) < 1
+
+    # all-zero parameters: identity to 1 mm
+    zop = create("+proj=molodensky +a=6378160 +rf=298.25 +da=0 +df=0 "
+                 "+dx=0 +dy=0 +dz=0")
+    lam, phi, z = zop.fwd3d(np.radians(np.array([144.9667])),
+                            np.radians(np.array([-37.8])), np.array([50.0]))
+    assert abs(np.degrees(lam[0]) - 144.9667) * 111320 < 1e-3
+    assert abs(z[0] - 50.0) < 1e-3
+
+    # missing arguments must be rejected (gie expects failure)
+    with pytest.raises(ValueError):
+        create("+proj=molodensky +a=6378160 +rf=298.25 +dx=0")
+
+
+def test_helmert_gie_maritime_and_ed50():
+    """more_builtins.gie:350-372: ITRF2008->ETRS89 maritime (1 um) and
+    the exact-rotation ED50->ETRS89 example (1 um)."""
+    op = create("+proj=helmert +convention=coordinate_frame +x=0.67678 "
+                "+y=0.65495 +z=-0.52827 +rx=-0.022742 +ry=0.012667 "
+                "+rz=0.022704 +s=-0.01070")
+    x, y, z = op.fwd(np.array([3565285.0]), np.array([855949.0]),
+                     np.array([5201383.0]))
+    assert abs(x[0] - 3565285.41342351) < 1e-6
+    assert abs(y[0] - 855948.67986759) < 1e-6
+    assert abs(z[0] - 5201382.72939791) < 1e-6
+    op2 = create("+proj=helmert +exact +convention=coordinate_frame "
+                 "+x=-081.0703 +rx=-0.48488 +y=-089.3603 +ry=-0.02436 "
+                 "+z=-115.7526 +rz=-0.41321 +s=-0.540645")
+    x, y, z = op2.fwd(np.array([3494994.3012]), np.array([1056601.9725]),
+                      np.array([5212382.1666]))
+    assert abs(x[0] - 3494909.84026368) < 1e-6
+    assert abs(y[0] - 1056506.78938633) < 1e-6
+    assert abs(z[0] - 5212265.66699761) < 1e-6
+
+
+def test_helmert_gie_kinematic_two_epochs():
+    """more_builtins.gie:420-434: the 4D path re-derives the rotation
+    matrix per epoch (0.1 mm)."""
+    op = create("+proj=helmert +convention=position_vector +x=0.01270 "
+                "+dx=-0.0029 +rx=-0.00039 +drx=-0.00011 +y=0.00650 "
+                "+dy=-0.0002 +ry=0.00080 +dry=-0.00019 +z=-0.0209 "
+                "+dz=-0.0006 +rz=-0.00114 +drz=0.00007 +s=0.00195 "
+                "+ds=0.00001 +t_epoch=1988.0")
+    X = np.array([3370658.378, 3370658.378])
+    Y = np.array([711877.314, 711877.314])
+    Z = np.array([5349787.086, 5349787.086])
+    T = np.array([2017.0, 2018.0])
+    x, y, z = op.fwd(X, Y, Z, T)
+    assert abs(x[0] - 3370658.18890) < 1e-4
+    assert abs(y[0] - 711877.42370) < 1e-4
+    assert abs(z[0] - 5349787.12430) < 1e-4
+    assert abs(x[1] - 3370658.18087) < 1e-4
+    assert abs(y[1] - 711877.42750) < 1e-4
+    assert abs(z[1] - 5349787.12648) < 1e-4
