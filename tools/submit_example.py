@@ -12,7 +12,12 @@ with per-partition lineage (resumable with the same command).
 
 from __future__ import annotations
 
+import os
 import sys
+
+# running directly (python tools/submit_example.py) instead of through
+# spark-submit --py-files: put the repo root on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
