@@ -84,6 +84,18 @@ def _adjlon(x):
     return np.where(w == -np.pi, np.pi, w)
 
 
+def _anground(x):
+    """The reference's AngRound (geodesic.c): quantize angles smaller
+    than 1/16 rad onto the 1/16-grid's representable neighbors, which
+    snaps subnormal/denormal inputs to exactly 0 — required so the
+    equatorial/meridional special-case detection (== 0 tests) fires for
+    values that would otherwise underflow downstream."""
+    z = 1.0 / 16.0
+    y = np.abs(x)
+    y = np.where(y < z, z - (z - y), y)
+    return np.where(x < 0, -y, np.where(x == 0, x, y))
+
+
 def _a1m1(eps):
     eps2 = eps * eps
     t = _polyval((1.0 / 256, 1.0 / 64, 1.0 / 4, 0.0), eps2)
@@ -361,9 +373,9 @@ class Geodesic:
         lon2 = np.asarray(lon2, dtype=np.float64)
         shape = np.broadcast(lat1, lon1, lat2, lon2).shape
         lat1, lon1, lat2, lon2 = np.broadcast_arrays(lat1, lon1, lat2, lon2)
-        lat1 = lat1.astype(np.float64).ravel().copy()
-        lat2 = lat2.astype(np.float64).ravel().copy()
-        lon12 = _adjlon(lon2 - lon1).ravel().copy()
+        lat1 = _anground(lat1.astype(np.float64).ravel())
+        lat2 = _anground(lat2.astype(np.float64).ravel())
+        lon12 = _anground(_adjlon(lon2 - lon1).ravel())
 
         lonsign = np.where(lon12 >= 0, 1.0, -1.0)
         lam12 = lon12 * lonsign
