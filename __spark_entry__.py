@@ -722,17 +722,39 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-stream rollup: per (type, hour) counts + exact cents sum."""
+    """Event-stream rollup: per (type, hour) counts + exact cents sum.
+
+    The hour is computed arithmetically from epoch microseconds
+    (``floor(unix_micros/3.6e9) mod 24``) rather than via ``F.hour`` so the
+    result is independent of ``spark.sql.session.timeZone`` — parquet
+    timestamps are UTC-normalized micros, and any harness-configured session
+    timezone would otherwise shift the bucket (cf. reference time handling in
+    src/conversions/unitconvert.cpp:159 which likewise works in absolute MJD,
+    not wall-clock fields).
+    """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (ev.select("event_type",
-                      F.hour("ts").cast("long").alias("hr"),
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        # NTZ carries the stored wall clock directly — hour() is already
+        # independent of the session timezone.
+        hr = F.hour("ts").cast("long").alias("hr")
+    else:
+        # LTZ reading (e.g. inferTimestampNTZ disabled): unix_micros returns
+        # the stored micros unchanged, so arithmetic recovers the wall hour
+        # without any session-timezone conversion.
+        hr = F.pmod(F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)),
+                    F.lit(24)).cast("long").alias("hr")
+    return (ev.select("event_type", hr,
                       F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
             .groupBy("event_type", "hr")
             .agg(F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents")))
 
 
 def _sql_events_hourly() -> str:
-    return """SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+    # epoch() on a parquet timestamp yields the stored UTC-normalized seconds
+    # in DuckDB for both TIMESTAMP and TIMESTAMPTZ readings, so this matches
+    # the Spark side's unix_micros arithmetic under any session timezone.
+    return """SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hr,
        COUNT(*) AS n_events,
        SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_cents
 FROM events GROUP BY 1, 2"""

@@ -1230,8 +1230,12 @@ class SOMBase(Operation):
             # reference stops iterating at |delta| < 1e-7 — match exactly
             frozen |= np.abs(lamdp - sav) < TOL
         sl = np.sin(lamdp)
-        fac = np.exp(np.sqrt(1.0 + s * s / (self.xj * self.xj))
-                     * (y - self.c1 * sl - self.c3 * np.sin(lamdp * 3.0)))
+        # far-out-of-domain y overflows the exp; inf -> arctan clamps to
+        # pi/2, same as the reference's double overflow path, so silence
+        # the warning (consistent with the invalid/divide guards below)
+        with np.errstate(over="ignore"):
+            fac = np.exp(np.sqrt(1.0 + s * s / (self.xj * self.xj))
+                         * (y - self.c1 * sl - self.c3 * np.sin(lamdp * 3.0)))
         phidp = 2.0 * (np.arctan(fac) - FORTPI)
         dd = sl * sl
         lamdp = np.where(np.abs(np.cos(lamdp)) < TOL, lamdp - TOL, lamdp)

@@ -81,16 +81,26 @@ class CheckpointedStage:
         w = F.max("commit").over(Window.partitionBy("part"))
         return df.withColumn("_mx", w).where(F.col("commit") == F.col("_mx")).drop("_mx")
 
+    # Spark/Hive write null partition values under this directory name;
+    # using the same sentinel as the fingerprint key keeps null-keyed rows
+    # in the stale-diff protocol instead of silently dropping them.
+    NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
     def _fingerprints(self, df: DataFrame) -> DataFrame:
         cols = [c for c in df.columns]
         h = F.xxhash64(F.struct(*[F.col(c) for c in cols]))
-        return (df.groupBy(F.col(self.partition_col).cast("string").alias("part"))
+        key = F.coalesce(F.col(self.partition_col).cast("string"),
+                         F.lit(self.NULL_PART))
+        return (df.groupBy(key.alias("part"))
                 .agg(F.bit_xor(h).alias("fp"), F.count("*").alias("rows")))
 
     def _existing_partitions(self) -> set[str]:
+        from urllib.parse import unquote
         out = set()
         for p in glob.glob(os.path.join(self.data_path, f"{self.partition_col}=*")):
-            out.add(os.path.basename(p).split("=", 1)[1])
+            # Hive escapes special chars in directory names as %XX — unescape
+            # so values like "a b/c" compare equal to the fingerprint key
+            out.add(unquote(os.path.basename(p).split("=", 1)[1]))
         return out
 
     # -- the stage protocol -------------------------------------------------
@@ -115,7 +125,12 @@ class CheckpointedStage:
         rows_written = 0
         if stale:
             part_col = F.col(self.partition_col).cast("string")
-            sub = df.where(part_col.isin(list(stale)))
+            non_null = [p for p in stale if p != self.NULL_PART]
+            cond = part_col.isin(non_null) if non_null else F.lit(False)
+            if self.NULL_PART in stale:
+                # isin() never matches NULL — select null-keyed rows explicitly
+                cond = cond | F.col(self.partition_col).isNull()
+            sub = df.where(cond)
             rows_written = sum(v[1] for p, v in fps.items() if p in set(stale))
             (sub.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")

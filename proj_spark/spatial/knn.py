@@ -6,19 +6,31 @@ round therefore broadcasts the query ring-cells against the big side
 (map-side hash join, no shuffle of the data), keeps top-k per query with
 a window, and returns only k x |Q| rows — which the driver can hold.
 
-The round loop is coordinated on the driver: completion stats (k-th
-distance per query) are tiny, and deciding "done" in Python avoids the
-anti-join lineage chains that would otherwise recompute every prior
-round at each iteration.
+The round loop is coordinated on the driver, but all per-row work stays
+distributed: ring cells are generated with native ``sequence``/
+``explode`` expressions (no Python cell loops), each round's top-k rows
+are persisted DataFrames (never collected), and the only driver
+materializations are the query coordinates (once, |Q| rows) and a
+per-round (query_id, count, k-th distance) stats aggregate used to
+decide completion.  Deciding "done" in Python avoids the anti-join
+lineage chains that would otherwise recompute every prior round at each
+iteration.
 
 Correctness of the expansion: a query is complete only when its k-th
 neighbor distance is <= a *lower bound* of the distance to the ring-box
 boundary, so no point outside the searched box can be closer:
   - to the N/S box edges (parallels): d >= R * |phi_q - phi_edge|
     (any path must traverse that latitude change);
-  - to the E/W box edges (meridians): the cross-track bound
-    d >= R * asin(sin(|dlam|) * cos(phi_q)) for the full meridian,
-    which lower-bounds the distance to the edge segment.
+  - to the E/W box edges (meridians): the exact great-circle distance
+    to the pole-to-pole meridian at longitude offset dlam, valid for
+    ALL dlam in [0, pi] (not just the cross-track small-dlam case):
+      max over phi_e of (sin(phi_q) sin(phi_e)
+                          + cos(phi_q) cos(dlam) cos(phi_e))
+    is hypot(sin phi_q, cos phi_q cos dlam) when cos(dlam) >= 0 (the
+    perpendicular foot lies on the meridian) and |sin phi_q| otherwise
+    (the supremum moves to the pole endpoint), so
+      d >= R * acos(...) lower-bounds the distance to the actual edge
+    segment (which is a subset of that meridian).
 Both bounds are exact on the sphere used by the haversine ranking; for
 the ellipsoidal (vincenty) ranking a 0.995 safety factor absorbs the
 <0.34% flattening discrepancy.
@@ -111,6 +123,17 @@ def _tile2lat(y: int, z: int) -> float:
     return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / (1 << z)))))
 
 
+def _meridian_dist(phi_q: float, dlam: float) -> float:
+    """Exact great-circle distance (m) from (phi_q, 0) to the pole-to-pole
+    meridian at longitude offset dlam — a true lower bound on the distance
+    to any box edge lying on that meridian, valid for all dlam in [0, pi]
+    (the previous cross-track formula was only valid for dlam < pi/2)."""
+    a = math.sin(phi_q)
+    b = math.cos(phi_q) * math.cos(dlam)
+    best = math.hypot(a, b) if b >= 0.0 else abs(a)
+    return EARTH_R * math.acos(min(1.0, max(-1.0, best)))
+
+
 def _safe_radius(qlon: float, qlat: float, ring: int, z: int) -> float:
     """Lower bound (meters) of distance from the query to the boundary of
     its (2*ring+1)^2 cell box; +inf for world-clamped edges."""
@@ -125,10 +148,9 @@ def _safe_radius(qlon: float, qlat: float, ring: int, z: int) -> float:
     for xedge in (qx - ring, qx + ring + 1):
         if 0 < xedge < n:
             dlam = abs(math.radians(qlon - _tile2lon(xedge, z)))
-            if dlam < math.pi / 2:
-                bounds.append(EARTH_R * math.asin(math.sin(dlam) * math.cos(phi_q)))
-            else:
-                bounds.append(EARTH_R * dlam * 0.5)  # crude but >= box distance
+            if dlam > math.pi:
+                dlam = 2.0 * math.pi - dlam
+            bounds.append(_meridian_dist(phi_q, dlam))
     return min(bounds) if bounds else math.inf
 
 
@@ -143,6 +165,13 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int, z: int = 9,
     tie-break on (dist_m, data_id).  Ring starts at 1 and doubles until
     every query's k-th distance fits inside the proven-covered radius;
     stragglers (empty oceans) fall back to a brute-force pass.
+
+    Distributed-loop contract: result rows are NEVER collected to the
+    driver — each round's top-k is a persisted DataFrame, completed
+    queries are split off with a broadcast semi-join, and the returned
+    DataFrame is the union of the persisted parts.  The only collects
+    are the |Q| query coordinates (once) and a |pending|-row stats
+    aggregate per round.
     """
     spark = data.sparkSession
     d = data.select(
@@ -151,6 +180,8 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int, z: int = 9,
 
     qid_field = queries.schema[query_id]
     did_field = data.schema[data_id]
+    # |Q| is small by contract (<= ~1e5): coordinates are needed driver-side
+    # only to evaluate the per-query completion bound.
     qrows = [(r[0], float(r[1]), float(r[2]))
              for r in queries.select(query_id, q_lon, q_lat).collect()]
     safety = 0.995 if distance in ("vincenty", "karney") else 1.0
@@ -165,67 +196,75 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int, z: int = 9,
         return haversine_expr(F.col("_qlon"), F.col("_qlat"),
                               F.col("_dlon"), F.col("_dlat"))
 
-    cand_schema = StructType([
+    q_schema = StructType([
         StructField(query_id, qid_field.dataType),
         StructField("_qlon", DoubleType()),
         StructField("_qlat", DoubleType()),
-        StructField("_cell", LongType()),
     ])
+    id_schema = StructType([StructField(query_id, qid_field.dataType)])
 
     w = Window.partitionBy(query_id).orderBy(F.col("dist_m"), F.col(data_id))
 
-    def topk_of(cand: DataFrame) -> list:
+    def topk_of(cand: DataFrame) -> DataFrame:
         return (cand.withColumn("dist_m", dist_col())
                 .withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
-                .select(query_id, data_id, "dist_m", "rank")
-                .collect())
+                .select(query_id, F.col(data_id), "dist_m", "rank"))
 
-    out_rows: list = []
+    n = 1 << z
+    nl = F.lit(n - 1).cast("long")
+    zero = F.lit(0).cast("long")
+
+    parts: list[DataFrame] = []
     remaining = qrows
     ring = 1
-    n = 1 << z
     while remaining and ring <= max_ring:
-        cand_rows = []
-        whole_world = []
+        rem_df = spark.createDataFrame(remaining, q_schema)
+        # Ring box as native sequence/explode generators (no Python cell
+        # loops, no literal offset arrays — scales to ring=16's 33x33 box).
+        rl = F.lit(ring).cast("long")
+        cand = (rem_df
+                .withColumn("_qx", cells.tile_x(F.col("_qlon"), z))
+                .withColumn("_qy", cells.tile_y(F.col("_qlat"), z))
+                .withColumn("_x", F.explode(F.sequence(
+                    F.greatest(F.col("_qx") - rl, zero),
+                    F.least(F.col("_qx") + rl, nl))))
+                .withColumn("_y", F.explode(F.sequence(
+                    F.greatest(F.col("_qy") - rl, zero),
+                    F.least(F.col("_qy") + rl, nl))))
+                .withColumn("_cell", cells.pack_cell(z, F.col("_x"), F.col("_y"))))
+        joined = F.broadcast(cand).join(d, F.col("_cell") == F.col("_dcell"), "inner")
+        topk = topk_of(joined).persist()
+        stats = {r[0]: (r[1], r[2]) for r in
+                 topk.groupBy(query_id)
+                     .agg(F.count("*").alias("cnt"), F.max("dist_m").alias("kth"))
+                     .collect()}
+        done_ids, still = [], []
         for qid, qlon, qlat in remaining:
             qx, qy = _tile_x(qlon, z), _tile_y(qlat, z)
-            seen = set()
-            for dx in range(-ring, ring + 1):
-                for dy in range(-ring, ring + 1):
-                    x = min(max(qx + dx, 0), n - 1)
-                    y = min(max(qy + dy, 0), n - 1)
-                    c = (z << cells.Z_SHIFT) | (x << cells.X_SHIFT) | y
-                    if c not in seen:
-                        seen.add(c)
-                        cand_rows.append((qid, qlon, qlat, c))
-            if qx - ring <= 0 and qx + ring + 1 >= n and qy - ring <= 0 and qy + ring + 1 >= n:
-                whole_world.append(qid)
-        cand_df = F.broadcast(spark.createDataFrame(cand_rows, cand_schema))
-        cand = cand_df.join(d, F.col("_cell") == F.col("_dcell"), "inner")
-        got = topk_of(cand)
-        by_q: dict = {}
-        for r in got:
-            by_q.setdefault(r[0], []).append(r)
-        still = []
-        world = set(whole_world)
-        for qid, qlon, qlat in remaining:
-            rows = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+            world = (qx - ring <= 0 and qx + ring + 1 >= n
+                     and qy - ring <= 0 and qy + ring + 1 >= n)
+            cnt, kth = stats.get(qid, (0, math.inf))
             bound = safety * _safe_radius(qlon, qlat, ring, z)
-            if qid in world or (len(rows) >= k and rows[-1]["dist_m"] <= bound):
-                out_rows.extend(rows)
+            if world or (cnt >= k and kth <= bound):
+                done_ids.append((qid,))
             else:
                 still.append((qid, qlon, qlat))
+        if done_ids:
+            done = topk.join(
+                F.broadcast(spark.createDataFrame(done_ids, id_schema)),
+                query_id, "semi").persist()
+            done.count()  # materialize before the round's topk is unpersisted
+            parts.append(done)
+        topk.unpersist()
         remaining = still
         ring *= 2
     if remaining:
         # brute force the stragglers: tiny query side x full data scan
-        rem_df = F.broadcast(spark.createDataFrame(
-            [(qid, qlon, qlat) for qid, qlon, qlat in remaining],
-            StructType([StructField(query_id, qid_field.dataType),
-                        StructField("_qlon", DoubleType()),
-                        StructField("_qlat", DoubleType())])))
-        out_rows.extend(topk_of(rem_df.crossJoin(d)))
+        rem_df = F.broadcast(spark.createDataFrame(remaining, q_schema))
+        brute = topk_of(rem_df.crossJoin(d)).persist()
+        brute.count()
+        parts.append(brute)
 
     out_schema = StructType([
         StructField(query_id, qid_field.dataType),
@@ -233,4 +272,9 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int, z: int = 9,
         StructField("dist_m", DoubleType()),
         StructField("rank", IntegerType()),
     ])
-    return spark.createDataFrame(out_rows, out_schema)
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

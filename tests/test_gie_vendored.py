@@ -13,6 +13,7 @@ implemented set fail loudly).
 from __future__ import annotations
 
 import json
+import math
 import os
 
 import numpy as np
@@ -100,6 +101,11 @@ def test_gie_block(block):
                 f"inv({xi},{yi}) expected failure"
             continue
         ex, ey = case["out"][0], case["out"][1]
-        tol = case["tol"] / M_PER_DEG
-        assert abs(lon[0] - ex) <= tol and abs(lat[0] - ey) <= tol, \
-            f"inv({xi},{yi}) -> ({lon[0]!r},{lat[0]!r}) != ({ex},{ey}) tol={tol}"
+        # gie compares inverse results by geodesic ground distance
+        # (proj_lpz_dist, src/apps/gie.cpp) — approximate it with the
+        # equirectangular hypot so longitude error tightens by cos(lat)
+        # instead of being 1/cos(lat) looser at high latitudes.
+        dist_m = math.hypot((lat[0] - ey),
+                            (lon[0] - ex) * math.cos(math.radians(ey))) * M_PER_DEG
+        assert dist_m <= case["tol"], \
+            f"inv({xi},{yi}) -> ({lon[0]!r},{lat[0]!r}) != ({ex},{ey}) dist={dist_m} tol={case['tol']}"

@@ -28,7 +28,7 @@ ROUNDTRIP_OPS = [
     ("+proj=robin +R=6371000", (-170, 170), (-85, 85), 0.5),
     ("+proj=eck4 +R=6371000", (-170, 170), (-85, 85), 1e-2),
     ("+proj=sinu +ellps=GRS80", (-170, 170), (-85, 85), 1e-5),
-    ("+proj=cass +ellps=GRS80 +lat_0=30", (-3, 3), (10, 50), 5e-2),  # 4-term series, error ~ lam^4
+    ("+proj=cass +ellps=GRS80 +lat_0=30", (-3, 3), (10, 50), 0.1),  # the reference's own 3-term inverse series truncation (src/projections/cass.cpp:59-77) reaches ~5.1 cm at lam=3deg, lat=29deg
     ("+proj=somerc +ellps=bessel +lat_0=46.95 +lon_0=7.44", (2, 12), (43, 50),
      1e-6),
     ("+proj=krovak +ellps=bessel", (13, 23), (47, 52), 1e-5),
