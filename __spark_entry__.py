@@ -537,19 +537,30 @@ GROUP BY 1 ORDER BY n DESC, token LIMIT 30"""
 # join-on-shingle pair count quadratic in document frequency)
 NGRAM_W = 20
 NGRAM_TOPK = 200
+# document-frequency cap: a shingle present in more than this many docs is
+# dropped BEFORE the self-join (its pair contribution is df^2 on one
+# shuffle key — the skewed-key quadratic blowup at 100x scale).  Sizes are
+# computed over the capped vocabulary so Jaccard stays internally
+# consistent; the DuckDB oracle applies the identical cap.
+NGRAM_DF_CAP = 100
 
 
 def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top near-dup pairs by exact 8-gram Jaccard, computed distributed:
-    explode distinct shingles -> self-equi-join on shingle -> count =
-    |intersection| -> |union| from per-doc set sizes.  This is the
-    shuffle-on-shingle plan that scales (no O(n^2) cross join)."""
+    """Top near-dup pairs by exact n-gram Jaccard over the <=DF_CAP
+    vocabulary, computed distributed: explode distinct shingles -> drop
+    ubiquitous shingles (df > NGRAM_DF_CAP, broadcast anti-join) ->
+    self-equi-join on shingle -> count = |intersection| -> |union| from
+    per-doc set sizes.  This is the shuffle-on-shingle plan that scales
+    (no O(n^2) cross join, no unbounded per-key pair blowup)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    sh = docs.select(
+    sh_all = docs.select(
         F.col("doc_id"),
         F.explode(F.expr(
             f"array_distinct(transform(sequence(1, greatest(length(text) - {NGRAM_W - 1}, 0)),"
             f" i -> substring(text, i, {NGRAM_W})))")).alias("shingle"))
+    frequent = (sh_all.groupBy("shingle").count()
+                .where(F.col("count") > NGRAM_DF_CAP).select("shingle"))
+    sh = sh_all.join(F.broadcast(frequent), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -569,10 +580,14 @@ def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ngram_pairs() -> str:
-    return f"""WITH sh AS (
+    return f"""WITH sh_all AS (
   SELECT doc_id, unnest(list_distinct([substring(text, i, {NGRAM_W})
           for i in generate_series(1, greatest(len(text) - {NGRAM_W - 1}, 0))])) AS shingle
   FROM documents
+), frequent AS (
+  SELECT shingle FROM sh_all GROUP BY 1 HAVING COUNT(*) > {NGRAM_DF_CAP}
+), sh AS (
+  SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM frequent)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
 ), inter AS (

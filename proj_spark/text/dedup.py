@@ -19,6 +19,8 @@ independent) — no reliance on Spark's or DuckDB's internal hash().
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -27,6 +29,99 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 MERSENNE61 = (1 << 61) - 1
+
+# ---------------------------------------------------------------------------
+# Vectorized mod-(2^61-1) arithmetic in pure uint64 (no object dtype, no
+# per-document Python loops): the whole Arrow batch is one NumPy pass.
+# ---------------------------------------------------------------------------
+
+_M61 = np.uint64(MERSENNE61)
+_MASK31 = np.uint64((1 << 31) - 1)
+_MASK30 = np.uint64((1 << 30) - 1)
+# (256, 8) lookup: _BIT_TABLE[byte, bit] = (byte >> bit) & 1 — simhash voting
+_BIT_TABLE = ((np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1).astype(np.int32)
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """Partial reduction mod 2^61-1 of uint64 values: result < 2^61-1.
+
+    Uses the Mersenne identity 2^61 === 1: fold the top bits down, then a
+    single conditional subtract (input < 2^64 -> folded < 2^61 + 7)."""
+    x = (x & _M61) + (x >> np.uint64(61))
+    return np.where(x >= _M61, x - _M61, x)
+
+
+def _modmul61(a, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod 2^61-1 for a scalar-or-array and uint64 array, both < 2^61.
+
+    31/30-bit split keeps every intermediate product inside uint64:
+      a*x = a_hi*x_hi*2^62 + (a_hi*x_lo + a_lo*x_hi)*2^31 + a_lo*x_lo
+    with 2^62 === 2 and mid*2^31 folded via mid = m_hi*2^30 + m_lo so
+    mid*2^31 === m_hi + m_lo*2^31 (mod 2^61-1)."""
+    a = np.uint64(a) if np.isscalar(a) or np.ndim(a) == 0 else a
+    a_hi, a_lo = a >> np.uint64(31), a & _MASK31
+    x_hi, x_lo = x >> np.uint64(31), x & _MASK31
+    t1 = _fold61(a_hi * x_hi * np.uint64(2))
+    mid = a_hi * x_lo + a_lo * x_hi
+    t2 = _fold61((mid >> np.uint64(30)) + ((mid & _MASK30) << np.uint64(31)))
+    t3 = _fold61(a_lo * x_lo)
+    return _fold61(t1 + t2 + t3)
+
+
+@lru_cache(maxsize=8)
+def _byte_pow_table(width: int) -> np.ndarray:
+    """(width, 256) uint64 table: table[i, byte] = byte * 131^i mod 2^61-1.
+
+    Exact (computed with Python ints), so the batched rolling hash equals
+    the original object-dtype sum(byte_i * 131^i) % M61 bit-for-bit."""
+    t = np.empty((width, 256), dtype=np.uint64)
+    for i in range(width):
+        p = pow(131, i, MERSENNE61)
+        for byte in range(256):
+            t[i, byte] = (byte * p) % MERSENNE61
+    return t
+
+
+def _batch_shingles(texts: pd.Series, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """All documents' rolling shingle hashes in one vectorized pass.
+
+    Returns (hashes, starts): `hashes` is a uint64 array of every window's
+    h(s) = sum(byte_i * 131^i) mod 2^61-1, grouped by document in order;
+    `starts` (len n_docs+1) gives each document's [starts[d], starts[d+1])
+    slice.  Documents shorter than `width` contribute zero windows.
+    """
+    enc = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    nwin = np.maximum(lens - width + 1, 0)
+    starts = np.concatenate([[0], np.cumsum(nwin)])
+    total = int(starts[-1])
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64), starts
+    big = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    byte_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    nz = nwin > 0
+    # hash EVERY window position of the concatenation with contiguous
+    # slices (sequential reads beat per-window gathers), then select the
+    # in-document positions with one final gather; the few cross-document
+    # windows computed in between are discarded.
+    npos = len(big) - width + 1
+    table = _byte_pow_table(width)
+    # in-place accumulation with a reused workspace (fresh allocations per
+    # pass cost more in page faults than the arithmetic itself); the
+    # canonical mod-subtract is deferred to one final pass — the invariant
+    # acc < 2^61+1 after each fold keeps every sum below 2^62.
+    acc = np.zeros(npos, dtype=np.uint64)
+    tmp = np.empty(npos, dtype=np.uint64)
+    for i in range(width):
+        np.add(acc, table[i][big[i:i + npos]], out=acc)
+        np.right_shift(acc, np.uint64(61), out=tmp)
+        acc &= _M61
+        acc += tmp
+    np.subtract(acc, _M61, out=acc, where=acc >= _M61)
+    # absolute byte offset of every valid window start: grouped arange
+    pos = (np.repeat(byte_starts[nz], nwin[nz])
+           + (np.arange(total) - np.repeat(starts[:-1][nz], nwin[nz])))
+    return acc[pos], starts
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -39,47 +134,83 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def _shingle_hashes(texts: pd.Series, width: int) -> list[np.ndarray]:
-    """Per doc: array of rolling polynomial hashes of char shingles.
+    """Per doc: sorted array of UNIQUE rolling polynomial shingle hashes.
 
     h(s) = sum(byte_i * 131^i) mod 2^61-1 — explicit math, reproducible
-    anywhere (vectorized across each doc's shingles via stride tricks).
+    anywhere.  Batched: one vectorized uint64 pass over the concatenated
+    documents (_batch_shingles), then a per-doc unique slice.
     """
-    out = []
-    pows = np.array([pow(131, i, MERSENNE61) for i in range(width)], dtype=np.object_)
-    for t in texts:
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) < width:
-            out.append(np.zeros(0, dtype=np.int64))
-            continue
-        windows = np.lib.stride_tricks.sliding_window_view(b, width).astype(np.object_)
-        h = (windows * pows).sum(axis=1) % MERSENNE61
-        out.append(np.unique(h.astype(np.int64)))
-    return out
+    H, starts = _batch_shingles(texts, width)
+    return [np.unique(H[starts[d]:starts[d + 1]].astype(np.int64))
+            for d in range(len(texts))]
 
 
 def minhash_udf(num_hashes: int = 64, shingle: int = 5):
     """pandas UDF: text -> array<long> of minhash signatures.
 
     Hash family: h_j(x) = (a_j x + b_j) mod M61 with fixed odd constants
-    derived from j (deterministic, no RNG).
+    derived from j (deterministic, no RNG).  One vectorized uint64 pass
+    per hash function over the whole Arrow batch; per-document minima via
+    segmented np.minimum.reduceat (duplicate shingles cannot change a
+    min, so no per-doc unique pass is needed).
     """
     a = np.array([(2 * j + 1) * 2654435761 % MERSENNE61 for j in range(num_hashes)],
-                 dtype=np.object_)
+                 dtype=np.uint64)
     b = np.array([(j * 40503 + 2654435769) % MERSENNE61 for j in range(num_hashes)],
-                 dtype=np.object_)
+                 dtype=np.uint64)
+
+    # scalar 31-bit splits of a_j, precomputed once (a_hi2 = 2*a_hi folds
+    # the 2^62 === 2 Mersenne identity into the constant)
+    a_hi2 = (a >> np.uint64(31)) * np.uint64(2)
+    a_hi = a >> np.uint64(31)
+    a_lo = a & _MASK31
 
     @pandas_udf(ArrayType(LongType()))
     def _f(text: pd.Series) -> pd.Series:
-        sh = _shingle_hashes(text, shingle)
-        sigs = []
-        for h in sh:
-            if len(h) == 0:
-                sigs.append([0] * num_hashes)
-                continue
-            hh = h.astype(np.object_)
-            m = ((hh[None, :] * a[:, None] + b[:, None]) % MERSENNE61).min(axis=1)
-            sigs.append([int(v) for v in m])
-        return pd.Series(sigs)
+        H, starts = _batch_shingles(text, shingle)
+        n = len(text)
+        out = np.zeros((n, num_hashes), dtype=np.int64)
+        nwin = np.diff(starts)
+        if H.size:
+            # doc-aligned chunks keep all per-j temporaries cache-resident
+            doc_nz = np.flatnonzero(nwin)
+            c0 = 0
+            while c0 < len(doc_nz):
+                c1 = int(np.searchsorted(
+                    starts[doc_nz], starts[doc_nz[c0]] + (1 << 18), "left"))
+                c1 = max(c1, c0 + 1)
+                docs_c = doc_nz[c0:c1]
+                lo, hi = starts[docs_c[0]], starts[docs_c[-1] + 1]
+                Hc = H[lo:hi]
+                idx = starts[docs_c] - lo
+                # hoisted 31-bit split of the shingle hashes
+                x_hi = Hc >> np.uint64(31)
+                x_lo = Hc & _MASK31
+                w1 = np.empty(len(Hc), dtype=np.uint64)
+                w2 = np.empty(len(Hc), dtype=np.uint64)
+                for j in range(num_hashes):
+                    # fused (a*x + b) mod 2^61-1 with reused workspaces:
+                    # all partial terms < 2^63, one final fold suffices
+                    # (see the _modmul61 derivation)
+                    np.multiply(x_lo, a_hi[j], out=w1)
+                    np.multiply(x_hi, a_lo[j], out=w2)
+                    w1 += w2                       # mid = a_hi*x_lo + a_lo*x_hi
+                    np.right_shift(w1, np.uint64(30), out=w2)   # m_hi
+                    w1 &= _MASK30
+                    w1 <<= np.uint64(31)           # m_lo * 2^31
+                    w1 += w2
+                    np.multiply(x_hi, a_hi2[j], out=w2)
+                    w1 += w2                       # + a_hi*x_hi*2 (2^62 === 2)
+                    np.multiply(x_lo, a_lo[j], out=w2)
+                    w1 += w2                       # + a_lo*x_lo
+                    w1 += b[j]
+                    np.right_shift(w1, np.uint64(61), out=w2)
+                    w1 &= _M61
+                    w1 += w2                       # fold 2^61 === 1
+                    np.subtract(w1, _M61, out=w1, where=w1 >= _M61)
+                    out[docs_c, j] = np.minimum.reduceat(w1, idx).astype(np.int64)
+                c0 = c1
+        return pd.Series(list(out))
 
     return _f
 
@@ -111,7 +242,12 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
 
 
 def ngram_jaccard_udf(shingle: int = 5):
-    """pandas UDF over (text_a, text_b) -> exact shingle-set Jaccard."""
+    """pandas UDF over (text_a, text_b) -> exact shingle-set Jaccard.
+
+    Shingle hashing is one vectorized batch pass per side; only the
+    per-pair set intersection (the verify stage over an already-LSH-pruned
+    candidate set, tiny by construction) remains a loop.
+    """
 
     @pandas_udf(DoubleType())
     def _f(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -131,26 +267,43 @@ def ngram_jaccard_udf(shingle: int = 5):
 
 
 def simhash_udf(shingle: int = 3):
-    """pandas UDF: text -> 64-bit simhash (as long)."""
+    """pandas UDF: text -> 64-bit simhash (as long).
+
+    Fully vectorized over the Arrow batch: one lexsort deduplicates
+    shingles per document, then 64 segmented np.add.reduceat passes (one
+    per output bit) accumulate the votes — no per-document Python loop
+    and no 64-wide bit matrix (memory stays O(batch windows)).
+    """
 
     @pandas_udf(LongType())
     def _f(text: pd.Series) -> pd.Series:
-        sh = _shingle_hashes(text, shingle)
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, h in enumerate(sh):
-            if len(h) == 0:
-                continue
-            # spread the 61-bit shingle hash to 64 bits via splitmix-style mix
-            v = h.astype(np.uint64)
-            v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            v = v ^ (v >> np.uint64(31))
-            bits = ((v[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-            vote = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for bit in np.nonzero(vote > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(bit)
-            out[i] = np.int64(sig.astype(np.int64))
+        H, starts = _batch_shingles(text, shingle)
+        n = len(text)
+        out = np.zeros(n, dtype=np.int64)
+        if H.size == 0:
+            return pd.Series(out)
+        doc = np.repeat(np.arange(n), np.diff(starts))
+        order = np.lexsort((H, doc))
+        Hs, ds = H[order], doc[order]
+        keep = np.ones(len(Hs), dtype=bool)
+        keep[1:] = (Hs[1:] != Hs[:-1]) | (ds[1:] != ds[:-1])
+        Hu, du = Hs[keep], ds[keep]  # per-doc unique shingles, doc-grouped
+        # spread the 61-bit shingle hash to 64 bits via splitmix-style mix
+        v = (Hu ^ (Hu >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        v = v ^ (v >> np.uint64(31))
+        seg = np.flatnonzero(np.concatenate([[True], du[1:] != du[:-1]]))
+        seg_docs = du[seg]
+        seg_sizes = np.diff(np.concatenate([seg, [len(du)]])).astype(np.uint64)
+        sig = np.zeros(len(seg), dtype=np.uint64)
+        one = np.uint64(1)
+        for bit in range(64):
+            # 1-D segmented reduceat is near-memcpy speed (a 2-D/axis
+            # variant measured ~50x slower — keep this a per-bit loop)
+            ones = np.add.reduceat((v >> np.uint64(bit)) & one, seg)
+            # vote = sum(2*bit - 1) > 0  <=>  2*ones > segment size
+            sig |= (ones * np.uint64(2) > seg_sizes).astype(np.uint64) << np.uint64(bit)
+        out[seg_docs] = sig.view(np.int64)
         return pd.Series(out)
 
     return _f

@@ -131,9 +131,10 @@ def media_features(df: DataFrame, strict: bool = False) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
-                arr = decode(meta["kind"], row["bytes"], meta, strict=strict,
+            # zip over raw columns, not iterrows: no per-row pandas Series
+            # construction in the per-asset decode loop
+            for raw, meta in zip(pdf["bytes"].to_numpy(), pdf["meta"].to_numpy()):
+                arr = decode(meta["kind"], raw, meta, strict=strict,
                              decoders=decoders)
                 feats.append(_extract_features(arr))
             yield pd.DataFrame({
