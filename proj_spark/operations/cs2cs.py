@@ -1,0 +1,189 @@
+"""cs2cs-emulation modifiers: +towgs84 / +datum / +pm / +units / +to_meter /
++axis / +lon_wrap / +geoc attachment for any operation.
+
+Mirrors the reference's cs2cs_emulation_setup (src/4D_api.cpp:560-696) and
+the prepare/finalize hooks that consume the resulting sub-operations
+(src/fwd.cpp:41-154, src/inv.cpp:39-143):
+
+  forward  (angular in):  geoc -> wrap -> [datum chain INTO the local
+           frame: cart_wgs84 fwd -> helmert inv -> cart inv] ->
+           lam -= pm + lam0 -> kernel -> finalize (unit scale, axis)
+  inverse:  axis -> de-scale/de-offset -> kernel -> lam += pm + lam0 ->
+           [datum chain TO WGS84: cart fwd -> helmert fwd ->
+           cart_wgs84 inv] -> geoc
+
+The tables below vendor the reference's public datum and prime-meridian
+registries (src/datums.cpp:41-76) and its DMS notation (src/dmstor.cpp).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+#: src/datums.cpp:41 pj_datums[] — datum id -> (definition, ellps)
+PJ_DATUMS: dict[str, tuple[str, str]] = {
+    "WGS84": ("towgs84=0,0,0", "WGS84"),
+    "GGRS87": ("towgs84=-199.87,74.79,246.62", "GRS80"),
+    "NAD83": ("towgs84=0,0,0", "GRS80"),
+    "NAD27": ("nadgrids=@conus,@alaska,@ntv2_0.gsb,@ntv1_can.dat", "clrk66"),
+    "potsdam": ("nadgrids=@BETA2007.gsb", "bessel"),
+    "carthage": ("towgs84=-263.0,6.0,431.0", "clrk80ign"),
+    "hermannskogel": ("towgs84=577.326,90.129,463.919,5.137,1.474,5.297,2.4232",
+                      "bessel"),
+    "ire65": ("towgs84=482.530,-130.596,564.557,-1.042,-0.214,-0.631,8.15",
+              "mod_airy"),
+    "nzgd49": ("towgs84=59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993", "intl"),
+    "OSGB36": ("towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894",
+               "airy"),
+}
+
+#: src/datums.cpp:76 pj_prime_meridians[] — name -> DMS definition
+PRIME_MERIDIANS: dict[str, str] = {
+    "greenwich": "0dE",
+    "lisbon": "9d07'54.862\"W",
+    "paris": "2d20'14.025\"E",
+    "bogota": "74d04'51.3\"W",
+    "madrid": "3d41'16.58\"W",
+    "rome": "12d27'8.4\"E",
+    "bern": "7d26'22.5\"E",
+    "jakarta": "106d48'27.79\"E",
+    "ferro": "17d40'W",
+    "brussels": "4d22'4.71\"E",
+    "stockholm": "18d3'29.8\"E",
+    "athens": "23d42'58.815\"E",
+    "oslo": "10d43'22.5\"E",
+    "copenhagen": "12d34'40.35\"E",
+}
+
+_DMS_RE = re.compile(
+    r"^\s*(-?)(?:(\d+(?:\.\d*)?)d)?(?:(\d+(?:\.\d*)?)')?"
+    r"(?:(\d+(?:\.\d*)?)\")?\s*([NSEWnsew]?)\s*$")
+
+
+def dms_to_deg(s: str) -> float:
+    """Parse PROJ DMS notation ('2d20'14.025\"E', '17d40'W', '-3.5') to
+    decimal degrees — the engine analogue of proj_dmstor (src/dmstor.cpp)."""
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    m = _DMS_RE.match(s)
+    if not m or (m.group(2) is None and m.group(3) is None
+                 and m.group(4) is None):
+        raise ValueError(f"unparseable angle {s!r}")
+    neg, d, mnt, sec, hemi = m.groups()
+    val = float(d or 0) + float(mnt or 0) / 60.0 + float(sec or 0) / 3600.0
+    if neg:
+        val = -val
+    if hemi.upper() in ("W", "S"):
+        val = -val
+    return val
+
+
+def parse_pm(value) -> float:
+    """+pm= value (named meridian or angle) -> radians east of Greenwich."""
+    s = str(value)
+    if s in PRIME_MERIDIANS:
+        s = PRIME_MERIDIANS[s]
+    return np.radians(dms_to_deg(s))
+
+
+def parse_to_meter(value) -> float:
+    """+to_meter= value; supports the reference's '1/x' ratio notation."""
+    s = str(value)
+    if "/" in s:
+        num, den = s.split("/", 1)
+        return float(num) / float(den)
+    return float(s)
+
+
+AXIS_COMP = {"e": (0, 1.0), "w": (0, -1.0), "n": (1, 1.0), "s": (1, -1.0),
+             "u": (2, 1.0), "d": (2, -1.0)}
+
+
+def parse_axis(spec: str) -> list[tuple[int, float]]:
+    """+axis=neu -> [(component, sign), ...]; validated like the reference
+    (each of e/w, n/s, u/d axes exactly once)."""
+    if len(spec) != 3:
+        raise ValueError(f"+axis={spec!r}: need exactly 3 characters")
+    out = []
+    seen = set()
+    for ch in spec:
+        if ch not in AXIS_COMP:
+            raise ValueError(f"+axis={spec!r}: unknown axis {ch!r}")
+        comp, sign = AXIS_COMP[ch]
+        if comp in seen:
+            raise ValueError(f"+axis={spec!r}: duplicated axis")
+        seen.add(comp)
+        out.append((comp, sign))
+    return out
+
+
+def axis_fwd(axes, x, y, z):
+    """Apply +axis output ordering to an (x, y, z) triple (fwd finalize)."""
+    comps = [x, y, z]
+    return tuple(sign * comps[comp] for comp, sign in axes)
+
+
+def axis_inv(axes, x, y, z):
+    """Undo +axis ordering on input (inv prepare)."""
+    given = [x, y, z]
+    comps = [None, None, None]
+    for i, (comp, sign) in enumerate(axes):
+        comps[comp] = sign * given[i]
+    return tuple(comps)
+
+
+def parse_towgs84(value) -> list[float]:
+    vals = [float(v) for v in str(value).split(",")]
+    if len(vals) == 3:
+        vals = vals + [0.0, 0.0, 0.0, 0.0]
+    if len(vals) != 7:
+        raise ValueError(f"+towgs84 needs 3 or 7 values, got {len(vals)}")
+    return vals
+
+
+class DatumChain:
+    """The cs2cs datum emulation chain: cart(local) / helmert / cart(WGS84).
+
+    Built exactly as the reference does (src/4D_api.cpp:629-693): a
+    position-vector exact-rotation Helmert from the +towgs84 values, plus
+    geodetic<->cartesian hops on the operation's ORIGINAL ellipsoid and on
+    WGS84.  A null shift (towgs84=0,0,0) still changes ellipsoid when the
+    operation's ellipsoid is not WGS84 (do_cart path, src/4D_api.cpp:638-645).
+    """
+
+    def __init__(self, a_orig: float, es_orig: float,
+                 towgs84: list[float] | None):
+        from proj_spark.operations.cart import Cart
+        from proj_spark.operations.helmert import Helmert
+        null_shift = towgs84 is None or all(v == 0.0 for v in towgs84)
+        wgs84_ellps = (abs(a_orig - 6378137.0) < 1e-8
+                       and abs(es_orig - 0.0066943799901413) < 1e-15)
+        self.active = not (null_shift and wgs84_ellps)
+        if not self.active:
+            return
+        self.cart = Cart({"a": repr(a_orig), "es": repr(es_orig)})
+        self.cart_wgs84 = Cart({"ellps": "WGS84"})
+        self.helmert = None
+        if towgs84 is not None and not all(v == 0.0 for v in towgs84):
+            x, y, z, rx, ry, rz, s = towgs84
+            self.helmert = Helmert({
+                "x": x, "y": y, "z": z, "rx": rx, "ry": ry, "rz": rz, "s": s,
+                "exact": True, "convention": "position_vector"})
+
+    def wgs84_to_local(self, lam, phi, z):
+        """fwd_prepare chain (src/fwd.cpp:76-81)."""
+        X, Y, Z = self.cart_wgs84.fwd3d(lam, phi, z)
+        if self.helmert is not None:
+            X, Y, Z = self.helmert.inv(X, Y, Z)
+        return self.cart.inv3d(X, Y, Z)
+
+    def local_to_wgs84(self, lam, phi, z):
+        """inv_finalize chain (src/inv.cpp:116-121)."""
+        X, Y, Z = self.cart.fwd3d(lam, phi, z)
+        if self.helmert is not None:
+            X, Y, Z = self.helmert.fwd(X, Y, Z)
+        return self.cart_wgs84.inv3d(X, Y, Z)

@@ -42,9 +42,28 @@ def authlat(beta: np.ndarray, apa: np.ndarray) -> np.ndarray:
 
 
 class LatLong(Operation):
-    """Geodetic identity CRS tag; kernel is a no-op in radians."""
+    """Geodetic identity CRS tag; kernel is a no-op in radians.
+
+    Routed through the base prepare/finalize machinery so cs2cs-style
+    modifiers (+towgs84/+datum/+pm/+axis/+lon_wrap/+geoc) apply exactly
+    as in the reference (src/fwd.cpp:41-102 with RADIANS output units)."""
 
     proj_name = "latlong"
+    right = "radians"
+
+    def _fwd(self, lam, phi):
+        return (np.asarray(lam, dtype=np.float64),
+                np.asarray(phi, dtype=np.float64))
+
+    def _inv(self, x, y):
+        return (np.asarray(x, dtype=np.float64),
+                np.asarray(y, dtype=np.float64))
+
+
+class Noop(Operation):
+    """True identity (PJ_IO_UNITS_WHATEVER): touches nothing."""
+
+    proj_name = "noop"
     right = "radians"
 
     def fwd(self, lam, phi):
@@ -53,13 +72,8 @@ class LatLong(Operation):
     def inv(self, x, y):
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
 
-    # raw-kernel views (used when composed, e.g. under ob_tran)
     _fwd = fwd
     _inv = inv
-
-
-class Noop(LatLong):
-    proj_name = "noop"
 
 
 class GeocentricLat(Operation):
