@@ -736,6 +736,143 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("hamming").cast("long")).orderBy("id_a", "id_b")
 
 
+def q_crs_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point multi-candidate CRS dispatch: page geotags treated as
+    ED50 geodetic coordinates, transformed to ETRS89 through the planner
+    (proj_spark.planner), which ranks the published candidate operations
+    (North Sea 7-param / Iberian 3-param / European mean) exactly like
+    the reference's SortFunction and dispatches per point by bbox + best
+    accuracy like proj_trans (src/4D_api.cpp:195-314).  Output includes
+    the operation actually used, making the dispatch itself part of the
+    checked result."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+    from proj_spark.planner import crs_to_crs
+
+    t = crs_to_crs("EPSG:4230", "EPSG:4258")
+    names = [c.name for c in t.candidates]
+    fallback = t._fallback_index()
+    schema = StructType([
+        StructField("lon_etrs", DoubleType()),
+        StructField("lat_etrs", DoubleType()),
+        StructField("op", StringType()),
+    ])
+
+    def _f(lon, lat):
+        x = np.radians(lon.to_numpy(np.float64))
+        y = np.radians(lat.to_numpy(np.float64))
+        ch = t._dispatch(x, y, False)
+        ch = np.where(ch < 0, fallback, ch)
+        ox, oy, _ = t.fwd3d(x, y)
+        return pd.DataFrame({
+            "lon_etrs": np.degrees(ox),
+            "lat_etrs": np.degrees(oy),
+            "op": np.array(names, dtype=object)[ch],
+        })
+
+    udf = pandas_udf(_f, schema)
+    pts = _points(spark, sf_dir)
+    return (pts.select("url", udf(F.col("lon"), F.col("lat")).alias("o"))
+            .select("url",
+                    F.round("o.lon_etrs", 6).alias("lon_etrs"),
+                    F.round("o.lat_etrs", 6).alias("lat_etrs"),
+                    F.col("o.op").alias("op")))
+
+
+def _sql_crs_dispatch() -> str:
+    """DuckDB oracle reproducing the FULL engine computation chain for
+    every dispatch branch: cart fwd on international ellipsoid -> branch
+    helmert -> Bowring inverse on WGS84 -> cart fwd on WGS84 -> Bowring
+    inverse on GRS80 (the ETRS89 leg's null-shift ellipsoid hop), with
+    the same dispatch CASE order (accuracy ascending) as the planner."""
+    from proj_spark.ellipsoids import get_ellipsoid
+    I, W, G = get_ellipsoid("intl"), get_ellipsoid("WGS84"), get_ellipsoid("GRS80")
+    # North Sea 7-param: exact position-vector rotation about z only
+    import math
+    rz = -0.156 * math.pi / 180.0 / 3600.0
+    k = 1.0 + 1.2e-6
+    c, s = repr(math.cos(rz)), repr(math.sin(rz))
+    ns = "lon >= -1.0 AND lat >= 56.0 AND lon <= 11.0 AND lat <= 62.0"
+    ib = "lon >= -9.5 AND lat >= 36.0 AND lon <= 3.3 AND lat <= 43.8"
+    mean = "lon >= -16.1 AND lat >= 25.7 AND lon <= 48.6 AND lat <= 84.2"
+
+    def cart_fwd(a, es, lam, phi, h):
+        n = f"({repr(a)} / sqrt(1.0 - {repr(es)} * sin({phi}) * sin({phi})))"
+        return (f"(({n} + {h}) * cos({phi}) * cos({lam}))",
+                f"(({n} + {h}) * cos({phi}) * sin({lam}))",
+                f"(({n} * (1.0 - {repr(es)}) + {h}) * sin({phi}))")
+
+    n_pages = _n_pages("sf0.01")
+    return f"""WITH {_pages_cte(n_pages)},
+pts AS (
+  SELECT url, lon, lat, radians(lon) AS lam, radians(lat) AS phi
+  FROM pages WHERE lat IS NOT NULL
+),
+s_cart AS (  -- cart fwd, intl ellipsoid, h=0
+  SELECT url, lon, lat,
+         {cart_fwd(I.a, I.es, 'lam', 'phi', '0.0')[0]} AS x0,
+         {cart_fwd(I.a, I.es, 'lam', 'phi', '0.0')[1]} AS y0,
+         {cart_fwd(I.a, I.es, 'lam', 'phi', '0.0')[2]} AS z0
+  FROM pts
+),
+helm AS (    -- branch helmert (dispatch CASE, accuracy ascending)
+  SELECT url, lon, lat,
+    CASE WHEN {ns} THEN {repr(k)} * ({c} * x0 - {s} * y0) + -89.5
+         WHEN {ib} THEN x0 + -84.0
+         ELSE x0 + -87.0 END AS xh,
+    CASE WHEN {ns} THEN {repr(k)} * ({s} * x0 + {c} * y0) + -93.8
+         WHEN {ib} THEN y0 + -107.0
+         ELSE y0 + -98.0 END AS yh,
+    CASE WHEN {ns} THEN {repr(k)} * z0 + -123.1
+         WHEN {ib} THEN z0 + -120.0
+         ELSE z0 + -121.0 END AS zh,
+    CASE WHEN {ns} THEN 'ED50 to WGS 84 (23) North Sea'
+         WHEN {ib} THEN 'ED50 to WGS 84 (9) Iberia'
+         WHEN {mean} THEN 'ED50 to WGS 84 (1) Mean European'
+         ELSE 'Transformation from EPSG:4230 to EPSG:4258' END AS op
+  FROM s_cart
+),
+w_inv1 AS (  -- Bowring inverse, WGS84
+  SELECT *, sqrt(xh * xh + yh * yh) AS p,
+         atan2(zh * {repr(W.a)}, sqrt(xh * xh + yh * yh) * {repr(W.b)}) AS th
+  FROM helm
+),
+w_inv2 AS (
+  SELECT *, atan2(zh + {repr(W.e2s)} * {repr(W.b)} * sin(th) * sin(th) * sin(th),
+                  p - {repr(W.es)} * {repr(W.a)} * cos(th) * cos(th) * cos(th)) AS phw,
+         atan2(yh, xh) AS lmw
+  FROM w_inv1
+),
+w_inv3 AS (
+  SELECT *, p / cos(phw)
+            - {repr(W.a)} / sqrt(1.0 - {repr(W.es)} * sin(phw) * sin(phw)) AS hw
+  FROM w_inv2
+),
+g_cart AS (  -- cart fwd WGS84 with (lmw, phw, hw), then Bowring inverse GRS80
+  SELECT url, lon, lat, op,
+         {cart_fwd(W.a, W.es, 'lmw', 'phw', 'hw')[0]} AS xg,
+         {cart_fwd(W.a, W.es, 'lmw', 'phw', 'hw')[1]} AS yg,
+         {cart_fwd(W.a, W.es, 'lmw', 'phw', 'hw')[2]} AS zg
+  FROM w_inv3
+),
+g_inv1 AS (
+  SELECT *, sqrt(xg * xg + yg * yg) AS pg,
+         atan2(zg * {repr(G.a)}, sqrt(xg * xg + yg * yg) * {repr(G.b)}) AS tg
+  FROM g_cart
+),
+g_inv2 AS (
+  SELECT url, lon, lat, op,
+         atan2(yg, xg) AS lmg,
+         atan2(zg + {repr(G.e2s)} * {repr(G.b)} * sin(tg) * sin(tg) * sin(tg),
+               pg - {repr(G.es)} * {repr(G.a)} * cos(tg) * cos(tg) * cos(tg)) AS phg
+  FROM g_inv1
+)
+SELECT url, ROUND(degrees(lmg), 6) AS lon_etrs, ROUND(degrees(phg), 6) AS lat_etrs, op
+FROM g_inv2"""
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream rollup: per (type, hour) counts + exact cents sum.
 
@@ -807,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "events_hourly": q_events_hourly,
+        "crs_dispatch": q_crs_dispatch,
     }
 
 
@@ -829,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk": _sql_embed_topk(),
         "embed_allpairs": _sql_embed_allpairs(),
         "events_hourly": _sql_events_hourly(),
+        "crs_dispatch": _sql_crs_dispatch(),
         # utm_project / minhash_neardup / simhash_neardup: rows-only
         # (non-SQL-expressible kernels; gated by the gie fixture pytest suite)
     }

@@ -14,6 +14,7 @@ Public surface:
 """
 
 from proj_spark.projstring import create, Pipeline
+from proj_spark.planner import crs_to_crs, CRSTransform
 from proj_spark.ellipsoids import Ellipsoid, get_ellipsoid
 
 __version__ = "0.1.0"

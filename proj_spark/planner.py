@@ -1,0 +1,527 @@
+"""CRS->CRS planner: candidate enumeration, deterministic ranking, and
+vectorized per-point dispatch.
+
+Ports the reference's coordinate-operation planning driver-side:
+
+  - candidate ranking: total order of SortFunction::operator()
+    (src/iso19111/coordinateoperation.cpp:10801-10924), expressed as a
+    Python sort key (same comparison sequence: PROJ-exportable > non-
+    approx > non-null > grids-available > grids-known > known-accuracy
+    [unknown prefers grids] > larger-area > better-accuracy [ties prefer
+    gridless] > fewer steps > shorter name > name);
+  - area-of-interest filtering: FilterResults::filterOut with the
+    PARTIAL_INTERSECTION criterion used by proj_create_crs_to_crs
+    (coordinateoperation.cpp:11026-11120, src/4D_api.cpp:1147-1150);
+  - per-point dispatch: the alternativeCoordinateOperations loop of
+    proj_trans (src/4D_api.cpp:195-314) — bbox containment + best
+    accuracy + prefer-onshore, up to 2 retries on failure, final
+    no-grids fallback — vectorized as masked candidate assignment over
+    whole NumPy batches instead of per-point branching.
+
+Candidate *enumeration* differs by necessity: the reference consults the
+EPSG SQLite catalog (src/iso19111/factory.cpp:126-292); this engine uses
+a small static registry of published transformations (KNOWN_OPS) plus
+the generic towgs84/cart hub route, which is exactly the reference's
+fallback behavior when no DB entry matches (ballpark transformation).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from proj_spark.projstring import create, parse_projstring
+
+
+# ---------------------------------------------------------------------------
+# candidate model
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Candidate:
+    """One coordinate operation candidate (reference: CoordOperation,
+    src/proj_internal.h:524-560 + PrecomputedOpCharacteristics)."""
+
+    name: str
+    pipeline: object               # object with fwd3d/inv3d
+    accuracy: float = -1.0         # meters; <0 = unknown
+    #: area of use (w, s, e, n) in degrees, or None = global
+    extent: tuple | None = None
+    is_offshore: bool = False
+    has_grids: bool = False
+    grids_available: bool = True
+    grids_known: bool = True
+    is_approx: bool = False
+    is_null: bool = False
+    step_count: int = 1
+    #: per-point dispatch bboxes in src/dst coordinates (radians for
+    #: geographic ends, meters for projected ends)
+    src_bbox: tuple = (-math.inf, -math.inf, math.inf, math.inf)
+    dst_bbox: tuple = (-math.inf, -math.inf, math.inf, math.inf)
+
+    def area_deg2(self) -> float:
+        """Pseudo-area of the extent (reference getPseudoArea)."""
+        if self.extent is None:
+            return 360.0 * 180.0
+        w, s, e, n = self.extent
+        return max(e - w, 0.0) * max(n - s, 0.0)
+
+
+def sort_key(c: Candidate):
+    """SortFunction::operator() (coordinateoperation.cpp:10801-10924) as a
+    sort key.  Every engine candidate is PROJ-exportable, so that first
+    comparison is constant."""
+    acc_unknown = c.accuracy < 0
+    return (
+        int(c.is_approx),                                   # non-approx first
+        int(c.is_null),                                     # non-null first
+        int(not c.grids_available),                         # grids avail first
+        int(not c.grids_known),                             # grids known first
+        int(acc_unknown),                                   # known acc first
+        int(not c.has_grids) if acc_unknown else 0,         # unknown: grids
+        -c.area_deg2(),                                     # larger area first
+        c.accuracy if not acc_unknown else math.inf,        # better acc first
+        int(c.has_grids) if not acc_unknown else 0,         # ties: gridless
+        c.step_count,                                       # fewer steps
+        len(c.name),                                        # shorter name
+        c.name,                                             # total order
+    )
+
+
+def filter_results(cands: list[Candidate], area: tuple | None,
+                   desired_accuracy: float = 0.0) -> list[Candidate]:
+    """FilterResults::filterOut (coordinateoperation.cpp:11026-11120),
+    PARTIAL_INTERSECTION criterion.  `area` is (w, s, e, n) degrees."""
+    def intersects(extent, aoi):
+        w1, s1, e1, n1 = extent
+        w2, s2, e2, n2 = aoi
+        return not (e1 < w2 or e2 < w1 or n1 < s2 or n2 < s1)
+
+    res, has_extent = [], False
+    for c in cands:
+        if desired_accuracy != 0:
+            if c.accuracy < 0 or c.accuracy > desired_accuracy:
+                continue
+        if area is not None:
+            if c.extent is None:
+                continue
+            has_extent = True
+            if not intersects(c.extent, area):
+                continue
+        res.append(c)
+    if not res and not has_extent:
+        # no candidate declares an extent: retain all matching accuracy
+        res = [c for c in cands
+               if desired_accuracy == 0
+               or (0 <= c.accuracy <= desired_accuracy)]
+    return sorted(res, key=sort_key)
+
+
+# ---------------------------------------------------------------------------
+# known-operation registry (public EPSG-published transformations)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class KnownOp:
+    """A published geodetic transformation between two datum hubs."""
+    name: str
+    kind: str                  # "towgs84" | "hgridshift"
+    params: str                # towgs84 string or grid name
+    accuracy: float
+    extent: tuple              # (w, s, e, n) degrees
+    is_offshore: bool = False
+
+
+#: datum-pair registry keyed by (src_epsg_geodetic, dst_epsg_geodetic).
+#: Parameters are the published EPSG operation values.
+KNOWN_OPS: dict[tuple[int, int], list[KnownOp]] = {
+    # DHDN -> ETRS89 (test/gie/DHDN_ETRS89.gie)
+    (4314, 4258): [
+        KnownOp("DHDN to ETRS89 (8) BeTA2007", "hgridshift", "BETA2007.gsb",
+                0.9, (5.86, 47.27, 15.04, 55.09)),
+        KnownOp("DHDN to ETRS89 (2)", "towgs84",
+                "598.1,73.7,418.2,0.202,0.045,-2.455,6.7",
+                3.0, (5.86, 47.27, 15.04, 55.09)),
+    ],
+    # ED50 -> ETRS89: North Sea 7-param (EPSG:1612-style), Iberian 3-param
+    # (EPSG ED50->WGS84 Spain/Portugal mean), and the European mean
+    (4230, 4258): [
+        KnownOp("ED50 to WGS 84 (23) North Sea", "towgs84",
+                "-89.5,-93.8,-123.1,0,0,-0.156,1.2",
+                1.0, (-1.0, 56.0, 11.0, 62.0), is_offshore=True),
+        KnownOp("ED50 to WGS 84 (9) Iberia", "towgs84",
+                "-84,-107,-120",
+                5.0, (-9.5, 36.0, 3.3, 43.8)),
+        KnownOp("ED50 to WGS 84 (1) Mean European", "towgs84",
+                "-87,-98,-121",
+                10.0, (-16.1, 25.7, 48.6, 84.2)),
+    ],
+    # OSGB36 -> ETRS89 via the published 7-param Helmert
+    (4277, 4258): [
+        KnownOp("OSGB36 to WGS 84 (6)", "towgs84",
+                "446.448,-125.157,542.06,0.15,0.247,0.842,-20.489",
+                2.0, (-8.82, 49.79, 1.92, 60.94)),
+    ],
+}
+# ETRS89 ~ WGS84 at this accuracy class: alias the hubs
+for (_s, _d), _ops in list(KNOWN_OPS.items()):
+    if _d == 4258:
+        KNOWN_OPS.setdefault((_s, 4326), _ops)
+
+
+# ---------------------------------------------------------------------------
+# pipeline assembly
+# ---------------------------------------------------------------------------
+
+def _strip_datum(params: dict) -> dict:
+    """Projection params without datum modifiers (the planner owns the
+    datum leg; the projection op must not re-apply its towgs84)."""
+    out = {k: v for k, v in params.items()
+           if k not in ("towgs84", "datum", "nadgrids", "geoidgrids")}
+    # keep the ellipsoid implied by +datum=
+    if "datum" in params and "ellps" not in out:
+        from proj_spark.operations.cs2cs import PJ_DATUMS
+        if str(params["datum"]) in PJ_DATUMS:
+            out["ellps"] = PJ_DATUMS[str(params["datum"])][1]
+    return out
+
+
+class _Leg:
+    """One side of the hub route: projected/geographic CRS <-> WGS84 hub."""
+
+    def __init__(self, definition: str):
+        from proj_spark import epsg as epsg_mod
+        self.definition = definition
+        if definition.strip().upper().startswith("EPSG:"):
+            self.epsg = int(definition.strip().split(":")[1])
+            definition = epsg_mod.resolve(definition)
+        else:
+            self.epsg = None
+        self.params = parse_projstring(definition)
+        self.is_geographic = self.params.get("proj") in (
+            "latlong", "longlat", "latlon", "lonlat")
+        stripped = _strip_datum(self.params)
+        stripped_str = " ".join(
+            f"+{k}" if v is True else f"+{k}={v}" for k, v in stripped.items())
+        self.proj_op = create(stripped_str)
+        # datum identity for the KNOWN_OPS lookup: prefer the EPSG geodetic
+        # code implied by the definition
+        self.geodetic_epsg = self._geodetic_code()
+        from proj_spark.operations import cs2cs
+        tw = self.params.get("towgs84")
+        if tw is None and "datum" in self.params:
+            name = str(self.params["datum"])
+            if name in cs2cs.PJ_DATUMS:
+                definition_, _ = cs2cs.PJ_DATUMS[name]
+                if definition_.startswith("towgs84="):
+                    tw = definition_.split("=", 1)[1]
+        self.towgs84 = cs2cs.parse_towgs84(tw) if tw is not None else None
+        self.chain = cs2cs.DatumChain(self.proj_op.ell.a, self.proj_op.ell.es,
+                                      self.towgs84)
+
+    def _geodetic_code(self) -> int | None:
+        if self.epsg is None:
+            return None
+        e = self.epsg
+        if e in (4326, 4978) or 32601 <= e <= 32660 or 32701 <= e <= 32760:
+            return 4326
+        if e in (4258, 3035, 3034, 2154) or 25828 <= e <= 25838:
+            return 4258
+        if e == 4269 or 26901 <= e <= 26923:
+            return 4269
+        if e == 4230 or 23028 <= e <= 23038:
+            return 4230
+        if e in (4277, 27700):
+            return 4277
+        if e in (4314, 31466, 31467, 31468, 31469):
+            return 4314
+        return e
+
+    # hub conversions ------------------------------------------------------
+    def to_hub_geodetic(self, x, y, z):
+        """CRS coords -> geodetic lon/lat/h on the leg's own datum."""
+        return self.proj_op.inv3d(x, y, z)
+
+    def from_hub_geodetic(self, lam, phi, z):
+        return self.proj_op.fwd3d(lam, phi, z)
+
+
+class _HubPipeline:
+    """Composed candidate: src CRS -> [datum op] -> dst CRS.
+
+    datum_fwd/datum_inv convert geodetic coordinates on the source datum
+    to geodetic on the destination datum (through cartesian WGS84 when
+    Helmert-based)."""
+
+    def __init__(self, src: _Leg, dst: _Leg, datum_fwd, datum_inv):
+        self.src = src
+        self.dst = dst
+        self.datum_fwd = datum_fwd
+        self.datum_inv = datum_inv
+
+    def fwd3d(self, x, y, z):
+        lam, phi, h = self.src.to_hub_geodetic(x, y, z)
+        lam, phi, h = self.datum_fwd(lam, phi, h)
+        return self.dst.from_hub_geodetic(lam, phi, h)
+
+    def inv3d(self, x, y, z):
+        lam, phi, h = self.dst.to_hub_geodetic(x, y, z)
+        lam, phi, h = self.datum_inv(lam, phi, h)
+        return self.src.from_hub_geodetic(lam, phi, h)
+
+
+def _datum_ops_from_known(src: _Leg, dst: _Leg, op: KnownOp):
+    """Build (datum_fwd, datum_inv) callables for a KnownOp."""
+    from proj_spark.operations import cs2cs
+    if op.kind == "towgs84":
+        chain = cs2cs.DatumChain(src.proj_op.ell.a, src.proj_op.ell.es,
+                                 cs2cs.parse_towgs84(op.params))
+        dstc = dst.chain if dst.chain.active else None
+
+        def fwd(lam, phi, h):
+            lam, phi, h = chain.local_to_wgs84(lam, phi, h)
+            if dstc is not None:
+                lam, phi, h = dstc.wgs84_to_local(lam, phi, h)
+            return lam, phi, h
+
+        def inv(lam, phi, h):
+            if dstc is not None:
+                lam, phi, h = dstc.local_to_wgs84(lam, phi, h)
+            return chain.wgs84_to_local(lam, phi, h)
+
+        return fwd, inv
+    if op.kind == "hgridshift":
+        from proj_spark.operations import datum as datum_mod
+        g = datum_mod.REGISTRY["hgridshift"](
+            {"grids": op.params, "ellps": src.params.get("ellps", "GRS80")})
+        return ((lambda lam, phi, h: g.fwd3d(lam, phi, h)),
+                (lambda lam, phi, h: g.inv3d(lam, phi, h)))
+    raise NotImplementedError(op.kind)
+
+
+def _ballpark_ops(src: _Leg, dst: _Leg):
+    """Generic hub route from the legs' own +towgs84/+datum information —
+    the reference's ballpark/cs2cs-emulation fallback
+    (src/transform.cpp:543-590 normalization sequence)."""
+    srcc = src.chain if src.chain.active else None
+    dstc = dst.chain if dst.chain.active else None
+
+    def fwd(lam, phi, h):
+        if srcc is not None:
+            lam, phi, h = srcc.local_to_wgs84(lam, phi, h)
+        if dstc is not None:
+            lam, phi, h = dstc.wgs84_to_local(lam, phi, h)
+        return lam, phi, h
+
+    def inv(lam, phi, h):
+        if dstc is not None:
+            lam, phi, h = dstc.local_to_wgs84(lam, phi, h)
+        if srcc is not None:
+            lam, phi, h = srcc.wgs84_to_local(lam, phi, h)
+        return lam, phi, h
+
+    return fwd, inv
+
+
+def _project_extent(leg: _Leg, extent: tuple | None, n: int = 21) -> tuple:
+    """Extent (deg) -> dispatch bbox in the leg's CRS coordinates
+    (radians if geographic, meters if projected) by sampling the
+    densified boundary — how the reference derives minxSrc/… for
+    alternativeCoordinateOperations (src/4D_api.cpp:1204-1244)."""
+    if extent is None:
+        return (-math.inf, -math.inf, math.inf, math.inf)
+    w, s, e, n_ = extent
+    if leg.is_geographic:
+        d2r = math.pi / 180.0
+        return (w * d2r, s * d2r, e * d2r, n_ * d2r)
+    lons = np.linspace(w, e, n)
+    lats = np.linspace(s, n_, n)
+    blon = np.concatenate([lons, lons, np.full(n, w), np.full(n, e)])
+    blat = np.concatenate([np.full(n, s), np.full(n, n_), lats, lats])
+    x, y = leg.proj_op.fwd_deg(blon, blat)
+    ok = np.isfinite(x) & np.isfinite(y)
+    if not ok.any():
+        return (-math.inf, -math.inf, math.inf, math.inf)
+    return (float(x[ok].min()), float(y[ok].min()),
+            float(x[ok].max()), float(y[ok].max()))
+
+
+# ---------------------------------------------------------------------------
+# the public API
+# ---------------------------------------------------------------------------
+
+class CRSTransform:
+    """A compiled CRS->CRS transformation with ranked candidates and
+    vectorized per-point dispatch (the engine analogue of the PJ returned
+    by proj_create_crs_to_crs, src/4D_api.cpp:1075-1244)."""
+
+    def __init__(self, src: str, dst: str, area: tuple | None = None,
+                 desired_accuracy: float = 0.0):
+        self.src = _Leg(src)
+        self.dst = _Leg(dst)
+        cands: list[Candidate] = []
+        key = (self.src.geodetic_epsg, self.dst.geodetic_epsg)
+        rkey = (self.dst.geodetic_epsg, self.src.geodetic_epsg)
+        known = KNOWN_OPS.get(key)
+        reversed_ = False
+        if known is None and rkey in KNOWN_OPS:
+            known = KNOWN_OPS[rkey]
+            reversed_ = True
+        for op in known or []:
+            if op.kind == "hgridshift" and not self._grid_registered(op.params):
+                continue
+            dfwd, dinv = self._known_datum(op, reversed_)
+            pipe = _HubPipeline(self.src, self.dst, dfwd, dinv)
+            cands.append(Candidate(
+                name=op.name, pipeline=pipe, accuracy=op.accuracy,
+                extent=op.extent, is_offshore=op.is_offshore,
+                has_grids=op.kind == "hgridshift",
+                src_bbox=_project_extent(self.src, op.extent),
+                dst_bbox=_project_extent(self.dst, op.extent),
+                step_count=3))
+        # ballpark hub route — always present, ranked last via is_approx
+        # unless it is the only candidate
+        dfwd, dinv = _ballpark_ops(self.src, self.dst)
+        null_datum = (not self.src.chain.active
+                      and not self.dst.chain.active)
+        cands.append(Candidate(
+            name=f"Transformation from {src} to {dst}",
+            pipeline=_HubPipeline(self.src, self.dst, dfwd, dinv),
+            accuracy=-1.0, extent=None, is_approx=bool(known),
+            is_null=null_datum, step_count=3))
+        self.candidates = filter_results(cands, area, desired_accuracy)
+        if not self.candidates:
+            raise ValueError(f"no operation found from {src!r} to {dst!r}")
+
+    def _known_datum(self, op: KnownOp, reversed_: bool):
+        dfwd, dinv = _datum_ops_from_known(self.src if not reversed_ else
+                                           self.dst, self.dst if not reversed_
+                                           else self.src, op)
+        if reversed_:
+            dfwd, dinv = dinv, dfwd
+        return dfwd, dinv
+
+    @staticmethod
+    def _grid_registered(name: str) -> bool:
+        from proj_spark.operations import datum as datum_mod
+        try:
+            datum_mod.REGISTRY["hgridshift"]({"grids": name})
+            return True
+        except Exception:
+            return False
+
+    # -- vectorized per-point dispatch (src/4D_api.cpp:195-314) ------------
+    def _dispatch(self, x, y, inverse: bool) -> np.ndarray:
+        """First-choice candidate index per point: bbox containment with
+        best accuracy, preferring onshore (the reference's first pass)."""
+        n = len(x)
+        # dispatch preference: accuracy ascending (unknown = +inf), onshore
+        # first, then candidate rank — the reference's iBest selection
+        order = sorted(
+            range(len(self.candidates)),
+            key=lambda i: (math.inf if self.candidates[i].accuracy < 0
+                           else self.candidates[i].accuracy,
+                           int(self.candidates[i].is_offshore), i))
+        choice = np.full(n, -1, dtype=np.int64)
+        for i in reversed(order):
+            c = self.candidates[i]
+            bx = c.dst_bbox if inverse else c.src_bbox
+            inside = (x >= bx[0]) & (y >= bx[1]) & (x <= bx[2]) & (y <= bx[3])
+            choice = np.where(inside, i, choice)
+        return choice
+
+    def _fallback_index(self) -> int:
+        """First gridless candidate in rank order (src/4D_api.cpp:288-310)."""
+        for i, c in enumerate(self.candidates):
+            if not c.has_grids:
+                return i
+        return 0
+
+    def _run(self, x, y, z, inverse: bool):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        z = (np.zeros_like(x) if z is None
+             else np.asarray(z, dtype=np.float64))
+        ox = np.full_like(x, np.nan)
+        oy = np.full_like(x, np.nan)
+        oz = np.full_like(x, np.nan)
+        choice = self._dispatch(x, y, inverse)
+        no_match = choice < 0
+        if no_match.any():
+            choice = np.where(no_match, self._fallback_index(), choice)
+        excluded = np.zeros((len(self.candidates), len(x)), dtype=bool)
+        # up to N_MAX_RETRY=2 retries per point on NaN results
+        for _attempt in range(3):
+            pending = ~np.isfinite(ox)
+            if not pending.any():
+                break
+            done_any = False
+            for i, c in enumerate(self.candidates):
+                sel = pending & (choice == i)
+                if not sel.any():
+                    continue
+                done_any = True
+                f = c.pipeline.inv3d if inverse else c.pipeline.fwd3d
+                rx, ry, rz = f(x[sel], y[sel], z[sel])
+                ox[sel], oy[sel], oz[sel] = rx, ry, rz
+                failed = sel.copy()
+                failed[sel] = ~np.isfinite(rx)
+                excluded[i] |= failed
+            if not done_any:
+                break
+            # re-dispatch failed points excluding their failed candidate
+            still = ~np.isfinite(ox)
+            if not still.any():
+                break
+            choice = self._redispatch(x, y, inverse, excluded, still, choice)
+        return ox, oy, oz
+
+    def _redispatch(self, x, y, inverse, excluded, mask, choice):
+        order = sorted(
+            range(len(self.candidates)),
+            key=lambda i: (math.inf if self.candidates[i].accuracy < 0
+                           else self.candidates[i].accuracy,
+                           int(self.candidates[i].is_offshore), i))
+        new_choice = np.full(len(x), self._fallback_index(), dtype=np.int64)
+        for i in reversed(order):
+            c = self.candidates[i]
+            bx = c.dst_bbox if inverse else c.src_bbox
+            inside = ((x >= bx[0]) & (y >= bx[1]) & (x <= bx[2])
+                      & (y <= bx[3]) & ~excluded[i])
+            new_choice = np.where(inside, i, new_choice)
+        return np.where(mask, new_choice, choice)
+
+    # -- public API --------------------------------------------------------
+    def fwd3d(self, x, y, z=None):
+        return self._run(x, y, z, inverse=False)
+
+    def inv3d(self, x, y, z=None):
+        return self._run(x, y, z, inverse=True)
+
+    def fwd(self, x, y):
+        ox, oy, _ = self._run(x, y, None, inverse=False)
+        return ox, oy
+
+    def inv(self, x, y):
+        ox, oy, _ = self._run(x, y, None, inverse=True)
+        return ox, oy
+
+    def fwd_deg(self, lon, lat):
+        """Degrees in (geographic src) -> dst coords (degrees if dst
+        geographic, meters otherwise)."""
+        x = np.radians(np.asarray(lon, dtype=np.float64)) \
+            if self.src.is_geographic else np.asarray(lon, dtype=np.float64)
+        y = np.radians(np.asarray(lat, dtype=np.float64)) \
+            if self.src.is_geographic else np.asarray(lat, dtype=np.float64)
+        ox, oy, _ = self._run(x, y, None, inverse=False)
+        if self.dst.is_geographic:
+            return np.degrees(ox), np.degrees(oy)
+        return ox, oy
+
+
+def crs_to_crs(src: str, dst: str, area: tuple | None = None,
+               desired_accuracy: float = 0.0) -> CRSTransform:
+    """proj_create_crs_to_crs analogue: 'EPSG:4326' codes or proj strings."""
+    return CRSTransform(src, dst, area, desired_accuracy)

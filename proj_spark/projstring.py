@@ -68,7 +68,11 @@ def _registry() -> dict:
 
 
 def create(definition: str):
-    """Compile a proj-string into an executable Operation or Pipeline."""
+    """Compile a proj-string (or 'EPSG:nnnn' code) into an executable
+    Operation or Pipeline."""
+    if definition.strip().upper().startswith("EPSG:"):
+        from proj_spark import epsg
+        definition = epsg.resolve(definition.strip())
     params = parse_projstring(definition)
     # the *first* +proj= names the operation (later ones belong to +steps)
     name = None
