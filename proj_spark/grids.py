@@ -1,0 +1,270 @@
+"""Grid file loaders: NTv2 (.gsb) horizontal shift grids with subgrid
+trees, and NOAA .gtx vertical (geoid) grids.
+
+Faithful ports of the reference's readers:
+  - NTv2 header/subfile layout and the reversed E-W storage direction:
+    src/gridinfo.cpp:430-640 (pj_gridinfo_init_ntv2) and :273-356 (data
+    loading, seconds -> radians, 4 float32 per node, accuracy skipped);
+  - GTX 40-byte big-endian header: src/gridinfo.cpp:740-830;
+  - subgrid selection by bounding box with the del/10000 epsilon and
+    parent -> child descent: src/apply_gridshift.cpp:113-174
+    (find_ctable); points matching no table fall back to "no shift"
+    (src/apply_gridshift.cpp:247-255, the non-SEVERE branch).
+
+At Spark scale a loaded GridSet is broadcast inside the UDF closure
+exactly like the in-memory grids (SURVEY.md §1.4); the loaders are the
+file-format plumbing that feeds the same `Grid` dataclass and
+`nad_intr`/`nad_cvt` kernels.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from proj_spark.operations.datum import Grid
+
+D2R = np.pi / 180.0
+SEC2RAD = D2R / 3600.0
+
+
+@dataclass
+class GridNode:
+    """One NTv2 subfile: a Grid plus its place in the subgrid tree."""
+
+    name: str
+    parent: str
+    grid: Grid
+    children: list["GridNode"] = field(default_factory=list)
+
+    def _bbox_contains(self, lam, phi):
+        g = self.grid
+        dlam, dphi = g.del_
+        nlam, nphi = g.lim
+        eps = (abs(dphi) + abs(dlam)) / 10000.0
+        return ((phi >= g.ll[1] - eps) & (lam >= g.ll[0] - eps)
+                & (phi <= g.ll[1] + (nphi - 1) * dphi + eps)
+                & (lam <= g.ll[0] + (nlam - 1) * dlam + eps))
+
+
+class GridSet:
+    """An ordered list of top-level GridNodes (one .gsb file, or a
+    +nadgrids chain) with vectorized per-point table selection."""
+
+    def __init__(self, roots: list[GridNode]):
+        self.roots = roots
+
+    def tables(self) -> list[GridNode]:
+        out = []
+
+        def walk(n):
+            out.append(n)
+            for c in n.children:
+                walk(c)
+        for r in self.roots:
+            walk(r)
+        return out
+
+    def select(self, lam, phi) -> list[tuple[GridNode, np.ndarray]]:
+        """find_ctable vectorized: per point, the first top-level table
+        whose bbox (epsilon-tolerant) contains it, descending into
+        matching children.  Returns (node, mask) groups; unmatched
+        points appear in no group (caller leaves them unshifted)."""
+        lam = np.asarray(lam, dtype=np.float64)
+        phi = np.asarray(phi, dtype=np.float64)
+        unassigned = np.ones(lam.shape, dtype=bool)
+        groups: list[tuple[GridNode, np.ndarray]] = []
+        for root in self.roots:
+            m = unassigned & root._bbox_contains(lam, phi)
+            if not m.any():
+                continue
+            unassigned &= ~m
+            # descend: children claim their sub-areas (first match wins)
+            stack = [(root, m)]
+            while stack:
+                node, mask = stack.pop()
+                rest = mask
+                for child in node.children:
+                    cm = rest & child._bbox_contains(lam, phi)
+                    if cm.any():
+                        stack.append((child, cm))
+                        rest = rest & ~cm
+                if rest.any():
+                    groups.append((node, rest))
+        return groups
+
+
+# ---------------------------------------------------------------------------
+# NTv2 (.gsb)
+# ---------------------------------------------------------------------------
+
+def _records(header: bytes, n: int = 11) -> list[bytes]:
+    return [header[i * 16:(i + 1) * 16] for i in range(n)]
+
+
+def load_gsb(path: str) -> GridSet:
+    """Parse an NTv2 .gsb file into a GridSet (subgrid tree preserved)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 11 * 16:
+        raise ValueError(f"{path}: truncated NTv2 overview header")
+    # endianness probe: NUM_OREC value must be 11 (gridinfo.cpp:455-458)
+    le = struct.unpack("<i", data[8:12])[0] == 11
+    be = struct.unpack(">i", data[8:12])[0] == 11
+    if not (le or be):
+        raise ValueError(f"{path}: not an NTv2 file (NUM_OREC != 11)")
+    end = "<" if le else ">"
+    num_files = struct.unpack(f"{end}i", data[8 + 32:8 + 36])[0]
+    pos = 11 * 16
+    nodes: list[GridNode] = []
+    by_name: dict[str, GridNode] = {}
+    for _ in range(num_files):
+        hdr = data[pos:pos + 11 * 16]
+        if len(hdr) < 11 * 16 or hdr[:8] != b"SUB_NAME":
+            raise ValueError(f"{path}: bad NTv2 subfile header at {pos}")
+        name = hdr[8:16].decode("ascii", "replace").strip("\x00 ")
+        parent = hdr[24:32].decode("ascii", "replace").strip("\x00 ")
+        def dbl(rec):  # value field of 16-byte record `rec`
+            return struct.unpack(f"{end}d", hdr[rec * 16 + 8:rec * 16 + 16])[0]
+        s_lat, n_lat = dbl(4), dbl(5)
+        e_long, w_long = dbl(6), dbl(7)
+        lat_inc, long_inc = dbl(8), dbl(9)
+        gs_count = struct.unpack(f"{end}i", hdr[10 * 16 + 8:10 * 16 + 12])[0]
+        # gridinfo.cpp:531-538: west-positive seconds -> east-positive
+        ll_lam, ll_phi = -w_long, s_lat
+        ur_lam = -e_long
+        nlam = int(abs(ur_lam - ll_lam) / long_inc + 0.5) + 1
+        nphi = int(abs(n_lat - ll_phi) / lat_inc + 0.5) + 1
+        if gs_count != nlam * nphi:
+            raise ValueError(f"{path}: GS_COUNT {gs_count} != {nlam}x{nphi}")
+        pos += 11 * 16
+        raw = np.frombuffer(data, dtype=f"{end}f4",
+                            count=gs_count * 4, offset=pos)
+        pos += gs_count * 4 * 4
+        vals = raw.reshape(nphi, nlam, 4)
+        # NTv2 rows run east->west; CTABLE wants west->east
+        # (gridinfo.cpp:333-343); fields are (phi_sec, lam_sec, acc, acc)
+        # reference stores float32(double(sec) * SEC2RAD) in the CTABLE
+        # (gridinfo.cpp:340-341): multiply in double, then quantize
+        cvs = np.empty((nphi, nlam, 2), dtype=np.float64)
+        cvs[:, :, 0] = (vals[:, ::-1, 1].astype(np.float64)
+                        * SEC2RAD).astype(np.float32)     # dlam
+        cvs[:, :, 1] = (vals[:, ::-1, 0].astype(np.float64)
+                        * SEC2RAD).astype(np.float32)     # dphi
+        grid = Grid(ll=(ll_lam * SEC2RAD, ll_phi * SEC2RAD),
+                    del_=(long_inc * SEC2RAD, lat_inc * SEC2RAD),
+                    cvs=cvs)
+        node = GridNode(name=name, parent=parent, grid=grid)
+        by_name[name] = node
+        if parent in ("NONE", ""):
+            nodes.append(node)
+        elif parent in by_name:
+            by_name[parent].children.append(node)
+        else:
+            raise ValueError(f"{path}: subgrid {name} references unknown "
+                             f"parent {parent}")
+    return GridSet(nodes)
+
+
+def write_gsb(path: str,
+              subgrids: list[dict]) -> None:
+    """Write a minimal valid little-endian NTv2 file (the public format;
+    used by tests to exercise load_gsb against synthetic grids).
+
+    Each subgrid dict: {name, parent ('NONE' for top level), s_lat,
+    n_lat, w_long, e_long (seconds, west POSITIVE as in the format),
+    lat_inc, long_inc (seconds), shifts: (nphi, nlam, 2) float32 array of
+    (phi_sec, lam_sec) in the CTABLE west->east row order}.
+    """
+    def rec(tag: bytes, value: bytes) -> bytes:
+        return tag.ljust(8)[:8] + value
+
+    out = bytearray()
+    out += rec(b"NUM_OREC", struct.pack("<i", 11) + b"\x00" * 4)
+    out += rec(b"NUM_SREC", struct.pack("<i", 11) + b"\x00" * 4)
+    out += rec(b"NUM_FILE", struct.pack("<i", len(subgrids)) + b"\x00" * 4)
+    out += rec(b"GS_TYPE ", b"SECONDS ")
+    out += rec(b"VERSION ", b"NTv2.0  ")
+    out += rec(b"SYSTEM_F", b"SYNTH   ")
+    out += rec(b"SYSTEM_T", b"SYNTH   ")
+    out += rec(b"MAJOR_F ", struct.pack("<d", 6378388.0))
+    out += rec(b"MINOR_F ", struct.pack("<d", 6356911.946))
+    out += rec(b"MAJOR_T ", struct.pack("<d", 6378137.0))
+    out += rec(b"MINOR_T ", struct.pack("<d", 6356752.314))
+    for sg in subgrids:
+        shifts = np.asarray(sg["shifts"], dtype=np.float32)
+        nphi, nlam, _ = shifts.shape
+        out += rec(b"SUB_NAME", sg["name"].encode().ljust(8)[:8])
+        out += rec(b"PARENT  ", sg["parent"].encode().ljust(8)[:8])
+        out += rec(b"CREATED ", b"        ")
+        out += rec(b"UPDATED ", b"        ")
+        out += rec(b"S_LAT   ", struct.pack("<d", sg["s_lat"]))
+        out += rec(b"N_LAT   ", struct.pack("<d", sg["n_lat"]))
+        out += rec(b"E_LONG  ", struct.pack("<d", sg["e_long"]))
+        out += rec(b"W_LONG  ", struct.pack("<d", sg["w_long"]))
+        out += rec(b"LAT_INC ", struct.pack("<d", sg["lat_inc"]))
+        out += rec(b"LONG_INC", struct.pack("<d", sg["long_inc"]))
+        out += rec(b"GS_COUNT", struct.pack("<i", nphi * nlam) + b"\x00" * 4)
+        # file rows run east->west: reverse the west->east input columns
+        rows = np.zeros((nphi, nlam, 4), dtype=np.float32)
+        rows[:, :, 0] = shifts[:, ::-1, 0]   # phi seconds
+        rows[:, :, 1] = shifts[:, ::-1, 1]   # lam seconds
+        out += rows.tobytes()
+    out += b"END     " + b"\x00" * 8
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# GTX (vertical)
+# ---------------------------------------------------------------------------
+
+def load_gtx(path: str) -> Grid:
+    """Parse a NOAA .gtx geoid grid (big-endian; gridinfo.cpp:740-830)."""
+    with open(path, "rb") as f:
+        header = f.read(40)
+        if len(header) < 40:
+            raise ValueError(f"{path}: truncated GTX header")
+        yorigin, xorigin, ystep, xstep = struct.unpack(">4d", header[:32])
+        rows, columns = struct.unpack(">2i", header[32:40])
+        if not (-360 <= xorigin <= 360 and -90 <= yorigin <= 90):
+            raise ValueError(f"{path}: gtx header has invalid extents")
+        vals = np.frombuffer(f.read(rows * columns * 4), dtype=">f4")
+    if vals.size != rows * columns:
+        raise ValueError(f"{path}: truncated GTX data")
+    if xorigin >= 180.0:
+        xorigin -= 360.0   # gridinfo.cpp:813-814
+    cvs = vals.reshape(rows, columns).astype(np.float64)
+    return Grid(ll=(xorigin * D2R, yorigin * D2R),
+                del_=(xstep * D2R, ystep * D2R), cvs=cvs)
+
+
+def write_gtx(path: str, yorigin: float, xorigin: float, ystep: float,
+              xstep: float, values: np.ndarray) -> None:
+    """Write a .gtx file (degrees origin/steps, (rows, cols) values)."""
+    values = np.asarray(values, dtype=np.float64)
+    rows, columns = values.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack(">4d", yorigin, xorigin, ystep, xstep))
+        f.write(struct.pack(">2i", rows, columns))
+        f.write(values.astype(">f4").tobytes())
+
+
+# ---------------------------------------------------------------------------
+# registry integration
+# ---------------------------------------------------------------------------
+
+def register_grid_file(name: str, path: str) -> None:
+    """Load a .gsb/.gtx file and register it under `name` so proj-string
+    +grids=/+nadgrids=/+geoidgrids= parameters resolve to it."""
+    from proj_spark.operations import datum as datum_mod
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".gsb":
+        datum_mod.GRID_REGISTRY[name] = load_gsb(path)
+    elif ext == ".gtx":
+        datum_mod.GRID_REGISTRY[name] = load_gtx(path)
+    else:
+        raise NotImplementedError(f"unknown grid format {ext!r}")

@@ -123,17 +123,20 @@ def nad_cvt(lam, phi, inverse: bool, grid: Grid):
     return np.where(nanmask, NAN, out_lam), np.where(nanmask, NAN, out_phi)
 
 
-def _resolve_grid(params: dict, key: str = "grids") -> Grid | None:
+def _resolve_grid(params: dict, key: str = "grids"):
+    """Resolve +grids= to a Grid or a GridSet (a loaded .gsb subgrid
+    tree, proj_spark.grids) from the registry or a direct grid_object."""
     g = params.get("grid_object")
-    if isinstance(g, Grid):
+    if g is not None:
         return g
     name = params.get(key)
     if name in (None, "null"):
         return None
     if name in GRID_REGISTRY:
         return GRID_REGISTRY[name]
-    raise ValueError(f"grid {name!r} not registered (no file loaders in "
-                     "this engine; register a Grid in GRID_REGISTRY)")
+    raise ValueError(f"grid {name!r} not registered (register a Grid in "
+                     "GRID_REGISTRY or load a file via "
+                     "proj_spark.grids.register_grid_file)")
 
 
 class _Datum3D(Operation):
@@ -184,7 +187,21 @@ class HGridShift(_Datum3D):
     def _shift(self, lam, phi, inverse):
         if self.grid is None:
             return lam, phi
-        return nad_cvt(lam, phi, inverse, self.grid)
+        if isinstance(self.grid, Grid):
+            return nad_cvt(lam, phi, inverse, self.grid)
+        # GridSet: vectorized find_ctable (apply_gridshift.cpp:113-174);
+        # unmatched points stay unshifted (the reference's non-SEVERE
+        # fallback, apply_gridshift.cpp:247-255)
+        lam = np.asarray(lam, dtype=np.float64)
+        phi = np.asarray(phi, dtype=np.float64)
+        out_lam = lam.copy()
+        out_phi = phi.copy()
+        for node, mask in self.grid.select(lam, phi):
+            sl, sp = nad_cvt(lam[mask], phi[mask], inverse, node.grid)
+            # in-bbox but out-of-cell edge lookups yield NaN: keep input
+            out_lam[mask] = np.where(np.isnan(sl), lam[mask], sl)
+            out_phi[mask] = np.where(np.isnan(sp), phi[mask], sp)
+        return out_lam, out_phi
 
     def fwd3d(self, lam, phi, z):
         lam2, phi2 = self._shift(lam, phi, False)
@@ -210,6 +227,10 @@ class VGridShift(_Datum3D):
 
     def setup(self) -> None:
         self.grid = _resolve_grid(self.params)
+        if self.grid is not None and not isinstance(self.grid, Grid):
+            raise NotImplementedError(
+                "vgridshift expects a single vertical grid (.gtx); "
+                "subgrid trees are a horizontal-shift (NTv2) concept")
         self.multiplier = float(self.params.get("multiplier", -1.0))
 
     def _value(self, lam, phi):
