@@ -239,3 +239,39 @@ def test_cosine_topk(spark):
     assert got[0]["vec_id"] == 7 and abs(got[0]["cosine"] - 1.0) < 1e-6
     approx = lsh_topk(emb, q, 5, n_planes=8, probe_hamming=3).collect()
     assert approx[0]["vec_id"] == 7  # LSH must at least find the point itself
+
+
+def test_knn_many_queries_distributed(spark, geo):
+    """10^4 queries through the distributed ring loop: no per-row driver
+    collects (the only driver materializations are the query coordinates
+    and per-round stats), every query completes, and a sampled subset
+    matches brute force."""
+    data = geo.select(F.col("url").alias("data_id"), "lon", "lat").cache()
+    n_q = 10_000
+    queries = spark.range(n_q).select(
+        F.col("id").alias("query_id"),
+        (F.pmod(F.col("id") * 7919, F.lit(36000)) / 100.0 - 180.0).alias("lon"),
+        (F.pmod(F.col("id") * 104729, F.lit(17000)) / 100.0 - 85.0).alias("lat"))
+    k = 3
+    got = knn_join(queries, data, k=k, z=6, max_ring=8)
+    counts = got.groupBy("query_id").count().collect()
+    assert len(counts) == n_q
+    assert all(r["count"] == k for r in counts)
+    # spot-check 5 queries against brute force
+    pdf = data.toPandas()
+    dl = np.radians(pdf["lat"].to_numpy())
+    dn = np.radians(pdf["lon"].to_numpy())
+    sample_ids = [0, 1234, 5000, 7919, 9999]
+    sample = {r["query_id"]: (r["lon"], r["lat"]) for r in
+              queries.where(F.col("query_id").isin(sample_ids)).collect()}
+    mine = {(r["query_id"], r["rank"]): (r["data_id"], r["dist_m"]) for r in
+            got.where(F.col("query_id").isin(sample_ids)).collect()}
+    for qid, (qlon, qlat) in sample.items():
+        ql, qn = math.radians(qlat), math.radians(qlon)
+        h = (np.sin((dl - ql) / 2) ** 2
+             + np.cos(ql) * np.cos(dl) * np.sin((dn - qn) / 2) ** 2)
+        dist = 2 * EARTH_R * np.arcsin(np.sqrt(h))
+        order = sorted(zip(dist, pdf["data_id"]))[:k]
+        for rank, (ed, eid) in enumerate(order, start=1):
+            gid, gd = mine[(qid, rank)]
+            assert gid == eid and abs(gd - ed) < 1e-6, (qid, rank, eid, gid)
