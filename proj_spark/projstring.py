@@ -73,6 +73,14 @@ def create(definition: str):
     if definition.strip().upper().startswith("EPSG:"):
         from proj_spark import epsg
         definition = epsg.resolve(definition.strip())
+    elif not definition.lstrip().startswith("+"):
+        # WKT1/WKT2/PROJJSON input (createFromUserInput dispatch,
+        # src/iso19111/io.cpp:5611): lower to a proj-string first
+        head = definition.strip()[:12].upper()
+        if head.startswith(("{", "PROJCS", "GEOGCS", "PROJCRS", "GEOGCRS",
+                            "GEODCRS", "PROJECTEDCRS")):
+            from proj_spark import wkt
+            definition = wkt.from_user_input(definition)
     params = parse_projstring(definition)
     # the *first* +proj= names the operation (later ones belong to +steps)
     name = None

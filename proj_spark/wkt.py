@@ -1,0 +1,440 @@
+"""WKT1 / WKT2 / PROJJSON input: lower CRS text to a proj-string.
+
+The reference parses WKT with a hand-written recursive-descent node
+parser (`WKTParser`, src/iso19111/io.cpp:6086) and PROJJSON with a JSON
+walker (io.cpp:8937 region), then exports the CRS to a proj-string for
+execution (src/iso19111/c_api.cpp:172-203 — the logical plan is
+serialized and re-parsed into the physical plan).  This module does the
+same lowering directly: parse the node tree, identify the projection
+method (by WKT1 PROJECTION name, WKT2 METHOD name, or EPSG method code),
+map the parameters (EPSG parameter codes/names -> proj keys), resolve
+ellipsoid/datum/prime-meridian/unit, and emit the proj-string that
+`create()` compiles.
+
+Method and parameter identifiers are public EPSG registry data (the
+same codes the reference ships in its coordinateoperation constants).
+Unsupported methods raise NotImplementedError — never a silent guess.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+
+# ---------------------------------------------------------------------------
+# WKT node parser (shared by WKT1 and WKT2 — same bracket grammar)
+# ---------------------------------------------------------------------------
+
+class Node:
+    __slots__ = ("name", "values")
+
+    def __init__(self, name: str, values: list):
+        self.name = name
+        self.values = values
+
+    def children(self, name: str) -> list["Node"]:
+        u = name.upper()
+        return [v for v in self.values
+                if isinstance(v, Node) and v.name.upper() == u]
+
+    def child(self, *names: str) -> "Node | None":
+        for n in names:
+            c = self.children(n)
+            if c:
+                return c[0]
+        return None
+
+    def strings(self) -> list[str]:
+        return [v for v in self.values if isinstance(v, str)]
+
+    def numbers(self) -> list[float]:
+        return [v for v in self.values if isinstance(v, float)]
+
+
+_TOKEN = re.compile(r'"((?:[^"]|"")*)"|([A-Za-z_][A-Za-z0-9_]*)'
+                    r'|([-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?)|([\[\](),])')
+
+
+def parse_wkt(text: str) -> Node:
+    """Bracketed WKT node tree -> Node (WKT1 and WKT2 share the shape)."""
+    pos = 0
+    n = len(text)
+
+    def tokens():
+        nonlocal pos
+        while pos < n:
+            m = _TOKEN.match(text, pos)
+            if m is None:
+                if text[pos].isspace():
+                    pos += 1
+                    continue
+                raise ValueError(f"WKT parse error at {pos}: {text[pos:pos+20]!r}")
+            pos = m.end()
+            if m.group(1) is not None:
+                yield ("str", m.group(1).replace('""', '"'))
+            elif m.group(2) is not None:
+                yield ("kw", m.group(2))
+            elif m.group(3) is not None:
+                yield ("num", float(m.group(3)))
+            else:
+                yield ("punc", m.group(4))
+
+    it = tokens()
+
+    def _parse_body(name: str, it) -> Node:
+        values: list = []
+        while True:
+            tok = next(it, None)
+            if tok is None:
+                raise ValueError("unterminated WKT node")
+            kind, val = tok
+            if kind == "punc" and val in "])":
+                return Node(name, values)
+            if kind == "punc" and val == ",":
+                continue
+            if kind == "kw":
+                nxt = next(it, None)
+                if nxt is not None and nxt[0] == "punc" and nxt[1] in "[(":
+                    values.append(_parse_body(val, it))
+                else:
+                    values.append(val)
+                    if nxt is not None:
+                        kind2, val2 = nxt
+                        if kind2 == "punc" and val2 in "])":
+                            return Node(name, values)
+                        if not (kind2 == "punc" and val2 == ","):
+                            values.append(val2)
+            else:
+                values.append(val)
+
+    first = next(it)
+    if first[0] != "kw":
+        raise ValueError("WKT must start with a keyword")
+    opening = next(it, None)
+    if opening is None or opening[0] != "punc" or opening[1] not in "[(":
+        raise ValueError("expected '[' after the root keyword")
+    return _parse_body(first[1], it)
+
+
+# ---------------------------------------------------------------------------
+# method + parameter identification (public EPSG codes/names)
+# ---------------------------------------------------------------------------
+
+#: (wkt1 PROJECTION name | wkt2 METHOD name | EPSG method code) -> proj name
+METHODS: dict[str, str] = {
+    "transverse_mercator": "tmerc", "transverse mercator": "tmerc",
+    "9807": "tmerc",
+    "mercator_1sp": "merc", "mercator (variant a)": "merc", "9804": "merc",
+    "mercator_2sp": "merc", "mercator (variant b)": "merc", "9805": "merc",
+    "popular visualisation pseudo mercator": "webmerc", "1024": "webmerc",
+    "mercator_auxiliary_sphere": "webmerc",
+    "lambert_conformal_conic_1sp": "lcc",
+    "lambert conic conformal (1sp)": "lcc", "9801": "lcc",
+    "lambert_conformal_conic_2sp": "lcc",
+    "lambert conic conformal (2sp)": "lcc", "9802": "lcc",
+    "albers_conic_equal_area": "aea", "albers equal area": "aea",
+    "9822": "aea",
+    "lambert_azimuthal_equal_area": "laea",
+    "lambert azimuthal equal area": "laea", "9820": "laea",
+    "azimuthal_equidistant": "aeqd", "modified azimuthal equidistant": "aeqd",
+    "9832": "aeqd",
+    "polar_stereographic": "stere", "polar stereographic (variant a)": "stere",
+    "9810": "stere", "polar stereographic (variant b)": "stere",
+    "9829": "stere",
+    "oblique_stereographic": "sterea", "oblique stereographic": "sterea",
+    "9809": "sterea",
+    "stereographic": "stere",
+    "cassini_soldner": "cass", "cassini-soldner": "cass", "9806": "cass",
+    "equirectangular": "eqc", "equidistant cylindrical": "eqc", "1028": "eqc",
+    "equidistant cylindrical (spherical)": "eqc", "1029": "eqc",
+    "hotine_oblique_mercator": "omerc",
+    "hotine oblique mercator (variant a)": "omerc", "9812": "omerc",
+    "hotine_oblique_mercator_azimuth_center": "omerc",
+    "hotine oblique mercator (variant b)": "omerc", "9815": "omerc",
+    "swiss_oblique_cylindrical": "somerc", "9814": "somerc",
+    "krovak": "krovak", "9819": "krovak",
+    "sinusoidal": "sinu", "mollweide": "moll", "robinson": "robin",
+    "cylindrical_equal_area": "cea",
+    "lambert cylindrical equal area": "cea", "9835": "cea",
+    "gnomonic": "gnom", "orthographic": "ortho", "9840": "ortho",
+    "new_zealand_map_grid": "nzmg", "new zealand map grid": "nzmg",
+    "9811": "nzmg",
+}
+
+#: (wkt1 PARAMETER name | wkt2 name | EPSG parameter code) -> proj key
+PARAMS: dict[str, str] = {
+    "latitude_of_origin": "lat_0", "latitude of natural origin": "lat_0",
+    "8801": "lat_0",
+    "central_meridian": "lon_0", "longitude of natural origin": "lon_0",
+    "8802": "lon_0",
+    "scale_factor": "k", "scale factor at natural origin": "k",
+    "8805": "k",
+    "false_easting": "x_0", "false easting": "x_0", "8806": "x_0",
+    "false_northing": "y_0", "false northing": "y_0", "8807": "y_0",
+    "standard_parallel_1": "lat_1",
+    "latitude of 1st standard parallel": "lat_1", "8823": "lat_1",
+    "standard_parallel_2": "lat_2",
+    "latitude of 2nd standard parallel": "lat_2", "8824": "lat_2",
+    "latitude_of_false_origin": "lat_0",
+    "latitude of false origin": "lat_0", "8821": "lat_0",
+    "longitude_of_false_origin": "lon_0",
+    "longitude of false origin": "lon_0", "8822": "lon_0",
+    "easting_at_false_origin": "x_0", "easting at false origin": "x_0",
+    "8826": "x_0",
+    "northing_at_false_origin": "y_0", "northing at false origin": "y_0",
+    "8827": "y_0",
+    "latitude_of_standard_parallel": "lat_ts",
+    "latitude of standard parallel": "lat_ts", "8832": "lat_ts",
+    "longitude_of_origin": "lon_0", "longitude of origin": "lon_0",
+    "8833": "lon_0",
+    "latitude_of_center": "lat_0",
+    "latitude of projection centre": "lat_0", "8811": "lat_0",
+    "longitude_of_center": "lonc",
+    "longitude of projection centre": "lonc", "8812": "lonc",
+    "azimuth": "alpha", "azimuth of initial line": "alpha", "8813": "alpha",
+    "rectified_grid_angle": "gamma",
+    "angle from rectified to skew grid": "gamma", "8814": "gamma",
+    "scale_factor_on_initial_line": "k",
+    "scale factor on initial line": "k", "8815": "k",
+    "pseudo_standard_parallel_1": "lat_ts",  # krovak
+    "latitude of pseudo standard parallel": "lat_ts", "8818": "lat_ts",
+    "co-latitude of cone axis": "alpha", "1036": "alpha",
+    "colatitude_of_cone_axis": "alpha",
+}
+
+
+def _norm(s: str) -> str:
+    return s.strip().lower()
+
+
+# ---------------------------------------------------------------------------
+# WKT1 / WKT2 lowering
+# ---------------------------------------------------------------------------
+
+def _ellps_params(a: float, rf: float) -> str:
+    if rf == 0.0:
+        return f"+a={a!r} +b={a!r}"
+    return f"+a={a!r} +rf={rf!r}"
+
+
+def _lower_geog(node: Node) -> list[str]:
+    """GEOGCS (WKT1) or GEOGCRS/BASEGEOGCRS (WKT2) -> ellipsoid/datum/pm
+    fragments."""
+    parts: list[str] = []
+    datum = node.child("DATUM", "TRF", "GEODETICDATUM")
+    if datum is not None:
+        sph = datum.child("SPHEROID", "ELLIPSOID")
+        if sph is not None:
+            nums = sph.numbers()
+            if len(nums) >= 2:
+                parts.append(_ellps_params(nums[0], nums[1]))
+        tw = datum.child("TOWGS84")
+        if tw is not None:
+            vals = ",".join(repr(v) for v in tw.numbers())
+            parts.append(f"+towgs84={vals}")
+    pm = node.child("PRIMEM")
+    if pm is not None:
+        nums = pm.numbers()
+        if nums and nums[0] != 0.0:
+            parts.append(f"+pm={nums[0]!r}")
+    return parts
+
+
+def _param_unit_factors(node: Node) -> tuple[float, float]:
+    """(angular factor -> degrees, linear factor -> meters) for WKT1
+    PROJCS parameters, from the GEOGCS and PROJCS UNIT nodes."""
+    ang = 1.0
+    lin = 1.0
+    geog = node.child("GEOGCS")
+    if geog is not None:
+        u = geog.child("UNIT")
+        if u is not None and u.numbers():
+            # UNIT factor is radians-per-unit; degrees = value*f/(pi/180)
+            import math
+            ang = u.numbers()[0] / (math.pi / 180.0)
+    u = node.child("UNIT")
+    if u is not None and u.numbers():
+        lin = u.numbers()[0]
+    return ang, lin
+
+
+_ANGULAR_KEYS = {"lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "lonc",
+                 "alpha", "gamma"}
+
+
+def _lower_projcs(node: Node) -> str:
+    """WKT1 PROJCS -> proj-string."""
+    projection = node.child("PROJECTION")
+    if projection is None:
+        raise ValueError("PROJCS without PROJECTION")
+    meth = _norm(projection.strings()[0])
+    if meth not in METHODS:
+        raise NotImplementedError(f"projection method {meth!r} not supported")
+    proj = METHODS[meth]
+    ang, lin = _param_unit_factors(node)
+    parts = [f"+proj={proj}"]
+    geog = node.child("GEOGCS")
+    if geog is not None:
+        parts += _lower_geog(geog)
+    for p in node.children("PARAMETER"):
+        names = p.strings()
+        nums = p.numbers()
+        if not names or not nums:
+            continue
+        key = PARAMS.get(_norm(names[0]))
+        if key is None:
+            raise NotImplementedError(f"parameter {names[0]!r} not supported")
+        if key in _ANGULAR_KEYS:
+            val = nums[0] * ang
+        elif key in ("x_0", "y_0"):
+            val = nums[0] * lin   # false origins are lengths
+        else:
+            val = nums[0]         # scale factors are unitless
+        parts.append(f"+{key}={val!r}")
+    if lin != 1.0:
+        parts.append(f"+to_meter={lin!r}")
+    return _post_process(proj, parts)
+
+
+def _lower_wkt2_projcrs(node: Node) -> str:
+    base = node.child("BASEGEOGCRS", "BASEGEODCRS")
+    conv = node.child("CONVERSION")
+    if base is None or conv is None:
+        raise ValueError("PROJCRS needs BASEGEOGCRS and CONVERSION")
+    method = conv.child("METHOD")
+    if method is None:
+        raise ValueError("CONVERSION without METHOD")
+    key = None
+    mid = method.child("ID")
+    if mid is not None:
+        nums = mid.numbers()
+        if nums:
+            key = str(int(nums[0]))
+    if key is None or key not in METHODS:
+        key = _norm(method.strings()[0])
+    if key not in METHODS:
+        raise NotImplementedError(f"method {method.strings()[0]!r} not supported")
+    proj = METHODS[key]
+    parts = [f"+proj={proj}"]
+    parts += _lower_geog(base)
+    for p in conv.children("PARAMETER"):
+        names = p.strings()
+        nums = p.numbers()
+        if not names or not nums:
+            continue
+        pid = p.child("ID")
+        pkey = None
+        if pid is not None and pid.numbers():
+            pkey = PARAMS.get(str(int(pid.numbers()[0])))
+        if pkey is None:
+            pkey = PARAMS.get(_norm(names[0]))
+        if pkey is None:
+            raise NotImplementedError(f"parameter {names[0]!r} not supported")
+        val = nums[0]
+        unit = p.child("LENGTHUNIT", "ANGLEUNIT", "SCALEUNIT", "UNIT")
+        if unit is not None and unit.numbers():
+            f = unit.numbers()[0]
+            if pkey in _ANGULAR_KEYS:
+                import math
+                val = val * f / (math.pi / 180.0)
+            elif pkey in ("x_0", "y_0"):
+                val = val * f
+        parts.append(f"+{pkey}={val!r}")
+    return _post_process(proj, parts)
+
+
+def _post_process(proj: str, parts: list[str]) -> str:
+    s = " ".join(parts)
+    if proj == "stere":
+        # Polar Stereographic variant B carries lat_ts but no lat_0: the
+        # pole is implied by the hemisphere of the standard parallel
+        if "+lat_0=" not in s and "+lat_ts=" in s:
+            m = re.search(r"\+lat_ts=([-\d.eE+]+)", s)
+            pole = 90.0 if float(m.group(1)) >= 0 else -90.0
+            s += f" +lat_0={pole!r}"
+    return s
+
+
+def _lower_geogcs(node: Node) -> str:
+    parts = ["+proj=longlat"] + _lower_geog(node)
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# PROJJSON
+# ---------------------------------------------------------------------------
+
+def _projjson_geog_parts(obj: dict) -> list[str]:
+    parts = []
+    datum = obj.get("datum") or obj.get("datum_ensemble") or {}
+    ell = datum.get("ellipsoid") or {}
+    if "semi_major_axis" in ell:
+        a = float(ell["semi_major_axis"])
+        if "inverse_flattening" in ell:
+            parts.append(_ellps_params(a, float(ell["inverse_flattening"])))
+        elif "semi_minor_axis" in ell:
+            b = float(ell["semi_minor_axis"])
+            parts.append(f"+a={a!r} +b={b!r}")
+        else:
+            parts.append(_ellps_params(a, 0.0))
+    pm = datum.get("prime_meridian") or {}
+    if pm.get("longitude"):
+        parts.append(f"+pm={float(pm['longitude'])!r}")
+    return parts
+
+
+def from_projjson(obj: dict | str) -> str:
+    if isinstance(obj, str):
+        obj = json.loads(obj)
+    t = obj.get("type")
+    if t == "GeographicCRS":
+        return " ".join(["+proj=longlat"] + _projjson_geog_parts(obj))
+    if t != "ProjectedCRS":
+        raise NotImplementedError(f"PROJJSON type {t!r} not supported")
+    base = obj.get("base_crs") or {}
+    conv = obj.get("conversion") or {}
+    method = conv.get("method") or {}
+    key = None
+    mid = (method.get("id") or {})
+    if mid.get("code") is not None:
+        key = str(mid["code"])
+    if key is None or key not in METHODS:
+        key = _norm(method.get("name", ""))
+    if key not in METHODS:
+        raise NotImplementedError(f"method {method.get('name')!r} not supported")
+    proj = METHODS[key]
+    parts = [f"+proj={proj}"] + _projjson_geog_parts(base)
+    for p in conv.get("parameters", []):
+        pkey = None
+        pid = (p.get("id") or {})
+        if pid.get("code") is not None:
+            pkey = PARAMS.get(str(pid["code"]))
+        if pkey is None:
+            pkey = PARAMS.get(_norm(p.get("name", "")))
+        if pkey is None:
+            raise NotImplementedError(f"parameter {p.get('name')!r} not supported")
+        parts.append(f"+{pkey}={float(p['value'])!r}")
+    return _post_process(proj, parts)
+
+
+# ---------------------------------------------------------------------------
+# user-input dispatch (createFromUserInput, io.cpp:5611)
+# ---------------------------------------------------------------------------
+
+def from_user_input(text: str) -> str:
+    """WKT1/WKT2/PROJJSON text -> proj-string (proj-strings and EPSG
+    codes pass through untouched)."""
+    s = text.strip()
+    if s.startswith("{"):
+        return from_projjson(s)
+    head = s.split("[", 1)[0].strip().upper()
+    if head in ("PROJCS",):
+        return _lower_projcs(parse_wkt(s))
+    if head in ("GEOGCS",):
+        return _lower_geogcs(parse_wkt(s))
+    if head in ("PROJCRS", "PROJECTEDCRS"):
+        return _lower_wkt2_projcrs(parse_wkt(s))
+    if head in ("GEOGCRS", "GEOGRAPHICCRS", "GEODCRS"):
+        return " ".join(["+proj=longlat"] + _lower_geog(parse_wkt(s)))
+    return s
