@@ -67,11 +67,14 @@ class WebMerc(Operation):
     def _fwd(self, lam, phi):
         at_pole = np.abs(np.abs(phi) - mu.HALFPI) <= EPS10
         x = lam
-        y = np.where(
-            np.abs(phi) <= np.finfo(np.float64).eps,
-            np.log1p(phi),
-            np.log(np.tan(mu.FORTPI + 0.5 * phi)),
-        )
+        # the at_pole branch masks the result; silence the pole-row
+        # log/tan warnings the dead branch of np.where still evaluates
+        with np.errstate(invalid="ignore", divide="ignore"):
+            y = np.where(
+                np.abs(phi) <= np.finfo(np.float64).eps,
+                np.log1p(phi),
+                np.log(np.tan(mu.FORTPI + 0.5 * phi)),
+            )
         nan = np.float64(np.nan)
         return np.where(at_pole, nan, x), np.where(at_pole, nan, y)
 

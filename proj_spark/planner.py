@@ -199,6 +199,9 @@ class _Leg:
             definition = epsg_mod.resolve(definition)
         else:
             self.epsg = None
+            if not definition.lstrip().startswith("+"):
+                from proj_spark import wkt as wkt_mod
+                definition = wkt_mod.from_user_input(definition)
         self.params = parse_projstring(definition)
         self.is_geographic = self.params.get("proj") in (
             "latlong", "longlat", "latlon", "lonlat")

@@ -217,3 +217,22 @@ def test_planner_in_spark_udf(spark):
             .select("o.lon", "o.lat").collect())
     assert all(np.isfinite(r["lon"]) and np.isfinite(r["lat"]) for r in rows)
     assert abs(rows[0]["lon"] - 2.99845) < 1e-3
+
+
+def test_planner_accepts_wkt_legs():
+    """crs_to_crs legs accept WKT text like proj strings / EPSG codes."""
+    wkt = ('PROJCS["OSGB 1936 / British National Grid",'
+           'GEOGCS["OSGB 1936",DATUM["OSGB_1936",'
+           'SPHEROID["Airy 1830",6377563.396,299.3249646],'
+           'TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],'
+           'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Transverse_Mercator"],'
+           'PARAMETER["latitude_of_origin",49],'
+           'PARAMETER["central_meridian",-2],'
+           'PARAMETER["scale_factor",0.9996012717],'
+           'PARAMETER["false_easting",400000],'
+           'PARAMETER["false_northing",-100000],UNIT["metre",1]]')
+    t = crs_to_crs(wkt, "EPSG:4326")
+    lon, lat, _ = t.fwd3d(np.array([400000.0]), np.array([-100000.0]))
+    assert abs(np.degrees(lon)[0] + 2) < 0.01
+    assert abs(np.degrees(lat)[0] - 49) < 0.01
