@@ -560,7 +560,12 @@ def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" i -> substring(text, i, {NGRAM_W})))")).alias("shingle"))
     frequent = (sh_all.groupBy("shingle").count()
                 .where(F.col("count") > NGRAM_DF_CAP).select("shingle"))
-    sh = sh_all.join(F.broadcast(frequent), "shingle", "left_anti")
+    # materialize the capped shingle relation ONCE: it feeds both sides
+    # of the self-join plus the per-doc sizes, and without a barrier the
+    # corpus scan + explode re-executes per occurrence (plan audit: 8
+    # duplicated subtrees, 20 exchanges; AQE reused only 1)
+    sh = (sh_all.join(F.broadcast(frequent), "shingle", "left_anti")
+          .persist())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
