@@ -24,6 +24,12 @@ _STATIC: dict[int, str] = {
            "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489"),  # OSGB36
     4314: ("+proj=longlat +ellps=bessel "
            "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7"),  # DHDN
+    4313: ("+proj=longlat +ellps=intl "
+           "+towgs84=-106.869,52.2978,-103.724,0.3366,-0.457,1.8422,"
+           "-1.2747"),                                           # Belge 1972
+    4275: "+proj=longlat +ellps=clrk80ign +towgs84=-168,-60,320",  # NTF
+    4807: ("+proj=longlat +ellps=clrk80ign +towgs84=-168,-60,320 "
+           "+pm=paris"),                                # NTF (Paris)
     4978: "+proj=geocent +datum=WGS84",
     # global projected
     3857: "+proj=webmerc +datum=WGS84",
@@ -119,4 +125,6 @@ def resolve(code) -> str:
     if 28348 <= n <= 28358:   # GDA94 / MGA
         return (f"+proj=utm +zone={n - 28300} +south +ellps=GRS80 "
                 f"+towgs84=0,0,0 +units=m")
-    raise NotImplementedError(f"EPSG:{n} not in the static registry")
+    # fall back to the vendored EPSG catalog (proj_spark.factory)
+    from proj_spark import factory
+    return factory.crs_definition(n)

@@ -1,0 +1,213 @@
+"""EPSG catalog factory: authority-code -> proj-string from the vendored
+public EPSG registry (proj_spark/data/epsg_catalog.json.gz, extracted by
+tools/vendor_epsg.py from the same SQL tables the reference compiles
+into proj.db — src/iso19111/factory.cpp:126-292 is the reference
+analogue of this module).
+
+Lowering rules:
+  - geographic CRS: +proj=longlat + ellipsoid + prime meridian
+  - projected CRS: method (EPSG method code -> proj name, shared with
+    the WKT lowering), parameters (EPSG parameter codes, with per-value
+    unit conversion incl. sexagesimal DMS 9110), +units/+to_meter from
+    the coordinate-system axis unit, +axis= from axis orientations
+    (e.g. south-orientated TM), and the +towgs84 of the base geographic
+    CRS's legacy definition when one exists (matching the proj4-era
+    init files, so pipeline steps over the same datum stay consistent).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import math
+import os
+from functools import lru_cache
+
+_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "data", "epsg_catalog.json.gz")
+
+
+@lru_cache(maxsize=1)
+def catalog() -> dict:
+    with gzip.open(_DATA, "rb") as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# unit handling
+# ---------------------------------------------------------------------------
+
+def sexagesimal_to_deg(v: float) -> float:
+    """EPSG unit 9110 (sexagesimal DMS): DD.MMSSsss -> decimal degrees."""
+    sign = -1.0 if v < 0 else 1.0
+    v = abs(v)
+    d = math.floor(v + 1e-14)
+    rem = round((v - d) * 100, 10)
+    m = math.floor(rem + 1e-11)
+    s = (rem - m) * 100
+    return sign * (d + m / 60.0 + s / 3600.0)
+
+
+def angle_to_deg(value: float, uom: str) -> float:
+    if uom == "9110":
+        return sexagesimal_to_deg(value)
+    if uom in ("9102", "9122"):
+        # degree: return verbatim — the catalog's stored factor is a
+        # decimal rounding of pi/180 and would inject 1e-16 noise
+        return value
+    u = catalog()["units"].get(uom)
+    if u is None or u[2] is None:
+        raise NotImplementedError(f"angle unit {uom!r}")
+    return value * u[2] / (math.pi / 180.0)
+
+
+def length_to_m(value: float, uom: str) -> float:
+    u = catalog()["units"].get(uom)
+    if u is None or u[2] is None:
+        raise NotImplementedError(f"length unit {uom!r}")
+    return value * u[2]
+
+
+# ---------------------------------------------------------------------------
+# lowering
+# ---------------------------------------------------------------------------
+
+_ANGULAR = {"lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "lonc",
+            "alpha", "gamma"}
+_LENGTH = {"x_0", "y_0"}
+
+_ORIENT = {"east": "e", "west": "w", "north": "n", "south": "s",
+           "up": "u", "down": "d"}
+
+
+def _geog_parts(code: str) -> list[str]:
+    cat = catalog()
+    crs = cat["geodetic_crs"].get(code)
+    if crs is None:
+        raise NotImplementedError(f"EPSG:{code} not a known geodetic CRS")
+    datum = cat["geodetic_datum"][crs["datum"]]
+    ell = cat["ellipsoid"][datum["ellipsoid"]]
+    a = length_to_m(ell["a"], ell["uom"])
+    parts = []
+    if ell["rf"] is not None:
+        parts.append(f"+a={a!r} +rf={ell['rf']!r}")
+    elif ell["b"] is not None:
+        parts.append(f"+a={a!r} +b={length_to_m(ell['b'], ell['uom'])!r}")
+    else:
+        parts.append(f"+a={a!r} +b={a!r}")
+    pm = cat["prime_meridian"].get(datum["pm"])
+    if pm is not None and pm["lon"] not in (0, 0.0, None):
+        parts.append(f"+pm={angle_to_deg(pm['lon'], pm['uom'])!r}")
+    return parts
+
+
+def _legacy_towgs84(geod_code: str) -> str | None:
+    """The base CRS's +towgs84 from the legacy static registry, if any —
+    keeps catalog-expanded projected CRSs datum-consistent with the
+    static geographic definitions (as the proj4-era init files were)."""
+    from proj_spark import epsg as epsg_mod
+    definition = epsg_mod._STATIC.get(int(geod_code))
+    if definition and "+towgs84=" in definition:
+        for tok in definition.split():
+            if tok.startswith("+towgs84="):
+                return tok[len("+towgs84="):]
+    return None
+
+
+def crs_definition(code) -> str:
+    """EPSG code (int or str) -> proj-string from the vendored catalog."""
+    from proj_spark.wkt import METHODS, PARAMS
+    cat = catalog()
+    code = str(int(str(code).split(":")[-1]))
+    if code in cat["geodetic_crs"]:
+        crs = cat["geodetic_crs"][code]
+        if crs["type"] == "geocentric":
+            return " ".join(["+proj=geocent"] + _geog_parts(code))
+        return " ".join(["+proj=longlat"] + _geog_parts(code))
+    proj = cat["projected_crs"].get(code)
+    if proj is None:
+        raise NotImplementedError(f"EPSG:{code} not in the vendored catalog")
+    conv = cat["conversion"][proj["conversion"]]
+    method = conv["method"]
+    # South/West-orientated TM is plain tmerc + axis flips from the CS
+    mkey = method if method in METHODS else (
+        "9807" if method == "9808" else None)
+    if mkey is None or mkey not in METHODS:
+        raise NotImplementedError(
+            f"EPSG:{code}: method {conv['method_name']!r} ({method}) "
+            "not supported")
+    proj_name = METHODS[mkey]
+    # Hotine Oblique Mercator variant B with alpha = gamma = 90 deg is
+    # the Swiss Oblique Mercator (the reference's io.cpp makes the same
+    # substitution; omerc's rectification is singular there)
+    no_uoff = False
+    if method in ("9812", "9815"):
+        pvals = {p[0]: p[1] for p in conv["params"]}
+        if (method == "9815"
+                and angle_to_deg(pvals.get("8813", 0.0), "9110") == 90.0
+                and angle_to_deg(pvals.get("8814", 0.0), "9110") == 90.0):
+            proj_name = "somerc"
+        elif method == "9812":
+            # EPSG variant A: no offset along the initial line (+no_uoff);
+            # variant B (azimuth centre) is proj omerc's default u_c offset
+            no_uoff = True
+    parts = [f"+proj={proj_name}"] + _geog_parts(proj["base"])
+    if no_uoff:
+        parts.append("+no_uoff")
+    tw = _legacy_towgs84(proj["base"])
+    if tw:
+        parts.append(f"+towgs84={tw}")
+    for pcode, value, uom in conv["params"]:
+        key = PARAMS.get(pcode)
+        # Mercator variant B (9805): the standard parallel is proj's
+        # +lat_ts, not a conic +lat_1
+        if method == "9805" and pcode == "8823":
+            key = "lat_ts"
+        if key is None:
+            raise NotImplementedError(
+                f"EPSG:{code}: parameter {pcode} not supported")
+        if proj_name == "somerc":
+            if pcode in ("8813", "8814"):
+                continue            # the 90-deg angles are implicit
+            if key == "lonc":
+                key = "lon_0"       # somerc uses the plain central meridian
+        if key in _ANGULAR:
+            value = angle_to_deg(value, uom)
+        elif key in _LENGTH:
+            value = length_to_m(value, uom)
+        parts.append(f"+{key}={value!r}")
+    # LCC 1SP (9801): proj's lcc wants the standard parallel spelled out
+    # (lat_1 = latitude of natural origin), as the legacy init files did
+    if method == "9801":
+        import re as _re
+        m = _re.search(r"\+lat_0=([-\d.eE+]+)", " ".join(parts))
+        if m and "+lat_1=" not in " ".join(parts):
+            parts.append(f"+lat_1={m.group(1)}")
+    # coordinate-system unit + axis orientation
+    axes = cat["axis"].get(proj["cs"], [])
+    axes = sorted(axes, key=lambda x: x[0])
+    if axes:
+        uom = axes[0][2]
+        if uom and uom != "9001":
+            u = cat["units"].get(uom)
+            if u is None or u[2] is None:
+                raise NotImplementedError(f"EPSG:{code}: CS unit {uom!r}")
+            parts.append(f"+to_meter={u[2]!r}")
+        spec = "".join(_ORIENT.get(o, "") for _, o, _ in axes[:2])
+        # proj4-era init semantics (which the gie expectations follow):
+        # plain axis REORDERING (northing-first CRSs) is ignored — values
+        # stay easting,northing — but reversed directions (south/west
+        # orientated grids, e.g. TM South Orientated EPSG:9808) become an
+        # explicit +axis= flip in the CRS's own axis order
+        if len(spec) == 2 and not set(spec) <= {"e", "n"}:
+            parts.append(f"+axis={spec}u")
+    return _post(proj_name, parts)
+
+
+def _post(proj: str, parts: list[str]) -> str:
+    s = " ".join(parts)
+    if proj == "stere" and "+lat_0=" not in s and "+lat_ts=" in s:
+        import re
+        m = re.search(r"\+lat_ts=([-\d.eE+]+)", s)
+        s += f" +lat_0={90.0 if float(m.group(1)) >= 0 else -90.0!r}"
+    return s

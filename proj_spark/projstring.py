@@ -67,6 +67,18 @@ def _registry() -> dict:
     return reg
 
 
+def _expand_init(params: dict) -> dict:
+    """+init=epsg:NNNN expansion (src/init.cpp:599-612 under proj4 init
+    rules): the init definition's params, overridden by explicit ones."""
+    init = params.pop("init", None)
+    if init is None:
+        return params
+    from proj_spark import epsg
+    base = parse_projstring(epsg.resolve(str(init)))
+    base.update(params)
+    return base
+
+
 def create(definition: str):
     """Compile a proj-string (or 'EPSG:nnnn' code) into an executable
     Operation or Pipeline."""
@@ -89,6 +101,9 @@ def create(definition: str):
         if tok.startswith("proj="):
             name = tok.split("=", 1)[1]
             break
+    if name is None and "init" in params:
+        params = _expand_init(params)
+        name = params.get("proj")
     if name is None:
         raise ValueError(f"no +proj= in {definition!r}")
     params["proj"] = name
@@ -136,6 +151,8 @@ class Pipeline:
             p = parse_projstring(seg)
             inv = bool(p.pop("inv", False))
             merged = {**global_params, **p}
+            if "init" in merged:
+                merged = _expand_init(merged)
             name = merged.get("proj")
             if name == "pipeline":
                 raise ValueError("nested pipelines are not allowed")

@@ -197,6 +197,10 @@ PARAMS: dict[str, str] = {
     "angle from rectified to skew grid": "gamma", "8814": "gamma",
     "scale_factor_on_initial_line": "k",
     "scale factor on initial line": "k", "8815": "k",
+    "easting_at_projection_centre": "x_0",
+    "easting at projection centre": "x_0", "8816": "x_0",
+    "northing_at_projection_centre": "y_0",
+    "northing at projection centre": "y_0", "8817": "y_0",
     "pseudo_standard_parallel_1": "lat_ts",  # krovak
     "latitude of pseudo standard parallel": "lat_ts", "8818": "lat_ts",
     "co-latitude of cone axis": "alpha", "1036": "alpha",

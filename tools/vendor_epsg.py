@@ -1,0 +1,191 @@
+"""Vendor the public EPSG registry tables from the reference's SQL
+catalog (/root/reference/data/sql/*.sql — the same data the reference
+compiles into proj.db, src/iso19111/factory.cpp) into a compact gzip
+JSON the engine loads at runtime: proj_spark/data/epsg_catalog.json.gz.
+
+Pure DATA vendoring (EPSG registry content, public under the IOGP
+terms); no reference code involved.  Tables kept:
+
+  ellipsoid, prime_meridian, unit_of_measure, geodetic_datum,
+  geodetic_crs, conversion (method + parameters), projected_crs,
+  helmert_transformation (for the planner's candidate registry),
+  extent (area bboxes).
+
+Usage: python tools/vendor_epsg.py
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import re
+
+SQL_DIR = "/root/reference/data/sql"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "proj_spark", "data", "epsg_catalog.json.gz")
+
+_INSERT = re.compile(r"INSERT INTO \"(\w+)\" VALUES\((.*)\);\s*$", re.S)
+
+
+def parse_values(s: str) -> list:
+    """Tokenize a SQL VALUES(...) payload: quoted strings ('' escape),
+    numbers, NULL."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in ", \n\t":
+            i += 1
+            continue
+        if c == "'":
+            j = i + 1
+            buf = []
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        buf.append("'")
+                        j += 2
+                        continue
+                    break
+                buf.append(s[j])
+                j += 1
+            out.append("".join(buf))
+            i = j + 1
+        else:
+            j = i
+            while j < n and s[j] not in ",)":
+                j += 1
+            tok = s[i:j].strip()
+            if tok.upper() == "NULL":
+                out.append(None)
+            else:
+                try:
+                    out.append(float(tok) if ("." in tok or "e" in tok.lower())
+                               else int(tok))
+                except ValueError:
+                    out.append(tok)
+            i = j + 1
+    return out
+
+
+def rows(fname: str):
+    path = os.path.join(SQL_DIR, fname)
+    buf = ""
+    for line in open(path, encoding="utf-8", errors="replace"):
+        buf += line
+        if line.rstrip().endswith(");"):
+            m = _INSERT.match(buf.strip())
+            buf = ""
+            if m:
+                yield parse_values(m.group(2))
+
+
+def main() -> None:
+    cat: dict = {}
+
+    # unit_of_measure: code -> (name, type, factor)
+    units = {}
+    for r in rows("unit_of_measure.sql"):
+        units[str(r[1])] = [r[2], r[3], r[4]]
+    cat["units"] = units
+
+    ell = {}
+    for r in rows("ellipsoid.sql"):
+        # auth, code, name, _, body_auth, body, a, uom_auth, uom, rf, b, depr
+        ell[str(r[1])] = {"name": r[2], "a": r[6], "uom": str(r[8]),
+                          "rf": r[9], "b": r[10]}
+    cat["ellipsoid"] = ell
+
+    pm = {}
+    for r in rows("prime_meridian.sql"):
+        # auth, code, name, longitude, uom_auth, uom, depr
+        pm[str(r[1])] = {"name": r[2], "lon": r[3], "uom": str(r[5])}
+    cat["prime_meridian"] = pm
+
+    datum = {}
+    for r in rows("geodetic_datum.sql"):
+        # auth, code, name, _, _, ell_auth, ell, pm_auth, pm, area.., depr
+        datum[str(r[1])] = {"name": r[2], "ellipsoid": str(r[6]),
+                            "pm": str(r[8])}
+    cat["geodetic_datum"] = datum
+
+    geod = {}
+    for r in rows("geodetic_crs.sql"):
+        # auth, code, name, _, _, type, cs_auth, cs, datum_auth, datum,
+        # area_auth, area, text_def, depr
+        geod[str(r[1])] = {"name": r[2], "type": r[5], "datum": str(r[9]),
+                           "deprecated": r[-1]}
+    cat["geodetic_crs"] = geod
+
+    conv = {}
+    for r in rows("conversion.sql"):
+        # auth, code, name, _, _, area_auth, area, method_auth, method,
+        # method_name, then 7x (param_auth, code, name, value, uom_auth, uom),
+        # depr
+        params = []
+        base = 10
+        for k in range(7):
+            off = base + k * 6
+            if off + 5 >= len(r) or r[off + 1] is None:
+                continue
+            params.append([str(r[off + 1]), r[off + 3], str(r[off + 5])])
+        conv[str(r[1])] = {"name": r[2], "method": str(r[8]),
+                           "method_name": r[9], "params": params}
+    cat["conversion"] = conv
+
+    proj = {}
+    for r in rows("projected_crs.sql"):
+        # auth, code, name, _, _, cs_auth, cs, geod_auth, geod,
+        # conv_auth, conv, area_auth, area, (text_def,) depr
+        proj[str(r[1])] = {"name": r[2], "cs": str(r[6]), "base": str(r[8]),
+                           "conversion": str(r[10]), "deprecated": r[-1]}
+    cat["projected_crs"] = proj
+
+    # coordinate_system axis orientation matters for e.g. south-oriented
+    # TM (axis order/direction); keep the axis table compactly
+    axes: dict[str, list] = {}
+    for r in rows("axis.sql"):
+        # auth, code, name, abbrev, orientation(4), cs_auth, cs(6),
+        # order(7), uom_auth, uom(9)
+        axes.setdefault(str(r[6]), []).append(
+            [r[7], r[4], str(r[9]) if len(r) > 9 and r[9] else None])
+    cat["axis"] = axes
+
+    helm = {}
+    for r in rows("helmert_transformation.sql"):
+        # auth, code(1), name(2), desc, scope, method_auth, method(6),
+        # method_name(7), src_auth, src(9), dst_auth, dst(11), area_auth,
+        # area(13), accuracy(14), tx(15), ty, tz(17), t_uom_auth,
+        # t_uom(19), rx(20), ry, rz(22), r_uom_auth, r_uom(24), s(25),
+        # s_uom_auth, s_uom(27), ..., deprecated(last)
+        code = str(r[1])
+        helm[code] = {
+            "name": r[2], "method": str(r[6]), "src": str(r[9]),
+            "dst": str(r[11]), "area": str(r[13]), "acc": r[14],
+            "tx": r[15], "ty": r[16], "tz": r[17], "t_uom": str(r[19]),
+            "rx": r[20], "ry": r[21], "rz": r[22],
+            "r_uom": str(r[24]) if r[24] is not None else None,
+            "s": r[25], "s_uom": str(r[27]) if r[27] is not None else None,
+            "deprecated": r[-1],
+        }
+    cat["helmert"] = helm
+
+    area = {}
+    for r in rows("area.sql"):
+        # auth, code, name, description, south, north, west, east, depr
+        area[str(r[1])] = [r[6], r[4], r[7], r[5]]   # (w, s, e, n)
+    cat["area"] = area
+
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    blob = json.dumps(cat, separators=(",", ":")).encode()
+    with gzip.open(OUT, "wb", compresslevel=9) as f:
+        f.write(blob)
+    print(f"wrote {OUT}: {len(blob)/1e6:.1f} MB raw, "
+          f"{os.path.getsize(OUT)/1e6:.1f} MB gz; "
+          f"{len(proj)} projected, {len(geod)} geodetic, "
+          f"{len(conv)} conversions, {len(helm)} helmert ops")
+
+
+if __name__ == "__main__":
+    main()
