@@ -170,6 +170,92 @@ for (_s, _d), _ops in list(KNOWN_OPS.items()):
     if _d == 4258:
         KNOWN_OPS.setdefault((_s, 4326), _ops)
 
+#: geodetic CRS codes equivalent to the WGS84 hub at helmert accuracy
+_WGS84_HUB = {"4326", "4258", "4269", "4148", "4151", "4152", "4173",
+              "4167", "4283", "4674", "4742", "4759"}
+
+#: EPSG helmert method codes the engine executes -> convention
+_HELMERT_METHODS = {
+    "9603": None,                  # geocentric translations (3-param)
+    "9606": "position_vector",     # 7-param position vector
+    "9607": "coordinate_frame",    # 7-param coordinate frame
+}
+
+
+def catalog_candidates(src_code, dst_code) -> list[KnownOp]:
+    """Candidate enumeration from the vendored EPSG registry — the
+    engine analogue of createOperations consulting the database
+    (src/iso19111/coordinateoperation.cpp:10577+, factory.cpp).
+
+    Emits every non-deprecated helmert transformation between the two
+    geodetic CRSs (treating WGS84-equivalent hubs interchangeably, as
+    the reference does at helmert accuracies) plus grid transformations
+    whose grid file is registered.  Reversed entries carry negated
+    parameters (helmert similarity inverses).
+    """
+    from proj_spark.factory import catalog, angle_to_deg
+    if src_code is None or dst_code is None:
+        return []
+    cat = catalog()
+    src, dst = str(src_code), str(dst_code)
+    src_set = _WGS84_HUB | {src} if src in _WGS84_HUB else {src}
+    dst_set = _WGS84_HUB | {dst} if dst in _WGS84_HUB else {dst}
+    out: list[KnownOp] = []
+    for code, h in cat["helmert"].items():
+        if h["deprecated"]:
+            continue
+        if h["method"] not in _HELMERT_METHODS:
+            continue
+        fwd = h["src"] == src and h["dst"] in dst_set
+        rev = h["src"] == dst and h["dst"] in src_set
+        if not (fwd or rev):
+            continue
+        conv = _HELMERT_METHODS[h["method"]]
+        sign = 1.0 if fwd else -1.0
+
+        def ang(v, uom):
+            """rotation value -> arc-seconds (the towgs84 unit)."""
+            if v is None:
+                return 0.0
+            if uom == "9104":          # arc-second
+                return v
+            if uom == "9109":          # microradian
+                return v * 1e-6 * (3600.0 * 180.0 / math.pi)
+            raise NotImplementedError(f"rotation unit {uom}")
+
+        tw = [sign * (h["tx"] or 0.0), sign * (h["ty"] or 0.0),
+              sign * (h["tz"] or 0.0)]
+        if conv is not None:
+            r = [sign * ang(h["rx"], h["r_uom"]),
+                 sign * ang(h["ry"], h["r_uom"]),
+                 sign * ang(h["rz"], h["r_uom"])]
+            if conv == "coordinate_frame":
+                # engine towgs84 chain is position-vector: negate rotations
+                r = [-v for v in r]
+            s = sign * (h["s"] or 0.0)
+            tw += r + [s]
+        ext = cat["area"].get(h["area"])
+        extent = tuple(ext) if ext and None not in ext else None
+        out.append(KnownOp(h["name"] + (" (reversed)" if rev else ""),
+                           "towgs84", ",".join(repr(v) for v in tw),
+                           h["acc"] if h["acc"] is not None else -1.0,
+                           extent or (-180.0, -90.0, 180.0, 90.0)))
+    for code, g in cat.get("grid_transformation", {}).items():
+        if g["deprecated"] or not g["grid"]:
+            continue
+        if not ((g["src"] == src and g["dst"] in dst_set)
+                or (g["src"] == dst and g["dst"] in src_set)):
+            continue
+        from proj_spark.operations import datum as datum_mod
+        if g["grid"] not in datum_mod.GRID_REGISTRY:
+            continue
+        ext = cat["area"].get(g["area"])
+        extent = tuple(ext) if ext and None not in ext else None
+        out.append(KnownOp(g["name"], "hgridshift", g["grid"],
+                           g["acc"] if g["acc"] is not None else -1.0,
+                           extent or (-180.0, -90.0, 180.0, 90.0)))
+    return out
+
 
 # ---------------------------------------------------------------------------
 # pipeline assembly
@@ -240,6 +326,14 @@ class _Leg:
             return 4277
         if e in (4314, 31466, 31467, 31468, 31469):
             return 4314
+        # projected catalog codes resolve to their base geographic CRS
+        try:
+            from proj_spark.factory import catalog
+            proj = catalog()["projected_crs"].get(str(e))
+            if proj is not None:
+                return int(proj["base"])
+        except Exception:
+            pass
         return e
 
     # hub conversions ------------------------------------------------------
@@ -372,6 +466,13 @@ class CRSTransform:
         if known is None and rkey in KNOWN_OPS:
             known = KNOWN_OPS[rkey]
             reversed_ = True
+        if known is None:
+            # curated entries take priority (stable, hand-verified);
+            # everything else comes from the vendored EPSG catalog
+            cands_cat = catalog_candidates(self.src.geodetic_epsg,
+                                           self.dst.geodetic_epsg)
+            if cands_cat:
+                known = cands_cat
         for op in known or []:
             if op.kind == "hgridshift" and not self._grid_registered(op.params):
                 continue

@@ -236,3 +236,40 @@ def test_planner_accepts_wkt_legs():
     lon, lat, _ = t.fwd3d(np.array([400000.0]), np.array([-100000.0]))
     assert abs(np.degrees(lon)[0] + 2) < 0.01
     assert abs(np.degrees(lat)[0] - 49) < 0.01
+
+
+def test_catalog_candidates_enumeration():
+    """Pairs without curated entries enumerate real EPSG transformations
+    from the vendored catalog (helmert table + area extents)."""
+    from proj_spark.planner import catalog_candidates
+    ops = catalog_candidates(4312, 4326)   # MGI (Austria) -> WGS84
+    assert len(ops) >= 2
+    names = [o.name for o in ops]
+    assert any("MGI" in n for n in names)
+    assert all(o.extent is not None for o in ops)
+    assert all(o.kind == "towgs84" for o in ops)
+    # reversed direction negates parameters
+    rev = catalog_candidates(4326, 4312)
+    assert any("(reversed)" in o.name for o in rev)
+
+
+def test_catalog_pair_end_to_end():
+    t = crs_to_crs("EPSG:4312", "EPSG:4326")
+    assert any("MGI" in c.name for c in t.candidates)
+    lon = np.radians(np.array([15.0]))
+    lat = np.radians(np.array([47.5]))
+    ox, oy, _ = t.fwd3d(lon, lat)
+    # MGI -> WGS84 shifts roughly -100 m in longitude in Austria
+    assert 14.9985 < np.degrees(ox)[0] < 14.9995
+    bx, by, _ = t.inv3d(ox, oy, None)
+    assert abs(np.degrees(bx)[0] - 15.0) < 1e-7
+    assert abs(np.degrees(by)[0] - 47.5) < 1e-7
+
+
+def test_catalog_projected_leg_resolution():
+    """Projected catalog codes resolve to their base geographic CRS for
+    the datum-pair lookup."""
+    t = crs_to_crs("EPSG:28406", "EPSG:32636")  # Pulkovo GK6 -> UTM36N
+    assert any("Pulkovo" in c.name for c in t.candidates)
+    x, y, _ = t.fwd3d(np.array([6500000.0]), np.array([6000000.0]))
+    assert np.isfinite(x[0]) and 400000 < x[0] < 600000

@@ -171,6 +171,19 @@ def main() -> None:
         }
     cat["helmert"] = helm
 
+    grids = {}
+    for r in rows("grid_transformation.sql"):
+        # auth, code(1), name(2), desc, scope, method_auth, method(6),
+        # method_name(7), src_auth, src(9), dst_auth, dst(11), area_auth,
+        # area(13), accuracy(14), param_auth, param_code(16), param_name,
+        # grid_file(18), ..., deprecated(last)
+        grids[str(r[1])] = {
+            "name": r[2], "method": str(r[6]), "method_name": r[7],
+            "src": str(r[9]), "dst": str(r[11]), "area": str(r[13]),
+            "acc": r[14], "grid": r[18], "deprecated": r[-1],
+        }
+    cat["grid_transformation"] = grids
+
     area = {}
     for r in rows("area.sql"):
         # auth, code, name, description, south, north, west, east, depr
