@@ -1,0 +1,96 @@
+"""Physical-plan audits: lock in the plan shapes the 100 TB design
+depends on, so a regression (lost broadcast, lost pruning, new shuffle
+of a big side, UDF pushed below a dedup barrier) fails loudly.
+
+These assert structural properties of `.explain` output, not timings —
+they are cheap and deterministic.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+    return e
+
+
+def test_crs_dispatch_no_shuffle(spark, entry):
+    """Per-point CRS dispatch is map-side only: scan -> UDFs -> project."""
+    s = plan_of(entry.q_crs_dispatch(spark, SF))
+    assert "Exchange" not in s
+    assert "ArrowEvalPython" in s
+
+
+def test_tile_density_prunes_text(spark, entry):
+    """The pages scan must never read text/warc_ts for geo rollups."""
+    s = plan_of(entry.q_tile_density(spark, SF))
+    reads = [ln for ln in s.splitlines() if "ReadSchema" in ln]
+    assert reads and all("text" not in ln and "warc_ts" not in ln
+                         for ln in reads)
+
+
+def test_pip_admin_broadcasts_cover(spark, entry):
+    """PIP join broadcasts the polygon cover; the points side must not
+    hash-shuffle before the join."""
+    s = plan_of(entry.q_pip_admin(spark, SF))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_datum_shift_single_arrow_stage(spark, entry):
+    """The fused cart->helmert->cart chain crosses the JVM/Python
+    boundary exactly once before aggregation."""
+    import re
+    s = plan_of(entry.q_datum_shift(spark, SF))
+    nodes = re.findall(r"^\(\d+\) ArrowEvalPython", s, re.M)
+    assert len(nodes) == 1
+
+
+def test_embed_topk_uses_take_ordered(spark, entry):
+    s = plan_of(entry.q_embed_topk(spark, SF))
+    assert "TakeOrderedAndProject" in s
+    # the scan reads only the embedding/vec_id columns
+    reads = [ln for ln in s.splitlines() if "ReadSchema" in ln]
+    assert reads
+
+
+def test_minhash_verify_not_pushed_below_distinct(spark, entry):
+    """The jaccard verify must evaluate ABOVE the candidate distinct —
+    a deterministic UDF filter would be pushed through the Aggregate
+    and re-verify every pre-distinct banded pair."""
+    from pyspark.sql import functions as F
+    from proj_spark.text.dedup import (minhash_lsh_candidates,
+                                       ngram_jaccard_pairs_udf)
+    import numpy as np
+    docs = entry._docs(spark, SF).select("doc_id", "text")
+    cand = minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=5)
+    jac = ngram_jaccard_pairs_udf({i: np.zeros(0, dtype=np.int64)
+                                   for i in range(10**6)})
+    s = plan_of(cand.withColumn("j", jac(F.col("id_a"), F.col("id_b")))
+                .where(F.col("j") >= 0.5))
+    # the Arrow eval node must appear before (above) the aggregates in
+    # the formatted tree — i.e. its node id is smaller
+    lines = s.splitlines()
+    arrow = next(i for i, ln in enumerate(lines) if "ArrowEvalPython" in ln)
+    agg = next(i for i, ln in enumerate(lines) if "HashAggregate" in ln)
+    assert arrow < agg
+
+
+def test_ngram_pairs_uses_broadcast_anti_join(spark, entry):
+    s = plan_of(entry.q_ngram_pairs(spark, SF))
+    assert "LeftAnti, BuildRight" in s or "BroadcastHashJoin" in s
