@@ -23,6 +23,7 @@ Float-parity rules used throughout (Spark JVM vs DuckDB libm):
 
 from __future__ import annotations
 
+import math
 import re
 from collections.abc import Callable
 
@@ -899,6 +900,134 @@ SELECT url, ROUND(degrees(lmg), 6) AS lon_etrs, ROUND(degrees(phg), 6) AS lat_et
 FROM g_inv2"""
 
 
+# synthetic NTv2 grid spec shared by the query and its oracle: a 17x21
+# half-degree grid over central Europe whose shift values are a closed
+# form of the cell indices (so the oracle can regenerate them in SQL,
+# including the file format's float32 quantization)
+GSB_W, GSB_E = 5.0, 15.0       # degrees east
+GSB_S, GSB_N = 47.0, 55.0
+GSB_INC = 0.5                  # degrees
+GSB_NLAM, GSB_NPHI = 21, 17
+
+
+def _gsb_shift_spec():
+    """(nphi, nlam, 2) float32 seconds: [:, :, 0]=phi, [:, :, 1]=lam."""
+    import numpy as np
+    iphi, ilam = np.mgrid[0:GSB_NPHI, 0:GSB_NLAM]
+    sh = np.zeros((GSB_NPHI, GSB_NLAM, 2), dtype=np.float32)
+    sh[:, :, 0] = (0.5 + 0.01 * iphi + 0.002 * ilam).astype(np.float32)
+    sh[:, :, 1] = (-0.8 + 0.02 * ilam - 0.003 * iphi).astype(np.float32)
+    return sh
+
+
+def q_gridshift_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal datum shift from an NTv2 (.gsb) FILE: the query writes
+    the deterministic synthetic grid to disk, loads it through the real
+    NTv2 parser (proj_spark.grids — reversed E-W storage, float32
+    seconds, reference gridinfo.cpp semantics), and applies the shift to
+    every page geotag inside the grid, exactly as a production datum
+    pipeline would (file -> broadcast grid -> vectorized bilinear +
+    nad_cvt).  The DuckDB oracle regenerates the grid values from the
+    same closed form (with the format's float32 quantization) and
+    reproduces the bilinear interpolation in SQL."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    from proj_spark import grids as G
+    from proj_spark.operations.datum import GRID_REGISTRY, HGridShift
+
+    name = "synthetic_query.gsb"
+    path = os.path.join(tempfile.gettempdir(), name)
+    G.write_gsb(path, [dict(
+        name="SYNTHQ", parent="NONE",
+        s_lat=GSB_S * 3600.0, n_lat=GSB_N * 3600.0,
+        w_long=-GSB_W * 3600.0, e_long=-GSB_E * 3600.0,
+        lat_inc=GSB_INC * 3600.0, long_inc=GSB_INC * 3600.0,
+        shifts=_gsb_shift_spec())])
+    G.register_grid_file(name, path)
+    op = HGridShift({"grids": name, "ellps": "GRS80"})
+    GRID_REGISTRY.pop(name, None)   # op holds the loaded GridSet
+
+    schema = StructType([StructField("lon_s", DoubleType()),
+                         StructField("lat_s", DoubleType())])
+
+    def _f(lon, lat):
+        lam, phi, _ = op.fwd3d(np.radians(lon.to_numpy(np.float64)),
+                               np.radians(lat.to_numpy(np.float64)), None)
+        return pd.DataFrame({"lon_s": np.degrees(lam),
+                             "lat_s": np.degrees(phi)})
+
+    udf = pandas_udf(_f, schema)
+    pts = _points(spark, sf_dir).where(
+        (F.col("lon") > GSB_W + 0.01) & (F.col("lon") < GSB_E - 0.01)
+        & (F.col("lat") > GSB_S + 0.01) & (F.col("lat") < GSB_N - 0.01))
+    return (pts.select("url", udf(F.col("lon"), F.col("lat")).alias("o"))
+            .select("url",
+                    F.round("o.lon_s", 9).alias("lon_s"),
+                    F.round("o.lat_s", 9).alias("lat_s")))
+
+
+def _sql_gridshift_file() -> str:
+    """Bilinear NTv2 shift in closed-form SQL: grid node values come from
+    the same index formula as _gsb_shift_spec, float32-quantized twice
+    exactly as the file round-trip does (writer casts seconds to float32;
+    the loader multiplies in double and stores float32 radians —
+    gridinfo.cpp:340-341 semantics)."""
+    d2r = repr(math.pi / 180.0)
+    sec2rad = repr(math.pi / 180.0 / 3600.0)
+    ll_lam = f"({repr(GSB_W)} * {d2r})"
+    ll_phi = f"({repr(GSB_S)} * {d2r})"
+    cell = f"({repr(GSB_INC)} * {d2r})"
+
+    def node(comp, ip, il):
+        if comp == "phi":
+            sec = f"0.5 + 0.01 * ({ip}) + 0.002 * ({il})"
+        else:
+            sec = f"-0.8 + 0.02 * ({il}) - 0.003 * ({ip})"
+        return (f"CAST(CAST(CAST(CAST(({sec}) AS FLOAT) AS DOUBLE) "
+                f"* {sec2rad} AS FLOAT) AS DOUBLE)")
+
+    n = _n_pages("sf0.01")
+    return f"""WITH {_pages_cte(n)},
+pts AS (
+  SELECT url, radians(lon) AS lam, radians(lat) AS phi
+  FROM pages
+  WHERE lon > {GSB_W + 0.01} AND lon < {GSB_E - 0.01}
+    AND lat > {GSB_S + 0.01} AND lat < {GSB_N - 0.01}
+),
+cellidx AS (
+  SELECT url, lam, phi,
+         (lam - {ll_lam}) / {cell} AS tl,
+         (phi - {ll_phi}) / {cell} AS tp
+  FROM pts
+),
+fracs AS (
+  SELECT url, lam, phi,
+         floor(tl) AS il, floor(tp) AS ip,
+         tl - floor(tl) AS fl, tp - floor(tp) AS fp
+  FROM cellidx
+),
+interp AS (
+  SELECT url, lam, phi,
+    (1.0 - fl) * (1.0 - fp) * {node('lam', 'ip', 'il')}
+      + fl * (1.0 - fp) * {node('lam', 'ip', 'il + 1')}
+      + (1.0 - fl) * fp * {node('lam', 'ip + 1', 'il')}
+      + fl * fp * {node('lam', 'ip + 1', 'il + 1')} AS dl,
+    (1.0 - fl) * (1.0 - fp) * {node('phi', 'ip', 'il')}
+      + fl * (1.0 - fp) * {node('phi', 'ip', 'il + 1')}
+      + (1.0 - fl) * fp * {node('phi', 'ip + 1', 'il')}
+      + fl * fp * {node('phi', 'ip + 1', 'il + 1')} AS dp
+  FROM fracs
+)
+SELECT url, ROUND(degrees(lam - dl), 9) AS lon_s,
+       ROUND(degrees(phi + dp), 9) AS lat_s
+FROM interp"""
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream rollup: per (type, hour) counts + exact cents sum.
 
@@ -971,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "events_hourly": q_events_hourly,
         "crs_dispatch": q_crs_dispatch,
+        "gridshift_file": q_gridshift_file,
     }
 
 
@@ -994,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_allpairs": _sql_embed_allpairs(),
         "events_hourly": _sql_events_hourly(),
         "crs_dispatch": _sql_crs_dispatch(),
+        "gridshift_file": _sql_gridshift_file(),
         # utm_project / minhash_neardup / simhash_neardup: rows-only
         # (non-SQL-expressible kernels; gated by the gie fixture pytest suite)
     }

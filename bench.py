@@ -28,7 +28,7 @@ HEADLINE = [
     "tile_density", "cell_rollup", "pip_admin", "knn", "utm_zones",
     "webmerc_bbox", "utm_project", "datum_shift", "doc_stats", "exact_dedup",
     "token_topk", "ngram_pairs", "embed_topk", "events_hourly",
-    "crs_dispatch", "minhash_neardup", "simhash_neardup",
+    "crs_dispatch", "gridshift_file", "minhash_neardup", "simhash_neardup",
 ]
 
 
