@@ -18,19 +18,19 @@ Lowering rules:
 from __future__ import annotations
 
 import gzip
+import importlib.resources
 import json
 import math
-import os
 from functools import lru_cache
-
-_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "data", "epsg_catalog.json.gz")
 
 
 @lru_cache(maxsize=1)
 def catalog() -> dict:
-    with gzip.open(_DATA, "rb") as f:
-        return json.load(f)
+    # importlib.resources works from a plain checkout AND from a
+    # spark-submit --py-files zip (zipimport has no real file paths)
+    blob = (importlib.resources.files("proj_spark.data")
+            .joinpath("epsg_catalog.json.gz").read_bytes())
+    return json.loads(gzip.decompress(blob))
 
 
 # ---------------------------------------------------------------------------

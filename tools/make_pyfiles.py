@@ -4,9 +4,11 @@ Usage:
     python tools/make_pyfiles.py [out.zip]
     spark-submit --py-files proj_spark.zip your_job.py
 
-The zip contains only the pure-python package; every kernel constant is
-computed at operator construction on the driver and shipped to executors
-inside the pandas-UDF closures, so no data files are needed.
+The zip contains the pure-python package plus the vendored EPSG catalog
+(proj_spark/data/epsg_catalog.json.gz — resolved lazily on first
+authority-code lookup); kernel constants are computed at operator
+construction on the driver and shipped to executors inside the
+pandas-UDF closures.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ def build(out: str) -> str:
         for root, dirs, files in os.walk(pkg):
             dirs[:] = [d for d in dirs if d != "__pycache__"]
             for f in sorted(files):
-                if f.endswith(".py"):
+                if f.endswith((".py", ".json.gz")):
                     p = os.path.join(root, f)
                     z.write(p, os.path.relpath(p, ROOT))
     return out
