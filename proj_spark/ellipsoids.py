@@ -99,29 +99,115 @@ def get_ellipsoid(name: str) -> Ellipsoid:
 
 
 def ellipsoid_from_params(params: dict) -> Ellipsoid:
-    """Resolve ellipsoid from proj-string params, mirroring the resolution
-    order of the reference's pj_ellipsoid (src/ell_set.cpp:24):
-    +ellps name, or explicit +a with +b/+rf/+f/+es, or +R (sphere),
-    defaulting to GRS80 when nothing is given.
+    """Resolve the ellipsoid from proj-string params, mirroring the full
+    resolution order of the reference's pj_ellipsoid (src/ell_set.cpp):
+
+      1. +ellps name sets base size+shape (unknown name -> error);
+      2. size: +R (forces a sphere) else +a override;
+      3. shape override in the reference's check order
+         rf > f > es > e > b, with its validation rules (rf != 0,
+         f < 1, 0 <= es < 1, 0 <= e < 1, b > 0);
+      4. spherification flags R_A / R_V / R_a / R_g / R_h /
+         R_lat_a=phi / R_lat_g=phi (src/ell_set.cpp:325-420);
+      5. default GRS80 when nothing is given.
     """
-    if "R" in params:
-        r = float(params["R"])
-        return Ellipsoid(a=r, es=0.0, name="sphere")
-    if "a" in params:
-        a = float(params["a"])
-        if "b" in params:
-            return _from_a_b(a, float(params["b"]), "custom")
-        if "rf" in params:
-            return _from_a_rf(a, float(params["rf"]), "custom")
-        if "f" in params:
-            f = float(params["f"])
-            return Ellipsoid(a=a, es=2 * f - f * f, name="custom")
-        if "es" in params:
-            return Ellipsoid(a=a, es=float(params["es"]), name="custom")
-        return Ellipsoid(a=a, es=0.0, name="sphere")
+    a = None
+    es = 0.0
+    name = "custom"
     if "ellps" in params:
-        return get_ellipsoid(str(params["ellps"]))
-    if "datum" in params and params["datum"] == "WGS84":
-        return get_ellipsoid("WGS84")
-    # reference default ellipsoid is GRS80 (src/ell_set.cpp)
-    return get_ellipsoid("GRS80")
+        ell = get_ellipsoid(str(params["ellps"]))   # KeyError if unknown
+        a, es, name = ell.a, ell.es, ell.name
+    elif "datum" in params and params["datum"] == "WGS84":
+        ell = get_ellipsoid("WGS84")
+        a, es, name = ell.a, ell.es, ell.name
+
+    # size (ellps_size: R wins over a; value must be finite positive)
+    is_sphere_forced = False
+    if "R" in params:
+        a = float(params["R"])
+        es = 0.0
+        is_sphere_forced = True
+        name = "sphere"
+    elif "a" in params:
+        a = float(params["a"])
+    if a is not None and (not math.isfinite(a) or a <= 0):
+        raise ValueError("major axis not given or invalid")
+
+    # shape (ellps_shape check order), unless R forced a sphere
+    if not is_sphere_forced:
+        shape_key = next((k for k in ("rf", "f", "es", "e", "b")
+                          if k in params), None)
+        if shape_key is None:
+            if a is None:
+                ell = get_ellipsoid("GRS80")   # reference default
+                a, es, name = ell.a, ell.es, ell.name
+        else:
+            if a is None:
+                raise ValueError("major axis not given")
+            v = float(params[shape_key])
+            if not math.isfinite(v):
+                raise ValueError("invalid ellipsoid shape argument")
+            if shape_key == "rf":
+                if v == 0:
+                    raise ValueError("reverse flattening is zero")
+                f = 1.0 / v
+                es = 2 * f - f * f
+            elif shape_key == "f":
+                if v >= 1.0:
+                    raise ValueError("invalid flattening")
+                es = 2 * v - v * v
+            elif shape_key == "es":
+                if v >= 1.0:
+                    raise ValueError("invalid eccentricity")
+                es = v
+            elif shape_key == "e":
+                if v < 0 or v >= 1.0:
+                    raise ValueError("invalid eccentricity")
+                es = v * v
+            else:  # b
+                if v <= 0:
+                    raise ValueError("invalid semiminor axis")
+                f = (a - v) / a
+                es = 2 * f - f * f
+            if es < 0:
+                raise ValueError("es less than zero")
+            name = "custom"
+    elif a is None:
+        ell = get_ellipsoid("GRS80")
+        a, es, name = ell.a, ell.es, ell.name
+
+    # spherification (ellps_spherification)
+    spher = next((k for k in ("R_A", "R_V", "R_a", "R_g", "R_h",
+                              "R_lat_a", "R_lat_g") if k in params), None)
+    if spher is not None and not is_sphere_forced:
+        SIXTH, RA4, RA6 = 1 / 6.0, 17 / 360.0, 67 / 3024.0
+        RV4, RV6 = 5 / 72.0, 55 / 1296.0
+        b = a * math.sqrt(max(1.0 - es, 0.0))
+        if spher == "R_A":
+            a *= 1.0 - es * (SIXTH + es * (RA4 + es * RA6))
+        elif spher == "R_V":
+            a *= 1.0 - es * (SIXTH + es * (RV4 + es * RV6))
+        elif spher == "R_a":
+            a = (a + b) / 2.0
+        elif spher == "R_g":
+            a = math.sqrt(a * b)
+        elif spher == "R_h":
+            if a + b == 0:
+                raise ValueError("tolerance condition")
+            a = (2.0 * a * b) / (a + b)
+        else:
+            phi = math.radians(float(params[spher]))
+            if abs(phi) > math.pi / 2 + 1e-15:
+                raise ValueError("reference latitude larger than 90")
+            t = 1.0 - es * math.sin(phi) ** 2
+            if t == 0.0:
+                raise ValueError("invalid eccentricity")
+            if spher == "R_lat_a":
+                a *= (1.0 - es + t) / (2.0 * t * math.sqrt(t))
+            else:
+                a *= math.sqrt(1.0 - es) / t
+        if not math.isfinite(a) or a <= 0:
+            raise ValueError("major axis not given or invalid")
+        es = 0.0
+        name = "sphere"
+    return Ellipsoid(a=a, es=es, name=name)

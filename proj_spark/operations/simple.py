@@ -249,23 +249,56 @@ UNITS_TO_METER: dict[str, float] = {
 }
 
 
+#: angular units (src/units.cpp pj_angular_units[])
+ANGULAR_TO_RAD: dict[str, float] = {
+    "rad": 1.0,
+    "deg": 0.017453292519943296,
+    "grad": 0.015707963267948967,
+}
+
+
 class UnitConvert(Operation):
-    """Linear unit conversion on x/y (+xy_in= +xy_out=)."""
+    """Linear/angular/vertical/time unit conversion (+xy_in/+xy_out,
+    +z_in/+z_out, +t_in/+t_out — src/conversions/unitconvert.cpp).
+
+    Unit resolution per the reference: named linear unit, named angular
+    unit, or a bare numeric factor (zero/infinite factors rejected);
+    mixing a linear with an angular unit on one axis pair is an error.
+    I/O unit tags become RADIANS only when the respective unit IS the
+    radian (unitconvert.cpp:480-495), 'whatever' otherwise."""
 
     proj_name = "unitconvert"
-    left = right = "projected"
+    left = right = "whatever"
+
+    @staticmethod
+    def _factor(v) -> tuple[float, int]:
+        """-> (conversion factor, is_linear: 1/0/-1 unknown)."""
+        import math as _math
+        if isinstance(v, str) and v in UNITS_TO_METER:
+            return UNITS_TO_METER[v], 1
+        if isinstance(v, str) and v in ANGULAR_TO_RAD:
+            return ANGULAR_TO_RAD[v], 0
+        f = float(v)
+        if f == 0.0 or not _math.isfinite(f) or 1.0 / f == 0.0:
+            raise ValueError(f"unitconvert: unknown/degenerate unit {v!r}")
+        return f, -1
 
     def setup(self) -> None:
-        def factor(key: str) -> float:
-            v = self.params.get(key, "m")
-            if isinstance(v, str) and v in UNITS_TO_METER:
-                return UNITS_TO_METER[v]
-            return float(v)
-        self.f = factor("xy_in") / factor("xy_out")
-        zi = self.params.get("z_in", "m")
-        zo = self.params.get("z_out", "m")
-        self.fz = (UNITS_TO_METER.get(zi, 1.0) if isinstance(zi, str) else float(zi)) / (
-            UNITS_TO_METER.get(zo, 1.0) if isinstance(zo, str) else float(zo))
+        fi, li = self._factor(self.params.get("xy_in", "m"))
+        fo, lo = self._factor(self.params.get("xy_out", "m"))
+        if li >= 0 and lo >= 0 and li != lo:
+            raise ValueError("unitconvert: mixing linear and angular units")
+        self.f = fi / fo
+        zfi, zli = self._factor(self.params.get("z_in", "m"))
+        zfo, zlo = self._factor(self.params.get("z_out", "m"))
+        if zli >= 0 and zlo >= 0 and zli != zlo:
+            raise ValueError("unitconvert: mixing linear and angular units")
+        self.fz = zfi / zfo
+        # radian-in/out flips the io unit tags (unitconvert.cpp:480-495)
+        self.left = ("radians" if self.params.get("xy_in") == "rad"
+                     else "whatever")
+        self.right = ("radians" if self.params.get("xy_out") == "rad"
+                      else "whatever")
 
     def fwd(self, x, y):
         return np.asarray(x, dtype=np.float64) * self.f, np.asarray(y, dtype=np.float64) * self.f
@@ -273,30 +306,110 @@ class UnitConvert(Operation):
     def inv(self, x, y):
         return np.asarray(x, dtype=np.float64) / self.f, np.asarray(y, dtype=np.float64) / self.f
 
+    # 3D/4D: vertical (+z_in/+z_out) and time (+t_in/+t_out) units
+    # (src/conversions/unitconvert.cpp:102-273)
+    def fwd3d(self, x, y, z):
+        ox, oy = self.fwd(x, y)
+        z = np.zeros_like(ox) if z is None else np.asarray(z, dtype=np.float64)
+        return ox, oy, z * self.fz
+
+    def inv3d(self, x, y, z):
+        ox, oy = self.inv(x, y)
+        z = np.zeros_like(ox) if z is None else np.asarray(z, dtype=np.float64)
+        return ox, oy, z / self.fz
+
+    def _time(self, t, inverse: bool):
+        t_in = self.params.get("t_in")
+        t_out = self.params.get("t_out")
+        if t is None or (t_in is None and t_out is None):
+            return t
+        a = str(t_in or t_out)
+        b = str(t_out or t_in)
+        if inverse:
+            a, b = b, a
+        return convert_time(t, a, b)
+
+    def fwd4d(self, x, y, z, t):
+        ox, oy, oz = self.fwd3d(x, y, z)
+        return ox, oy, oz, self._time(t, False)
+
+    def inv4d(self, x, y, z, t):
+        ox, oy, oz = self.inv3d(x, y, z)
+        return ox, oy, oz, self._time(t, True)
+
 
 class AxisSwap(Operation):
-    """Reorder / sign-flip axes: +order=2,1 or +order=-1,2 etc."""
+    """Reorder / sign-flip 2-4 axes: +order=2,1 / +order=-1,2 /
+    +order=1,2,4,3 ... (src/conversions/axisswap.cpp:63); axes beyond
+    the listed ones pass through in place."""
 
     proj_name = "axisswap"
-    left = right = "projected"
+    left = right = "whatever"
+
+    #: +axis= chars -> signed 1-based order token (axisswap.cpp also
+    #: accepts the cs2cs-style axis spec as its own parameter)
+    _AXIS_TOK = {"e": "1", "w": "-1", "n": "2", "s": "-2",
+                 "u": "3", "d": "-3"}
 
     def setup(self) -> None:
-        order = str(self.params.get("order", "1,2"))
-        toks = order.split(",")[:2]
+        if "order" in self.params and "axis" in self.params:
+            raise ValueError("axisswap: give +order OR +axis, not both")
+        if "order" not in self.params and "axis" not in self.params:
+            raise ValueError("axisswap: +order or +axis required")
+        if "angularunits" in self.params:
+            self.left = self.right = "radians"
+        if "axis" in self.params:
+            spec = str(self.params["axis"])
+            order = ",".join(self._AXIS_TOK[ch] for ch in spec)
+            self.axes = None   # axis= is OUR parameter, not a modifier
+        else:
+            order = str(self.params.get("order", "1,2"))
+        toks = [t.strip() for t in order.split(",")]
+        if not 2 <= len(toks) <= 4:
+            raise ValueError(f"axisswap: order needs 2-4 axes, got {order!r}")
         self.idx = [abs(int(t)) - 1 for t in toks]
+        if sorted(self.idx) != list(range(len(toks))):
+            raise ValueError(f"axisswap: order must list each axis once "
+                             f"({order!r})")
         self.sgn = [-1.0 if t.startswith("-") else 1.0 for t in toks]
 
     def fwd(self, x, y):
+        if any(j >= 2 for j in self.idx[:2]):
+            raise NotImplementedError("axisswap touching z/t needs fwd4d")
         cols = [np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)]
         return self.sgn[0] * cols[self.idx[0]], self.sgn[1] * cols[self.idx[1]]
 
     def inv(self, x, y):
+        if any(j >= 2 for j in self.idx[:2]):
+            raise NotImplementedError("axisswap touching z/t needs inv4d")
         ins = [np.asarray(x, dtype=np.float64) * self.sgn[0],
                np.asarray(y, dtype=np.float64) * self.sgn[1]]
         out = [None, None]
         out[self.idx[0]] = ins[0]
         out[self.idx[1]] = ins[1]
         return out[0], out[1]
+
+    def fwd4d(self, x, y, z, t):
+        c = [np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64),
+             np.zeros_like(np.asarray(x, dtype=np.float64)) if z is None
+             else np.asarray(z, dtype=np.float64),
+             np.zeros_like(np.asarray(x, dtype=np.float64)) if t is None
+             else np.asarray(t, dtype=np.float64)]
+        out = list(c)
+        for i, (j, s) in enumerate(zip(self.idx, self.sgn)):
+            out[i] = s * c[j]
+        return tuple(out)
+
+    def inv4d(self, x, y, z, t):
+        c = [np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64),
+             np.zeros_like(np.asarray(x, dtype=np.float64)) if z is None
+             else np.asarray(z, dtype=np.float64),
+             np.zeros_like(np.asarray(x, dtype=np.float64)) if t is None
+             else np.asarray(t, dtype=np.float64)]
+        out = list(c)
+        for i, (j, s) in enumerate(zip(self.idx, self.sgn)):
+            out[j] = s * c[i]
+        return tuple(out)
 
 
 # ---------------------------------------------------------------------------
