@@ -1,0 +1,126 @@
+"""Command-line entry points mirroring the reference's CLI apps:
+
+    python -m proj_spark proj <+proj-string|EPSG:code|WKT>   [< coords]
+    python -m proj_spark cs2cs <src> <dst>                   [< coords]
+    python -m proj_spark projinfo <definition>
+
+`proj` reads "lon lat [z [t]]" lines from stdin (degrees for angular
+input, like src/apps/proj.cpp) and prints projected coordinates; `-I`
+inverts.  `cs2cs` transforms between two CRSs through the planner
+(src/apps/cs2cs.cpp analogue).  `projinfo` prints the resolved
+proj-string, ellipsoid, and — for CRS pairs via `projinfo src dst` —
+the ranked candidate operations (src/apps/projinfo.cpp analogue).
+
+Batch semantics: stdin is consumed in chunks and processed through the
+same vectorized NumPy kernels the Spark UDFs use, so the CLI is also a
+convenient single-node smoke harness for the kernels.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def _read_coords(stream):
+    rows = []
+    for line in stream:
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        rows.append([float(v) for v in line.split()[:4]])
+    n = max((len(r) for r in rows), default=2)
+    arr = np.full((len(rows), 4), np.nan)
+    for i, r in enumerate(rows):
+        arr[i, :len(r)] = r
+    return arr, n
+
+
+def _fmt(vals, ncols):
+    out = []
+    for row in zip(*vals):
+        out.append("\t".join(f"{v:.10g}" for v in row[:ncols]))
+    return "\n".join(out)
+
+
+def cmd_proj(args) -> int:
+    from proj_spark import create
+    inverse = "-I" in args
+    args = [a for a in args if a != "-I"]
+    op = create(" ".join(args))
+    arr, ncols = _read_coords(sys.stdin)
+    if not len(arr):
+        return 0
+    x, y = arr[:, 0], arr[:, 1]
+    if inverse:
+        lam, phi = op.inv(x, y)
+        print(_fmt((np.degrees(lam), np.degrees(phi)), 2))
+    else:
+        ox, oy = op.fwd(np.radians(x), np.radians(y))
+        print(_fmt((ox, oy), 2))
+    return 0
+
+
+def cmd_cs2cs(args) -> int:
+    from proj_spark import crs_to_crs
+    t = crs_to_crs(args[0], args[1])
+    arr, ncols = _read_coords(sys.stdin)
+    if not len(arr):
+        return 0
+    x, y = arr[:, 0], arr[:, 1]
+    z = np.where(np.isnan(arr[:, 2]), 0.0, arr[:, 2])
+    if t.src.is_geographic:
+        x, y = np.radians(x), np.radians(y)
+    ox, oy, oz = t.fwd3d(x, y, z)
+    if t.dst.is_geographic:
+        ox, oy = np.degrees(ox), np.degrees(oy)
+    print(_fmt((ox, oy, oz), 3 if ncols > 2 else 2))
+    return 0
+
+
+def cmd_projinfo(args) -> int:
+    from proj_spark import create, epsg
+    if len(args) >= 2 and not args[1].startswith("-"):
+        from proj_spark.planner import crs_to_crs
+        t = crs_to_crs(args[0], args[1])
+        print(f"Candidate operations ({args[0]} -> {args[1]}):")
+        for i, c in enumerate(t.candidates):
+            acc = f"{c.accuracy} m" if c.accuracy >= 0 else "unknown"
+            print(f"  {i + 1}. {c.name}  [accuracy: {acc}, "
+                  f"extent: {c.extent}]")
+        return 0
+    definition = " ".join(args)
+    if definition.strip().upper().startswith("EPSG:"):
+        resolved = epsg.resolve(definition.strip())
+        print(f"proj-string: {resolved}")
+    else:
+        resolved = definition
+    op = create(definition)
+    ell = getattr(op, "ell", None)
+    if ell is not None:
+        print(f"operation:   {getattr(op, 'proj_name', type(op).__name__)}")
+        print(f"ellipsoid:   {ell.name} a={ell.a!r} es={ell.es!r}")
+    else:
+        print(f"operation:   pipeline ({len(op.steps)} steps)")
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__)
+        return 2
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "proj":
+        return cmd_proj(rest)
+    if cmd == "cs2cs":
+        return cmd_cs2cs(rest)
+    if cmd == "projinfo":
+        return cmd_projinfo(rest)
+    print(f"unknown command {cmd!r}; expected proj | cs2cs | projinfo")
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

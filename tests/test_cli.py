@@ -1,0 +1,38 @@
+"""The proj/cs2cs/projinfo command-line entry points (python -m proj_spark),
+mirroring the reference's CLI apps (src/apps/{proj,cs2cs,projinfo}.cpp)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def run(args, stdin=""):
+    p = subprocess.run([sys.executable, "-m", "proj_spark"] + args,
+                       input=stdin, capture_output=True, text=True,
+                       cwd="/root/repo")
+    assert p.returncode == 0, p.stderr
+    return p.stdout.strip()
+
+
+def test_proj_forward_inverse():
+    out = run(["proj", "+proj=utm", "+zone=32", "+ellps=GRS80"], "12 56\n")
+    x, y = [float(v) for v in out.split()]
+    assert abs(x - 687071.4391) < 1e-3 and abs(y - 6210141.3267) < 1e-3
+    back = run(["proj", "-I", "+proj=utm", "+zone=32", "+ellps=GRS80"],
+               f"{x} {y}\n")
+    lon, lat = [float(v) for v in back.split()]
+    assert abs(lon - 12) < 1e-8 and abs(lat - 56) < 1e-8
+
+
+def test_cs2cs_dhdn():
+    out = run(["cs2cs", "EPSG:4314", "EPSG:4258"], "7.483333333333 53.5\n")
+    lon, lat = [float(v) for v in out.split()[:2]]
+    assert abs(lon - 7.482506) < 3e-5 and abs(lat - 53.498461) < 3e-5
+
+
+def test_projinfo_code_and_pair():
+    out = run(["projinfo", "EPSG:32632"])
+    assert "+proj=utm" in out or "tmerc" in out
+    out = run(["projinfo", "EPSG:4230", "EPSG:4258"])
+    assert "Candidate operations" in out and "North Sea" in out
