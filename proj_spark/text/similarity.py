@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -109,37 +110,66 @@ def knn_pairs_topk(embeddings: DataFrame, k: int, dim: int,
     shuffles on (table, bucket) keys, so work is sum of squared bucket
     sizes — never n^2.  Exact cosine verifies every candidate.
     Returns (vec_id, nbr_id, cosine, rank) with rank <= k."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
     from pyspark.sql.window import Window
 
     vec = F.col(vec_col).cast("array<double>")
     planes = _hyperplanes(dim, n_planes * n_tables)
-    tables = []
-    for t in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for b_ in range(n_planes):
-            q = F.array(*[F.lit(float(x))
-                          for x in planes[t * n_planes + b_]])
-            d = F.aggregate(F.zip_with(vec, q, lambda a, bb: a * bb),
-                            F.lit(0.0), lambda acc, x: acc + x)
-            bucket = bucket + F.when(d > 0, F.lit(1 << b_).cast("long"))                 .otherwise(F.lit(0).cast("long"))
-        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
-    b = (embeddings.select(F.col(id_col), vec.alias("_v"),
-                           F.explode(F.array(*tables)).alias("_tb"))
-         .select(id_col, "_v", F.col("_tb.t").alias("_t"),
-                 F.col("_tb.b").alias("_b")))
+    # One (batch, dim) @ (dim, tables*planes) matmul yields every
+    # hyperplane sign at once.  The previous formulation spelled each of
+    # the n_tables*n_planes dot products as a Catalyst aggregate/zip_with
+    # lambda over literal arrays — a ~6k-node expression tree whose
+    # ANALYSIS dominated the query (12+ s at 1.5k vectors); the UDF
+    # keeps the plan tiny and the math one BLAS call per Arrow batch.
+    P = np.asarray(planes, dtype=np.float64).T          # (dim, T*m)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def _buckets_fn(v):
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        signs = (m @ P) > 0                              # (batch, T*m)
+        bits = signs.reshape(len(m), n_tables, n_planes)
+        out = (bits * weights).sum(axis=2)               # (batch, T)
+        return pd.Series(list(out))
+
+    _buckets = pandas_udf(_buckets_fn, ArrayType(LongType()))
+
+    b = (embeddings.select(F.col(id_col),
+                           F.posexplode(_buckets(vec)).alias("_t", "_b")))
     left = b.alias("l")
     right = b.alias("r")
     cand = (left.join(right, (F.col("l._t") == F.col("r._t"))
                       & (F.col("l._b") == F.col("r._b"))
                       & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")))
             .select(F.col(f"l.{id_col}").alias(id_col),
-                    F.col(f"r.{id_col}").alias("nbr_id"),
-                    F.col("l._v").alias("_va"), F.col("r._v").alias("_vb"))
-            .dropDuplicates([id_col, "nbr_id"])
-            .select(F.col(id_col), F.col("nbr_id"),
-                    F.round(cosine_pair_expr(F.col("_va"), F.col("_vb")),
-                            8).alias("cosine")))
+                    F.col(f"r.{id_col}").alias("nbr_id"))
+            .dropDuplicates([id_col, "nbr_id"]))
+    # Exact-cosine verify with a broadcast id -> unit-vector dictionary:
+    # pairs carry two ids (not two arrays) through the join/distinct, and
+    # each Arrow batch verifies with two gathers + one row-wise product
+    # (the same small-side-dictionary pattern as the minhash verify; at
+    # corpus scale shard pairs by id range with per-shard dictionaries).
+    rows = embeddings.select(F.col(id_col), vec.alias("_v")).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    index = {int(i): k_ for k_, i in enumerate(ids)}
+    bc = embeddings.sparkSession.sparkContext.broadcast((index, mat))
+
+    def _cos_fn(ia, ib):
+        idx, m = bc.value
+        ka = np.fromiter((idx[int(v)] for v in ia), dtype=np.int64,
+                         count=len(ia))
+        kb = np.fromiter((idx[int(v)] for v in ib), dtype=np.int64,
+                         count=len(ib))
+        return pd.Series(np.einsum("ij,ij->i", m[ka], m[kb]))
+
+    from pyspark.sql.types import DoubleType
+    _cos = pandas_udf(_cos_fn, DoubleType())
+
+    scored = cand.withColumn("cosine", F.round(_cos(F.col(id_col),
+                                                    F.col("nbr_id")), 8))
     w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(),
                                            F.col("nbr_id"))
-    return (cand.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
