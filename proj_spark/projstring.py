@@ -115,6 +115,40 @@ def create(definition: str):
     return reg[name](params)
 
 
+#: io-unit families for pipeline compatibility checking: 'classic' ops
+#: emit meters after the base finalize, so they join 'projected'
+_LINEAR = {"classic", "projected"}
+
+
+def _check_units(steps: list, inverted: list[bool]) -> None:
+    """Adjacent pipeline steps must agree on io units — the reference
+    rejects e.g. merc->merc at construction (pipeline setup units
+    bookkeeping, src/pipeline.cpp:409-410; gie
+    pjd_err_malformed_pipeline cases in 4D-API_cs2cs-style.gie:276-284).
+    'whatever'-tagged ops (axisswap, unitconvert) pass anything through.
+    """
+    def fam(u: str) -> str:
+        return "linear" if u in _LINEAR else u
+
+    prev_out = None
+    for op, inv in zip(steps, inverted):
+        if isinstance(op, _PushPop):
+            continue
+        left = getattr(op, "left", "radians")
+        right = getattr(op, "right", "classic")
+        step_in = right if inv else left
+        step_out = left if inv else right
+        if (prev_out is not None and "whatever" not in (prev_out, step_in)
+                and fam(prev_out) != fam(step_in)):
+            raise ValueError(
+                f"malformed pipeline: step '{getattr(op, 'proj_name', '?')}'"
+                f" expects {step_in} input but the previous step emits "
+                f"{prev_out}")
+        if step_out != "whatever":
+            prev_out = step_out
+        # 'whatever' output leaves prev_out unchanged (transparent step)
+
+
 class _PushPop:
     """Marker step for the pipeline's coordinate-slot stacks
     (src/pipeline.cpp:600-649): +proj=push/pop +v_1..+v_4."""
@@ -163,6 +197,7 @@ class Pipeline:
             reg = _registry()
             steps.append(reg[name](merged))
             inverted.append(inv)
+        _check_units(steps, inverted)
         return cls(steps, inverted)
 
     @staticmethod

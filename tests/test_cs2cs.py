@@ -182,3 +182,18 @@ def test_dms_parsing():
     assert dms_to_deg("9d07'54.862\"W") == -(9 + 7 / 60 + 54.862 / 3600)
     with pytest.raises(ValueError):
         dms_to_deg("not-an-angle")
+
+
+def test_malformed_pipeline_rejected():
+    # 4D-API_cs2cs-style.gie:276-284: unit-incompatible step sequences
+    # must fail at construction (pjd_err_malformed_pipeline)
+    with pytest.raises(ValueError):
+        create("+proj=pipeline +step +proj=merc +step +proj=merc")
+    with pytest.raises(ValueError):
+        create("+proj=pipeline +step +proj=latlong +step +proj=merc "
+               "+step +proj=helmert +x=200 +y=100")
+    # ...while the unitconvert-terminated pipeline stays valid (:286-291)
+    p = create("+proj=pipeline +step +proj=merc +ellps=WGS84 "
+               "+step +proj=unitconvert +xy_in=m +xy_out=km")
+    x, y = p.fwd(np.array([np.radians(12.0)]), np.array([np.radians(56.0)]))
+    assert abs(x[0] - 1335.8339) < 1e-3
