@@ -58,9 +58,52 @@ def cover_cells(polygons: DataFrame, z: int, ring_col: str = "ring",
           .withColumn("_ys", F.sequence(y0, y1))
           .withColumn("_x", F.explode("_xs"))
           .withColumn("_y", F.explode("_ys")))
+    # interior/boundary split: a cell certainly lies fully inside the
+    # polygon when one of its corners is inside AND no ring edge's bbox
+    # overlaps the cell rectangle (conservative: boundary-marking a few
+    # extra cells costs only the exact test, never correctness).  Points
+    # landing in interior cells skip the exact ray-cast entirely —
+    # essential for continent-sized polygons whose cover is dominated by
+    # interior cells.
+    n = float(1 << z)
+    cx0 = F.col("_x") / F.lit(n) * 360.0 - 180.0
+    cx1 = (F.col("_x") + 1) / F.lit(n) * 360.0 - 180.0
+    cy0 = F.degrees(F.atan(F.sinh(
+        F.lit(np.pi) * (1.0 - 2.0 * (F.col("_y") + 1) / F.lit(n)))))
+    cy1 = F.degrees(F.atan(F.sinh(
+        F.lit(np.pi) * (1.0 - 2.0 * F.col("_y") / F.lit(n)))))
+    edges = F.zip_with(
+        F.slice(F.col(ring_col), 1, F.size(F.col(ring_col)) - 1),
+        F.slice(F.col(ring_col), 2, F.size(F.col(ring_col)) - 1),
+        lambda a, b: F.struct(a["lon"].alias("x1"), a["lat"].alias("y1"),
+                              b["lon"].alias("x2"), b["lat"].alias("y2")),
+    )
+    def _edge_touches(e):
+        # exact segment / axis-aligned-rect test: bboxes overlap AND the
+        # rect's corners do not all lie strictly on one side of the
+        # edge's supporting line
+        bbox_overlap = ~((F.greatest(e["x1"], e["x2"]) < cx0)
+                         | (F.least(e["x1"], e["x2"]) > cx1)
+                         | (F.greatest(e["y1"], e["y2"]) < cy0)
+                         | (F.least(e["y1"], e["y2"]) > cy1))
+        dx = e["x2"] - e["x1"]
+        dy = e["y2"] - e["y1"]
+
+        def side(px, py):
+            return dx * (py - e["y1"]) - dy * (px - e["x1"])
+
+        d1, d2 = side(cx0, cy0), side(cx1, cy0)
+        d3, d4 = side(cx0, cy1), side(cx1, cy1)
+        one_side = ((F.greatest(d1, d2, d3, d4) < 0)
+                    | (F.least(d1, d2, d3, d4) > 0))
+        return bbox_overlap & ~one_side
+
+    edge_touches = F.exists(edges, _edge_touches)
+    interior = (~edge_touches) & pip_expr(cx0, cy0, F.col(ring_col))
     return p.select(
         cells.pack_cell(z, F.col("_x"), F.col("_y")).alias("cell"),
         F.col(id_col), F.col(ring_col),
+        interior.alias("interior"),
     )
 
 
@@ -126,7 +169,9 @@ def pip_join(points: DataFrame, polygons: DataFrame, z: int = 7,
     joined = pts.join(cover, pts["_cell"] == cover["cell"], "inner")
     exact = (pip_pandas_udf(F.col(lon_col), F.col(lat_col), F.col(ring_col))
              if use_udf else pip_expr(F.col(lon_col), F.col(lat_col), F.col(ring_col)))
-    return joined.where(exact).drop("_cell", "cell", ring_col)
+    # interior cells need no exact test (Or short-circuits in codegen)
+    return (joined.where(F.col("interior") | exact)
+            .drop("_cell", "cell", ring_col, "interior"))
 
 
 def polygon_area_udf(ellps_a: float = 6378137.0,

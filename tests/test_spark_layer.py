@@ -275,3 +275,32 @@ def test_knn_many_queries_distributed(spark, geo):
         for rank, (ed, eid) in enumerate(order, start=1):
             gid, gd = mine[(qid, rank)]
             assert gid == eid and abs(gd - ed) < 1e-6, (qid, rank, eid, gid)
+
+
+def test_pip_interior_cell_split(spark):
+    """Interior/boundary cover split: at a zoom fine enough that big
+    polygons contain fully-interior cells, results must equal brute
+    force exactly, and interior cells must actually be detected."""
+    import pyspark.sql.functions as F2
+    from proj_spark.spatial.pip import cover_cells, pip_join
+
+    ring = [{"lon": v[0], "lat": v[1]} for v in
+            [(-5.0, 40.0), (5.0, 40.0), (5.0, 50.0), (-5.0, 50.0),
+             (-5.0, 40.0)]]
+    polys = spark.createDataFrame(
+        [(1, ring)],
+        "admin_id int, ring array<struct<lon:double,lat:double>>")
+    cov = cover_cells(polys, z=7).collect()
+    interior = [r for r in cov if r["interior"]]
+    assert interior, "a 10x10 degree box at z=7 must have interior cells"
+    assert len(interior) < len(cov)
+    rng = np.random.default_rng(3)
+    pts = spark.createDataFrame(
+        [(int(i), float(lo), float(la)) for i, (lo, la) in enumerate(
+            zip(rng.uniform(-8, 8, 4000), rng.uniform(37, 53, 4000)))],
+        "pid long, lon double, lat double")
+    got = sorted(r["pid"] for r in pip_join(pts, polys, z=7).collect())
+    pdf = pts.toPandas()
+    exp = sorted(pdf["pid"][(pdf["lon"] > -5) & (pdf["lon"] < 5)
+                            & (pdf["lat"] > 40) & (pdf["lat"] < 50)])
+    assert got == list(exp)
