@@ -28,7 +28,7 @@ fallback behavior when no DB entry matches (ballpark transformation).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
