@@ -18,11 +18,13 @@ Ports the reference's coordinate-operation planning driver-side:
     no-grids fallback — vectorized as masked candidate assignment over
     whole NumPy batches instead of per-point branching.
 
-Candidate *enumeration* differs by necessity: the reference consults the
-EPSG SQLite catalog (src/iso19111/factory.cpp:126-292); this engine uses
-a small static registry of published transformations (KNOWN_OPS) plus
-the generic towgs84/cart hub route, which is exactly the reference's
-fallback behavior when no DB entry matches (ballpark transformation).
+Candidate *enumeration* mirrors the reference's database consultation
+(src/iso19111/factory.cpp:126-292): a small curated registry
+(KNOWN_OPS, stable hand-verified entries) takes priority, every other
+datum pair draws from the vendored EPSG transformation tables
+(catalog_candidates: 1432 helmert + grid operations with published
+extents and accuracies), and the generic towgs84/cart hub route remains
+as the ballpark fallback exactly like the reference's no-DB-entry path.
 """
 
 from __future__ import annotations
