@@ -35,8 +35,9 @@ Both bounds are exact on the sphere used by the haversine ranking; for
 the ellipsoidal (vincenty) ranking a 0.995 safety factor absorbs the
 <0.34% flattening discrepancy.
 
-Queries straddling the antimeridian are not wrapped (cells clamp at
-x=0 / x=2^z-1), matching the cell-cover convention engine-wide.
+Ring columns WRAP across the antimeridian (x is taken modulo 2^z, capped
+at a full-world span), so queries near +/-180 see neighbors on the other
+side of the dateline; rows clamp at the mercator pole rows.
 
 Distance column: haversine by default (closed-form, expressible in ANSI
 SQL for oracles); `distance="vincenty"` swaps in the ellipsoidal UDF for
@@ -136,7 +137,8 @@ def _meridian_dist(phi_q: float, dlam: float) -> float:
 
 def _safe_radius(qlon: float, qlat: float, ring: int, z: int) -> float:
     """Lower bound (meters) of distance from the query to the boundary of
-    its (2*ring+1)^2 cell box; +inf for world-clamped edges."""
+    its wrapped (2*ring+1)^2 cell box; +inf for pole-clamped / fully-
+    wrapped edges (x wraps across the antimeridian, y clamps)."""
     n = 1 << z
     qx, qy = _tile_x(qlon, z), _tile_y(qlat, z)
     phi_q = math.radians(qlat)
@@ -145,9 +147,10 @@ def _safe_radius(qlon: float, qlat: float, ring: int, z: int) -> float:
         bounds.append(EARTH_R * abs(phi_q - math.radians(_tile2lat(qy - ring, z))))
     if qy + ring + 1 < n:
         bounds.append(EARTH_R * abs(phi_q - math.radians(_tile2lat(qy + ring + 1, z))))
-    for xedge in (qx - ring, qx + ring + 1):
-        if 0 < xedge < n:
-            dlam = abs(math.radians(qlon - _tile2lon(xedge, z)))
+    xr = min(ring, (n - 1) // 2)
+    if 2 * xr + 1 < n:   # a full wrap has no E/W boundary at all
+        for xedge in (qx - xr, qx + xr + 1):
+            dlam = abs(math.radians(qlon - _tile2lon(xedge % n, z)))
             if dlam > math.pi:
                 dlam = 2.0 * math.pi - dlam
             bounds.append(_meridian_dist(phi_q, dlam))
@@ -222,13 +225,18 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int, z: int = 9,
         rem_df = spark.createDataFrame(remaining, q_schema)
         # Ring box as native sequence/explode generators (no Python cell
         # loops, no literal offset arrays — scales to ring=16's 33x33 box).
+        # x WRAPS across the antimeridian (pmod; capped at a full-world
+        # span so wrapped columns never duplicate); y clamps at the poles
+        # as mercator tiles do.
+        xr = min(ring, (n - 1) // 2)
         rl = F.lit(ring).cast("long")
+        xrl = F.lit(xr).cast("long")
         cand = (rem_df
                 .withColumn("_qx", cells.tile_x(F.col("_qlon"), z))
                 .withColumn("_qy", cells.tile_y(F.col("_qlat"), z))
-                .withColumn("_x", F.explode(F.sequence(
-                    F.greatest(F.col("_qx") - rl, zero),
-                    F.least(F.col("_qx") + rl, nl))))
+                .withColumn("_xr", F.explode(F.sequence(
+                    F.col("_qx") - xrl, F.col("_qx") + xrl)))
+                .withColumn("_x", F.pmod(F.col("_xr"), F.lit(n)))
                 .withColumn("_y", F.explode(F.sequence(
                     F.greatest(F.col("_qy") - rl, zero),
                     F.least(F.col("_qy") + rl, nl))))
@@ -241,8 +249,8 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int, z: int = 9,
                      .collect()}
         done_ids, still = [], []
         for qid, qlon, qlat in remaining:
-            qx, qy = _tile_x(qlon, z), _tile_y(qlat, z)
-            world = (qx - ring <= 0 and qx + ring + 1 >= n
+            qy = _tile_y(qlat, z)
+            world = (2 * ring + 1 >= n
                      and qy - ring <= 0 and qy + ring + 1 >= n)
             cnt, kth = stats.get(qid, (0, math.inf))
             bound = safety * _safe_radius(qlon, qlat, ring, z)

@@ -304,3 +304,18 @@ def test_pip_interior_cell_split(spark):
     exp = sorted(pdf["pid"][(pdf["lon"] > -5) & (pdf["lon"] < 5)
                             & (pdf["lat"] > 40) & (pdf["lat"] < 50)])
     assert got == list(exp)
+
+
+def test_knn_antimeridian_wrap(spark):
+    """Queries near +/-180 must find neighbors across the dateline."""
+    data = spark.createDataFrame(
+        [(1, -179.98, 10.0), (2, -179.5, 10.0), (3, 179.2, 10.0),
+         (4, 150.0, 10.0), (5, -150.0, 10.0)],
+        ["data_id", "lon", "lat"])
+    queries = spark.createDataFrame([(1, 179.95, 10.0)],
+                                    ["query_id", "lon", "lat"])
+    got = knn_join(queries, data, k=3, z=9).orderBy("rank").collect()
+    # true nearest by great circle: -179.98 (0.07 deg away), -179.5
+    # (0.55 deg), 179.2 (0.75 deg) — the two nearest are across the line
+    assert [r["data_id"] for r in got] == [1, 2, 3]
+    assert got[0]["dist_m"] < 10000
