@@ -155,6 +155,52 @@ def pip_pandas_udf(lon: pd.Series, lat: pd.Series, ring: pd.Series) -> pd.Series
     return pd.Series(out)
 
 
+def pip_expr_multi(lon: Column, lat: Column, rings: Column) -> Column:
+    """Point-in-polygon for a polygon WITH HOLES: even-odd rule over an
+    array<array<struct<lon,lat>>> column (outer ring first, then holes).
+    Total ray crossings over every ring odd <=> inside the filled area
+    minus the holes — no per-ring bookkeeping needed."""
+    def ring_crossings(acc0, ring):
+        edges = F.zip_with(
+            F.slice(ring, 1, F.size(ring) - 1),
+            F.slice(ring, 2, F.size(ring) - 1),
+            lambda a, b: F.struct(a["lon"].alias("x1"), a["lat"].alias("y1"),
+                                  b["lon"].alias("x2"), b["lat"].alias("y2")),
+        )
+        return acc0 + F.aggregate(
+            edges, F.lit(0),
+            lambda acc, e: acc + F.when(
+                ((e["y1"] > lat) != (e["y2"] > lat))
+                & (lon < (e["x2"] - e["x1"]) * (lat - e["y1"])
+                   / (e["y2"] - e["y1"]) + e["x1"]),
+                F.lit(1)).otherwise(F.lit(0)))
+
+    total = F.aggregate(rings, F.lit(0), ring_crossings)
+    return total % 2 == 1
+
+
+def pip_join_multi(points: DataFrame, polygons: DataFrame, z: int = 7,
+                   lon_col: str = "lon", lat_col: str = "lat",
+                   id_col: str = "admin_id",
+                   rings_col: str = "rings") -> DataFrame:
+    """pip_join for polygons with holes (array-of-rings column).
+
+    Cover cells come from the OUTER ring's bbox (holes are subsets of
+    it); the exact even-odd test handles the holes.  Interior-cell
+    skipping is not applied here — a cell interior to the outer ring may
+    still intersect a hole — so every candidate runs the exact test."""
+    outer = polygons.withColumn("_outer", F.col(rings_col)[0])
+    cover = F.broadcast(
+        cover_cells(outer, z, "_outer", id_col)
+        .drop("interior", "_outer")
+        .join(polygons.select(F.col(id_col), F.col(rings_col)), id_col))
+    pts = points.withColumn("_cell",
+                            cells.cell_id(F.col(lon_col), F.col(lat_col), z))
+    joined = pts.join(cover, pts["_cell"] == cover["cell"], "inner")
+    exact = pip_expr_multi(F.col(lon_col), F.col(lat_col), F.col(rings_col))
+    return joined.where(exact).drop("_cell", "cell", rings_col)
+
+
 def pip_join(points: DataFrame, polygons: DataFrame, z: int = 7,
              lon_col: str = "lon", lat_col: str = "lat",
              id_col: str = "admin_id", ring_col: str = "ring",

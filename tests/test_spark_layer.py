@@ -319,3 +319,27 @@ def test_knn_antimeridian_wrap(spark):
     # (0.55 deg), 179.2 (0.75 deg) — the two nearest are across the line
     assert [r["data_id"] for r in got] == [1, 2, 3]
     assert got[0]["dist_m"] < 10000
+
+
+def test_pip_polygon_with_holes(spark):
+    """Even-odd multi-ring PIP: points in the hole are excluded."""
+    from proj_spark.spatial.pip import pip_join_multi
+    outer = [{"lon": v[0], "lat": v[1]} for v in
+             [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]]
+    hole = [{"lon": v[0], "lat": v[1]} for v in
+            [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]]
+    polys = spark.createDataFrame(
+        [(1, [outer, hole])],
+        "admin_id int, rings array<array<struct<lon:double,lat:double>>>")
+    rng = np.random.default_rng(5)
+    lons = rng.uniform(-2, 12, 3000)
+    lats = rng.uniform(-2, 12, 3000)
+    pts = spark.createDataFrame(
+        [(int(i), float(lo), float(la))
+         for i, (lo, la) in enumerate(zip(lons, lats))],
+        "pid long, lon double, lat double")
+    got = sorted(r["pid"] for r in pip_join_multi(pts, polys, z=6).collect())
+    inside_outer = (lons > 0) & (lons < 10) & (lats > 0) & (lats < 10)
+    in_hole = (lons > 4) & (lons < 6) & (lats > 4) & (lats < 6)
+    exp = sorted(np.flatnonzero(inside_outer & ~in_hole).tolist())
+    assert got == exp
