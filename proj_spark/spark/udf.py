@@ -194,3 +194,54 @@ def datum_pipeline_udf(cart, helmert) -> "pandas_udf":
         return pd.DataFrame({"lon": np.degrees(lam2), "lat": np.degrees(phi2)})
 
     return _f
+
+
+def crs_transform_udf(src: str, dst: str, area: tuple | None = None):
+    """pandas UDF transforming (x, y[, z]) columns from CRS `src` to
+    `dst` through the planner (candidate ranking + per-point dispatch),
+    the Spark-level proj_create_crs_to_crs analogue.
+
+    `src`/`dst` accept proj-strings, EPSG codes, or WKT/PROJJSON text.
+    Returns struct(x, y, z); geographic ends are DEGREES at the UDF
+    boundary (the convention every engine table uses).  The compiled
+    CRSTransform — candidates, bboxes, kernels — is closed over and
+    broadcast once per executor.
+    """
+    from proj_spark.planner import crs_to_crs
+
+    t = crs_to_crs(src, dst, area)
+    schema = StructType([StructField("x", DoubleType()),
+                         StructField("y", DoubleType()),
+                         StructField("z", DoubleType())])
+
+    def _f(x, y, z=None):
+        xv = x.to_numpy(np.float64)
+        yv = y.to_numpy(np.float64)
+        zv = (np.zeros_like(xv) if z is None
+              else np.nan_to_num(z.to_numpy(np.float64)))
+        if t.src.is_geographic:
+            xv, yv = np.radians(xv), np.radians(yv)
+        ox, oy, oz = t.fwd3d(xv, yv, zv)
+        if t.dst.is_geographic:
+            ox, oy = np.degrees(ox), np.degrees(oy)
+        return pd.DataFrame({"x": ox, "y": oy, "z": oz})
+
+    return pandas_udf(_f, schema)
+
+
+def transform_crs(df: DataFrame, src: str, dst: str,
+                  x_col: str = "lon", y_col: str = "lat",
+                  z_col: str | None = None,
+                  out_prefix: str = "t_") -> DataFrame:
+    """DataFrame-level CRS->CRS transform: adds {out_prefix}x/y/z columns
+    transformed from `src` to `dst` (a one-liner for the common case)."""
+    udf = crs_transform_udf(src, dst)
+    args = [F.col(x_col), F.col(y_col)]
+    if z_col is not None:
+        args.append(F.col(z_col))
+    tmp = f"_{out_prefix}crs"
+    return (df.withColumn(tmp, udf(*args))
+            .withColumn(f"{out_prefix}x", F.col(f"{tmp}.x"))
+            .withColumn(f"{out_prefix}y", F.col(f"{tmp}.y"))
+            .withColumn(f"{out_prefix}z", F.col(f"{tmp}.z"))
+            .drop(tmp))

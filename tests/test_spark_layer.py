@@ -343,3 +343,20 @@ def test_pip_polygon_with_holes(spark):
     in_hole = (lons > 4) & (lons < 6) & (lats > 4) & (lats < 6)
     exp = sorted(np.flatnonzero(inside_outer & ~in_hole).tolist())
     assert got == exp
+
+
+def test_transform_crs_dataframe_api(spark):
+    """DataFrame-level CRS->CRS convenience: EPSG/WKT in, columns out."""
+    from proj_spark.spark.udf import transform_crs
+    df = spark.createDataFrame([(12.0, 56.0), (9.0, 48.0)], ["lon", "lat"])
+    out = transform_crs(df, "EPSG:4326", "EPSG:32632").collect()
+    import numpy as np2
+    from proj_spark import create
+    ref = create("EPSG:32632")
+    for r in out:
+        ex, ey = ref.fwd_deg(np2.array([r["lon"]]), np2.array([r["lat"]]))
+        assert abs(r["t_x"] - ex[0]) < 1e-6 and abs(r["t_y"] - ey[0]) < 1e-6
+    # datum-shifting pair through the planner
+    out2 = transform_crs(df, "EPSG:4314", "EPSG:4326").collect()
+    assert all(abs(r["t_x"] - r["lon"]) < 0.01 for r in out2)
+    assert all(r["t_x"] != r["lon"] for r in out2)  # shift applied
