@@ -163,6 +163,10 @@ def crs_definition(code) -> str:
         # +lat_ts, not a conic +lat_1
         if method == "9805" and pcode == "8823":
             key = "lat_ts"
+        # Bonne (9827/9828): the latitude of natural origin is the
+        # standard parallel (+lat_1 in proj terms)
+        if method in ("9827", "9828") and pcode == "8801":
+            key = "lat_1"
         if key is None:
             raise NotImplementedError(
                 f"EPSG:{code}: parameter {pcode} not supported")

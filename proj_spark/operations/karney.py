@@ -271,9 +271,12 @@ class Geodesic:
         somg2 = salp0 * sbet2
         csig2 = comg2 = calp2 * cbet2
         ssig2, csig2 = _norm2(ssig2, csig2)
-        sig12 = np.arctan2(np.maximum(0.0, csig1 * ssig2 - ssig1 * csig2),
+        # "+ 0.0" normalizes a -0.0 numerator to +0.0 (C fmax does this;
+        # np.maximum keeps the negative zero, and atan2(-0, -x) = -pi
+        # would flip the arc's sign)
+        sig12 = np.arctan2(np.maximum(0.0, csig1 * ssig2 - ssig1 * csig2) + 0.0,
                            csig1 * csig2 + ssig1 * ssig2)
-        somg12 = np.maximum(0.0, comg1 * somg2 - somg1 * comg2)
+        somg12 = np.maximum(0.0, comg1 * somg2 - somg1 * comg2) + 0.0
         comg12 = comg1 * comg2 + somg1 * somg2
         eta = np.arctan2(somg12 * clam120 - comg12 * slam120,
                          comg12 * clam120 + somg12 * slam120)
@@ -427,7 +430,7 @@ class Geodesic:
             ssig2 = sbet2
             csig2 = mcalp2 * cbet2
             msig12 = np.arctan2(
-                np.maximum(0.0, csig1 * ssig2 - ssig1 * csig2),
+                np.maximum(0.0, csig1 * ssig2 - ssig1 * csig2) + 0.0,
                 csig1 * csig2 + ssig1 * ssig2)
             s12b, m12b, _ = self._lengths(
                 np.full(n, g.n), msig12, ssig1, csig1, dn1,

@@ -160,6 +160,12 @@ METHODS: dict[str, str] = {
     "gnomonic": "gnom", "orthographic": "ortho", "9840": "ortho",
     "new_zealand_map_grid": "nzmg", "new zealand map grid": "nzmg",
     "9811": "nzmg",
+    "polyconic": "poly", "american polyconic": "poly", "9818": "poly",
+    "equal earth": "eqearth", "1078": "eqearth",
+    "lambert azimuthal equal area (spherical)": "laea", "1027": "laea",
+    "bonne": "bonne", "9827": "bonne",
+    "bonne (south orientated)": "bonne", "9828": "bonne",
+    "guam projection": "aeqd", "9831": "aeqd",
 }
 
 #: (wkt1 PARAMETER name | wkt2 name | EPSG parameter code) -> proj key
@@ -205,6 +211,8 @@ PARAMS: dict[str, str] = {
     "latitude of pseudo standard parallel": "lat_ts", "8818": "lat_ts",
     "co-latitude of cone axis": "alpha", "1036": "alpha",
     "colatitude_of_cone_axis": "alpha",
+    "scale_factor_pseudo_standard_parallel": "k",
+    "scale factor on pseudo standard parallel": "k", "8819": "k",
 }
 
 

@@ -73,6 +73,8 @@ def rows(fname: str):
     path = os.path.join(SQL_DIR, fname)
     buf = ""
     for line in open(path, encoding="utf-8", errors="replace"):
+        if not buf and not line.lstrip().startswith("INSERT"):
+            continue   # comments/blank lines must not pollute the buffer
         buf += line
         if line.rstrip().endswith(");"):
             m = _INSERT.match(buf.strip())
