@@ -129,9 +129,12 @@ def crs_definition(code) -> str:
         raise NotImplementedError(f"EPSG:{code} not in the vendored catalog")
     conv = cat["conversion"][proj["conversion"]]
     method = conv["method"]
-    # South/West-orientated TM is plain tmerc + axis flips from the CS
-    mkey = method if method in METHODS else (
-        "9807" if method == "9808" else None)
+    # South/West-orientated TM / LCC are the base projections with axis
+    # flips from the CS; Michigan LCC adds an ellipsoid scaling factor
+    _METHOD_ALIAS = {"9808": "9807",    # TM South Orientated
+                     "9826": "9801",    # LCC West Orientated
+                     "1051": "9802"}    # LCC 2SP Michigan
+    mkey = method if method in METHODS else _METHOD_ALIAS.get(method)
     if mkey is None or mkey not in METHODS:
         raise NotImplementedError(
             f"EPSG:{code}: method {conv['method_name']!r} ({method}) "
@@ -167,6 +170,17 @@ def crs_definition(code) -> str:
         # standard parallel (+lat_1 in proj terms)
         if method in ("9827", "9828") and pcode == "8801":
             key = "lat_1"
+        if method == "1051" and pcode == "1038":
+            # ellipsoid scaling factor: scale BOTH semi-axes (the shape
+            # is unchanged; Michigan's K applies to the whole ellipsoid)
+            import re as _re
+
+            def _scale(mm):
+                return f"+{mm.group(1)}={float(mm.group(2)) * value!r}"
+
+            parts = [_re.sub(r"\+(a|b)=([-\d.eE+]+)", _scale, part)
+                     for part in parts]
+            continue
         if key is None:
             raise NotImplementedError(
                 f"EPSG:{code}: parameter {pcode} not supported")
@@ -179,10 +193,15 @@ def crs_definition(code) -> str:
             value = angle_to_deg(value, uom)
         elif key in _LENGTH:
             value = length_to_m(value, uom)
+        if method == "9826" and key == "x_0":
+            # west-orientated: the false easting lives on the westing
+            # axis; the +axis=w flip negates coordinates, so negate the
+            # offset to keep W = FE - E_natural
+            value = -value
         parts.append(f"+{key}={value!r}")
-    # LCC 1SP (9801): proj's lcc wants the standard parallel spelled out
-    # (lat_1 = latitude of natural origin), as the legacy init files did
-    if method == "9801":
+    # LCC 1SP (9801/9826): proj's lcc wants the standard parallel spelled
+    # out (lat_1 = latitude of natural origin), as the legacy init files did
+    if method in ("9801", "9826"):
         import re as _re
         m = _re.search(r"\+lat_0=([-\d.eE+]+)", " ".join(parts))
         if m and "+lat_1=" not in " ".join(parts):
