@@ -133,7 +133,8 @@ def crs_definition(code) -> str:
     # flips from the CS; Michigan LCC adds an ellipsoid scaling factor
     _METHOD_ALIAS = {"9808": "9807",    # TM South Orientated
                      "9826": "9801",    # LCC West Orientated
-                     "1051": "9802"}    # LCC 2SP Michigan
+                     "1051": "9802",    # LCC 2SP Michigan
+                     "1041": "9819"}    # Krovak North Orientated
     mkey = method if method in METHODS else _METHOD_ALIAS.get(method)
     if mkey is None or mkey not in METHODS:
         raise NotImplementedError(
@@ -154,7 +155,16 @@ def crs_definition(code) -> str:
             # EPSG variant A: no offset along the initial line (+no_uoff);
             # variant B (azimuth centre) is proj omerc's default u_c offset
             no_uoff = True
+    suppress_axis = False
+    if method == "9819":
+        # standard Krovak: positive southing/westing convention is the
+        # engine's +czech form; the CS (south, west) axes are thereby
+        # already honored — emitting +axis too would double-flip.
+        # (1041, East North, is the plain negative-coordinate form.)
+        suppress_axis = True
     parts = [f"+proj={proj_name}"] + _geog_parts(proj["base"])
+    if method == "9819":
+        parts.append("+czech")
     if no_uoff:
         parts.append("+no_uoff")
     tw = _legacy_towgs84(proj["base"])
@@ -222,7 +232,8 @@ def crs_definition(code) -> str:
         # stay easting,northing — but reversed directions (south/west
         # orientated grids, e.g. TM South Orientated EPSG:9808) become an
         # explicit +axis= flip in the CRS's own axis order
-        if len(spec) == 2 and not set(spec) <= {"e", "n"}:
+        if (len(spec) == 2 and not set(spec) <= {"e", "n"}
+                and not suppress_axis):
             parts.append(f"+axis={spec}u")
     return _post(proj_name, parts)
 
