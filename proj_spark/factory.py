@@ -73,7 +73,7 @@ def length_to_m(value: float, uom: str) -> float:
 # ---------------------------------------------------------------------------
 
 _ANGULAR = {"lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "lonc",
-            "alpha", "gamma"}
+            "alpha", "gamma", "azi"}
 _LENGTH = {"x_0", "y_0"}
 
 _ORIENT = {"east": "e", "west": "w", "north": "n", "south": "s",
@@ -172,14 +172,20 @@ def crs_definition(code) -> str:
         parts.append(f"+towgs84={tw}")
     for pcode, value, uom in conv["params"]:
         key = PARAMS.get(pcode)
-        # Mercator variant B (9805): the standard parallel is proj's
-        # +lat_ts, not a conic +lat_1
-        if method == "9805" and pcode == "8823":
+        # Mercator variant B (9805) and cylindrical equal area
+        # (9834/9835): the standard parallel is proj's +lat_ts
+        if method in ("9805", "9834", "9835") and pcode == "8823":
             key = "lat_ts"
         # Bonne (9827/9828): the latitude of natural origin is the
         # standard parallel (+lat_1 in proj terms)
         if method in ("9827", "9828") and pcode == "8801":
             key = "lat_1"
+        # Laborde (9813): proj's labrd wants lon_0 and azi
+        if method == "9813":
+            if pcode == "8812":
+                key = "lon_0"
+            elif pcode == "8813":
+                key = "azi"
         if method == "1051" and pcode == "1038":
             # ellipsoid scaling factor: scale BOTH semi-axes (the shape
             # is unchanged; Michigan's K applies to the whole ellipsoid)

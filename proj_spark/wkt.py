@@ -166,6 +166,9 @@ METHODS: dict[str, str] = {
     "bonne": "bonne", "9827": "bonne",
     "bonne (south orientated)": "bonne", "9828": "bonne",
     "guam projection": "aeqd", "9831": "aeqd",
+    "laborde_oblique_mercator": "labrd",
+    "laborde oblique mercator": "labrd", "9813": "labrd",
+    "9834": "cea",   # Lambert Cylindrical Equal Area (Spherical)
 }
 
 #: (wkt1 PARAMETER name | wkt2 name | EPSG parameter code) -> proj key

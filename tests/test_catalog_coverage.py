@@ -38,7 +38,7 @@ def test_catalog_create_floor():
         except (NotImplementedError, ValueError, KeyError):
             pass
     print(f"catalog create coverage: {ok}/{total}")
-    assert ok >= 4650
+    assert ok >= 4660
 
 
 def _origin_of(definition: str) -> tuple[float, float]:
