@@ -165,6 +165,8 @@ def crs_definition(code) -> str:
     parts = [f"+proj={proj_name}"] + _geog_parts(proj["base"])
     if method == "9819":
         parts.append("+czech")
+    if method == "9831":
+        parts.append("+guam")   # Guam projection = aeqd's Guam variant
     if no_uoff:
         parts.append("+no_uoff")
     tw = _legacy_towgs84(proj["base"])

@@ -166,6 +166,8 @@ METHODS: dict[str, str] = {
     "bonne": "bonne", "9827": "bonne",
     "bonne (south orientated)": "bonne", "9828": "bonne",
     "guam projection": "aeqd", "9831": "aeqd",
+    "lambert_conformal_conic_1sp_near": "lcca",
+    "lambert conic near-conformal": "lcca", "9817": "lcca",
     "laborde_oblique_mercator": "labrd",
     "laborde oblique mercator": "labrd", "9813": "labrd",
     "9834": "cea",   # Lambert Cylindrical Equal Area (Spherical)
