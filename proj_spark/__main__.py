@@ -2,6 +2,7 @@
 
     python -m proj_spark proj <+proj-string|EPSG:code|WKT>   [< coords]
     python -m proj_spark cs2cs <src> <dst>                   [< coords]
+    python -m proj_spark cct <+proj-string>                  [< 4D coords]
     python -m proj_spark projinfo <definition>
 
 `proj` reads "lon lat [z [t]]" lines from stdin (degrees for angular
@@ -79,6 +80,53 @@ def cmd_cs2cs(args) -> int:
     return 0
 
 
+def _end_units(op, input_side: bool) -> str:
+    """Effective io units at a pipeline end, skipping push/pop markers
+    and whatever-tagged pass-through steps (axisswap/unitconvert)."""
+    steps = getattr(op, "steps", None)
+    if not steps:
+        u = getattr(op, "left" if input_side else "right", "radians")
+        return u
+    order = (zip(steps, op.inverted) if input_side
+             else zip(reversed(steps), reversed(op.inverted)))
+    for st, inv in order:
+        if not hasattr(st, "left"):
+            continue   # push/pop markers
+        u = (getattr(st, "right", "classic") if (inv == input_side)
+             else getattr(st, "left", "radians"))
+        if u != "whatever":
+            return u
+    return "whatever"
+
+
+def cmd_cct(args) -> int:
+    """4D filter like the reference's cct (src/apps/cct.cpp): reads
+    "x y [z [t]]" lines, applies the operation's highest arity, prints
+    all four columns.  Angular input/output in degrees, like proj."""
+    from proj_spark import create
+    inverse = "-I" in args
+    args = [a for a in args if a != "-I"]
+    op = create(" ".join(args))
+    arr, ncols = _read_coords(sys.stdin)
+    if not len(arr):
+        return 0
+    x, y = arr[:, 0].copy(), arr[:, 1].copy()
+    z = np.where(np.isnan(arr[:, 2]), 0.0, arr[:, 2])
+    t = np.where(np.isnan(arr[:, 3]), 0.0, arr[:, 3])
+    if _end_units(op, input_side=not inverse) == "radians":
+        x, y = np.radians(x), np.radians(y)
+    f4 = getattr(op, "inv4d" if inverse else "fwd4d", None)
+    if f4 is not None:
+        ox, oy, oz, ot = f4(x, y, z, t)
+    else:
+        ox, oy = (op.inv if inverse else op.fwd)(x, y)
+        oz, ot = z, t
+    if _end_units(op, input_side=inverse) == "radians":
+        ox, oy = np.degrees(ox), np.degrees(oy)
+    print(_fmt((ox, oy, oz, ot), 4))
+    return 0
+
+
 def cmd_projinfo(args) -> int:
     from proj_spark import create, epsg
     if len(args) >= 2 and not args[1].startswith("-"):
@@ -116,9 +164,11 @@ def main(argv=None) -> int:
         return cmd_proj(rest)
     if cmd == "cs2cs":
         return cmd_cs2cs(rest)
+    if cmd == "cct":
+        return cmd_cct(rest)
     if cmd == "projinfo":
         return cmd_projinfo(rest)
-    print(f"unknown command {cmd!r}; expected proj | cs2cs | projinfo")
+    print(f"unknown command {cmd!r}; expected proj | cs2cs | cct | projinfo")
     return 2
 
 

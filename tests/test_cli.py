@@ -36,3 +36,26 @@ def test_projinfo_code_and_pair():
     assert "+proj=utm" in out or "tmerc" in out
     out = run(["projinfo", "EPSG:4230", "EPSG:4258"])
     assert "Candidate operations" in out and "North Sea" in out
+
+
+def test_cct_pipeline_stack():
+    # the gie pipeline-stack case: push/pop restores v_1 exactly
+    # (4D-API_cs2cs-style.gie:296-302)
+    out = run(["cct", "+proj=pipeline", "+step", "+proj=push", "+v_1",
+               "+step", "+proj=utm", "+zone=32",
+               "+step", "+proj=utm", "+zone=33", "+inv",
+               "+step", "+proj=pop", "+v_1"], "12 56 0 2020\n")
+    vals = [float(v) for v in out.split()]
+    assert abs(vals[0] - 12) < 1e-9 and abs(vals[1] - 56) < 1e-9
+    assert vals[3] == 2020
+
+
+def test_cct_forward_and_inverse():
+    out = run(["cct", "+proj=utm", "+zone=32", "+ellps=GRS80"],
+              "12 56 0 2018\n")
+    x, y, z, t = [float(v) for v in out.split()]
+    assert abs(x - 687071.4391) < 1e-3 and t == 2018
+    back = run(["cct", "-I", "+proj=utm", "+zone=32", "+ellps=GRS80"],
+               f"{x} {y} 0 2018\n")
+    lon, lat = [float(v) for v in back.split()[:2]]
+    assert abs(lon - 12) < 1e-8 and abs(lat - 56) < 1e-8
