@@ -224,6 +224,8 @@ def crs_definition(code) -> str:
         m = _re.search(r"\+lat_0=([-\d.eE+]+)", " ".join(parts))
         if m and "+lat_1=" not in " ".join(parts):
             parts.append(f"+lat_1={m.group(1)}")
+    if method == "9830":
+        parts = _variant_c_y0(parts)
     # coordinate-system unit + axis orientation
     axes = cat["axis"].get(proj["cs"], [])
     axes = sorted(axes, key=lambda x: x[0])
@@ -244,6 +246,27 @@ def crs_definition(code) -> str:
                 and not suppress_axis):
             parts.append(f"+axis={spec}u")
     return _post(proj_name, parts)
+
+
+def _variant_c_y0(parts: list[str]) -> list[str]:
+    """Polar Stereographic variant C (EPSG 9830): the false origin sits
+    at the standard parallel / central meridian intersection, so the
+    variant-B false northing is N_F - y(lat_ts) (south; the sign works
+    out for north too), with y(lat_ts) evaluated by the engine's own
+    stere kernel — exactly EPSG's rho_F term."""
+    import re as _re
+    import numpy as np_
+    from proj_spark.projstring import create as _create
+    s = " ".join(parts)
+    lat_ts = float(_re.search(r"\+lat_ts=([-\d.eE+]+)", s).group(1))
+    lon_0 = float(_re.search(r"\+lon_0=([-\d.eE+]+)", s).group(1))
+    n_f = float(_re.search(r"\+y_0=([-\d.eE+]+)", s).group(1))
+    probe = [p for p in parts if not p.startswith(("+x_0=", "+y_0="))]
+    probe.append(f"+lat_0={90.0 if lat_ts >= 0 else -90.0!r}")
+    op = _create(" ".join(probe))
+    _, y = op.fwd_deg(np_.array([lon_0]), np_.array([lat_ts]))
+    return [f"+y_0={n_f - float(y[0])!r}" if p.startswith("+y_0=") else p
+            for p in parts]
 
 
 def _post(proj: str, parts: list[str]) -> str:

@@ -141,7 +141,8 @@ METHODS: dict[str, str] = {
     "9832": "aeqd",
     "polar_stereographic": "stere", "polar stereographic (variant a)": "stere",
     "9810": "stere", "polar stereographic (variant b)": "stere",
-    "9829": "stere",
+    "9829": "stere", "polar stereographic (variant c)": "stere",
+    "9830": "stere",
     "oblique_stereographic": "sterea", "oblique stereographic": "sterea",
     "9809": "sterea",
     "stereographic": "stere",

@@ -38,7 +38,7 @@ def test_catalog_create_floor():
         except (NotImplementedError, ValueError, KeyError):
             pass
     print(f"catalog create coverage: {ok}/{total}")
-    assert ok >= 4660
+    assert ok >= 4665
 
 
 def _origin_of(definition: str) -> tuple[float, float]:
@@ -93,3 +93,12 @@ def test_catalog_sample_roundtrips():
     # projection's validity domain
     assert tried >= 120
     assert passed >= tried - 3, bad[:10]
+
+
+def test_polar_stereographic_variant_c():
+    """EPSG 9830's defining property: the false origin lies at the
+    standard parallel / central meridian intersection (Terre Adelie)."""
+    import numpy as np
+    op = create(crs_definition(2985))
+    x, y = op.fwd_deg(np.array([140.0]), np.array([-67.0]))
+    assert abs(x[0] - 300000.0) < 1e-6 and abs(y[0] - 200000.0) < 1e-6
