@@ -721,6 +721,12 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banded near-dup candidates, verified by exact n-gram
     Jaccard (rows-only: the minhash family is not SQL-expressible).
 
+    FULLY ORACLE-CHECKED: every stage uses explicit engine-independent
+    integer arithmetic — Mersenne-61 shingle/minhash families and
+    mod-2^31-1 polynomial band buckets — so the DuckDB oracle
+    (_sql_minhash_neardup, HUGEINT arithmetic) reproduces candidates AND
+    verified pairs value-for-value.
+
     Verify stage: each document's shingle set is hashed ONCE into an
     array column (distributed, shingle_set_udf), the id -> set
     dictionary is collected as the broadcast small side (a few MB per
@@ -761,6 +767,71 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = simhash_near_dups(docs)
     return d.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"),
                     F.col("hamming").cast("long")).orderBy("id_a", "id_b")
+
+
+def _sql_minhash_neardup() -> str:
+    """Full minhash-LSH near-dup oracle in DuckDB SQL: HUGEINT Mersenne-61
+    shingle hashes and minhash family, mod-2^31-1 polynomial band
+    buckets, candidate equi-join, exact Jaccard verify — the identical
+    integer arithmetic the Spark query's kernels implement (documents
+    are ASCII, so ascii() equals the UTF-8 byte the engine hashes)."""
+    from proj_spark.text.dedup import M31, MERSENNE61
+    shingle = 5
+    num_hashes, bands, rpb = 64, 16, 4
+    pows = [pow(131, i, MERSENNE61) for i in range(shingle)]
+    hv = " + ".join(
+        f"CAST(ascii(substr(text, p + {i}, 1)) AS HUGEINT) * {pows[i]}"
+        for i in range(shingle))
+    params = ",\n    ".join(
+        f"({j}, {(2 * j + 1) * 2654435761 % MERSENNE61}, "
+        f"{(j * 40503 + 2654435769) % MERSENNE61})"
+        for j in range(num_hashes))
+
+    def bucket_expr():
+        acc = f"(s[band * {rpb} + 1] % {M31})"
+        for r in range(1, rpb):
+            acc = f"(({acc}) * 131 + s[band * {rpb} + {r + 1}] % {M31}) % {M31}"
+        return acc
+
+    return f"""WITH sh AS (
+  SELECT DISTINCT doc_id, CAST(({hv}) % {MERSENNE61} AS BIGINT) AS hv
+  FROM documents,
+       UNNEST(generate_series(1, greatest(len(text) - {shingle - 1}, 0))) AS t(p)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), params(j, a, b) AS (
+  VALUES {params}
+), sig AS (
+  SELECT doc_id, j,
+         CAST(MIN((CAST(a AS HUGEINT) * hv + b) % {MERSENNE61}) AS BIGINT) AS m
+  FROM sh CROSS JOIN params GROUP BY doc_id, j
+), sigl AS (
+  SELECT doc_id, list(m ORDER BY j) AS s FROM sig GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, band, {bucket_expr()} AS bucket
+  FROM sigl, UNNEST(generate_series(0, {bands - 1})) AS tb(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.hv = x.hv
+  GROUP BY 1, 2
+), jac AS (
+  SELECT c.id_a, c.id_b,
+         CAST(COALESCE(i.n, 0) AS DOUBLE)
+           / (sa.n_sh + sb.n_sh - COALESCE(i.n, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       ROUND(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.5"""
 
 
 def q_crs_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1123,6 +1194,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk": _sql_embed_topk(),
         "embed_allpairs": _sql_embed_allpairs(),
         "events_hourly": _sql_events_hourly(),
+        "minhash_neardup": _sql_minhash_neardup(),
         "crs_dispatch": _sql_crs_dispatch(),
         "gridshift_file": _sql_gridshift_file(),
         # utm_project / minhash_neardup / simhash_neardup: rows-only

@@ -23,7 +23,7 @@ from functools import lru_cache
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, LongType
@@ -215,20 +215,45 @@ def minhash_udf(num_hashes: int = 64, shingle: int = 5):
     return _f
 
 
+M31 = (1 << 31) - 1
+
+
+def band_bucket_expr(sig_col: str, band: int, rows_per_band: int) -> Column:
+    """Band bucket as EXPLICIT integer arithmetic (fold of the band's
+    minhashes mod 2^31-1) — engine-independent, so a DuckDB oracle can
+    reproduce the bucketing exactly (Spark's F.hash cannot be)."""
+    acc = F.lit(0).cast("long")
+    for r in range(rows_per_band):
+        v = F.element_at(F.col(sig_col), band * rows_per_band + r + 1)
+        acc = (acc * F.lit(131) + F.pmod(v, F.lit(M31))) % F.lit(M31)
+    return acc
+
+
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 64,
-                           bands: int = 16, shingle: int = 5) -> DataFrame:
-    """Candidate near-dup pairs via banded minhash (id_a < id_b)."""
+                           bands: int = 16, shingle: int = 5,
+                           bucket: str = "m31") -> DataFrame:
+    """Candidate near-dup pairs via banded minhash (id_a < id_b).
+
+    bucket="m31" (default) uses the oracle-reproducible arithmetic
+    banding; bucket="spark_hash" keeps the engine-internal F.hash over
+    the band slice (slightly cheaper, not SQL-portable)."""
     rows_per_band = num_hashes // bands
     mh = minhash_udf(num_hashes, shingle)
     sig = docs.select(F.col(id_col), mh(F.col(text_col)).alias("sig"))
+    if bucket == "m31":
+        buckets = [F.struct(F.lit(bi).alias("band"),
+                            band_bucket_expr("sig", bi, rows_per_band)
+                            .alias("bucket"))
+                   for bi in range(bands)]
+    else:
+        buckets = [F.struct(
+            F.lit(bi).alias("band"),
+            F.hash(F.slice("sig", bi * rows_per_band + 1, rows_per_band))
+            .alias("bucket")) for bi in range(bands)]
     banded = sig.select(
         F.col(id_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(bi).alias("band"),
-                     F.hash(F.slice("sig", bi * rows_per_band + 1, rows_per_band)).alias("bucket"))
-            for bi in range(bands)
-        ])).alias("bb"),
+        F.explode(F.array(*buckets)).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     # the band join broadcasts one side, so pair generation + the partial
     # distinct run in the PROBE side's partitioning — repartition it, or a
