@@ -834,6 +834,75 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
 FROM jac WHERE jaccard >= 0.5"""
 
 
+def _sql_simhash_neardup() -> str:
+    """Full simhash near-dup oracle: HUGEINT Mersenne-61 shingle hashes,
+    splitmix64 emulated with xor() + integer-divide shifts + 2^64 wrap,
+    per-bit majority votes over each document's distinct shingles,
+    4x16-bit banding, candidate join, Hamming<=3 verify — the identical
+    bit-for-bit pipeline the Spark query's kernels implement."""
+    from proj_spark.text.dedup import MERSENNE61
+    shingle = 3
+    pows = [pow(131, i, MERSENNE61) for i in range(shingle)]
+    hv = " + ".join(
+        f"CAST(ascii(substr(text, p + {i}, 1)) AS HUGEINT) * {pows[i]}"
+        for i in range(shingle))
+    M64 = 1 << 64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mul64(x, c):
+        # (x * c) mod 2^64 without overflowing signed INT128: split x
+        # into 32-bit halves (h*c < 2^96, l*c < 2^96 both fit)
+        return (f"(((({x}) // {1 << 32}) * {c} % {1 << 32}) * {1 << 32} "
+                f"+ (({x}) % {1 << 32}) * {c}) % {M64}")
+
+    return f"""WITH sh AS (
+  SELECT DISTINCT doc_id, CAST(({hv}) % {MERSENNE61} AS HUGEINT) AS hv
+  FROM documents,
+       UNNEST(generate_series(1, greatest(len(text) - {shingle - 1}, 0))) AS t(p)
+), mixed AS (
+  SELECT doc_id,
+    CAST(xor(x2, x2 // {1 << 31}) % {M64} AS HUGEINT) AS v
+  FROM (
+    SELECT doc_id,
+      CAST({mul64(f"xor(x1, x1 // {1 << 27})", C2)} AS HUGEINT) AS x2
+    FROM (
+      SELECT doc_id,
+        CAST({mul64(f"xor(hv, hv // {1 << 30})", C1)} AS HUGEINT) AS x1
+      FROM sh
+    )
+  )
+), votes AS (
+  SELECT doc_id, bit,
+         SUM(CAST((v // CAST(POWER(2, bit) AS HUGEINT)) % 2 AS BIGINT)) AS ones,
+         COUNT(*) AS n
+  FROM mixed, UNNEST(generate_series(0, 63)) AS tb(bit)
+  GROUP BY doc_id, bit
+), sigh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * ones > n
+             THEN CAST(POWER(2, bit) AS HUGEINT) ELSE 0 END) AS s
+  FROM votes GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, s,
+         CAST(CASE WHEN s >= {1 << 63} THEN s - {M64} ELSE s END AS BIGINT)
+           AS sim
+  FROM sigh
+), bands AS (
+  SELECT doc_id, sim, k,
+         CAST((s // CAST(POWER(2, 16 * k) AS HUGEINT)) % 65536 AS BIGINT)
+           AS key
+  FROM sig, UNNEST(generate_series(0, 3)) AS tk(k)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sim AS sim_a, b.sim AS sim_b
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3"""
+
+
 def q_crs_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-point multi-candidate CRS dispatch: page geotags treated as
     ED50 geodetic coordinates, transformed to ETRS89 through the planner
@@ -1195,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_allpairs": _sql_embed_allpairs(),
         "events_hourly": _sql_events_hourly(),
         "minhash_neardup": _sql_minhash_neardup(),
+        "simhash_neardup": _sql_simhash_neardup(),
         "crs_dispatch": _sql_crs_dispatch(),
         "gridshift_file": _sql_gridshift_file(),
         # utm_project / minhash_neardup / simhash_neardup: rows-only
