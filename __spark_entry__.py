@@ -423,8 +423,11 @@ def q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     Poder/Engsager series — src/projections/tmerc.cpp:341-498), auto-zoned
     per row in a single map-side pass, then aggregate per zone.
 
-    No SQL oracle (the 6th-order complex Clenshaw series is not reasonably
-    expressible in ANSI SQL); accuracy is gated by the gie fixture tests.
+    FULL SQL ORACLE (_sql_utm_project): the Gaussian-latitude series and
+    the 6th-order complex Clenshaw expand term-by-term into DuckDB SQL
+    with the same coefficients; aggregates round to cm so emulated-libm
+    ulp drift cannot flip a boundary.  Accuracy itself is gated by the
+    gie fixture tests.
     """
     from proj_spark.spark.udf import utm_fwd_udf
     pts = _points(spark, sf_dir)
@@ -435,10 +438,10 @@ def q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("_utm.y").alias("northing")))
     return (prj.groupBy("zone")
             .agg(F.count("*").alias("n_pages"),
-                 F.round(F.min("easting"), 3).alias("min_e"),
-                 F.round(F.max("easting"), 3).alias("max_e"),
-                 F.round(F.min("northing"), 3).alias("min_n"),
-                 F.round(F.max("northing"), 3).alias("max_n")))
+                 F.round(F.min("easting"), 2).alias("min_e"),
+                 F.round(F.max("easting"), 2).alias("max_e"),
+                 F.round(F.min("northing"), 2).alias("min_n"),
+                 F.round(F.max("northing"), 2).alias("max_n")))
 
 
 # ---------------------------------------------------------------------------
@@ -767,6 +770,154 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = simhash_near_dups(docs)
     return d.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"),
                     F.col("hamming").cast("long")).orderBy("id_a", "id_b")
+
+
+def _sql_ann_pairs() -> str:
+    """Full sign-LSH ANN oracle: the deterministic hyperplanes embed as
+    SQL list literals, buckets come from list_dot_product signs, the
+    candidate self-join and the cosine verify mirror the Spark query
+    (same rounded-cosine window ordering, same tie-breaks)."""
+    from proj_spark.text.similarity import _hyperplanes
+    n_planes, n_tables, dim = 4, 12, 64
+    planes = _hyperplanes(dim, n_planes * n_tables)
+
+    def plane_lit(i):
+        return "[" + ", ".join(repr(float(v)) for v in planes[i]) + "]"
+
+    rows = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(t * n_planes + b)}) "
+            f"> 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(n_planes))
+        rows.append(f"STRUCT_PACK(t := {t}, b := ({terms}))")
+    bucket_rows = ",\n    ".join(rows)
+    return f"""WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, tb.t AS t, tb.b AS bkt
+  FROM emb, UNNEST([{bucket_rows}]) AS u(tb)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, bb.vec_id AS nbr_id
+  FROM b a JOIN b bb
+    ON a.t = bb.t AND a.bkt = bb.bkt AND a.vec_id != bb.vec_id
+), scored AS (
+  SELECT c.vec_id, c.nbr_id,
+         ROUND(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))), 8) AS cosine
+  FROM cand c
+  JOIN emb ea ON ea.vec_id = c.vec_id
+  JOIN emb eb ON eb.vec_id = c.nbr_id
+), ranked AS (
+  SELECT vec_id, nbr_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(nbr_id AS BIGINT) AS nbr_id,
+       cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {EMB_PAIR_K}"""
+
+
+def _sql_utm_project() -> str:
+    """Full etmerc (Poder/Engsager) oracle in DuckDB SQL: the Gaussian-
+    latitude Clenshaw series and the 6th-order complex Clenshaw are
+    expanded term-by-term with the engine's own GRS80 coefficients as
+    literals; hyperbolics are emulated with exp/log (|2*ce| <= ~0.12 for
+    in-zone UTM, so no cancellation).  Per-row zone logic mirrors
+    UTMBatch.  Aggregates round to cm so the ~1e-8 m ulp drift of the
+    emulated libm calls cannot flip a boundary."""
+    from proj_spark.operations.tmerc import etmerc_coefficients
+    from proj_spark.ellipsoids import get_ellipsoid
+    ell = get_ellipsoid("GRS80")
+    c = etmerc_coefficients(ell.es)
+    cbg = [repr(float(v)) for v in c["cbg"]]
+    gtu = [repr(float(v)) for v in c["gtu"]]
+    qn = repr(0.9996 * float(c["qn"]))
+    a = repr(ell.a)
+
+    # gatg Clenshaw over cbg: h1 = -h2 + cos2b*h1 + c, 5 iterations
+    gat_cols = []
+    h1, h2 = cbg[5], "0.0"
+    for coef in cbg[4::-1]:
+        h1, h2 = f"((-({h2}) + cos2b * ({h1})) + {coef})", h1
+    gatg_expr = h1
+
+    # complex Clenshaw over gtu (expanded iteration by iteration)
+    def clen_stages():
+        stages = []
+        hr, hi, hr1, hi1 = gtu[5], "0.0", "0.0", "0.0"
+        for coef in gtu[4::-1]:
+            hr2, hi2 = hr1, hi1
+            hr1, hi1 = hr, hi
+            hr = f"(((-({hr2}) + cr * ({hr1})) - ci_ * ({hi1})) + {coef})"
+            hi = f"((-({hi2}) + ci_ * ({hr1})) + cr * ({hi1}))"
+        return hr, hi
+    hr_expr, hi_expr = clen_stages()
+
+    n = _n_pages("sf0.01")
+    return f"""WITH {_pages_cte(n)},
+pts AS (
+  SELECT url,
+         CAST(least(greatest(floor((lon + 180.0) / 6.0) + 1, 1), 60) AS BIGINT)
+           AS zone,
+         radians(lat) AS phi, radians(lon) AS lam_in
+  FROM pages WHERE lat IS NOT NULL
+),
+zoned AS (
+  SELECT url, zone,
+         phi, lam_in - radians((zone - 1 + 0.5) * 6.0 - 180.0) AS lam
+  FROM pts
+),
+gaus AS (   -- gatg(cbg, phi): Gaussian latitude
+  SELECT url, zone, lam, phi, 2.0 * cos(2.0 * phi) AS cos2b FROM zoned
+),
+gaus2 AS (
+  SELECT url, zone, lam, phi + ({gatg_expr}) * sin(2.0 * phi) AS cn1
+  FROM gaus
+),
+sph AS (    -- spherical transform to the oblique frame
+  SELECT url, zone, lam,
+         atan2(sin(cn1), cos(lam) * cos(cn1)) AS cn2,
+         atan2(sin(lam) * cos(cn1),
+               sqrt(sin(cn1) * sin(cn1)
+                    + (cos(cn1) * cos(lam)) * (cos(cn1) * cos(lam)))) AS ce2
+  FROM gaus2
+),
+sph2 AS (   -- ce = asinh(tan(ce2)) via the log identity
+  SELECT url, zone, cn2,
+         ln(tan(ce2) + sqrt(tan(ce2) * tan(ce2) + 1.0)) AS ce3
+  FROM sph
+),
+args AS (   -- complex Clenshaw arguments
+  SELECT url, zone, cn2, ce3,
+         sin(2.0 * cn2) AS sr, cos(2.0 * cn2) AS cr0,
+         (exp(2.0 * ce3) - exp(-(2.0 * ce3))) / 2.0 AS shi,
+         (exp(2.0 * ce3) + exp(-(2.0 * ce3))) / 2.0 AS chi
+  FROM sph2
+),
+args2 AS (
+  SELECT url, zone, cn2, ce3, sr, cr0, shi, chi,
+         2.0 * cr0 * chi AS cr, -2.0 * sr * shi AS ci_
+  FROM args
+),
+clen AS (
+  SELECT url, zone, cn2, ce3,
+         sr * chi AS srch, cr0 * shi AS crsh,
+         {hr_expr} AS hr, {hi_expr} AS hi
+  FROM args2
+),
+proj AS (
+  SELECT url, zone,
+         ({qn} * (ce3 + (srch * hi + crsh * hr))) * {a} + 500000.0 AS easting,
+         ({qn} * (cn2 + (srch * hr - crsh * hi)) + -0.0) * {a} AS northing
+  FROM clen
+)
+SELECT zone, COUNT(*) AS n_pages,
+       ROUND(MIN(easting), 2) AS min_e, ROUND(MAX(easting), 2) AS max_e,
+       ROUND(MIN(northing), 2) AS min_n, ROUND(MAX(northing), 2) AS max_n
+FROM proj GROUP BY zone"""
 
 
 def _sql_minhash_neardup() -> str:
@@ -1263,6 +1414,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk": _sql_embed_topk(),
         "embed_allpairs": _sql_embed_allpairs(),
         "events_hourly": _sql_events_hourly(),
+        "utm_project": _sql_utm_project(),
+        "ann_pairs": _sql_ann_pairs(),
         "minhash_neardup": _sql_minhash_neardup(),
         "simhash_neardup": _sql_simhash_neardup(),
         "crs_dispatch": _sql_crs_dispatch(),
