@@ -703,6 +703,71 @@ def q_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank").cast("long")))
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: coarse quantizer trained in one
+    aggregation pass (random-partition k-means init + one Lloyd step,
+    DECIMAL-exact element-wise means), zero-shuffle Arrow matmul
+    assignment to inverted lists, nprobe-pruned exact-cosine re-rank.
+    The deterministic trainer keeps every stage SQL-expressible, so this
+    scale-path op gets a full DuckDB value oracle (unlike the LSH
+    variant's rows-only check)."""
+    from proj_spark.text.similarity import ivf_topk
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(v) for v in qrow[0]]
+    res = ivf_topk(emb, query, EMB_K, dim=64, n_cells=IVF_CELLS,
+                   nprobe=IVF_NPROBE)
+    return res.select(F.col("cell").cast("long").alias("cell"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      "cosine")
+
+
+def _sql_ivf_topk() -> str:
+    """IVF oracle: the same deterministic trainer in DuckDB SQL —
+    DECIMAL sums keep the centroid means order-independent in both
+    engines; cosines round to 8 dp before every argmax/ordering."""
+    dim = 64
+    mean_terms = ",\n          ".join(
+        f"ROUND(CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(27,12))) AS DOUBLE)"
+        f" / COUNT(*), 6)" for i in range(dim))
+    cos = ("ROUND(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 8)")
+    return f"""WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT vec_id % {IVF_CELLS} AS cell,
+         [{mean_terms}] AS c
+  FROM emb GROUP BY 1
+), assign AS (
+  SELECT e.vec_id, e.v, c.cell,
+         {cos.format(a='e.v', b='c.c')} AS cd
+  FROM emb e CROSS JOIN cent c
+), best AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cell) AS rn
+    FROM assign) WHERE rn = 1
+), q AS (
+  SELECT v AS qv FROM emb WHERE vec_id = 0
+), qcells AS (
+  SELECT c.cell FROM cent c, q
+  ORDER BY {cos.format(a='c.c', b='qv')} DESC, c.cell
+  LIMIT {IVF_NPROBE}
+)
+SELECT CAST(b.cell AS BIGINT) AS cell, CAST(b.vec_id AS BIGINT) AS vec_id,
+       {cos.format(a='b.v', b='qv')} AS cosine
+FROM best b JOIN qcells USING (cell), q
+ORDER BY cosine DESC, vec_id LIMIT {EMB_K}"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: binary media -> mapInPandas decode (stubbed
     deterministic codec) -> fixed-width features -> per-kind stats
@@ -1386,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_allpairs": q_embed_allpairs,
         "ann_pairs": q_ann_pairs,
+        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
@@ -1416,10 +1482,11 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _sql_events_hourly(),
         "utm_project": _sql_utm_project(),
         "ann_pairs": _sql_ann_pairs(),
+        "ivf_topk": _sql_ivf_topk(),
         "minhash_neardup": _sql_minhash_neardup(),
         "simhash_neardup": _sql_simhash_neardup(),
         "crs_dispatch": _sql_crs_dispatch(),
         "gridshift_file": _sql_gridshift_file(),
-        # utm_project / minhash_neardup / simhash_neardup: rows-only
-        # (non-SQL-expressible kernels; gated by the gie fixture pytest suite)
+        # media_features: rows-only (engine-internal stub codec; gated by
+        # tests/test_multimodal.py)
     }

@@ -90,6 +90,88 @@ def lsh_topk(embeddings: DataFrame, query: list[float], k: int,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_centroids(embeddings: DataFrame, n_cells: int, dim: int,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Coarse quantizer for IVF: centroid j is the element-wise mean of
+    the vectors in deterministic partition j = pmod(id, n_cells) —
+    k-means with random-partition init and one Lloyd half-step, the
+    classic data-dependent seeding that needs exactly ONE aggregation
+    pass (map-side partial means, one tiny shuffle of n_cells rows).
+
+    Component sums run in DECIMAL so the result is order-independent
+    (double sums would vary with partition merge order and could flip
+    the rounded value); means are rounded to 6 dp so the DuckDB oracle
+    reproduces them bit-for-bit.  Returns (cell, centroid array<double>).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    parts = embeddings.select(
+        F.pmod(F.col(id_col), F.lit(n_cells)).alias("cell"), v.alias("_v"))
+    aggs = [
+        F.round(
+            F.sum(F.element_at("_v", i + 1).cast("decimal(27,12)"))
+            .cast("double") / F.count(F.lit(1)), 6).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    return (parts.groupBy("cell").agg(*aggs)
+            .select("cell", F.array(*[F.col(f"_c{i}") for i in range(dim)])
+                    .alias("centroid")))
+
+
+def ivf_topk(embeddings: DataFrame, query: list[float], k: int, dim: int,
+             n_cells: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: train the coarse quantizer, assign every
+    vector to its nearest centroid (inverted lists), then scan only the
+    `nprobe` lists nearest the query and exact-cosine rank the survivors.
+
+    Scale shape: training is one aggregation pass; assignment is a
+    zero-shuffle Arrow-batched matmul against the broadcast
+    (n_cells x dim) centroid matrix with rounded-cosine argmax; the
+    probe prunes the scan to ~nprobe/n_cells of the data (in a real
+    deployment the table is written partitioned by `cell`, so the probe
+    becomes partition pruning at the source).  Only the n_cells-row
+    centroid relation and the query vector ever reach the driver.
+    Returns (cell, vec_id, cosine) — the probed list id kept for
+    provenance."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    cent = ivf_centroids(embeddings, n_cells, dim, vec_col, id_col)
+    crows = sorted(cent.collect(), key=lambda r: r["cell"])
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in crows])
+    cell_ids = np.array([int(r["cell"]) for r in crows])
+    Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
+    bc = embeddings.sparkSession.sparkContext.broadcast((C, Cn, cell_ids))
+
+    def _assign_fn(vs):
+        Cm, Cnorm, ids = bc.value
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        vn = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+        cd = np.round((m @ Cm.T) / np.outer(vn, Cnorm), 8)
+        # argmax with ties to the LOWEST cell id (rows of Cm are sorted
+        # by cell, so np.argmax's first-max rule matches the oracle's
+        # ORDER BY cd DESC, cell ASC)
+        return pd.Series(ids[np.argmax(cd, axis=1)])
+
+    _assign = pandas_udf(_assign_fn, LongType())
+
+    qv = np.asarray(query, dtype=np.float64)
+    qn = max(float(np.linalg.norm(qv)), 1e-300)
+    qcd = np.round((C @ qv) / (Cn * qn), 8)
+    order = np.lexsort((cell_ids, -qcd))
+    probed = [int(cell_ids[i]) for i in order[:nprobe]]
+
+    v = F.col(vec_col).cast("array<double>")
+    assigned = embeddings.select(
+        F.col(id_col), v.alias("_v"), _assign(v).alias("cell"))
+    cand = assigned.where(F.col("cell").isin(probed))
+    scored = cand.select(
+        "cell", F.col(id_col),
+        F.round(cosine_expr(F.col("_v"), query), 8).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def cosine_pair_expr(a: Column, b: Column) -> Column:
     """JVM-side cosine between two array<double> columns."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
