@@ -73,8 +73,8 @@ def length_to_m(value: float, uom: str) -> float:
 # ---------------------------------------------------------------------------
 
 _ANGULAR = {"lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "lonc",
-            "alpha", "gamma", "azi"}
-_LENGTH = {"x_0", "y_0"}
+            "alpha", "gamma", "azi", "lon_init", "zone_width"}
+_LENGTH = {"x_0", "y_0", "h_0", "X_0", "Y_0", "Z_0"}
 
 _ORIENT = {"east": "e", "west": "w", "north": "n", "south": "s",
            "up": "u", "down": "d"}
@@ -156,6 +156,10 @@ def crs_definition(code) -> str:
             # variant B (azimuth centre) is proj omerc's default u_c offset
             no_uoff = True
     suppress_axis = False
+    if method == "1042":
+        # Krovak Modified keeps classic Krovak's positive southing/westing
+        # convention (+czech), same CS reasoning as 9819 below
+        suppress_axis = True
     if method == "9819":
         # standard Krovak: positive southing/westing convention is the
         # engine's +czech form; the CS (south, west) axes are thereby
@@ -163,8 +167,12 @@ def crs_definition(code) -> str:
         # (1041, East North, is the plain negative-coordinate form.)
         suppress_axis = True
     parts = [f"+proj={proj_name}"] + _geog_parts(proj["base"])
-    if method == "9819":
+    if method in ("9819", "1042"):
         parts.append("+czech")
+    if method == "9803":
+        parts.append("+belgium")    # LCC 2SP with the 29.2985" theta offset
+    if method == "9833":
+        parts.append("+hyperbolic")  # Cassini with the -N^3/(6 rho nu) term
     if method == "9831":
         parts.append("+guam")   # Guam projection = aeqd's Guam variant
     if no_uoff:

@@ -27,6 +27,10 @@ class Cass(Operation):
     proj_name = "cass"
 
     def setup(self) -> None:
+        # EPSG 9833 (Hyperbolic Cassini-Soldner, Vanua Levu): subtract
+        # N^3/(6 rho nu) from the northing (GN7-2); not in the
+        # reference's 6.x cass.cpp (the method is catalog-only there)
+        self.hyperbolic = "hyperbolic" in self.params
         if self.es != 0.0:
             self.en = mu.enfn(self.es)
             self.m0 = float(mu.mlfn(np.float64(self.phi0),
@@ -51,7 +55,15 @@ class Cass(Operation):
                                       * a2 / 120.0))
         y = y - self.m0 + n * tn * a2 * (0.5 + (5.0 - t + 6.0 * c)
                                          * a2 / 24.0)
+        if self.hyperbolic:
+            y = y - y ** 3 / (6.0 * self._rho_nu(phi))
         return x, y
+
+    def _rho_nu(self, phi):
+        """rho*nu in a-units^2 at latitude phi (the 9833 correction
+        denominator)."""
+        s2 = np.sin(phi) ** 2
+        return (1.0 - self.es) / (1.0 - self.es * s2) ** 2
 
     def _inv(self, x, y):
         if self.es == 0.0:
@@ -59,6 +71,14 @@ class Cass(Operation):
             phi = np.arcsin(np.clip(np.sin(dd) * np.cos(x), -1, 1))
             lam = np.arctan2(np.tan(x), np.cos(dd))
             return lam, phi
+        if self.hyperbolic:
+            # invert y_h = y - y^3/(6 rho nu): fixed-point from y_h (the
+            # correction is ~1e-5 relative at Vanua Levu scale)
+            yc = y
+            for _ in range(3):
+                ph = mu.inv_mlfn(self.m0 + yc, self.es, self.en)
+                yc = y + yc ** 3 / (6.0 * self._rho_nu(ph))
+            y = yc
         ph1 = mu.inv_mlfn(self.m0 + y, self.es, self.en)
         tn = np.tan(ph1)
         t = tn * tn

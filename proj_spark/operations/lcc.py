@@ -63,6 +63,13 @@ class LCC(Operation):
             self.rho0 = 0.0 if abs(abs(self.phi0) - mu.HALFPI) < EPS10 else (
                 self.c * math.pow(math.tan(mu.FORTPI + 0.5 * self.phi0), -n))
         self.n = n
+        # EPSG 9803 (LCC 2SP Belgium): theta is reduced by a = 29.2985"
+        # before computing E/N (GN7-2; the pre-1972 Belgian grids).  The
+        # reference maps this method to plain lcc with a FIXME
+        # (coordinateoperation_constants.hpp:568-575); the true formula
+        # is this one-term rotation.
+        self.theta_off = ((29.2985 / 3600.0) * math.pi / 180.0
+                          if "belgium" in self.params else 0.0)
 
     def _fwd(self, lam, phi):
         at_pole = np.abs(np.abs(phi) - mu.HALFPI) < EPS10
@@ -72,7 +79,7 @@ class LCC(Operation):
         else:
             rho = self.c * np.power(np.tan(mu.FORTPI + 0.5 * phi), -self.n)
         rho = np.where(at_pole, 0.0, rho)
-        nlam = lam * self.n
+        nlam = lam * self.n - self.theta_off
         x = self.k0 * rho * np.sin(nlam)
         y = self.k0 * (self.rho0 - rho * np.cos(nlam))
         nan = np.float64(np.nan)
@@ -92,6 +99,6 @@ class LCC(Operation):
             phi = mu.phi2(np.power(safe_rho / self.c, 1.0 / self.n), self.e)
         else:
             phi = 2.0 * np.arctan(np.power(self.c / safe_rho, 1.0 / self.n)) - mu.HALFPI
-        lam = np.arctan2(x, y) / self.n
+        lam = (np.arctan2(x, y) + self.theta_off) / self.n
         pole = mu.HALFPI if self.n > 0.0 else -mu.HALFPI
         return np.where(center, 0.0, lam), np.where(center, pole, phi)

@@ -58,7 +58,7 @@ def _registry() -> dict:
     }
     import importlib
     for modname in ("azimuthal", "pseudocyl", "conic", "misc", "special",
-                    "dggs", "datum"):
+                    "dggs", "datum", "extensions"):
         try:
             mod = importlib.import_module(f"proj_spark.operations.{modname}")
         except ImportError:

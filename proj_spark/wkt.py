@@ -172,6 +172,17 @@ METHODS: dict[str, str] = {
     "laborde_oblique_mercator": "labrd",
     "laborde oblique mercator": "labrd", "9813": "labrd",
     "9834": "cea",   # Lambert Cylindrical Equal Area (Spherical)
+    # EPSG methods beyond the reference's registry (operations/extensions.py)
+    "colombia urban": "col_urban", "1052": "col_urban",
+    "krovak modified": "mod_krovak", "1042": "mod_krovak",
+    "krovak modified (north orientated)": "mod_krovak", "1043": "mod_krovak",
+    "transverse mercator zoned grid system": "tm_zoned", "9824": "tm_zoned",
+    "geographic/topocentric conversions": "topocentric", "9837": "topocentric",
+    "geocentric/topocentric conversions": "topocentric", "9836": "topocentric",
+    "tunisia mining grid": "tunisia_mining", "9816": "tunisia_mining",
+    "lambert conic conformal (2sp belgium)": "lcc",
+    "lambert_conformal_conic_2sp_belgium": "lcc", "9803": "lcc",
+    "hyperbolic cassini-soldner": "cass", "9833": "cass",
 }
 
 #: (wkt1 PARAMETER name | wkt2 name | EPSG parameter code) -> proj key
@@ -219,6 +230,16 @@ PARAMS: dict[str, str] = {
     "colatitude_of_cone_axis": "alpha",
     "scale_factor_pseudo_standard_parallel": "k",
     "scale factor on pseudo standard parallel": "k", "8819": "k",
+    # extension-method parameters
+    "projection plane origin height": "h_0", "1039": "h_0",
+    "initial longitude": "lon_init", "8830": "lon_init",
+    "zone width": "zone_width", "8831": "zone_width",
+    "latitude of topocentric origin": "lat_0", "8834": "lat_0",
+    "longitude of topocentric origin": "lon_0", "8835": "lon_0",
+    "ellipsoidal height of topocentric origin": "h_0", "8836": "h_0",
+    "geocentric x of topocentric origin": "X_0", "8837": "X_0",
+    "geocentric y of topocentric origin": "Y_0", "8838": "Y_0",
+    "geocentric z of topocentric origin": "Z_0", "8839": "Z_0",
 }
 
 

@@ -2,9 +2,10 @@
 and compiling, and a deterministic sample must round-trip.
 
 Floors (bump as coverage grows):
-  - >= 4640 of the ~4700 active projected CRSs create() successfully
-    (the remainder are methods outside the reference's own registry,
-    e.g. Colombia Urban);
+  - ALL active projected CRSs create() successfully (methods outside the
+    reference's own registry — Colombia Urban, Krovak Modified, TM
+    Zoned, topocentric, Tunisia Mining, LCC Belgium, Hyperbolic Cassini
+    — are implemented from EPSG GN7-2 in operations/extensions.py);
   - a deterministic every-31st sample round-trips fwd/inv near each
     CRS's natural origin to < 1e-6 deg.
 """
@@ -38,7 +39,7 @@ def test_catalog_create_floor():
         except (NotImplementedError, ValueError, KeyError):
             pass
     print(f"catalog create coverage: {ok}/{total}")
-    assert ok >= 4665
+    assert ok == total, f"{ok}/{total}"
 
 
 def _origin_of(definition: str) -> tuple[float, float]:
