@@ -134,27 +134,14 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int, dim: int,
     centroid relation and the query vector ever reach the driver.
     Returns (cell, vec_id, cosine) — the probed list id kept for
     provenance."""
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import LongType
-
     cent = ivf_centroids(embeddings, n_cells, dim, vec_col, id_col)
     crows = sorted(cent.collect(), key=lambda r: r["cell"])
     C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in crows])
     cell_ids = np.array([int(r["cell"]) for r in crows])
     Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
-    bc = embeddings.sparkSession.sparkContext.broadcast((C, Cn, cell_ids))
-
-    def _assign_fn(vs):
-        Cm, Cnorm, ids = bc.value
-        m = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
-        vn = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
-        cd = np.round((m @ Cm.T) / np.outer(vn, Cnorm), 8)
-        # argmax with ties to the LOWEST cell id (rows of Cm are sorted
-        # by cell, so np.argmax's first-max rule matches the oracle's
-        # ORDER BY cd DESC, cell ASC)
-        return pd.Series(ids[np.argmax(cd, axis=1)])
-
-    _assign = pandas_udf(_assign_fn, LongType())
+    # argmax in _assign_udf ties to the LOWEST cell id (rows of C are
+    # sorted by cell), matching the oracle's ORDER BY cd DESC, cell ASC
+    _assign = _assign_udf(C, cell_ids, embeddings.sparkSession)
 
     qv = np.asarray(query, dtype=np.float64)
     qn = max(float(np.linalg.norm(qv)), 1e-300)
@@ -169,6 +156,76 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int, dim: int,
     scored = cand.select(
         "cell", F.col(id_col),
         F.round(cosine_expr(F.col("_v"), query), 8).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _assign_udf(C: np.ndarray, cell_ids: np.ndarray, spark_session):
+    """Arrow-batched nearest-centroid assignment against a broadcast
+    (n_cells x dim) matrix; rounded-cosine argmax, ties to lowest cell."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
+    bc = spark_session.sparkContext.broadcast((C, Cn, cell_ids))
+
+    def _fn(vs):
+        Cm, Cnorm, ids = bc.value
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        vn = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+        cd = np.round((m @ Cm.T) / np.outer(vn, Cnorm), 8)
+        return pd.Series(ids[np.argmax(cd, axis=1)])
+
+    return pandas_udf(_fn, LongType())
+
+
+def ivf_write_index(embeddings: DataFrame, path: str, dim: int,
+                    n_cells: int = 16, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Persist an IVF index: the inverted lists land under
+    ``{path}/lists`` PARTITIONED BY cell (one directory per list), the
+    trained centroids under ``{path}/centroids``.
+
+    This is the at-rest shape for corpus-scale ANN: queries read the
+    centroid relation (n_cells rows), pick nprobe lists, and the
+    ``cell IN (...)`` predicate becomes PARTITION PRUNING at the file
+    source — a 10^12-vector index scans nprobe/n_cells of its files,
+    no per-query assignment pass."""
+    cent = ivf_centroids(embeddings, n_cells, dim, vec_col, id_col)
+    crows = sorted(cent.collect(), key=lambda r: r["cell"])
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64)
+                  for r in crows])
+    cell_ids = np.array([int(r["cell"]) for r in crows])
+    _assign = _assign_udf(C, cell_ids, embeddings.sparkSession)
+    v = F.col(vec_col).cast("array<double>")
+    (embeddings.select(F.col(id_col), v.alias("vec"),
+                       _assign(v).alias("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/lists"))
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_query_index(spark, path: str, query: list[float], k: int,
+                    nprobe: int = 4, id_col: str = "vec_id") -> DataFrame:
+    """Probe a persisted IVF index: rank centroids against the query,
+    scan only the nprobe nearest lists (partition-pruned at the parquet
+    source — .explain shows ``PartitionFilters: [cell IN (...)]``),
+    exact-cosine re-rank the survivors."""
+    crows = sorted(spark.read.parquet(f"{path}/centroids").collect(),
+                   key=lambda r: r["cell"])
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64)
+                  for r in crows])
+    cell_ids = np.array([int(r["cell"]) for r in crows])
+    qv = np.asarray(query, dtype=np.float64)
+    qn = max(float(np.linalg.norm(qv)), 1e-300)
+    Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
+    qcd = np.round((C @ qv) / (Cn * qn), 8)
+    order = np.lexsort((cell_ids, -qcd))
+    probed = [int(cell_ids[i]) for i in order[:nprobe]]
+    lists = spark.read.parquet(f"{path}/lists").where(
+        F.col("cell").isin(probed))
+    scored = lists.select(
+        F.col("cell").cast("long").alias("cell"), F.col(id_col),
+        F.round(cosine_expr(F.col("vec"), query), 8).alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 

@@ -278,6 +278,33 @@ def test_ivf_topk(spark):
         [(r["vec_id"], r["cosine"]) for r in again]
 
 
+def test_ivf_persisted_index(spark, tmp_path):
+    """The at-rest IVF shape: lists written partitioned by cell, probe
+    queries prune to nprobe partitions AT THE SOURCE (PartitionFilters
+    in the scan), and results equal the recompute-everything path."""
+    from proj_spark.text.similarity import (ivf_query_index, ivf_topk,
+                                            ivf_write_index)
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(300, 16)).astype(np.float64)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "ivf")
+    ivf_write_index(emb, path, dim=16, n_cells=8)
+    import os
+    cell_dirs = [d for d in os.listdir(f"{path}/lists")
+                 if d.startswith("cell=")]
+    assert len(cell_dirs) == 8
+    q = [float(x) for x in vecs[5]]
+    got = ivf_query_index(spark, path, q, k=10, nprobe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan
+    res = got.collect()
+    ref = ivf_topk(emb, q, 10, dim=16, n_cells=8, nprobe=3).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in res] == \
+        [(r["vec_id"], r["cosine"]) for r in ref]
+
+
 def test_knn_many_queries_distributed(spark, geo):
     """10^4 queries through the distributed ring loop: no per-row driver
     collects (the only driver materializations are the query coordinates
