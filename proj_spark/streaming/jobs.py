@@ -110,6 +110,51 @@ def stream_domain_running_counts(spark: SparkSession, pages_dir: str,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+_DEDUP_OUT = StructType([
+    StructField("url", StringType()),
+    StructField("digest", StringType()),
+])
+_DEDUP_STATE = StructType([StructField("seen", IntegerType())])
+
+
+def stream_exact_dedup(spark: SparkSession, pages_dir: str,
+                       max_files_per_trigger: int = 1,
+                       id_col: str = "url",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup at ingest: emit each content digest's FIRST
+    page only, suppress every later duplicate across micro-batches.
+
+    State is one tombstone per distinct digest (applyInPandasWithState
+    keyed by md5(text)) — the incremental registry pattern: at corpus
+    scale the state store shards by digest across executors, and the
+    per-key record is a single int.  Batch equivalence: the kept set
+    equals batch `min_by(url) GROUP BY digest` when files arrive in
+    url order (the deterministic single-file-per-trigger test setup)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pages = _streaming_reader(spark, pages_dir, max_files_per_trigger)
+    keyed = pages.select(F.col(id_col).cast("string").alias("url"),
+                         F.md5(F.col(text_col).cast("binary"))
+                         .alias("digest"))
+
+    def first_only(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            return            # digest already emitted: drop everything
+        first_url = None
+        for pdf in pdfs:
+            if len(pdf):
+                u = pdf["url"].min()   # deterministic within the batch
+                first_url = u if first_url is None else min(first_url, u)
+        if first_url is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame({"url": [first_url], "digest": [key[0]]})
+
+    return (keyed.groupBy("digest")
+            .applyInPandasWithState(first_only, _DEDUP_OUT, _DEDUP_STATE,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str = "complete") -> None:
     """Drain a streaming DataFrame into an in-memory table (tests /

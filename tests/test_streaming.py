@@ -59,6 +59,40 @@ def test_stream_tile_density_matches_batch(spark, pages_dir):
     assert got == want
 
 
+def test_stream_exact_dedup(spark, tmp_path):
+    """First occurrence of each digest is kept, later duplicates are
+    suppressed across micro-batches; the kept set equals the batch
+    min_by(url) dedup on the same files."""
+    from proj_spark.streaming.jobs import stream_exact_dedup
+    texts = ["alpha body", "beta body", "gamma body"]
+    rows1 = [(f"https://a.example/p{i}", texts[i % 2]) for i in range(4)]
+    rows2 = [(f"https://b.example/p{i}", texts[i % 3]) for i in range(6)]
+    d = tmp_path / "pages"
+    (spark.createDataFrame(rows1, ["url", "text"]).coalesce(1)
+     .write.parquet(str(d / "f0")))
+    (spark.createDataFrame(rows2, ["url", "text"]).coalesce(1)
+     .write.parquet(str(d / "f1")))
+    import glob
+    import shutil
+    for i, f in enumerate(sorted(glob.glob(str(d / "f*" / "part-*.parquet")))):
+        shutil.copy(f, d / f"part-{i:03d}.parquet")
+    shutil.rmtree(d / "f0")
+    shutil.rmtree(d / "f1")
+    run_to_memory(stream_exact_dedup(spark, str(d)), "dedup", mode="append")
+    got = {r["digest"]: r["url"] for r in spark.table("dedup").collect()}
+    batch = (spark.read.parquet(str(d))
+             .select("url", F.md5("text").alias("digest"))
+             .groupBy("digest").agg(F.min("url").alias("url")))
+    want = {r["digest"]: r["url"] for r in batch.collect()}
+    assert got == want
+    assert len(got) == 3          # three distinct texts survive
+    # each kept url comes from the earliest file containing that digest:
+    # texts 0/1 first appear in file 0 (a.example), text 2 only in file 1
+    by_file = sorted(got.values())
+    assert sum(u.startswith("https://a.example/") for u in by_file) == 2
+    assert sum(u.startswith("https://b.example/") for u in by_file) == 1
+
+
 def test_stateful_running_counts(spark, pages_dir):
     import glob
     n_files = len(glob.glob(f"{pages_dir}/part-*.parquet"))
