@@ -51,13 +51,24 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     (spark.range(0, n_workers * 10000, 1, n_workers)
      .select(_warm(_F.col("id").cast("double"))).count())
     entrymod.q_utm_project(spark, sf_dir).count()
+    # two passes per query: pass 1 pays each query's ONE-TIME costs
+    # (whole-stage codegen compile of its plan, its UDFs' first worker
+    # execution, broadcast builds) on top of the work; pass 2 is the
+    # steady-state per-run cost — the number that matters at 100 TB,
+    # where a plan compiles once and then scans for hours.  Both are
+    # reported; regressions should be judged on the steady pass.
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()
-        out[name] = round(time.time() - t0, 3)
+        cold[name] = round(time.time() - t0, 3)
         assert n >= 0
-    return out
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+    return out, cold
 
 
 SCALING_ROWS = 32_000_000
@@ -132,15 +143,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     spark = get_spark("bench")
-    t0 = time.time()
-    queries = run_queries(spark, sf_dir)
-    total = round(time.time() - t0, 3)
+    queries, cold = run_queries(spark, sf_dir)
     spark.stop()
     payload = {
-        "metric": "headline suite wall time",
-        "value": total,
+        "metric": "headline suite wall time (steady-state pass)",
+        "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "queries_cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_SCALING"):
