@@ -4,6 +4,8 @@
     python -m proj_spark cs2cs <src> <dst>                   [< coords]
     python -m proj_spark cct <+proj-string>                  [< 4D coords]
     python -m proj_spark projinfo <definition>
+    python -m proj_spark geod <+ellps=...> [-I]              [< coords]
+    python -m proj_spark gie <file.gie> [...]
 
 `proj` reads "lon lat [z [t]]" lines from stdin (degrees for angular
 input, like src/apps/proj.cpp) and prints projected coordinates; `-I`
@@ -154,6 +156,60 @@ def cmd_projinfo(args) -> int:
     return 0
 
 
+def cmd_geod(args) -> int:
+    """Geodesic filter like the reference's geod (src/apps/geod.cpp):
+    direct mode reads "lat1 lon1 azi1 s12" lines and prints
+    "lat2 lon2 azi2(back)"; -I (inverse) reads "lat1 lon1 lat2 lon2"
+    and prints "azi1 azi2 s12".  Ellipsoid from +ellps/+a/+rf/+f."""
+    from proj_spark.ellipsoids import ellipsoid_from_params
+    from proj_spark.operations.karney import Geodesic
+    from proj_spark.projstring import parse_projstring
+    inverse = "-I" in args
+    args = [a for a in args if a != "-I"]
+    params = parse_projstring(" ".join(args)) if args else {}
+    params.setdefault("ellps", "WGS84")
+    ell = ellipsoid_from_params(params)
+    g = Geodesic(ell.a, ell.f)
+    arr, ncols = _read_coords(sys.stdin)
+    if not len(arr):
+        return 0
+    r = np.radians
+    if inverse:
+        s12, azi1, azi2 = g.inverse(r(arr[:, 0]), r(arr[:, 1]),
+                                    r(arr[:, 2]), r(arr[:, 3]))[:3]
+        print(_fmt((np.degrees(azi1), np.degrees(azi2), s12), 3))
+    else:
+        lat2, lon2, azi2 = g.direct(r(arr[:, 0]), r(arr[:, 1]),
+                                    r(arr[:, 2]), arr[:, 3])[:3]
+        azi2 = np.degrees(azi2)
+        # geod prints the BACK azimuth at the destination
+        back = np.where(azi2 > 0.0, azi2 - 180.0, azi2 + 180.0)
+        print(_fmt((np.degrees(lat2), np.degrees(lon2), back), 3))
+    return 0
+
+
+def cmd_gie(args) -> int:
+    """Run .gie regression files against the engine (gie analogue)."""
+    from proj_spark.gie import run_gie
+    if not args:
+        print("usage: python -m proj_spark gie <file.gie> [...]")
+        return 2
+    grand_total = grand_failed = 0
+    for path in args:
+        total, failed, messages = run_gie(path)
+        grand_total += total
+        grand_failed += failed
+        status = "ok" if failed == 0 else "FAILED"
+        print(f"{path}: {total - failed}/{total} {status}")
+        for m in messages[:20]:
+            print(f"  {m}")
+        if len(messages) > 20:
+            print(f"  ... {len(messages) - 20} more")
+    print(f"total: {grand_total - grand_failed}/{grand_total} "
+          f"{'ok' if grand_failed == 0 else 'FAILED'}")
+    return 0 if grand_failed == 0 else 1
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
@@ -168,7 +224,12 @@ def main(argv=None) -> int:
         return cmd_cct(rest)
     if cmd == "projinfo":
         return cmd_projinfo(rest)
-    print(f"unknown command {cmd!r}; expected proj | cs2cs | cct | projinfo")
+    if cmd == "geod":
+        return cmd_geod(rest)
+    if cmd == "gie":
+        return cmd_gie(rest)
+    print(f"unknown command {cmd!r}; expected "
+          "proj | cs2cs | cct | projinfo | geod | gie")
     return 2
 
 

@@ -21,10 +21,15 @@ from proj_spark import mathutils as mu
 
 
 def _angle(params: dict, key: str, default: float = 0.0) -> float:
-    """Parse an angular parameter given in degrees -> radians."""
+    """Parse an angular parameter -> radians: plain degrees or the
+    reference's DMS notation (44d11'N etc., src/dmstor.cpp)."""
     if key not in params:
         return default
-    return math_radians(float(params[key]))
+    try:
+        return math_radians(float(params[key]))
+    except (TypeError, ValueError):
+        from proj_spark.operations.cs2cs import dms_to_deg
+        return math_radians(dms_to_deg(str(params[key])))
 
 
 def math_radians(deg: float) -> float:

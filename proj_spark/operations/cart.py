@@ -62,9 +62,25 @@ class Cart(Operation):
         lam, phi, _ = self.inv3d(x, y, np.zeros_like(np.asarray(x, dtype=np.float64)))
         return lam, phi
 
-    # cartesian io: fwd/inv must not scale by a or add offsets
+    # cartesian io: fwd/inv must not scale by a or add offsets, but
+    # non-metric units DO apply (src/fwd.cpp:110-118 scales cartesian
+    # output by fr_meter; inv_prepare mirrors with to_meter)
     def fwd(self, lam, phi):
-        return self._fwd(np.asarray(lam, dtype=np.float64), np.asarray(phi, dtype=np.float64))
+        x, y = self._fwd(np.asarray(lam, dtype=np.float64),
+                         np.asarray(phi, dtype=np.float64))
+        return x * self.fr_meter, y * self.fr_meter
 
     def inv(self, x, y):
-        return self._inv(np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
+        return self._inv(np.asarray(x, dtype=np.float64) * self.to_meter,
+                         np.asarray(y, dtype=np.float64) * self.to_meter)
+
+    def fwd3d_units(self, lam, phi, z):
+        """fwd3d + the cartesian fr_meter finalize (the bare-op path;
+        pipeline-internal callers use fwd3d, which stays metric)."""
+        X, Y, Z = self.fwd3d(lam, phi, z)
+        return X * self.fr_meter, Y * self.fr_meter, Z * self.fr_meter
+
+    def inv3d_units(self, x, y, z):
+        return self.inv3d(np.asarray(x, dtype=np.float64) * self.to_meter,
+                          np.asarray(y, dtype=np.float64) * self.to_meter,
+                          np.asarray(z, dtype=np.float64) * self.to_meter)

@@ -20,9 +20,10 @@ class LCC(Operation):
     proj_name = "lcc"
 
     def setup(self) -> None:
+        from proj_spark.operations.base import _angle
         p = self.params
-        phi1 = float(p.get("lat_1", 0.0)) * np.pi / 180.0
-        phi2_ = float(p["lat_2"]) * np.pi / 180.0 if "lat_2" in p else phi1
+        phi1 = _angle(p, "lat_1", 0.0)
+        phi2_ = _angle(p, "lat_2") if "lat_2" in p else phi1
         if "lat_2" not in p and "lat_0" not in p:
             self.phi0 = phi1
         if abs(phi1) > mu.HALFPI or abs(phi2_) > mu.HALFPI:

@@ -189,7 +189,14 @@ class EqEarth(Operation):
     def _inv(self, x, y):
         from proj_spark.operations.simple import authlat
         x = x / self.rqda
-        y = np.clip(y / self.rqda, -self.MAX_Y, self.MAX_Y)
+        y = y / self.rqda
+        # values at/beyond the valid edge ARE the pole: remember them so
+        # phi snaps to exactly +-90 after the Newton solve (the
+        # reference's truncated MAX_Y literal otherwise leaves a
+        # sqrt-amplified ~1e-7 rad deficit at the pole)
+        hi = y >= self.MAX_Y
+        lo = y <= -self.MAX_Y
+        y = np.clip(y, -self.MAX_Y, self.MAX_Y)
         yc = np.array(y, copy=True)
         for _ in range(12):
             y2 = yc * yc
@@ -203,6 +210,7 @@ class EqEarth(Operation):
         phi = np.arcsin(np.clip(np.sin(yc) / self.M, -1, 1))
         if self.es != 0.0:
             phi = authlat(phi, self.apa)
+        phi = np.where(hi, mu.HALFPI, np.where(lo, -mu.HALFPI, phi))
         return lam, phi
 
 

@@ -195,7 +195,10 @@ class Affine(Operation):
     x' = xoff + s11·x + s12·y ; y' = yoff + s21·x + s22·y."""
 
     proj_name = "affine"
-    left = right = "projected"
+    # the reference applies affine to whatever coordinates flow through
+    # (angular, projected or cartesian alike — src/projections/affine.cpp
+    # sets PJ_IO_UNITS_WHATEVER on both sides)
+    left = right = "whatever"
 
     def setup(self) -> None:
         g = self.params.get

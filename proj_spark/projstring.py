@@ -21,9 +21,12 @@ def parse_projstring(s: str) -> dict:
             continue
         if "=" in tok:
             k, v = tok.split("=", 1)
-            params[k] = v
+            # the reference's pj_param scans the parameter list from the
+            # start, so the FIRST occurrence of a duplicated key wins
+            # (4D-API_cs2cs-style.gie:372 depends on this)
+            params.setdefault(k, v)
         else:
-            params[tok] = True
+            params.setdefault(tok, True)
     return params
 
 
@@ -167,9 +170,11 @@ class Pipeline:
     pop steps save/restore coordinate slots across steps using the four
     pipeline-owned stacks."""
 
-    def __init__(self, steps: list, inverted: list[bool]):
+    def __init__(self, steps: list, inverted: list[bool],
+                 omits: list[tuple[bool, bool]] | None = None):
         self.steps = steps
         self.inverted = inverted
+        self.omits = omits or [(False, False)] * len(steps)
 
     @classmethod
     def from_string(cls, definition: str) -> "Pipeline":
@@ -177,13 +182,17 @@ class Pipeline:
         segments = definition.replace("step", "\x00step").split("\x00")
         global_params = parse_projstring(segments[0].replace("+proj=pipeline", ""))
         global_params.pop("proj", None)
-        steps, inverted = [], []
+        steps, inverted, omits = [], [], []
         for seg in segments[1:]:
             seg = seg.strip()
             if seg.startswith("step"):
                 seg = seg[4:]
             p = parse_projstring(seg)
             inv = bool(p.pop("inv", False))
+            # +omit_fwd / +omit_inv: skip the step in that PIPELINE
+            # direction (src/pipeline.cpp:119-123,170,204)
+            omit = (bool(p.pop("omit_fwd", False)),
+                    bool(p.pop("omit_inv", False)))
             merged = {**global_params, **p}
             if "init" in merged:
                 merged = _expand_init(merged)
@@ -193,12 +202,14 @@ class Pipeline:
             if name in ("push", "pop"):
                 steps.append(_PushPop(name, merged))
                 inverted.append(inv)
+                omits.append(omit)
                 continue
             reg = _registry()
             steps.append(reg[name](merged))
             inverted.append(inv)
+            omits.append(omit)
         _check_units(steps, inverted)
-        return cls(steps, inverted)
+        return cls(steps, inverted, omits)
 
     @staticmethod
     def _apply_step(op, inverse: bool, c: list):
@@ -231,9 +242,12 @@ class Pipeline:
              np.zeros_like(np.asarray(x, dtype=np.float64)) if t is None
              else np.asarray(t, dtype=np.float64)]
         stacks = {1: [], 2: [], 3: [], 4: []}
-        order = (zip(reversed(self.steps), reversed(self.inverted))
-                 if inverse else zip(self.steps, self.inverted))
-        for op, inv in order:
+        order = (zip(reversed(self.steps), reversed(self.inverted),
+                     reversed(self.omits))
+                 if inverse else zip(self.steps, self.inverted, self.omits))
+        for op, inv, (omit_fwd, omit_inv) in order:
+            if omit_inv if inverse else omit_fwd:
+                continue
             if isinstance(op, _PushPop):
                 # in the reverse pass a push acts as a pop and vice versa
                 kind = op.kind
