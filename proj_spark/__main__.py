@@ -131,6 +131,20 @@ def cmd_cct(args) -> int:
 
 def cmd_projinfo(args) -> int:
     from proj_spark import create, epsg
+    if "-o" in args:
+        i = args.index("-o")
+        fmt = args[i + 1].lower()
+        rest = args[:i] + args[i + 2:]
+        definition = " ".join(rest)
+        from proj_spark import wkt_export
+        if fmt == "wkt2":
+            print(wkt_export.to_wkt2(definition))
+        elif fmt == "projjson":
+            print(wkt_export.to_projjson_str(definition))
+        else:
+            print(f"unknown output format {fmt!r}; expected wkt2 | projjson")
+            return 2
+        return 0
     if len(args) >= 2 and not args[1].startswith("-"):
         from proj_spark.planner import crs_to_crs
         t = crs_to_crs(args[0], args[1])

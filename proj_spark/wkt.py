@@ -385,6 +385,14 @@ def _lower_wkt2_projcrs(node: Node) -> str:
 
 def _post_process(proj: str, parts: list[str]) -> str:
     s = " ".join(parts)
+    # LCC 1SP: the latitude of natural origin IS the standard parallel
+    # (factory does the same for EPSG 9801/9826)
+    if proj == "lcc" and "+lat_1=" not in s and "+lat_0=" in s:
+        m = re.search(r"\+lat_0=([-\d.eE+]+)", s)
+        s += f" +lat_1={m.group(1)}"
+    # Mercator variant B / CEA: the standard parallel is proj's +lat_ts
+    if proj in ("merc", "cea") and "+lat_ts=" not in s and "+lat_1=" in s:
+        s = s.replace("+lat_1=", "+lat_ts=")
     if proj == "stere":
         # Polar Stereographic variant B carries lat_ts but no lat_0: the
         # pole is implied by the hemisphere of the standard parallel

@@ -1,0 +1,215 @@
+"""WKT2 / PROJJSON export — the output half of the reference's io layer
+(src/iso19111/io.cpp WKTFormatter/JSONFormatter; projinfo -o wkt2/
+projjson).  Covers the projection methods users exchange CRS text for;
+exporting an op outside the table raises NotImplementedError rather
+than emitting something another tool would misread.
+
+Round-trip guarantee (tested): every emitted document re-parses through
+proj_spark.wkt.from_user_input into an operation whose forward results
+match the original bit-for-bit — method/parameter names are chosen from
+the same METHODS/PARAMS tables the parser consumes.
+
+Datum shifts (+towgs84) are deliberately NOT encoded: WKT2 models them
+as a BoundCRS wrapper, which is out of scope here; the projection
+geometry round-trips, the datum hop stays proj-string-side.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from proj_spark.ellipsoids import ellipsoid_from_params
+from proj_spark.projstring import parse_projstring
+
+#: proj name -> (EPSG method name, EPSG method code,
+#:               [(proj key, EPSG parameter name, code, kind)])
+#: kind: "ang" (degree), "len" (metre), "scale" (unity)
+_NAT = [("lat_0", "Latitude of natural origin", "8801", "ang"),
+        ("lon_0", "Longitude of natural origin", "8802", "ang"),
+        ("k_0", "Scale factor at natural origin", "8805", "scale"),
+        ("x_0", "False easting", "8806", "len"),
+        ("y_0", "False northing", "8807", "len")]
+_FALSE_ORIGIN = [("lat_0", "Latitude of false origin", "8821", "ang"),
+                 ("lon_0", "Longitude of false origin", "8822", "ang"),
+                 ("lat_1", "Latitude of 1st standard parallel", "8823", "ang"),
+                 ("lat_2", "Latitude of 2nd standard parallel", "8824", "ang"),
+                 ("x_0", "Easting at false origin", "8826", "len"),
+                 ("y_0", "Northing at false origin", "8827", "len")]
+
+METHOD_EXPORT: dict[str, tuple[str, str, list]] = {
+    "tmerc": ("Transverse Mercator", "9807", _NAT),
+    "etmerc": ("Transverse Mercator", "9807", _NAT),
+    "merc": ("Mercator (variant A)", "9804", _NAT),
+    "webmerc": ("Popular Visualisation Pseudo Mercator", "1024", _NAT),
+    "laea": ("Lambert Azimuthal Equal Area", "9820", _NAT),
+    "aeqd": ("Modified Azimuthal Equidistant", "9832", _NAT),
+    "sterea": ("Oblique Stereographic", "9809", _NAT),
+    "cass": ("Cassini-Soldner", "9806", _NAT),
+    "poly": ("American Polyconic", "9818", _NAT),
+    "nzmg": ("New Zealand Map Grid", "9811", _NAT),
+    "eqearth": ("Equal Earth", "1078", _NAT),
+    "col_urban": ("Colombia Urban", "1052",
+                  _NAT + [("h_0", "Projection plane origin height",
+                           "1039", "len")]),
+    "aea": ("Albers Equal Area", "9822", _FALSE_ORIGIN),
+    "krovak": ("Krovak", "9819",
+               [("lat_0", "Latitude of projection centre", "8811", "ang"),
+                ("lon_0", "Longitude of origin", "8833", "ang"),
+                ("alpha", "Co-latitude of cone axis", "1036", "ang"),
+                ("lat_ts", "Latitude of pseudo standard parallel",
+                 "8818", "ang"),
+                ("k_0", "Scale factor on pseudo standard parallel",
+                 "8819", "scale"),
+                ("x_0", "False easting", "8806", "len"),
+                ("y_0", "False northing", "8807", "len")]),
+}
+
+
+def _method_for(params: dict) -> tuple[str, str, list]:
+    proj = params["proj"]
+    if proj == "utm":
+        from proj_spark.operations.tmerc import utm_params
+        return METHOD_EXPORT["tmerc"], utm_params(dict(params))
+    if proj == "lcc":
+        if "lat_2" in params:
+            return ("Lambert Conic Conformal (2SP)", "9802",
+                    _FALSE_ORIGIN), params
+        return ("Lambert Conic Conformal (1SP)", "9801",
+                [("lat_1", "Latitude of natural origin", "8801", "ang")]
+                + _NAT[1:]), params
+    if proj == "merc" and "lat_ts" in params:
+        return ("Mercator (variant B)", "9805",
+                [("lat_ts", "Latitude of 1st standard parallel",
+                  "8823", "ang")] + _NAT[1:]), params
+    if proj == "stere":
+        lat0 = float(params.get("lat_0", 0.0))
+        if abs(lat0) == 90.0 and "lat_ts" in params:
+            return ("Polar Stereographic (variant B)", "9829",
+                    [("lat_ts", "Latitude of standard parallel",
+                      "8832", "ang"),
+                     ("lon_0", "Longitude of origin", "8833", "ang"),
+                     ("x_0", "False easting", "8806", "len"),
+                     ("y_0", "False northing", "8807", "len")]), params
+        if abs(lat0) == 90.0:
+            return ("Polar Stereographic (variant A)", "9810",
+                    _NAT), params
+    if proj in METHOD_EXPORT:
+        return METHOD_EXPORT[proj], params
+    raise NotImplementedError(
+        f"WKT export for +proj={proj} not supported")
+
+
+def _pval(params: dict, key: str) -> float:
+    if key in ("k_0",):
+        return float(params.get("k_0", params.get("k", 1.0)))
+    v = params.get(key, 0.0)
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        from proj_spark.operations.cs2cs import dms_to_deg
+        return dms_to_deg(str(v))
+
+
+def _parse(definition: str) -> dict:
+    if definition.strip().upper().startswith("EPSG:"):
+        from proj_spark import epsg
+        definition = epsg.resolve(definition.strip())
+    return parse_projstring(definition)
+
+
+def _num(v: float) -> str:
+    return repr(float(v))
+
+
+def to_wkt2(definition: str, name: str = "unknown") -> str:
+    """proj-string (or EPSG:code) -> WKT2:2019 text."""
+    params = _parse(definition)
+    ell = ellipsoid_from_params(params)
+    rf = 0.0 if ell.f == 0.0 else 1.0 / ell.f
+    ell_wkt = (f'ELLIPSOID["{ell.name or "unknown"}",{_num(ell.a)},'
+               f'{_num(rf)},LENGTHUNIT["metre",1]]')
+    pm = ""
+    if "pm" in params:
+        from proj_spark.operations.cs2cs import parse_pm
+        pm_deg = math.degrees(parse_pm(params["pm"]))
+        pm = (f',PRIMEM["unknown",{_num(pm_deg)},'
+              f'ANGLEUNIT["degree",0.0174532925199433]]')
+    geog = (f'BASEGEOGCRS["{name}",DATUM["unknown",{ell_wkt}]{pm},'
+            f'ANGLEUNIT["degree",0.0174532925199433]]')
+    if params["proj"] in ("longlat", "latlong", "latlon", "lonlat"):
+        return (f'GEOGCRS["{name}",DATUM["unknown",{ell_wkt}]{pm},'
+                f'CS[ellipsoidal,2],'
+                f'AXIS["geodetic latitude (Lat)",north],'
+                f'AXIS["geodetic longitude (Lon)",east],'
+                f'ANGLEUNIT["degree",0.0174532925199433]]')
+    (mname, mcode, ptable), params = _method_for(params)
+    plist = []
+    for key, pname, pcode, kind in ptable:
+        v = _pval(params, key)
+        unit = {"ang": 'ANGLEUNIT["degree",0.0174532925199433]',
+                "len": 'LENGTHUNIT["metre",1]',
+                "scale": 'SCALEUNIT["unity",1]'}[kind]
+        plist.append(f'PARAMETER["{pname}",{_num(v)},{unit},'
+                     f'ID["EPSG",{pcode}]]')
+    conv = (f'CONVERSION["unknown",METHOD["{mname}",ID["EPSG",{mcode}]],'
+            + ",".join(plist) + "]")
+    to_meter = float(params.get("to_meter", 1.0))
+    unit_name = "metre" if to_meter == 1.0 else "unknown"
+    return (f'PROJCRS["{name}",{geog},{conv},CS[Cartesian,2],'
+            f'AXIS["(E)",east],AXIS["(N)",north],'
+            f'LENGTHUNIT["{unit_name}",{_num(to_meter)}]]')
+
+
+def to_projjson(definition: str, name: str = "unknown") -> dict:
+    """proj-string (or EPSG:code) -> PROJJSON dict."""
+    params = _parse(definition)
+    ell = ellipsoid_from_params(params)
+    ell_obj: dict = {"name": ell.name or "unknown",
+                     "semi_major_axis": ell.a}
+    if ell.f == 0.0:
+        ell_obj["semi_minor_axis"] = ell.b
+    else:
+        ell_obj["inverse_flattening"] = 1.0 / ell.f
+    datum: dict = {"type": "GeodeticReferenceFrame", "name": "unknown",
+                   "ellipsoid": ell_obj}
+    if "pm" in params:
+        from proj_spark.operations.cs2cs import parse_pm
+        datum["prime_meridian"] = {
+            "name": "unknown",
+            "longitude": math.degrees(parse_pm(params["pm"]))}
+    geog = {"type": "GeographicCRS", "name": name, "datum": datum}
+    if params["proj"] in ("longlat", "latlong", "latlon", "lonlat"):
+        return geog
+    (mname, mcode, ptable), params = _method_for(params)
+    parameters = []
+    for key, pname, pcode, kind in ptable:
+        unit = {"ang": "degree", "len": "metre", "scale": "unity"}[kind]
+        parameters.append({"name": pname, "value": _pval(params, key),
+                           "unit": unit,
+                           "id": {"authority": "EPSG",
+                                  "code": int(pcode)}})
+    return {
+        "type": "ProjectedCRS",
+        "name": name,
+        "base_crs": geog,
+        "conversion": {
+            "name": "unknown",
+            "method": {"name": mname,
+                       "id": {"authority": "EPSG", "code": int(mcode)}},
+            "parameters": parameters,
+        },
+        "coordinate_system": {
+            "subtype": "Cartesian",
+            "axis": [
+                {"name": "Easting", "abbreviation": "E",
+                 "direction": "east", "unit": "metre"},
+                {"name": "Northing", "abbreviation": "N",
+                 "direction": "north", "unit": "metre"},
+            ],
+        },
+    }
+
+
+def to_projjson_str(definition: str, name: str = "unknown") -> str:
+    return json.dumps(to_projjson(definition, name), indent=2)

@@ -73,9 +73,16 @@ def test_stream_exact_dedup(spark, tmp_path):
     (spark.createDataFrame(rows2, ["url", "text"]).coalesce(1)
      .write.parquet(str(d / "f1")))
     import glob
+    import os
     import shutil
+    import time
     for i, f in enumerate(sorted(glob.glob(str(d / "f*" / "part-*.parquet")))):
-        shutil.copy(f, d / f"part-{i:03d}.parquet")
+        dst = d / f"part-{i:03d}.parquet"
+        shutil.copy(f, dst)
+        # the file stream source orders micro-batches by modification
+        # time; identical mtimes would make batch order nondeterministic
+        t = time.time() - 100 + i * 10
+        os.utime(dst, (t, t))
     shutil.rmtree(d / "f0")
     shutil.rmtree(d / "f1")
     run_to_memory(stream_exact_dedup(spark, str(d)), "dedup", mode="append")
