@@ -770,8 +770,15 @@ ORDER BY cosine DESC, vec_id LIMIT {EMB_K}"""
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: binary media -> mapInPandas decode (stubbed
-    deterministic codec) -> fixed-width features -> per-kind stats
-    (rows-only: the decode stub is engine-internal)."""
+    deterministic codec) -> fixed-width features -> per-kind stats.
+
+    FULLY ORACLE-CHECKED: the stub decode is pure integer math over the
+    md5-hex payload (tile bytes to the metadata-derived length, /255),
+    and the first pooled feature is the mean of the first
+    ceil(n/16)-sample bin — all expressible in SQL, so the DuckDB
+    oracle reproduces the float32 features value-for-value.  The f0
+    floats are cast to double BEFORE rounding so both engines round the
+    same float32 quantum."""
     from proj_spark.text.multimodal import media_features, synth_media
     n = max(300, _n_pages(sf_dir) // 200)
     media = synth_media(spark, n)
@@ -781,8 +788,46 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("kind")
             .agg(F.count("*").alias("n_assets"),
                  F.sum("n_bytes").alias("total_bytes"),
-                 F.round(F.min("f0"), 6).alias("min_f0"),
-                 F.round(F.max("f0"), 6).alias("max_f0")))
+                 F.round(F.min("f0").cast("double"), 6).alias("min_f0"),
+                 F.round(F.max("f0").cast("double"), 6).alias("max_f0")))
+
+
+def _sql_media_features(n_pages: int) -> str:
+    """DuckDB rebuild of synth_media + the stub decode + first-bin
+    pooling: payload = utf-8 of md5(url)||md5(url#)||md5(url##) (96
+    hex chars), samples[j] = ord(payload[j mod 96])/255 tiled to the
+    metadata length n, f0 = float32(mean of the first ceil(n/16)
+    samples)."""
+    n = max(300, n_pages // 200)
+    return f"""WITH assets AS (
+  SELECT i AS media_id,
+         CASE (i % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         md5('https://media.example/' || i)
+           || md5('https://media.example/' || i || '#')
+           || md5('https://media.example/' || i || '##') AS payload,
+         (i % 5) * 4 + 8 AS width, (i % 3) * 4 + 8 AS height,
+         (i % 4) + 2 AS n_frames, 8000 AS sample_rate,
+         (i % 900) + 100 AS duration_ms
+  FROM range(0, {n}) t(i)
+), sized AS (
+  SELECT *, CASE kind WHEN 'image' THEN width*height
+                      WHEN 'audio' THEN GREATEST(1, sample_rate*duration_ms//1000)
+                      ELSE width*height*n_frames END AS n
+  FROM assets
+), expanded AS (
+  SELECT media_id, kind, payload,
+         UNNEST(generate_series(0, ((n + 15)//16) - 1)) AS j
+  FROM sized
+), f0 AS (
+  SELECT media_id, kind,
+         AVG(ord(substr(payload, CAST(j % 96 AS INT) + 1, 1))) / 255.0 AS f0d
+  FROM expanded GROUP BY 1, 2
+)
+SELECT kind, COUNT(*) AS n_assets, CAST(SUM(96) AS BIGINT) AS total_bytes,
+       ROUND(CAST(MIN(CAST(f0d AS FLOAT)) AS DOUBLE), 6) AS min_f0,
+       ROUND(CAST(MAX(CAST(f0d AS FLOAT)) AS DOUBLE), 6) AS max_f0
+FROM f0 GROUP BY kind"""
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1487,6 +1532,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _sql_simhash_neardup(),
         "crs_dispatch": _sql_crs_dispatch(),
         "gridshift_file": _sql_gridshift_file(),
-        # media_features: rows-only (engine-internal stub codec; gated by
-        # tests/test_multimodal.py)
+        "media_features": _sql_media_features(n),
     }
