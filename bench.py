@@ -33,7 +33,8 @@ HEADLINE = [
 ]
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float],
+                                             dict[str, float]]:
     qs = entrymod.queries()
     out: dict[str, float] = {}
     # warm the python UDF workers + pages cache once, uncounted — at

@@ -83,22 +83,10 @@ def cmd_cs2cs(args) -> int:
 
 
 def _end_units(op, input_side: bool) -> str:
-    """Effective io units at a pipeline end, skipping push/pop markers
-    and whatever-tagged pass-through steps (axisswap/unitconvert)."""
-    steps = getattr(op, "steps", None)
-    if not steps:
-        u = getattr(op, "left" if input_side else "right", "radians")
-        return u
-    order = (zip(steps, op.inverted) if input_side
-             else zip(reversed(steps), reversed(op.inverted)))
-    for st, inv in order:
-        if not hasattr(st, "left"):
-            continue   # push/pop markers
-        u = (getattr(st, "right", "classic") if (inv == input_side)
-             else getattr(st, "left", "radians"))
-        if u != "whatever":
-            return u
-    return "whatever"
+    """Effective io units at a pipeline end (shared with the gie
+    runner's proj_angular_input/_output analogue)."""
+    from proj_spark.gie import end_units
+    return end_units(op, input_side)
 
 
 def cmd_cct(args) -> int:
@@ -133,6 +121,9 @@ def cmd_projinfo(args) -> int:
     from proj_spark import create, epsg
     if "-o" in args:
         i = args.index("-o")
+        if i + 1 >= len(args):
+            print("projinfo -o needs a format: wkt2 | projjson")
+            return 2
         fmt = args[i + 1].lower()
         rest = args[:i] + args[i + 2:]
         definition = " ".join(rest)
@@ -188,17 +179,21 @@ def cmd_geod(args) -> int:
     if not len(arr):
         return 0
     r = np.radians
+
+    def back(azi2_deg):
+        # both geod modes print the BACK azimuth at the destination
+        # (src/apps/geod_interface.cpp:20,32)
+        return np.where(azi2_deg >= 0.0, azi2_deg - 180.0, azi2_deg + 180.0)
+
     if inverse:
         s12, azi1, azi2 = g.inverse(r(arr[:, 0]), r(arr[:, 1]),
                                     r(arr[:, 2]), r(arr[:, 3]))[:3]
-        print(_fmt((np.degrees(azi1), np.degrees(azi2), s12), 3))
+        print(_fmt((np.degrees(azi1), back(np.degrees(azi2)), s12), 3))
     else:
         lat2, lon2, azi2 = g.direct(r(arr[:, 0]), r(arr[:, 1]),
                                     r(arr[:, 2]), arr[:, 3])[:3]
-        azi2 = np.degrees(azi2)
-        # geod prints the BACK azimuth at the destination
-        back = np.where(azi2 > 0.0, azi2 - 180.0, azi2 + 180.0)
-        print(_fmt((np.degrees(lat2), np.degrees(lon2), back), 3))
+        print(_fmt((np.degrees(lat2), np.degrees(lon2),
+                    back(np.degrees(azi2))), 3))
     return 0
 
 

@@ -24,8 +24,6 @@ import re
 
 import numpy as np
 
-M_PER_DEG = 111319.4907932736   # gie's one-degree ground distance scale
-
 UNIT_M = {"m": 1.0, "mm": 1e-3, "cm": 1e-2, "km": 1e3, "um": 1e-6,
           "nm": 1e-9, "dm": 0.1}
 
@@ -112,7 +110,8 @@ def parse_gie(path: str) -> list[dict]:
         elif verb == "tolerance":
             tol = _parse_tol(toks[1:])
         elif verb == "direction":
-            direction = "inverse" if toks[1].startswith("inv") else "forward"
+            direction = ("inverse" if toks[1].startswith(("inv", "rev"))
+                         else "forward")
         elif verb == "accept":
             vals = [_tok_value(t) for t in toks[1:]]
             pending = None if any(v is None for v in vals) else vals
@@ -202,8 +201,13 @@ def _drive(op, forward: bool, vals: list[float]) -> list[float]:
     if fn3 is None:
         fn3 = getattr(op, "fwd3d" if forward else "inv3d", None)
     if fn3 is not None:
-        ox, oy, oz = fn3(x, y, z)
-        return [float(ox[0]), float(oy[0]), float(oz[0]), float(t[0])]
+        try:
+            ox, oy, oz = fn3(x, y, z)
+            return [float(ox[0]), float(oy[0]), float(oz[0]), float(t[0])]
+        except NotImplementedError:
+            # ops that override fwd/inv without a _fwd kernel (affine):
+            # the base-class 3D path raises; fall through to 2D below
+            pass
     fn = op.fwd if forward else op.inv
     try:
         out = fn(x, y, z, t)        # cartesian 4-arg ops (helmert 14p)

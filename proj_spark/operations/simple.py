@@ -173,7 +173,8 @@ class Cea(Operation):
 
 
 class GeogOffset(Operation):
-    """Constant angular/vertical offsets +dlon +dlat (radians io)."""
+    """Constant angular/vertical offsets +dlon +dlat +dh (radians io;
+    src/transformations/geogoffset.cpp offsets all three axes)."""
 
     proj_name = "geogoffset"
     right = "radians"
@@ -182,48 +183,99 @@ class GeogOffset(Operation):
         sec2rad = np.pi / 180.0 / 3600.0
         self.dlon = float(self.params.get("dlon", 0.0)) * sec2rad
         self.dlat = float(self.params.get("dlat", 0.0)) * sec2rad
+        self.dh = float(self.params.get("dh", 0.0))
 
     def fwd(self, lam, phi):
-        return np.asarray(lam, dtype=np.float64) + self.dlon, np.asarray(phi, dtype=np.float64) + self.dlat
+        return (np.asarray(lam, dtype=np.float64) + self.dlon,
+                np.asarray(phi, dtype=np.float64) + self.dlat)
 
     def inv(self, x, y):
-        return np.asarray(x, dtype=np.float64) - self.dlon, np.asarray(y, dtype=np.float64) - self.dlat
+        return (np.asarray(x, dtype=np.float64) - self.dlon,
+                np.asarray(y, dtype=np.float64) - self.dlat)
+
+    def fwd3d(self, lam, phi, z):
+        x, y = self.fwd(lam, phi)
+        z = np.zeros_like(x) if z is None else np.asarray(z, dtype=np.float64)
+        return x, y, z + self.dh
+
+    def inv3d(self, x, y, z):
+        lam, phi = self.inv(x, y)
+        z = (np.zeros_like(lam) if z is None
+             else np.asarray(z, dtype=np.float64))
+        return lam, phi, z - self.dh
 
 
 class Affine(Operation):
-    """2-D affine on projected/cartesian coordinates:
-    x' = xoff + s11·x + s12·y ; y' = yoff + s21·x + s22·y."""
+    """Full 4-D affine (src/transformations/affine.cpp): 3x3 matrix +
+    offsets on (x,y,z) and toff/tscale on t; a singular matrix or
+    tscale=0 leaves the op forward-only (reference nulls P->inv*)."""
 
     proj_name = "affine"
     # the reference applies affine to whatever coordinates flow through
-    # (angular, projected or cartesian alike — src/projections/affine.cpp
-    # sets PJ_IO_UNITS_WHATEVER on both sides)
+    # (angular, projected or cartesian alike — PJ_IO_UNITS_WHATEVER)
     left = right = "whatever"
 
     def setup(self) -> None:
         g = self.params.get
-        self.xoff = float(g("xoff", 0.0))
-        self.yoff = float(g("yoff", 0.0))
-        self.s11 = float(g("s11", 1.0))
-        self.s12 = float(g("s12", 0.0))
-        self.s21 = float(g("s21", 0.0))
-        self.s22 = float(g("s22", 1.0))
-        det = self.s11 * self.s22 - self.s12 * self.s21
-        self.det = det
+        self.off = np.array([float(g("xoff", 0.0)), float(g("yoff", 0.0)),
+                             float(g("zoff", 0.0))])
+        self.toff = float(g("toff", 0.0))
+        self.tscale = float(g("tscale", 1.0))
+        self.S = np.array([
+            [float(g("s11", 1.0)), float(g("s12", 0.0)),
+             float(g("s13", 0.0))],
+            [float(g("s21", 0.0)), float(g("s22", 1.0)),
+             float(g("s23", 0.0))],
+            [float(g("s31", 0.0)), float(g("s32", 0.0)),
+             float(g("s33", 1.0))],
+        ])
+        # adjugate/determinant inverse, exactly as computeReverseParameters
+        a, b, c = self.S[0]
+        d, e, f = self.S[1]
+        gg, h, i = self.S[2]
+        det = a * (e * i - f * h) + b * (-(d * i - f * gg)) \
+            + c * (d * h - e * gg)
+        if det == 0.0 or self.tscale == 0.0:
+            self.Sinv = None
+        else:
+            self.Sinv = np.array([
+                [e * i - f * h, -(b * i - c * h), b * f - c * e],
+                [-(d * i - f * gg), a * i - c * gg, -(a * f - c * d)],
+                [d * h - e * gg, -(a * h - b * gg), a * e - b * d],
+            ]) / det
 
-    def fwd(self, x, y):
+    def fwd4d(self, x, y, z=None, t=None):
         x = np.asarray(x, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
-        return (self.xoff + self.s11 * x + self.s12 * y,
-                self.yoff + self.s21 * x + self.s22 * y)
+        z = np.zeros_like(x) if z is None else np.asarray(z, dtype=np.float64)
+        t = np.zeros_like(x) if t is None else np.asarray(t, dtype=np.float64)
+        S = self.S
+        ox = self.off[0] + S[0, 0] * x + S[0, 1] * y + S[0, 2] * z
+        oy = self.off[1] + S[1, 0] * x + S[1, 1] * y + S[1, 2] * z
+        oz = self.off[2] + S[2, 0] * x + S[2, 1] * y + S[2, 2] * z
+        return ox, oy, oz, self.toff + self.tscale * t
+
+    def inv4d(self, x, y, z=None, t=None):
+        if self.Sinv is None:
+            raise ValueError("affine: matrix non invertible")
+        x = np.asarray(x, dtype=np.float64) - self.off[0]
+        y = np.asarray(y, dtype=np.float64) - self.off[1]
+        z = (np.zeros_like(x) if z is None
+             else np.asarray(z, dtype=np.float64)) - self.off[2]
+        t = np.zeros_like(x) if t is None else np.asarray(t, dtype=np.float64)
+        R = self.Sinv
+        ox = R[0, 0] * x + R[0, 1] * y + R[0, 2] * z
+        oy = R[1, 0] * x + R[1, 1] * y + R[1, 2] * z
+        oz = R[2, 0] * x + R[2, 1] * y + R[2, 2] * z
+        return ox, oy, oz, (t - self.toff) / self.tscale
+
+    def fwd(self, x, y):
+        ox, oy, _, _ = self.fwd4d(x, y)
+        return ox, oy
 
     def inv(self, x, y):
-        if self.det == 0.0:
-            raise ValueError("affine: singular matrix has no inverse")
-        dx = np.asarray(x, dtype=np.float64) - self.xoff
-        dy = np.asarray(y, dtype=np.float64) - self.yoff
-        return ((self.s22 * dx - self.s12 * dy) / self.det,
-                (-self.s21 * dx + self.s11 * dy) / self.det)
+        ox, oy, _, _ = self.inv4d(x, y)
+        return ox, oy
 
 
 #: linear units table (subset of the reference's pj_units, src/units.cpp:14-38)

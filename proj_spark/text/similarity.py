@@ -135,19 +135,11 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int, dim: int,
     Returns (cell, vec_id, cosine) — the probed list id kept for
     provenance."""
     cent = ivf_centroids(embeddings, n_cells, dim, vec_col, id_col)
-    crows = sorted(cent.collect(), key=lambda r: r["cell"])
-    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in crows])
-    cell_ids = np.array([int(r["cell"]) for r in crows])
-    Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
+    C, cell_ids, Cn = _centroid_matrix(cent.collect())
     # argmax in _assign_udf ties to the LOWEST cell id (rows of C are
     # sorted by cell), matching the oracle's ORDER BY cd DESC, cell ASC
     _assign = _assign_udf(C, cell_ids, embeddings.sparkSession)
-
-    qv = np.asarray(query, dtype=np.float64)
-    qn = max(float(np.linalg.norm(qv)), 1e-300)
-    qcd = np.round((C @ qv) / (Cn * qn), 8)
-    order = np.lexsort((cell_ids, -qcd))
-    probed = [int(cell_ids[i]) for i in order[:nprobe]]
+    probed = _probe_cells(C, cell_ids, Cn, query, nprobe)
 
     v = F.col(vec_col).cast("array<double>")
     assigned = embeddings.select(
@@ -157,6 +149,29 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int, dim: int,
         "cell", F.col(id_col),
         F.round(cosine_expr(F.col("_v"), query), 8).alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _centroid_matrix(rows) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Collected (cell, centroid) rows -> (C matrix sorted by cell,
+    cell ids, centroid norms) — shared by the recompute and
+    persisted-index paths so their tie-breaking can never diverge."""
+    crows = sorted(rows, key=lambda r: r["cell"])
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64)
+                  for r in crows])
+    cell_ids = np.array([int(r["cell"]) for r in crows])
+    Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
+    return C, cell_ids, Cn
+
+
+def _probe_cells(C: np.ndarray, cell_ids: np.ndarray, Cn: np.ndarray,
+                 query: list[float], nprobe: int) -> list[int]:
+    """The nprobe cells nearest the query by rounded cosine, ties to the
+    lowest cell id."""
+    qv = np.asarray(query, dtype=np.float64)
+    qn = max(float(np.linalg.norm(qv)), 1e-300)
+    qcd = np.round((C @ qv) / (Cn * qn), 8)
+    order = np.lexsort((cell_ids, -qcd))
+    return [int(cell_ids[i]) for i in order[:nprobe]]
 
 
 def _assign_udf(C: np.ndarray, cell_ids: np.ndarray, spark_session):
@@ -191,10 +206,7 @@ def ivf_write_index(embeddings: DataFrame, path: str, dim: int,
     source — a 10^12-vector index scans nprobe/n_cells of its files,
     no per-query assignment pass."""
     cent = ivf_centroids(embeddings, n_cells, dim, vec_col, id_col)
-    crows = sorted(cent.collect(), key=lambda r: r["cell"])
-    C = np.stack([np.asarray(r["centroid"], dtype=np.float64)
-                  for r in crows])
-    cell_ids = np.array([int(r["cell"]) for r in crows])
+    C, cell_ids, _ = _centroid_matrix(cent.collect())
     _assign = _assign_udf(C, cell_ids, embeddings.sparkSession)
     v = F.col(vec_col).cast("array<double>")
     (embeddings.select(F.col(id_col), v.alias("vec"),
@@ -210,17 +222,9 @@ def ivf_query_index(spark, path: str, query: list[float], k: int,
     scan only the nprobe nearest lists (partition-pruned at the parquet
     source — .explain shows ``PartitionFilters: [cell IN (...)]``),
     exact-cosine re-rank the survivors."""
-    crows = sorted(spark.read.parquet(f"{path}/centroids").collect(),
-                   key=lambda r: r["cell"])
-    C = np.stack([np.asarray(r["centroid"], dtype=np.float64)
-                  for r in crows])
-    cell_ids = np.array([int(r["cell"]) for r in crows])
-    qv = np.asarray(query, dtype=np.float64)
-    qn = max(float(np.linalg.norm(qv)), 1e-300)
-    Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
-    qcd = np.round((C @ qv) / (Cn * qn), 8)
-    order = np.lexsort((cell_ids, -qcd))
-    probed = [int(cell_ids[i]) for i in order[:nprobe]]
+    C, cell_ids, Cn = _centroid_matrix(
+        spark.read.parquet(f"{path}/centroids").collect())
+    probed = _probe_cells(C, cell_ids, Cn, query, nprobe)
     lists = spark.read.parquet(f"{path}/lists").where(
         F.col("cell").isin(probed))
     scored = lists.select(

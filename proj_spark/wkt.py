@@ -380,6 +380,12 @@ def _lower_wkt2_projcrs(node: Node) -> str:
             elif pkey in ("x_0", "y_0"):
                 val = val * f
         parts.append(f"+{pkey}={val!r}")
+    # CS-level LENGTHUNIT (a direct PROJCRS child in WKT2) -> +to_meter
+    cs_unit = node.child("LENGTHUNIT")
+    if cs_unit is not None and cs_unit.numbers():
+        f = cs_unit.numbers()[0]
+        if f != 1.0:
+            parts.append(f"+to_meter={f!r}")
     return _post_process(proj, parts)
 
 
@@ -462,6 +468,14 @@ def from_projjson(obj: dict | str) -> str:
         if pkey is None:
             raise NotImplementedError(f"parameter {p.get('name')!r} not supported")
         parts.append(f"+{pkey}={float(p['value'])!r}")
+    # CS axis unit: a unit object with a conversion_factor becomes
+    # +to_meter (string units other than metre are not resolvable here)
+    cs = obj.get("coordinate_system") or {}
+    for ax in cs.get("axis", [])[:1]:
+        u = ax.get("unit")
+        if isinstance(u, dict) and u.get("conversion_factor") not in (None, 1,
+                                                                      1.0):
+            parts.append(f"+to_meter={float(u['conversion_factor'])!r}")
     return _post_process(proj, parts)
 
 

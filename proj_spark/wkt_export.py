@@ -30,6 +30,8 @@ _NAT = [("lat_0", "Latitude of natural origin", "8801", "ang"),
         ("k_0", "Scale factor at natural origin", "8805", "scale"),
         ("x_0", "False easting", "8806", "len"),
         ("y_0", "False northing", "8807", "len")]
+#: methods whose EPSG definition has no scale factor (merc B, webmerc)
+_NAT_NO_K = [p for p in _NAT if p[0] != "k_0"]
 _FALSE_ORIGIN = [("lat_0", "Latitude of false origin", "8821", "ang"),
                  ("lon_0", "Longitude of false origin", "8822", "ang"),
                  ("lat_1", "Latitude of 1st standard parallel", "8823", "ang"),
@@ -41,7 +43,8 @@ METHOD_EXPORT: dict[str, tuple[str, str, list]] = {
     "tmerc": ("Transverse Mercator", "9807", _NAT),
     "etmerc": ("Transverse Mercator", "9807", _NAT),
     "merc": ("Mercator (variant A)", "9804", _NAT),
-    "webmerc": ("Popular Visualisation Pseudo Mercator", "1024", _NAT),
+    "webmerc": ("Popular Visualisation Pseudo Mercator", "1024",
+                _NAT_NO_K),
     "laea": ("Lambert Azimuthal Equal Area", "9820", _NAT),
     "aeqd": ("Modified Azimuthal Equidistant", "9832", _NAT),
     "sterea": ("Oblique Stereographic", "9809", _NAT),
@@ -81,7 +84,7 @@ def _method_for(params: dict) -> tuple[str, str, list]:
     if proj == "merc" and "lat_ts" in params:
         return ("Mercator (variant B)", "9805",
                 [("lat_ts", "Latitude of 1st standard parallel",
-                  "8823", "ang")] + _NAT[1:]), params
+                  "8823", "ang")] + _NAT_NO_K[1:]), params
     if proj == "stere":
         lat0 = float(params.get("lat_0", 0.0))
         if abs(lat0) == 90.0 and "lat_ts" in params:
@@ -122,6 +125,21 @@ def _num(v: float) -> str:
     return repr(float(v))
 
 
+def _cs_to_meter(params: dict) -> float:
+    """Resolve the CS linear unit like the engine does at op setup:
+    +to_meter wins, else a named +units, else metre."""
+    if "to_meter" in params:
+        from proj_spark.operations.cs2cs import parse_to_meter
+        return parse_to_meter(params["to_meter"])
+    if "units" in params:
+        from proj_spark.operations.simple import UNITS_TO_METER
+        name = str(params["units"])
+        if name not in UNITS_TO_METER:
+            raise NotImplementedError(f"unknown unit {name!r}")
+        return UNITS_TO_METER[name]
+    return 1.0
+
+
 def to_wkt2(definition: str, name: str = "unknown") -> str:
     """proj-string (or EPSG:code) -> WKT2:2019 text."""
     params = _parse(definition)
@@ -154,7 +172,7 @@ def to_wkt2(definition: str, name: str = "unknown") -> str:
                      f'ID["EPSG",{pcode}]]')
     conv = (f'CONVERSION["unknown",METHOD["{mname}",ID["EPSG",{mcode}]],'
             + ",".join(plist) + "]")
-    to_meter = float(params.get("to_meter", 1.0))
+    to_meter = _cs_to_meter(params)
     unit_name = "metre" if to_meter == 1.0 else "unknown"
     return (f'PROJCRS["{name}",{geog},{conv},CS[Cartesian,2],'
             f'AXIS["(E)",east],AXIS["(N)",north],'
@@ -182,6 +200,10 @@ def to_projjson(definition: str, name: str = "unknown") -> dict:
     if params["proj"] in ("longlat", "latlong", "latlon", "lonlat"):
         return geog
     (mname, mcode, ptable), params = _method_for(params)
+    to_meter = _cs_to_meter(params)
+    cs_unit: str | dict = "metre" if to_meter == 1.0 else {
+        "type": "LinearUnit", "name": "unknown",
+        "conversion_factor": to_meter}
     parameters = []
     for key, pname, pcode, kind in ptable:
         unit = {"ang": "degree", "len": "metre", "scale": "unity"}[kind]
@@ -203,9 +225,9 @@ def to_projjson(definition: str, name: str = "unknown") -> dict:
             "subtype": "Cartesian",
             "axis": [
                 {"name": "Easting", "abbreviation": "E",
-                 "direction": "east", "unit": "metre"},
+                 "direction": "east", "unit": cs_unit},
                 {"name": "Northing", "abbreviation": "N",
-                 "direction": "north", "unit": "metre"},
+                 "direction": "north", "unit": cs_unit},
             ],
         },
     }

@@ -37,6 +37,11 @@ DEFS = [
     "+x_0=92334.879 +y_0=109320.965 +h_0=2550 +ellps=GRS80",
     "+proj=longlat +ellps=bessel",
     "+proj=longlat +ellps=bessel +pm=ferro",
+    # non-metric CS units must survive the round-trip
+    "+proj=utm +zone=32 +ellps=GRS80 +units=us-ft",
+    "+proj=cass +lat_0=-16.25 +lon_0=179.33333333 +x_0=251727.9155424 "
+    "+y_0=334519.953768 +a=6378306.3696 +b=6356571.996 "
+    "+to_meter=0.201168",
 ]
 
 PTS = (np.array([-77.0, 3.1, 12.5, 16.9]),
