@@ -37,6 +37,22 @@ def test_gie_corpus(fname, expected_total):
     assert total == expected_total, (total, expected_total)
 
 
+def test_gie_runner_gigs_suite():
+    """The runner also executes the reference's GIGS industry files
+    directly (all 17 non-.failing files, 1002 vectors green)."""
+    import glob
+    files = sorted(glob.glob("/root/reference/test/gigs/*.gie"))
+    if not files:
+        pytest.skip("gigs not present")
+    grand_total = 0
+    for path in files:
+        total, failed, messages = run_gie(path)
+        assert failed == 0, (path, messages[:3])
+        grand_total += total
+    assert len(files) == 17 and grand_total == 1002, (len(files),
+                                                      grand_total)
+
+
 def test_geod_cli_direct_inverse_consistency(capsys, monkeypatch):
     """geod CLI: direct then inverse recovers the azimuth/distance."""
     import io
