@@ -35,6 +35,16 @@ ROUNDTRIP_OPS = [
     ("+proj=qsc +ellps=WGS84", (-40, 40), (-40, 40), 5e-2),  # sqrt-of-eps cancellation near the face center (~cm, as in the reference)
     ("+proj=healpix +R=6371000", (-170, 170), (-85, 85), 1e-5),
     ("+proj=eqearth +ellps=WGS84", (-170, 170), (-85, 85), 5e-3),
+    # EPSG extension methods (operations/extensions.py)
+    ("+proj=col_urban +ellps=GRS80 +lat_0=4.68 +lon_0=-74.15 +h_0=2550",
+     (-76, -72), (2, 7), 1e-4),
+    ("+proj=mod_krovak +czech +ellps=bessel", (13, 23), (47, 52), 1e-4),
+    ("+proj=tm_zoned +ellps=WGS84 +lon_init=-180 +zone_width=6 +k_0=0.9996 "
+     "+x_0=500000", (-179, 179), (-80, 84), 1e-5),
+    ("+proj=cass +hyperbolic +ellps=intl +lat_0=-16.25 +lon_0=179.33",
+     (177, 179.9), (-19, -14), 0.1),
+    ("+proj=tunisia_mining +a=6378249.2 +rf=293.466 +lat_0=32.93696 "
+     "+lon_0=7.051005 +x_0=270000 +y_0=360000", (6, 12), (30, 38), 1e-6),
 ]
 
 M_PER_DEG = 111319.49
