@@ -114,13 +114,15 @@ _DEDUP_OUT = StructType([
     StructField("url", StringType()),
     StructField("digest", StringType()),
 ])
-_DEDUP_STATE = StructType([StructField("seen", IntegerType())])
+_DEDUP_STATE = StructType([StructField("seen", IntegerType()),
+                           StructField("emitted_ms", LongType())])
 
 
 def stream_exact_dedup(spark: SparkSession, pages_dir: str,
                        max_files_per_trigger: int = 1,
                        id_col: str = "url",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming exact dedup at ingest: emit each content digest's FIRST
     page only, suppress every later duplicate across micro-batches.
 
@@ -129,7 +131,17 @@ def stream_exact_dedup(spark: SparkSession, pages_dir: str,
     scale the state store shards by digest across executors, and the
     per-key record is a single int.  Batch equivalence: the kept set
     equals batch `min_by(url) GROUP BY digest` when files arrive in
-    url order (the deterministic single-file-per-trigger test setup)."""
+    url order (the deterministic single-file-per-trigger test setup).
+
+    `state_ttl_ms` gives the registry TTL semantics: a digest tombstone
+    older than the TTL no longer suppresses — the next occurrence is
+    treated as first-seen again (emitted, timestamp reset).  At
+    10^12-doc scale an unbounded registry is the stateful-op killer;
+    the TTL keeps the LOGICAL window bounded, and physical eviction of
+    quiet keys belongs to the state store (RocksDB state TTL) — a
+    GroupStateTimeout timer is deliberately NOT used because processing
+    -time timers never let an availableNow query terminate (the
+    "no new data but cleaning up state" loop)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     pages = _streaming_reader(spark, pages_dir, max_files_per_trigger)
@@ -138,8 +150,13 @@ def stream_exact_dedup(spark: SparkSession, pages_dir: str,
                          .alias("digest"))
 
     def first_only(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import time as _time
+        now_ms = int(_time.time() * 1000)
         if state.exists:
-            return            # digest already emitted: drop everything
+            _, emitted_ms = state.get
+            if state_ttl_ms is None or now_ms - emitted_ms <= state_ttl_ms:
+                return        # digest already emitted: drop everything
+            # tombstone older than the TTL: fall through, re-emit
         first_url = None
         for pdf in pdfs:
             if len(pdf):
@@ -147,7 +164,7 @@ def stream_exact_dedup(spark: SparkSession, pages_dir: str,
                 first_url = u if first_url is None else min(first_url, u)
         if first_url is None:
             return
-        state.update((1,))
+        state.update((1, now_ms))
         yield pd.DataFrame({"url": [first_url], "digest": [key[0]]})
 
     return (keyed.groupBy("digest")

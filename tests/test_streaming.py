@@ -100,6 +100,47 @@ def test_stream_exact_dedup(spark, tmp_path):
     assert sum(u.startswith("https://b.example/") for u in by_file) == 1
 
 
+def test_stream_exact_dedup_ttl(spark, tmp_path):
+    """Bounded-state mode: after the TTL a digest's tombstone expires,
+    so a later duplicate is treated as first-seen again (re-emitted) —
+    the registry stays O(digests per TTL window) at corpus scale."""
+    import time
+
+    from proj_spark.streaming.jobs import stream_exact_dedup
+    d = tmp_path / "pages"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    d.mkdir()
+
+    def add_file(i, url):
+        (spark.createDataFrame([(url, "same text")], ["url", "text"])
+         .coalesce(1).write.parquet(str(d / f"f{i}")))
+        import glob
+        import shutil
+        src = glob.glob(str(d / f"f{i}" / "part-*.parquet"))[0]
+        shutil.copy(src, d / f"part-{i:03d}.parquet")
+        shutil.rmtree(d / f"f{i}")
+
+    def run_once():
+        q = (stream_exact_dedup(spark, str(d), state_ttl_ms=500)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    add_file(0, "https://a.example/p0")
+    run_once()
+    assert spark.read.parquet(out).count() == 1
+    time.sleep(1.5)                     # let the 500 ms TTL lapse
+    add_file(1, "https://b.example/p0")  # same text -> same digest
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2               # duplicate re-emitted after TTL
+    assert {r["url"] for r in rows} == {"https://a.example/p0",
+                                        "https://b.example/p0"}
+    assert len({r["digest"] for r in rows}) == 1
+
+
 def test_stateful_running_counts(spark, pages_dir):
     import glob
     n_files = len(glob.glob(f"{pages_dir}/part-*.parquet"))
