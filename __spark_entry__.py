@@ -549,13 +549,15 @@ NGRAM_TOPK = 200
 NGRAM_DF_CAP = 100
 
 
-def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top near-dup pairs by exact n-gram Jaccard over the <=DF_CAP
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact n-gram Jaccard pipeline over the <=DF_CAP
     vocabulary, computed distributed: explode distinct shingles -> drop
     ubiquitous shingles (df > NGRAM_DF_CAP, broadcast anti-join) ->
     self-equi-join on shingle -> count = |intersection| -> |union| from
     per-doc set sizes.  This is the shuffle-on-shingle plan that scales
-    (no O(n^2) cross join, no unbounded per-key pair blowup)."""
+    (no O(n^2) cross join, no unbounded per-key pair blowup).  Returns
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard unrounded; feeds
+    both the top-k query and the dedup-group assignment."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     # shingles shuffle as xxhash64 int64 keys, not 20-char strings: the
     # two shuffles (df count + self-join) move 8-byte fixed-width keys
@@ -585,17 +587,26 @@ def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("n_inter")))
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
-    j = (inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
-         .select(F.col("id_a").cast("long").alias("id_a"),
-                 F.col("id_b").cast("long").alias("id_b"),
-                 (F.col("n_inter").cast("double")
-                  / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard")))
+    return (inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"),
+                    (F.col("n_inter").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard")))
+
+
+def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 near-dup pairs by exact n-gram Jaccard (see
+    _ngram_jaccard for the distributed plan)."""
+    j = _ngram_jaccard(spark, sf_dir)
     return (j.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(NGRAM_TOPK)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
-def _sql_ngram_pairs() -> str:
-    return f"""WITH sh_all AS (
+def _ngram_cte() -> str:
+    """Shared DuckDB CTE chain ending in j(id_a, id_b, jaccard) —
+    the oracle mirror of _ngram_jaccard (literal-string shingles;
+    the engine shuffles xxhash64 keys, values are identical)."""
+    return f"""sh_all AS (
   SELECT doc_id, unnest(list_distinct([substring(text, i, {NGRAM_W})
           for i in generate_series(1, greatest(len(text) - {NGRAM_W - 1}, 0))])) AS shingle
   FROM documents
@@ -615,9 +626,68 @@ def _sql_ngram_pairs() -> str:
   FROM inter
   JOIN sizes sa ON sa.doc_id = inter.id_a
   JOIN sizes sb ON sb.doc_id = inter.id_b
-)
+)"""
+
+
+def _sql_ngram_pairs() -> str:
+    return f"""WITH {_ngram_cte()}
 SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
 FROM j ORDER BY jaccard DESC, id_a, id_b LIMIT {NGRAM_TOPK}"""
+
+
+# Jaccard threshold that turns near-dup PAIRS into dedup GROUP edges.
+DEDUP_TAU = 0.5
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup group assignment: near-dup pairs (exact n-gram Jaccard >=
+    DEDUP_TAU) become edges of an undirected graph; every document is
+    assigned the minimum doc_id reachable through those edges
+    (connected components via distributed hash-to-min label propagation
+    with pointer jumping — see text/components.py), plus the component
+    size and the canonical keep flag (`is_keep` = this doc is the one
+    survivor of its group).  Docs with no near-dup are singleton
+    groups.  The iterative CC step only touches edge-connected nodes,
+    so its cost scales with the near-dup subgraph, not the corpus."""
+    from proj_spark.text.components import dedup_assign
+    edges = (_ngram_jaccard(spark, sf_dir)
+             .where(F.col("jaccard") >= DEDUP_TAU)
+             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    docs = _docs(spark, sf_dir).select("doc_id")
+    out = dedup_assign(docs, edges, id_col="doc_id")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("comp_id").cast("long").alias("comp_id"),
+                      F.col("comp_size").cast("long").alias("comp_size"),
+                      F.col("is_keep"))
+
+
+def _sql_dedup_groups() -> str:
+    """Oracle: identical Jaccard edges, components via a recursive-CTE
+    reachability closure (min reachable id == min id in component,
+    since the edge set is symmetrized)."""
+    return f"""WITH RECURSIVE {_ngram_cte()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM j WHERE jaccard >= {DEDUP_TAU}
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM j WHERE jaccard >= {DEDUP_TAU}
+), cnodes AS (
+  SELECT DISTINCT u AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+), cc AS (
+  SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+), assigned AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         CAST(COALESCE(cc.comp, d.doc_id) AS BIGINT) AS comp_id
+  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+), sized AS (
+  SELECT comp_id, COUNT(*) AS comp_size FROM assigned GROUP BY comp_id
+)
+SELECT a.doc_id, a.comp_id, CAST(s.comp_size AS BIGINT) AS comp_size,
+       a.doc_id = a.comp_id AS is_keep
+FROM assigned a JOIN sized s USING (comp_id)"""
 
 
 EMB_K = 20
@@ -696,6 +766,25 @@ ranked AS (
 SELECT vec_id, nbr_id, cosine, rank FROM ranked WHERE rank <= {EMB_PAIR_K}"""
 
 
+def _lsh_bucket_rows(n_planes: int, n_tables: int, dim: int) -> str:
+    """DuckDB STRUCT_PACK rows reproducing the engine's deterministic
+    sign-LSH buckets (one row per table) from literal hyperplanes."""
+    from proj_spark.text.similarity import _hyperplanes
+    planes = _hyperplanes(dim, n_planes * n_tables)
+
+    def plane_lit(i):
+        return "[" + ", ".join(repr(float(v)) for v in planes[i]) + "]"
+
+    rows = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(t * n_planes + b)}) "
+            f"> 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(n_planes))
+        rows.append(f"STRUCT_PACK(t := {t}, b := ({terms}))")
+    return ",\n    ".join(rows)
+
+
 def q_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs neighbors via sign-LSH buckets (rows-only:
     recall depends on the deterministic hyperplanes, verified against
@@ -707,6 +796,54 @@ def q_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("vec_id").cast("long"),
                     F.col("nbr_id").cast("long"), "cosine",
                     F.col("rank").cast("long")))
+
+
+# Cosine threshold for embedding near-duplicates, calibrated to the
+# synthetic embeddings table (random-ish vectors: max pairwise cosine
+# ~0.51 at sf0.01) so the query exercises a non-trivial pair set; real
+# corpora would run the same operator at ~0.95.
+EMB_NEARDUP_TAU = 0.4
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: unordered pairs whose exact cosine
+    (rounded to 8 dp) >= EMB_NEARDUP_TAU, candidates from the same
+    deterministic multi-table sign-LSH buckets as ann_pairs — the
+    dedup-by-embedding mode of the pipeline (pairs feed
+    text/components.dedup_assign for group collapse)."""
+    from proj_spark.text.similarity import neardup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (neardup_pairs(emb, tau=EMB_NEARDUP_TAU, dim=64, n_planes=4,
+                          n_tables=12)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"), "cosine"))
+
+
+def _sql_embed_neardup() -> str:
+    """Oracle: literal-hyperplane buckets (shared builder with
+    _sql_ann_pairs), canonical id_a < id_b candidates, same
+    round-then-threshold classification."""
+    bucket_rows = _lsh_bucket_rows(n_planes=4, n_tables=12, dim=64)
+    return f"""WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, tb.t AS t, tb.b AS bkt
+  FROM emb, UNNEST([{bucket_rows}]) AS u(tb)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+  FROM b a JOIN b bb
+    ON a.t = bb.t AND a.bkt = bb.bkt AND a.vec_id < bb.vec_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))), 8) AS cosine
+  FROM cand c
+  JOIN emb ea ON ea.vec_id = c.id_a
+  JOIN emb eb ON eb.vec_id = c.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cosine
+FROM scored WHERE cosine >= {EMB_NEARDUP_TAU}"""
 
 
 IVF_CELLS = 16
@@ -893,21 +1030,7 @@ def _sql_ann_pairs() -> str:
     SQL list literals, buckets come from list_dot_product signs, the
     candidate self-join and the cosine verify mirror the Spark query
     (same rounded-cosine window ordering, same tie-breaks)."""
-    from proj_spark.text.similarity import _hyperplanes
-    n_planes, n_tables, dim = 4, 12, 64
-    planes = _hyperplanes(dim, n_planes * n_tables)
-
-    def plane_lit(i):
-        return "[" + ", ".join(repr(float(v)) for v in planes[i]) + "]"
-
-    rows = []
-    for t in range(n_tables):
-        terms = " + ".join(
-            f"(CASE WHEN list_dot_product(v, {plane_lit(t * n_planes + b)}) "
-            f"> 0 THEN {1 << b} ELSE 0 END)"
-            for b in range(n_planes))
-        rows.append(f"STRUCT_PACK(t := {t}, b := ({terms}))")
-    bucket_rows = ",\n    ".join(rows)
+    bucket_rows = _lsh_bucket_rows(n_planes=4, n_tables=12, dim=64)
     return f"""WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), b AS (
@@ -1499,9 +1622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "token_topk": q_token_topk,
         "ngram_pairs": q_ngram_pairs,
+        "dedup_groups": q_dedup_groups,
         "embed_topk": q_embed_topk,
         "embed_allpairs": q_embed_allpairs,
         "ann_pairs": q_ann_pairs,
+        "embed_neardup": q_embed_neardup,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "minhash_neardup": q_minhash_neardup,
@@ -1528,11 +1653,13 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": _sql_lang_confusion(),
         "token_topk": _sql_token_topk(),
         "ngram_pairs": _sql_ngram_pairs(),
+        "dedup_groups": _sql_dedup_groups(),
         "embed_topk": _sql_embed_topk(),
         "embed_allpairs": _sql_embed_allpairs(),
         "events_hourly": _sql_events_hourly(),
         "utm_project": _sql_utm_project(),
         "ann_pairs": _sql_ann_pairs(),
+        "embed_neardup": _sql_embed_neardup(),
         "ivf_topk": _sql_ivf_topk(),
         "minhash_neardup": _sql_minhash_neardup(),
         "simhash_neardup": _sql_simhash_neardup(),

@@ -1,0 +1,108 @@
+"""Distributed connected components for dedup group assignment.
+
+A near-dup pipeline (minhash/simhash/ngram-Jaccard/embedding-cosine)
+emits PAIRS; deduplication needs GROUPS — every document assigned the
+minimum doc_id reachable through near-dup edges, so "keep one doc per
+group" is `is_keep = (doc_id == comp)`.  This module turns the edge
+list into that assignment with a purely distributed iteration.
+
+Algorithm: hash-to-min label propagation with pointer jumping.
+
+    L0(v)    = v
+    Lk+1(v)  = min(Lk(v), min over neighbors u of Lk(u))   # edge step
+    Lk+1(v)  = Lk+1(Lk+1(v))                               # jump step
+
+The edge step alone converges in O(diameter) rounds; the jump step
+(each node adopts its label's label — valid because every label is
+itself a node id, and labels only decrease) shortcuts chains the way
+pointer-jumping/star-contraction does, giving O(log d) rounds on paths
+(the alternating large-star/small-star formulation of Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014, achieves the
+same bound; hash-to-min + jumping needs one fewer shuffle per round).
+
+Scale properties (the part that matters at 10^12 rows):
+  - each round is two shuffles keyed on node id (the edge-propagate
+    groupBy and the jump self-join) — no broadcast of the node set, no
+    driver-side graph;
+  - `localCheckpoint(eager=True)` truncates lineage every round, so the
+    plan stays O(1) deep instead of O(rounds) (the classic iterative-
+    DataFrame blowup);
+  - convergence is detected with a single scalar action per round
+    (bit_xor of xxhash64(id, comp)), not a collect of labels;
+  - near-dup graphs are overwhelmingly tiny star/clique clusters, so in
+    practice 2-3 rounds finish; the log-d bound covers adversarial
+    chains (test: a 512-node path converges in <= 6 edge rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_rounds: int = 64,
+                         ) -> DataFrame:
+    """Edge list -> (id, comp) for every node appearing in `edges`,
+    where comp is the minimum node id in the node's component.
+
+    Edges are treated as undirected; self-loops and duplicates are
+    tolerated.  Node ids must be a numeric/orderable type."""
+    df, _ = _cc_with_rounds(edges, src, dst, max_rounds)
+    return df
+
+
+def _cc_with_rounds(edges: DataFrame, src: str, dst: str,
+                    max_rounds: int) -> tuple[DataFrame, int]:
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v")))
+           .where(F.col("u") != F.col("v"))
+           .distinct()
+           .persist())
+    lab = (und.select(F.col("u").alias("id")).distinct()
+           .withColumn("comp", F.col("id"))
+           .localCheckpoint(eager=True))
+    prev_sig = None
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # edge step: min label over neighbors
+        nbr = (und.join(lab, und["u"] == lab["id"])
+               .groupBy(F.col("v").alias("id"))
+               .agg(F.min("comp").alias("nbr_comp")))
+        lab = (lab.join(nbr, "id", "left")
+               .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
+                       .alias("comp")))
+        # jump step: comp <- label(comp); labels are node ids and only
+        # ever decrease, so this is the pointer-jumping shortcut
+        jump = lab.select(F.col("id").alias("comp"),
+                          F.col("comp").alias("comp2"))
+        lab = (lab.join(jump, "comp", "left")
+               .select("id", F.coalesce("comp2", "comp").alias("comp"))
+               .localCheckpoint(eager=True))
+        # bit_xor folds the per-row hashes without the long-overflow an
+        # ANSI-mode sum would hit
+        sig = lab.agg(F.expr("bit_xor(xxhash64(id, comp))")).collect()[0][0]
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    und.unpersist()
+    return lab, rounds
+
+
+def dedup_assign(nodes: DataFrame, edges: DataFrame, id_col: str = "doc_id",
+                 src: str = "src", dst: str = "dst") -> DataFrame:
+    """Full dedup assignment: every row of `nodes` gets
+    (id_col, comp_id, comp_size, is_keep).  Nodes absent from the edge
+    list are singleton components (comp_id = own id, size counts all
+    nodes sharing the comp).  Only edge-touched nodes enter the CC
+    iteration, so the iterative cost scales with the near-dup subgraph,
+    not the corpus."""
+    cc = connected_components(edges, src=src, dst=dst)
+    ids = nodes.select(F.col(id_col))
+    full = (ids.join(cc, ids[id_col] == cc["id"], "left")
+            .select(F.col(id_col),
+                    F.coalesce("comp", F.col(id_col)).alias("comp_id")))
+    sizes = full.groupBy("comp_id").agg(F.count("*").alias("comp_size"))
+    return (full.join(F.broadcast(sizes), "comp_id")
+            .select(F.col(id_col), F.col("comp_id"), F.col("comp_size"),
+                    (F.col(id_col) == F.col("comp_id")).alias("is_keep")))

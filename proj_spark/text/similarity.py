@@ -253,9 +253,42 @@ def knn_pairs_topk(embeddings: DataFrame, k: int, dim: int,
     shuffles on (table, bucket) keys, so work is sum of squared bucket
     sizes — never n^2.  Exact cosine verifies every candidate.
     Returns (vec_id, nbr_id, cosine, rank) with rank <= k."""
+    from pyspark.sql.window import Window
+
+    scored = _lsh_scored_pairs(embeddings, dim, vec_col, id_col,
+                               n_planes, n_tables, canonical=False)
+    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(),
+                                           F.col("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def neardup_pairs(embeddings: DataFrame, tau: float, dim: int,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  n_planes: int = 6, n_tables: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every unordered candidate
+    pair sharing a sign-LSH bucket in any table whose EXACT cosine
+    (rounded to 8 dp first, so a boundary value classifies identically
+    in every engine) reaches `tau`.  Returns (id_a, id_b, cosine) with
+    id_a < id_b — the edge list a dedup group-assignment consumes
+    (see text/components.py).  Same scale shape as knn_pairs_topk:
+    bucket-join candidates (work = sum of squared bucket sizes, never
+    n^2), broadcast-dictionary exact verify."""
+    scored = _lsh_scored_pairs(embeddings, dim, vec_col, id_col,
+                               n_planes, n_tables, canonical=True)
+    return (scored.where(F.col("cosine") >= tau)
+            .select(F.col(id_col).alias("id_a"),
+                    F.col("nbr_id").alias("id_b"), "cosine"))
+
+
+def _lsh_scored_pairs(embeddings: DataFrame, dim: int, vec_col: str,
+                      id_col: str, n_planes: int, n_tables: int,
+                      canonical: bool) -> DataFrame:
+    """Shared candidate generation + exact-cosine verify for the
+    all-pairs LSH queries.  canonical=True keeps only id_a < id_b
+    (unordered pairs); False keeps both directions (per-id top-k)."""
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
-    from pyspark.sql.window import Window
 
     vec = F.col(vec_col).cast("array<double>")
     planes = _hyperplanes(dim, n_planes * n_tables)
@@ -281,9 +314,11 @@ def knn_pairs_topk(embeddings: DataFrame, k: int, dim: int,
                            F.posexplode(_buckets(vec)).alias("_t", "_b")))
     left = b.alias("l")
     right = b.alias("r")
+    idcmp = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}") if canonical
+             else F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
     cand = (left.join(right, (F.col("l._t") == F.col("r._t"))
                       & (F.col("l._b") == F.col("r._b"))
-                      & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")))
+                      & idcmp)
             .select(F.col(f"l.{id_col}").alias(id_col),
                     F.col(f"r.{id_col}").alias("nbr_id"))
             .dropDuplicates([id_col, "nbr_id"]))
@@ -310,9 +345,5 @@ def knn_pairs_topk(embeddings: DataFrame, k: int, dim: int,
     from pyspark.sql.types import DoubleType
     _cos = pandas_udf(_cos_fn, DoubleType())
 
-    scored = cand.withColumn("cosine", F.round(_cos(F.col(id_col),
-                                                    F.col("nbr_id")), 8))
-    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(),
-                                           F.col("nbr_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return cand.withColumn("cosine", F.round(_cos(F.col(id_col),
+                                                  F.col("nbr_id")), 8))
