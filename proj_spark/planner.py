@@ -377,10 +377,15 @@ def _datum_ops_from_known(src: _Leg, dst: _Leg, op: KnownOp):
     if op.kind == "towgs84":
         chain = cs2cs.DatumChain(src.proj_op.ell.a, src.proj_op.ell.es,
                                  cs2cs.parse_towgs84(op.params))
+        # a zero shift on a WGS84-ellipsoid source is the identity — the
+        # chain deactivates itself and carries no cart ops (e.g. the
+        # EPSG ETRS89<->WGS84 "accuracy 1 m" towgs84=0,0,0 operation)
+        srcc = chain if chain.active else None
         dstc = dst.chain if dst.chain.active else None
 
         def fwd(lam, phi, h):
-            lam, phi, h = chain.local_to_wgs84(lam, phi, h)
+            if srcc is not None:
+                lam, phi, h = srcc.local_to_wgs84(lam, phi, h)
             if dstc is not None:
                 lam, phi, h = dstc.wgs84_to_local(lam, phi, h)
             return lam, phi, h
@@ -388,7 +393,9 @@ def _datum_ops_from_known(src: _Leg, dst: _Leg, op: KnownOp):
         def inv(lam, phi, h):
             if dstc is not None:
                 lam, phi, h = dstc.local_to_wgs84(lam, phi, h)
-            return chain.wgs84_to_local(lam, phi, h)
+            if srcc is not None:
+                lam, phi, h = srcc.wgs84_to_local(lam, phi, h)
+            return lam, phi, h
 
         return fwd, inv
     if op.kind == "hgridshift":

@@ -273,3 +273,17 @@ def test_catalog_projected_leg_resolution():
     assert any("Pulkovo" in c.name for c in t.candidates)
     x, y, _ = t.fwd3d(np.array([6500000.0]), np.array([6000000.0]))
     assert np.isfinite(x[0]) and 400000 < x[0] < 600000
+
+
+def test_null_towgs84_wgs84_source_is_identity_chain():
+    """EPSG ETRS89<->WGS84 is a towgs84=0,0,0 KnownOp on a WGS84-shaped
+    ellipsoid: the datum chain deactivates itself and the planner must
+    not touch it (regression: AttributeError 'DatumChain' has no 'cart')."""
+    t = crs_to_crs("EPSG:4326", "EPSG:25832")
+    x, y, _ = t.fwd3d(np.radians([12.0]), np.radians([56.0]), np.array([0.0]))
+    assert abs(x[0] - 687071.439) < 1e-2
+    assert abs(y[0] - 6210141.327) < 1e-2
+    back = crs_to_crs("EPSG:25832", "EPSG:4326")
+    lam, phi, _ = back.fwd3d(x, y, np.array([0.0]))
+    assert abs(np.degrees(lam)[0] - 12.0) < 1e-9
+    assert abs(np.degrees(phi)[0] - 56.0) < 1e-9
