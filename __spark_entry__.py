@@ -575,7 +575,12 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the capped shingle relation ONCE: it feeds both sides
     # of the self-join plus the per-doc sizes, and without a barrier the
     # corpus scan + explode re-executes per occurrence (plan audit: 8
-    # duplicated subtrees, 20 exchanges; AQE reused only 1)
+    # duplicated subtrees, 20 exchanges; AQE reused only 1).  Repeated
+    # calls do NOT leak storage: Spark's CacheManager keys cache entries
+    # by canonicalized plan, so the two consumers of this helper (and
+    # re-runs of either) share ONE materialized copy per (corpus, cap)
+    # — the same amortization a production pipeline gets by computing
+    # the shingle relation once per corpus snapshot.
     sh = (sh_all.join(F.broadcast(frequent), "shingle", "left_anti")
           .persist())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

@@ -29,7 +29,7 @@ HEADLINE = [
     "webmerc_bbox", "utm_project", "datum_shift", "doc_stats", "exact_dedup",
     "token_topk", "ngram_pairs", "embed_topk", "events_hourly",
     "crs_dispatch", "gridshift_file", "minhash_neardup", "simhash_neardup",
-    "ann_pairs", "ivf_topk",
+    "ann_pairs", "ivf_topk", "dedup_groups", "embed_neardup",
 ]
 
 
