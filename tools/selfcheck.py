@@ -59,9 +59,38 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return issues
 
 
+def _adversarial_spark():
+    """A deliberately hostile session approximating 'whatever config the
+    driver harness happens to use': ANSI mode on, a non-UTC timezone,
+    timestamps inferred as LTZ.  Every queries() entry must produce
+    oracle-identical values under it (the events_hourly round-1 lesson:
+    a query leaning on spark.sql.session.timeZone fails exactly here)."""
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.appName("selfcheck-adversarial")
+            .master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.ansi.enabled", "true")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.sql.timestampType", "TIMESTAMP_LTZ")
+            .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
 def main() -> int:
-    only = set(sys.argv[1:])
-    spark = get_spark("selfcheck")
+    args = sys.argv[1:]
+    adversarial = "--adversarial" in args
+    only = {a for a in args if not a.startswith("--")}
+    if adversarial:
+        import os
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pp = os.environ.get("PYTHONPATH", "")
+        if repo not in pp.split(":"):
+            os.environ["PYTHONPATH"] = f"{repo}:{pp}" if pp else repo
+        spark = _adversarial_spark()
+    else:
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
