@@ -172,6 +172,80 @@ def stream_exact_dedup(spark: SparkSession, pages_dir: str,
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+_NEARDUP_OUT = StructType([
+    StructField("doc_id", StringType()),
+    StructField("rep_id", StringType()),
+    StructField("band", IntegerType()),
+    StructField("bucket", LongType()),
+])
+_NEARDUP_STATE = StructType([StructField("rep", StringType())])
+
+
+def stream_minhash_neardup(spark: SparkSession, docs_dir: str,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           num_hashes: int = 64, bands: int = 16,
+                           shingle: int = 5,
+                           max_files_per_trigger: int = 1) -> DataFrame:
+    """Streaming near-dup detection at ingest: an LSH band-bucket registry.
+
+    Each document contributes one (band, bucket) row per minhash band via
+    the SAME `banded_signatures` relation the batch candidate join uses
+    (`text/dedup.py`).  State is keyed by (band, bucket); the FIRST
+    document to touch a bucket registers as its representative (one
+    string of state per distinct bucket), and every later arrival at an
+    occupied bucket emits a candidate pair (doc_id, rep_id, band,
+    bucket).  Candidates then feed the exact-Jaccard verify stage, same
+    as batch.
+
+    Scale contract: state is O(distinct buckets) x one id — the
+    star-graph registry, not the O(bucket^2) pair materialization; the
+    state store shards by (band, bucket) across executors.  Unbounded
+    registries get the same treatment as `stream_exact_dedup`: logical
+    TTL per key or RocksDB state TTL in deployment.
+
+    Batch equivalence (asserted in tests): when files arrive in id order,
+    the distinct flagged doc_ids equal the id_b side of the batch
+    `minhash_lsh_candidates` pairs on the same files — a document is
+    flagged iff some band bucket contains a smaller id.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from proj_spark.text.dedup import banded_signatures
+
+    docs = _streaming_reader(spark, docs_dir, max_files_per_trigger)
+    banded = banded_signatures(
+        docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                    F.col(text_col).alias("text")),
+        text_col="text", id_col="doc_id",
+        num_hashes=num_hashes, bands=bands, shingle=shingle)
+
+    def register(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        ids: list[str] = []
+        for pdf in pdfs:
+            ids.extend(pdf["doc_id"].tolist())
+        if not ids:
+            return
+        ids.sort()
+        if state.exists:
+            (rep,) = state.get
+            flagged = ids
+        else:
+            rep = ids[0]              # deterministic within the batch
+            state.update((rep,))
+            flagged = ids[1:]
+        if flagged:
+            yield pd.DataFrame({
+                "doc_id": flagged,
+                "rep_id": [rep] * len(flagged),
+                "band": [key[0]] * len(flagged),
+                "bucket": [key[1]] * len(flagged),
+            })
+
+    return (banded.groupBy("band", "bucket")
+            .applyInPandasWithState(register, _NEARDUP_OUT, _NEARDUP_STATE,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str = "complete") -> None:
     """Drain a streaming DataFrame into an in-memory table (tests /

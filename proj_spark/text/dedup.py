@@ -229,15 +229,13 @@ def band_bucket_expr(sig_col: str, band: int, rows_per_band: int) -> Column:
     return acc
 
 
-def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", num_hashes: int = 64,
-                           bands: int = 16, shingle: int = 5,
-                           bucket: str = "m31") -> DataFrame:
-    """Candidate near-dup pairs via banded minhash (id_a < id_b).
-
-    bucket="m31" (default) uses the oracle-reproducible arithmetic
-    banding; bucket="spark_hash" keeps the engine-internal F.hash over
-    the band slice (slightly cheaper, not SQL-portable)."""
+def banded_signatures(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 64,
+                      bands: int = 16, shingle: int = 5,
+                      bucket: str = "m31") -> DataFrame:
+    """(id, band, bucket) rows: one per document per LSH band — the
+    relation both the batch candidate join and the streaming registry
+    key on."""
     rows_per_band = num_hashes // bands
     mh = minhash_udf(num_hashes, shingle)
     sig = docs.select(F.col(id_col), mh(F.col(text_col)).alias("sig"))
@@ -251,10 +249,23 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
             F.lit(bi).alias("band"),
             F.hash(F.slice("sig", bi * rows_per_band + 1, rows_per_band))
             .alias("bucket")) for bi in range(bands)]
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(F.array(*buckets)).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 64,
+                           bands: int = 16, shingle: int = 5,
+                           bucket: str = "m31") -> DataFrame:
+    """Candidate near-dup pairs via banded minhash (id_a < id_b).
+
+    bucket="m31" (default) uses the oracle-reproducible arithmetic
+    banding; bucket="spark_hash" keeps the engine-internal F.hash over
+    the band slice (slightly cheaper, not SQL-portable)."""
+    banded = banded_signatures(docs, text_col, id_col, num_hashes, bands,
+                               shingle, bucket)
     # the band join broadcasts one side, so pair generation + the partial
     # distinct run in the PROBE side's partitioning — repartition it, or a
     # single-file source serializes the whole O(sum bucket^2) pair blowup

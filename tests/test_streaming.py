@@ -141,6 +141,57 @@ def test_stream_exact_dedup_ttl(spark, tmp_path):
     assert len({r["digest"] for r in rows}) == 1
 
 
+def test_stream_minhash_neardup(spark, tmp_path):
+    """LSH band-bucket registry: with id-ordered ingestion the distinct
+    flagged doc set equals the id_b side of the batch candidate join on
+    the same files, and every streamed (rep, doc) pair is a batch pair."""
+    from proj_spark.streaming.jobs import stream_minhash_neardup
+    from proj_spark.text.dedup import minhash_lsh_candidates
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill in the afternoon sun")
+    texts = {
+        "d00": base,
+        "d01": base,                                   # exact dup of d00
+        "d02": base.replace("afternoon", "morning"),   # near-dup variant
+        "d03": "completely different text about spark structured "
+               "streaming state stores and shuffle partitioning at scale",
+        "d04": base,                                   # later exact dup
+        "d05": base.replace("lazy dog", "sleepy dog"),
+        "d06": "another unrelated document mentioning geodesic problems "
+               "and transverse mercator series expansions entirely",
+    }
+    files = [["d00", "d01", "d02"], ["d03", "d04"], ["d05", "d06"]]
+    d = tmp_path / "docs"
+    import glob
+    import os
+    import shutil
+    import time
+    for i, ids in enumerate(files):
+        rows = [(i_, texts[i_]) for i_ in ids]
+        (spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1)
+         .write.parquet(str(d / f"f{i}")))
+        src = glob.glob(str(d / f"f{i}" / "part-*.parquet"))[0]
+        dst = d / f"part-{i:03d}.parquet"
+        shutil.copy(src, dst)
+        t = time.time() - 100 + i * 10
+        os.utime(dst, (t, t))
+        shutil.rmtree(d / f"f{i}")
+    run_to_memory(stream_minhash_neardup(spark, str(d)), "neardup",
+                  mode="append")
+    got = spark.table("neardup").collect()
+    batch_pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(
+        spark.read.parquet(str(d))).collect()}
+    # every streamed (rep, doc) candidate is a batch candidate pair
+    assert {(r["rep_id"], r["doc_id"]) for r in got} <= batch_pairs
+    # flagged set == batch id_b side (docs sharing a bucket w/ smaller id)
+    assert ({r["doc_id"] for r in got}
+            == {b for _, b in batch_pairs})
+    # the exact duplicates are certainly flagged against the first copy
+    assert ("d00", "d01") in {(r["rep_id"], r["doc_id"]) for r in got}
+    assert ("d00", "d04") in {(r["rep_id"], r["doc_id"]) for r in got}
+
+
 def test_stateful_running_counts(spark, pages_dir):
     import glob
     n_files = len(glob.glob(f"{pages_dir}/part-*.parquet"))
