@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from proj_spark.pages import CITY_CENTERS, extract_geotags, pages_table
 from proj_spark.spatial import cells
-from proj_spark.spatial.knn import haversine_sql, knn_join
+from proj_spark.spatial.knn import haversine_sql, knn_join, knn_self_join
 from proj_spark.spatial.pip import pip_join
 from proj_spark.text import analysis
 
@@ -245,6 +245,51 @@ scored AS (
 )
 SELECT query_id, url, ROUND(dist, 3) AS dist_m, rnk AS rank
 FROM scored WHERE rnk <= {KNN_K}"""
+
+
+KNNJ_K = 3
+KNNJ_Z = 12
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius kNN self-JOIN: every geotagged page's <=3 nearest
+    other pages via a one-shot cell + ring-1 candidate equi-join (no
+    driver loop) — the distributed spatial-join flavor of kNN."""
+    pts = _points(spark, sf_dir)
+    res = knn_self_join(pts, k=KNNJ_K, z=KNNJ_Z, ring=1, id_col="url")
+    return res.select("url", "nbr_id",
+                      F.round("dist_m", 3).alias("dist_m"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_knn_join(n: int) -> str:
+    z, nmax = KNNJ_Z, (1 << KNNJ_Z) - 1
+    dist = haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""WITH {_pages_cte(n)},
+pts AS (
+  SELECT url, lon, lat,
+         {cells.tile_x_sql('lon', z)} AS cx,
+         {cells.tile_y_sql('lat', z)} AS cy
+  FROM pages
+),
+cand AS (
+  -- DISTINCT mirrors the engine's array_distinct over clamped ring cells
+  SELECT DISTINCT a.url AS url, b.url AS nbr_id, {dist} AS dist
+  FROM pts a
+  CROSS JOIN (VALUES (-1), (0), (1)) dxs(dx)
+  CROSS JOIN (VALUES (-1), (0), (1)) dys(dy)
+  JOIN pts b
+    ON b.cx = LEAST(GREATEST(a.cx + dx, 0), {nmax})
+   AND b.cy = LEAST(GREATEST(a.cy + dy, 0), {nmax})
+   AND b.url <> a.url
+),
+ranked AS (
+  SELECT url, nbr_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY dist, nbr_id) AS rnk
+  FROM cand
+)
+SELECT url, nbr_id, ROUND(dist, 3) AS dist_m, rnk AS rank
+FROM ranked WHERE rnk <= {KNNJ_K}"""
 
 
 def q_utm_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1617,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_rollup": q_cell_rollup,
         "pip_admin": q_pip_admin,
         "knn": q_knn,
+        "knn_join": q_knn_join,
         "utm_zones": q_utm_zones,
         "webmerc_bbox": q_webmerc_bbox,
         "utm_project": q_utm_project,
@@ -1649,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_rollup": _sql_cell_rollup(n),
         "pip_admin": _sql_pip_admin(n),
         "knn": _sql_knn(n),
+        "knn_join": _sql_knn_join(n),
         "utm_zones": _sql_utm_zones(n),
         "webmerc_bbox": _sql_webmerc_bbox(n),
         "datum_shift": _sql_datum_shift(n),

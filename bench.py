@@ -25,7 +25,7 @@ from proj_spark.spark.session import get_spark  # noqa: E402
 # headline set: the geo spine (synthesis -> extraction -> kernel -> join ->
 # agg) plus the scalable text/dedup/similarity ops
 HEADLINE = [
-    "tile_density", "cell_rollup", "pip_admin", "knn", "utm_zones",
+    "tile_density", "cell_rollup", "pip_admin", "knn", "knn_join", "utm_zones",
     "webmerc_bbox", "utm_project", "datum_shift", "doc_stats", "exact_dedup",
     "token_topk", "ngram_pairs", "embed_topk", "events_hourly",
     "crs_dispatch", "gridshift_file", "minhash_neardup", "simhash_neardup",

@@ -286,3 +286,46 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int, z: int = 9,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def knn_self_join(pts: DataFrame, k: int = 3, z: int = 10, ring: int = 1,
+                  id_col: str = "url", lon_col: str = "lon",
+                  lat_col: str = "lat") -> DataFrame:
+    """Bounded-radius kNN JOIN: every point's <=k nearest OTHER points,
+    fully distributed — no driver loop, no per-query broadcast.
+
+    This is the spatial-join flavor of kNN (every row is a query): each
+    point joins candidates whose cell lies within Chebyshev `ring` of its
+    own cell at zoom `z`, then a per-point window keeps the k nearest by
+    haversine.  The contract is *bounded radius*: neighbors beyond the
+    ring box are not searched, so isolated points return fewer than k
+    rows (or none) — the standard grid-bounded kNN-join contract at
+    corpus scale, where unbounded per-point expansion would be a full
+    cross join.  For guaranteed-complete small query sets use `knn_join`.
+
+    Scale shape: one shuffle on the cell key for the equi-join (skewed
+    dense cells are AQE-split; candidate fan-out is (2*ring+1)^2 x the
+    cell occupancy, bounded by choosing z so cells hold O(10) points),
+    one shuffle on the point id for the window.  Work is sum(cell^2),
+    never n^2.
+    """
+    base = pts.select(
+        F.col(id_col), F.col(lon_col), F.col(lat_col),
+        cells.cell_id(F.col(lon_col), F.col(lat_col), z).alias("cell"))
+    left = base.select(
+        id_col, lon_col, lat_col,
+        F.explode(cells.neighbor_cells(F.col("cell"), ring)).alias("cell"))
+    right = base.select(F.col(id_col).alias("nbr_id"),
+                        F.col(lon_col).alias("nbr_lon"),
+                        F.col(lat_col).alias("nbr_lat"), "cell")
+    # each (point, neighbor) pair matches exactly once: the right side
+    # carries ONE cell per point and the exploded ring is array_distinct
+    cand = (left.join(right, "cell")
+            .where(F.col(id_col) != F.col("nbr_id")))
+    scored = cand.select(
+        id_col, "nbr_id",
+        haversine_expr(F.col(lon_col), F.col(lat_col),
+                       F.col("nbr_lon"), F.col("nbr_lat")).alias("dist_m"))
+    w = Window.partitionBy(id_col).orderBy("dist_m", "nbr_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -424,3 +424,36 @@ def test_transform_crs_dataframe_api(spark):
     out2 = transform_crs(df, "EPSG:4314", "EPSG:4326").collect()
     assert all(abs(r["t_x"] - r["lon"]) < 0.01 for r in out2)
     assert all(r["t_x"] != r["lon"] for r in out2)  # shift applied
+
+
+def test_knn_self_join_matches_bruteforce(spark, geo):
+    """Bounded-radius kNN self-join == NumPy brute force under the same
+    cell-ring candidate bound (every point is a query; no driver loop)."""
+    from proj_spark.spatial.knn import knn_self_join, _tile_x, _tile_y
+    z, k = 7, 3
+    pts = geo.select("url", "lon", "lat").limit(400).cache()
+    got = knn_self_join(pts, k=k, z=z, ring=1, id_col="url").collect()
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["url"], r["rank"])):
+        got_by_q.setdefault(r["url"], []).append((r["nbr_id"], r["dist_m"]))
+    pdf = pts.toPandas()
+    urls = pdf["url"].to_numpy()
+    lon = pdf["lon"].to_numpy()
+    lat = pdf["lat"].to_numpy()
+    cx = np.array([_tile_x(v, z) for v in lon])
+    cy = np.array([_tile_y(v, z) for v in lat])
+    nmax = (1 << z) - 1
+    rl, rn = np.radians(lat), np.radians(lon)
+    for i in range(len(urls)):
+        ring_x = {min(max(cx[i] + d, 0), nmax) for d in (-1, 0, 1)}
+        ring_y = {min(max(cy[i] + d, 0), nmax) for d in (-1, 0, 1)}
+        m = (np.isin(cx, list(ring_x)) & np.isin(cy, list(ring_y))
+             & (urls != urls[i]))
+        h = (np.sin((rl[m] - rl[i]) / 2) ** 2
+             + np.cos(rl[i]) * np.cos(rl[m]) * np.sin((rn[m] - rn[i]) / 2) ** 2)
+        dist = 2 * EARTH_R * np.arcsin(np.sqrt(h))
+        exp = sorted(zip(dist, urls[m]), key=lambda t: (t[0], t[1]))[:k]
+        mine = got_by_q.get(urls[i], [])
+        assert len(mine) == len(exp), (urls[i], len(mine), len(exp))
+        for (ed, eid), (gid, gd) in zip(exp, mine):
+            assert eid == gid and abs(ed - gd) < 2e-3, (urls[i], eid, gid)
