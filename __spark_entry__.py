@@ -248,7 +248,7 @@ FROM scored WHERE rnk <= {KNN_K}"""
 
 
 KNNJ_K = 3
-KNNJ_Z = 12
+KNNJ_Z = 13
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:

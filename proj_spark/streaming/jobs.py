@@ -246,6 +246,72 @@ def stream_minhash_neardup(spark: SparkSession, docs_dir: str,
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def stream_simhash_neardup(spark: SparkSession, docs_dir: str,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           shingle: int = 3,
+                           max_files_per_trigger: int = 1) -> DataFrame:
+    """Streaming simhash near-dup registry: same star-graph state design
+    as `stream_minhash_neardup`, keyed by the 4x16-bit simhash bands
+    (pigeonhole: any pair within Hamming distance 3 shares a band).
+
+    Output rows carry both signatures so the exact Hamming verify
+    (bit_count(sim XOR rep_sim) <= 3) composes downstream exactly as in
+    the batch `simhash_near_dups` operator."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from proj_spark.text.dedup import simhash_udf
+
+    docs = _streaming_reader(spark, docs_dir, max_files_per_trigger)
+    sh = simhash_udf(shingle)
+    sig = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                      sh(F.col(text_col)).alias("sim"))
+    banded = sig.select(
+        "doc_id", "sim",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(F.col("sim"), 16 * i)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for i in range(4)
+        ])).alias("bk")).select("doc_id", "sim", "bk.band", "bk.key")
+
+    out_schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("sim", LongType()),
+        StructField("rep_id", StringType()),
+        StructField("rep_sim", LongType()),
+        StructField("band", IntegerType()),
+    ])
+    state_schema = StructType([StructField("rep", StringType()),
+                               StructField("rep_sim", LongType())])
+
+    def register(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        rows: list[tuple[str, int]] = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["doc_id"].tolist(), pdf["sim"].tolist()))
+        if not rows:
+            return
+        rows.sort()
+        if state.exists:
+            rep, rep_sim = state.get
+            flagged = rows
+        else:
+            rep, rep_sim = rows[0]
+            state.update((rep, int(rep_sim)))
+            flagged = rows[1:]
+        if flagged:
+            yield pd.DataFrame({
+                "doc_id": [r[0] for r in flagged],
+                "sim": [int(r[1]) for r in flagged],
+                "rep_id": [rep] * len(flagged),
+                "rep_sim": [int(rep_sim)] * len(flagged),
+                "band": [key[0]] * len(flagged),
+            })
+
+    return (banded.groupBy("band", "key")
+            .applyInPandasWithState(register, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str = "complete") -> None:
     """Drain a streaming DataFrame into an in-memory table (tests /

@@ -214,3 +214,62 @@ def test_stateful_running_counts(spark, pages_dir):
     assert got == want
     # at least one hot domain spans several micro-batches
     assert max(r["batches_seen"] for r in finals.values()) > 1
+
+
+def test_stream_simhash_neardup(spark, tmp_path):
+    """Simhash band registry: flagged set == docs sharing a 16-bit band
+    key with a smaller id (computed directly from the batch signatures),
+    and the carried signatures allow the exact Hamming verify."""
+    from proj_spark.streaming.jobs import stream_simhash_neardup
+    from proj_spark.text.dedup import simhash_udf
+
+    base = ("spark structured streaming keeps one state row per key and "
+            "shards the store across executors for incremental pipelines")
+    texts = {
+        "d00": base,
+        "d01": base,                                  # exact dup
+        "d02": base.replace("incremental", "stately"),
+        "d03": "unrelated geodesy content about ellipsoidal latitude "
+               "series and conformal sphere approximations in projections",
+        "d04": base,
+    }
+    files = [["d00", "d01"], ["d02", "d03"], ["d04"]]
+    d = tmp_path / "docs"
+    import glob
+    import os
+    import shutil
+    import time
+    for i, ids in enumerate(files):
+        (spark.createDataFrame([(x, texts[x]) for x in ids],
+                               ["doc_id", "text"]).coalesce(1)
+         .write.parquet(str(d / f"f{i}")))
+        src = glob.glob(str(d / f"f{i}" / "part-*.parquet"))[0]
+        dst = d / f"part-{i:03d}.parquet"
+        shutil.copy(src, dst)
+        t = time.time() - 100 + i * 10
+        os.utime(dst, (t, t))
+        shutil.rmtree(d / f"f{i}")
+    run_to_memory(stream_simhash_neardup(spark, str(d)), "sh_neardup",
+                  mode="append")
+    got = spark.table("sh_neardup").collect()
+    # batch signatures -> expected flagged set via the same 4x16 banding
+    sig = {r["doc_id"]: r["sim"] for r in
+           spark.read.parquet(str(d))
+           .select("doc_id", simhash_udf()(F.col("text")).alias("sim"))
+           .collect()}
+    buckets = {}
+    for did in sorted(sig):
+        for band in range(4):
+            key = (band, (sig[did] >> (16 * band)) & 0xFFFF)
+            buckets.setdefault(key, []).append(did)
+    want_flagged = {ids[j] for ids in buckets.values()
+                    for j in range(1, len(ids))}
+    assert {r["doc_id"] for r in got} == want_flagged
+    # signatures carried in the output match the batch UDF's
+    for r in got:
+        assert r["sim"] == sig[r["doc_id"]]
+        assert r["rep_sim"] == sig[r["rep_id"]]
+    # the exact duplicates verify at Hamming 0 against the first copy
+    dups = {(r["rep_id"], r["doc_id"]) for r in got
+            if bin(r["sim"] ^ r["rep_sim"]).count("1") <= 3}
+    assert ("d00", "d01") in dups and ("d00", "d04") in dups
