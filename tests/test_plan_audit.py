@@ -94,3 +94,23 @@ def test_minhash_verify_not_pushed_below_distinct(spark, entry):
 def test_ngram_pairs_uses_broadcast_anti_join(spark, entry):
     s = plan_of(entry.q_ngram_pairs(spark, SF))
     assert "LeftAnti, BuildRight" in s or "BroadcastHashJoin" in s
+
+
+def test_knn_join_partial_topk_single_window_exchange(spark, entry):
+    """The kNN self-join must (a) prune text/warc_ts at the scan, (b)
+    keep a map-side partial top-k (WindowGroupLimit below the window
+    Exchange) so the shuffle carries <=k rows per (point, partition),
+    and (c) never sort-merge the candidate join at test scale."""
+    s = plan_of(entry.q_knn_join(spark, SF))
+    reads = [ln for ln in s.splitlines() if "ReadSchema" in ln]
+    assert reads and all("text" not in ln and "warc_ts" not in ln
+                         for ln in reads)
+    # two WindowGroupLimit nodes: the partial (pre-shuffle) + final
+    assert s.count("WindowGroupLimit") >= 2
+    lines = s.splitlines()
+    wgl = [i for i, ln in enumerate(lines) if "WindowGroupLimit" in ln
+           and ln.lstrip().startswith(("+-", ":-", "Window", "("))]
+    exch = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+    # at least one WindowGroupLimit sits below (later tree line than)
+    # the window's Exchange in the tree rendering
+    assert any(w > min(exch) for w in wgl)
