@@ -69,19 +69,24 @@ def _geodesic(ellps: str):
     return g
 
 
-def _by_group(key: pd.Series, a: pd.Series, b: pd.Series, fn):
-    """Apply fn(key_value, a_chunk, b_chunk) -> (out1, out2) grouped by
-    the distinct values of `key` (usually a single literal)."""
-    o1 = np.empty(len(a), dtype=np.float64)
-    o2 = np.empty(len(a), dtype=np.float64)
-    av = a.to_numpy(np.float64)
-    bv = b.to_numpy(np.float64)
+def _by_group(key: pd.Series, cols: list[pd.Series], n_out: int, fn):
+    """Apply fn(key_value, *chunks) -> n_out arrays, grouped by the
+    distinct values of `key` (usually a single literal).
+
+    SQL null semantics: rows with a null key yield null (NaN -> Spark
+    NULL) outputs instead of failing the task; null numeric inputs are
+    already NaN in the float view and propagate through the kernels."""
+    n = len(key)
+    outs = [np.full(n, np.nan) for _ in range(n_out)]
+    vals = [c.to_numpy(np.float64) for c in cols]
     kv = key.to_numpy()
-    for k in pd.unique(kv):
-        m = kv == k
-        r1, r2 = fn(str(k), av[m], bv[m])
-        o1[m], o2[m] = r1, r2
-    return o1, o2
+    valid = ~pd.isna(kv)
+    for k in pd.unique(kv[valid]):
+        m = (kv == k) & valid
+        rs = fn(str(k), *(v[m] for v in vals))
+        for o, r in zip(outs, rs):
+            o[m] = r
+    return outs
 
 
 _XY = StructType([StructField("x", DoubleType()), StructField("y", DoubleType())])
@@ -95,21 +100,22 @@ _DIR = StructType([StructField("lat2", DoubleType()), StructField("lon2", Double
 
 
 def _proj_fwd_fn(defn: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
-    x, y = _by_group(defn, lon, lat,
+    x, y = _by_group(defn, [lon, lat], 2,
                      lambda d, lo, la: _pipeline(d).fwd_deg(lo, la))
     return pd.DataFrame({"x": x, "y": y})
 
 
 def _proj_inv_fn(defn: pd.Series, x: pd.Series, y: pd.Series) -> pd.DataFrame:
-    lon, lat = _by_group(defn, x, y,
+    lon, lat = _by_group(defn, [x, y], 2,
                          lambda d, xv, yv: _pipeline(d).inv_deg(xv, yv))
     return pd.DataFrame({"lon": lon, "lat": lat})
 
 
 def _crs_transform_fn(src: pd.Series, dst: pd.Series, x: pd.Series,
                       y: pd.Series) -> pd.DataFrame:
-    # group on the (src, dst) pair packed into one key
-    key = src.astype(str) + "\x1f" + dst.astype(str)
+    # group on the (src, dst) pair packed into one key; the nullable
+    # string dtype propagates a null src OR dst into a null key
+    key = src.astype("string") + "\x1f" + dst.astype("string")
 
     def run(k, xv, yv):
         s, d = k.split("\x1f")
@@ -121,39 +127,29 @@ def _crs_transform_fn(src: pd.Series, dst: pd.Series, x: pd.Series,
             ox, oy = np.degrees(ox), np.degrees(oy)
         return ox, oy
 
-    ox, oy = _by_group(key, x, y, run)
+    ox, oy = _by_group(key, [x, y], 2, run)
     return pd.DataFrame({"x": ox, "y": oy})
 
 
 def _geod_inverse_fn(ellps: pd.Series, lat1: pd.Series, lon1: pd.Series,
                      lat2: pd.Series, lon2: pd.Series) -> pd.DataFrame:
-    n = len(lat1)
-    s12 = np.empty(n); az1 = np.empty(n); az2 = np.empty(n)
-    la1 = np.radians(lat1.to_numpy(np.float64))
-    lo1 = np.radians(lon1.to_numpy(np.float64))
-    la2 = np.radians(lat2.to_numpy(np.float64))
-    lo2 = np.radians(lon2.to_numpy(np.float64))
-    kv = ellps.to_numpy()
-    for k in pd.unique(kv):
-        m = kv == k
-        s, a1, a2 = _geodesic(str(k)).inverse(la1[m], lo1[m], la2[m], lo2[m])
-        s12[m], az1[m], az2[m] = s, np.degrees(a1), np.degrees(a2)
+    def run(k, la1, lo1, la2, lo2):
+        s, a1, a2 = _geodesic(k).inverse(
+            np.radians(la1), np.radians(lo1), np.radians(la2), np.radians(lo2))
+        return s, np.degrees(a1), np.degrees(a2)
+
+    s12, az1, az2 = _by_group(ellps, [lat1, lon1, lat2, lon2], 3, run)
     return pd.DataFrame({"s12": s12, "azi1": az1, "azi2": az2})
 
 
 def _geod_direct_fn(ellps: pd.Series, lat1: pd.Series, lon1: pd.Series,
                     azi1: pd.Series, s12: pd.Series) -> pd.DataFrame:
-    n = len(lat1)
-    la2 = np.empty(n); lo2 = np.empty(n); az2 = np.empty(n)
-    la1 = np.radians(lat1.to_numpy(np.float64))
-    lo1 = np.radians(lon1.to_numpy(np.float64))
-    az1 = np.radians(azi1.to_numpy(np.float64))
-    sv = s12.to_numpy(np.float64)
-    kv = ellps.to_numpy()
-    for k in pd.unique(kv):
-        m = kv == k
-        a, b, c = _geodesic(str(k)).direct(la1[m], lo1[m], az1[m], sv[m])
-        la2[m], lo2[m], az2[m] = np.degrees(a), np.degrees(b), np.degrees(c)
+    def run(k, la1, lo1, az1, sv):
+        a, b, c = _geodesic(k).direct(
+            np.radians(la1), np.radians(lo1), np.radians(az1), sv)
+        return np.degrees(a), np.degrees(b), np.degrees(c)
+
+    la2, lo2, az2 = _by_group(ellps, [lat1, lon1, azi1, s12], 3, run)
     return pd.DataFrame({"lat2": la2, "lon2": lo2, "azi2": az2})
 
 

@@ -172,15 +172,6 @@ def stream_exact_dedup(spark: SparkSession, pages_dir: str,
                                     "append", GroupStateTimeout.NoTimeout))
 
 
-_NEARDUP_OUT = StructType([
-    StructField("doc_id", StringType()),
-    StructField("rep_id", StringType()),
-    StructField("band", IntegerType()),
-    StructField("bucket", LongType()),
-])
-_NEARDUP_STATE = StructType([StructField("rep", StringType())])
-
-
 def stream_minhash_neardup(spark: SparkSession, docs_dir: str,
                            id_col: str = "doc_id", text_col: str = "text",
                            num_hashes: int = 64, bands: int = 16,
@@ -206,33 +197,41 @@ def stream_minhash_neardup(spark: SparkSession, docs_dir: str,
     Batch equivalence (asserted in tests): when files arrive in id order,
     the distinct flagged doc_ids equal the id_b side of the batch
     `minhash_lsh_candidates` pairs on the same files — a document is
-    flagged iff some band bucket contains a smaller id.
+    flagged iff some band bucket contains a smaller id.  Ids keep their
+    SOURCE type (numeric ids order numerically, matching the batch
+    join's `id_a < id_b`); a re-delivered id never pairs with itself.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from proj_spark.text.dedup import banded_signatures
 
     docs = _streaming_reader(spark, docs_dir, max_files_per_trigger)
+    id_type = docs.schema[id_col].dataType
     banded = banded_signatures(
-        docs.select(F.col(id_col).cast("string").alias("doc_id"),
+        docs.select(F.col(id_col).alias("doc_id"),
                     F.col(text_col).alias("text")),
         text_col="text", id_col="doc_id",
         num_hashes=num_hashes, bands=bands, shingle=shingle)
+    out_schema = StructType([
+        StructField("doc_id", id_type),
+        StructField("rep_id", id_type),
+        StructField("band", IntegerType()),
+        StructField("bucket", LongType()),
+    ])
+    state_schema = StructType([StructField("rep", id_type)])
 
     def register(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        ids: list[str] = []
+        ids: set = set()
         for pdf in pdfs:
-            ids.extend(pdf["doc_id"].tolist())
+            ids.update(pdf["doc_id"].tolist())
         if not ids:
             return
-        ids.sort()
         if state.exists:
             (rep,) = state.get
-            flagged = ids
         else:
-            rep = ids[0]              # deterministic within the batch
+            rep = min(ids)            # deterministic within the batch
             state.update((rep,))
-            flagged = ids[1:]
+        flagged = sorted(i for i in ids if i != rep)
         if flagged:
             yield pd.DataFrame({
                 "doc_id": flagged,
@@ -242,7 +241,7 @@ def stream_minhash_neardup(spark: SparkSession, docs_dir: str,
             })
 
     return (banded.groupBy("band", "bucket")
-            .applyInPandasWithState(register, _NEARDUP_OUT, _NEARDUP_STATE,
+            .applyInPandasWithState(register, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
 
@@ -256,14 +255,17 @@ def stream_simhash_neardup(spark: SparkSession, docs_dir: str,
 
     Output rows carry both signatures so the exact Hamming verify
     (bit_count(sim XOR rep_sim) <= 3) composes downstream exactly as in
-    the batch `simhash_near_dups` operator."""
+    the batch `simhash_near_dups` operator.  As in the minhash variant,
+    ids keep their source type (numeric order preserved) and a
+    re-delivered id never pairs with itself."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from proj_spark.text.dedup import simhash_udf
 
     docs = _streaming_reader(spark, docs_dir, max_files_per_trigger)
+    id_type = docs.schema[id_col].dataType
     sh = simhash_udf(shingle)
-    sig = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+    sig = docs.select(F.col(id_col).alias("doc_id"),
                       sh(F.col(text_col)).alias("sim"))
     banded = sig.select(
         "doc_id", "sim",
@@ -275,29 +277,28 @@ def stream_simhash_neardup(spark: SparkSession, docs_dir: str,
         ])).alias("bk")).select("doc_id", "sim", "bk.band", "bk.key")
 
     out_schema = StructType([
-        StructField("doc_id", StringType()),
+        StructField("doc_id", id_type),
         StructField("sim", LongType()),
-        StructField("rep_id", StringType()),
+        StructField("rep_id", id_type),
         StructField("rep_sim", LongType()),
         StructField("band", IntegerType()),
     ])
-    state_schema = StructType([StructField("rep", StringType()),
+    state_schema = StructType([StructField("rep", id_type),
                                StructField("rep_sim", LongType())])
 
     def register(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        rows: list[tuple[str, int]] = []
+        sims: dict = {}
         for pdf in pdfs:
-            rows.extend(zip(pdf["doc_id"].tolist(), pdf["sim"].tolist()))
-        if not rows:
+            sims.update(zip(pdf["doc_id"].tolist(), pdf["sim"].tolist()))
+        if not sims:
             return
-        rows.sort()
         if state.exists:
             rep, rep_sim = state.get
-            flagged = rows
         else:
-            rep, rep_sim = rows[0]
+            rep = min(sims)
+            rep_sim = sims[rep]
             state.update((rep, int(rep_sim)))
-            flagged = rows[1:]
+        flagged = [(i, s) for i, s in sorted(sims.items()) if i != rep]
         if flagged:
             yield pd.DataFrame({
                 "doc_id": [r[0] for r in flagged],

@@ -97,12 +97,18 @@ def dedup_assign(nodes: DataFrame, edges: DataFrame, id_col: str = "doc_id",
     nodes sharing the comp).  Only edge-touched nodes enter the CC
     iteration, so the iterative cost scales with the near-dup subgraph,
     not the corpus."""
+    from pyspark.sql.window import Window
+
     cc = connected_components(edges, src=src, dst=dst)
     ids = nodes.select(F.col(id_col))
     full = (ids.join(cc, ids[id_col] == cc["id"], "left")
             .select(F.col(id_col),
                     F.coalesce("comp", F.col(id_col)).alias("comp_id")))
-    sizes = full.groupBy("comp_id").agg(F.count("*").alias("comp_size"))
-    return (full.join(F.broadcast(sizes), "comp_id")
-            .select(F.col(id_col), F.col("comp_id"), F.col("comp_size"),
-                    (F.col(id_col) == F.col("comp_id")).alias("is_keep")))
+    # comp_size via a window count: ONE shuffle on comp_id and no
+    # materialized sizes relation (a broadcast of per-component sizes
+    # would be O(corpus) rows — singletons dominate dedup corpora)
+    w = Window.partitionBy("comp_id")
+    return full.select(
+        F.col(id_col), F.col("comp_id"),
+        F.count("*").over(w).alias("comp_size"),
+        (F.col(id_col) == F.col("comp_id")).alias("is_keep"))

@@ -79,3 +79,27 @@ def test_out_of_range_is_nan_not_error(spark):
         "SELECT proj_fwd('+proj=merc +ellps=WGS84', 0.0D, 90.0D) AS p"
     ).collect()[0]["p"]
     assert row["y"] is None or not np.isfinite(row["y"])
+
+
+def test_null_definition_yields_null_not_error(spark):
+    """Standard SQL null-in null-out: a NULL definition/ellps/CRS in any
+    registered function must produce NULL output rows, not fail the
+    task (and must not poison the non-null rows in the same batch)."""
+    rows = spark.sql("""
+        SELECT proj_fwd(defn, lon, lat) AS p,
+               crs_transform(src, 'EPSG:32632', lon, lat) AS t,
+               geod_inverse(ellps, lat, lon, 0.0D, 0.0D) AS g
+        FROM VALUES
+          ('+proj=utm +zone=32 +ellps=GRS80', 'EPSG:4326',
+           'GRS80', 12.0D, 56.0D),
+          (NULL, NULL, NULL, 12.0D, 56.0D)
+        AS t(defn, src, ellps, lon, lat)
+        ORDER BY defn NULLS LAST
+    """).collect()
+    ok, nul = rows[0], rows[1]
+    assert ok["p"]["x"] == pytest.approx(687071.4391, abs=1e-3)
+    assert ok["t"]["x"] == pytest.approx(687071.4391, abs=1e-3)
+    assert ok["g"]["s12"] > 0
+    assert nul["p"]["x"] is None and nul["p"]["y"] is None
+    assert nul["t"]["x"] is None
+    assert nul["g"]["s12"] is None

@@ -273,3 +273,40 @@ def test_stream_simhash_neardup(spark, tmp_path):
     dups = {(r["rep_id"], r["doc_id"]) for r in got
             if bin(r["sim"] ^ r["rep_sim"]).count("1") <= 3}
     assert ("d00", "d01") in dups and ("d00", "d04") in dups
+
+
+def test_stream_minhash_neardup_numeric_ids(spark, tmp_path):
+    """Numeric doc_ids keep NUMERIC order (rep is the numerically
+    smallest id, matching the batch join's id_a < id_b), and a
+    re-delivered id never emits a self-pair."""
+    from proj_spark.streaming.jobs import stream_minhash_neardup
+
+    text = ("identical body text shared by every document so all band "
+            "buckets collide across the whole stream deterministically")
+    files = [[2, 10], [2, 30]]          # 10 > 2 numerically, '10' < '2' lex
+    d = tmp_path / "docs"
+    import glob
+    import os
+    import shutil
+    import time
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    for i, ids in enumerate(files):
+        (spark.createDataFrame([(x, text) for x in ids], schema).coalesce(1)
+         .write.parquet(str(d / f"f{i}")))
+        src = glob.glob(str(d / f"f{i}" / "part-*.parquet"))[0]
+        dst = d / f"part-{i:03d}.parquet"
+        shutil.copy(src, dst)
+        t = time.time() - 100 + i * 10
+        os.utime(dst, (t, t))
+        shutil.rmtree(d / f"f{i}")
+    run_to_memory(stream_minhash_neardup(spark, str(d)), "nd_num",
+                  mode="append")
+    got = spark.table("nd_num").collect()
+    pairs = {(r["rep_id"], r["doc_id"]) for r in got}
+    # numeric order: 2 is the representative, 10 the flagged duplicate
+    assert pairs == {(2, 10), (2, 30)}
+    # the re-delivered id 2 (file 2) produced no self-pair
+    assert all(r["rep_id"] != r["doc_id"] for r in got)
