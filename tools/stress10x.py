@@ -79,11 +79,18 @@ def main() -> None:
                 "knn_join_z13"] if z_knn != 13 else None
             qs = {k: v for k, v in qs.items() if v is not None}
         for name, q in qs.items():
-            # steady-state: second run after a first that pays codegen
-            q(spark, sf_dir).count()
-            t0 = time.time()
-            rows = q(spark, sf_dir).count()
-            wall = time.time() - t0
+            try:
+                # steady-state: second run after a first paying codegen
+                q(spark, sf_dir).count()
+                t0 = time.time()
+                rows = q(spark, sf_dir).count()
+                wall = time.time() - t0
+            except Exception as ex:  # heap exhaustion on the density-
+                # blind knn zoom is an EXPECTED demonstrable failure
+                print(json.dumps({"query": name, "n_pages": n,
+                                  "failed": type(ex).__name__,
+                                  "detail": str(ex)[:200]}), flush=True)
+                continue
             key = name.replace(f"_z{z_knn}", "_zmatched") \
                 if name == f"knn_join_z{z_knn}" else name
             results.setdefault(key, {})[n] = wall
