@@ -176,7 +176,8 @@ def stream_minhash_neardup(spark: SparkSession, docs_dir: str,
                            id_col: str = "doc_id", text_col: str = "text",
                            num_hashes: int = 64, bands: int = 16,
                            shingle: int = 5,
-                           max_files_per_trigger: int = 1) -> DataFrame:
+                           max_files_per_trigger: int = 1,
+                           state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming near-dup detection at ingest: an LSH band-bucket registry.
 
     Each document contributes one (band, bucket) row per minhash band via
@@ -190,9 +191,12 @@ def stream_minhash_neardup(spark: SparkSession, docs_dir: str,
 
     Scale contract: state is O(distinct buckets) x one id — the
     star-graph registry, not the O(bucket^2) pair materialization; the
-    state store shards by (band, bucket) across executors.  Unbounded
-    registries get the same treatment as `stream_exact_dedup`: logical
-    TTL per key or RocksDB state TTL in deployment.
+    state store shards by (band, bucket) across executors.
+    `state_ttl_ms` bounds the LOGICAL registry window exactly as in
+    `stream_exact_dedup`: a representative older than the TTL no longer
+    anchors its bucket — the next arrival re-registers as the new rep
+    (physical eviction of quiet keys belongs to RocksDB state TTL in
+    deployment; no processing-time timers, so availableNow terminates).
 
     Batch equivalence (asserted in tests): when files arrive in id order,
     the distinct flagged doc_ids equal the id_b side of the batch
@@ -218,19 +222,25 @@ def stream_minhash_neardup(spark: SparkSession, docs_dir: str,
         StructField("band", IntegerType()),
         StructField("bucket", LongType()),
     ])
-    state_schema = StructType([StructField("rep", id_type)])
+    state_schema = StructType([StructField("rep", id_type),
+                               StructField("emitted_ms", LongType())])
 
     def register(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import time as _time
+        now_ms = int(_time.time() * 1000)
         ids: set = set()
         for pdf in pdfs:
             ids.update(pdf["doc_id"].tolist())
         if not ids:
             return
+        rep = None
         if state.exists:
-            (rep,) = state.get
-        else:
+            rep, emitted_ms = state.get
+            if state_ttl_ms is not None and now_ms - emitted_ms > state_ttl_ms:
+                rep = None            # stale anchor: re-register below
+        if rep is None:
             rep = min(ids)            # deterministic within the batch
-            state.update((rep,))
+            state.update((rep, now_ms))
         flagged = sorted(i for i in ids if i != rep)
         if flagged:
             yield pd.DataFrame({
@@ -248,7 +258,8 @@ def stream_minhash_neardup(spark: SparkSession, docs_dir: str,
 def stream_simhash_neardup(spark: SparkSession, docs_dir: str,
                            id_col: str = "doc_id", text_col: str = "text",
                            shingle: int = 3,
-                           max_files_per_trigger: int = 1) -> DataFrame:
+                           max_files_per_trigger: int = 1,
+                           state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming simhash near-dup registry: same star-graph state design
     as `stream_minhash_neardup`, keyed by the 4x16-bit simhash bands
     (pigeonhole: any pair within Hamming distance 3 shares a band).
@@ -256,8 +267,9 @@ def stream_simhash_neardup(spark: SparkSession, docs_dir: str,
     Output rows carry both signatures so the exact Hamming verify
     (bit_count(sim XOR rep_sim) <= 3) composes downstream exactly as in
     the batch `simhash_near_dups` operator.  As in the minhash variant,
-    ids keep their source type (numeric order preserved) and a
-    re-delivered id never pairs with itself."""
+    ids keep their source type (numeric order preserved), a re-delivered
+    id never pairs with itself, and `state_ttl_ms` expires a bucket's
+    anchor so the logical registry window stays bounded."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from proj_spark.text.dedup import simhash_udf
@@ -284,20 +296,26 @@ def stream_simhash_neardup(spark: SparkSession, docs_dir: str,
         StructField("band", IntegerType()),
     ])
     state_schema = StructType([StructField("rep", id_type),
-                               StructField("rep_sim", LongType())])
+                               StructField("rep_sim", LongType()),
+                               StructField("emitted_ms", LongType())])
 
     def register(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import time as _time
+        now_ms = int(_time.time() * 1000)
         sims: dict = {}
         for pdf in pdfs:
             sims.update(zip(pdf["doc_id"].tolist(), pdf["sim"].tolist()))
         if not sims:
             return
+        rep = None
         if state.exists:
-            rep, rep_sim = state.get
-        else:
+            rep, rep_sim, emitted_ms = state.get
+            if state_ttl_ms is not None and now_ms - emitted_ms > state_ttl_ms:
+                rep = None            # stale anchor: re-register below
+        if rep is None:
             rep = min(sims)
             rep_sim = sims[rep]
-            state.update((rep, int(rep_sim)))
+            state.update((rep, int(rep_sim), now_ms))
         flagged = [(i, s) for i, s in sorted(sims.items()) if i != rep]
         if flagged:
             yield pd.DataFrame({

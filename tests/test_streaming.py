@@ -310,3 +310,51 @@ def test_stream_minhash_neardup_numeric_ids(spark, tmp_path):
     assert pairs == {(2, 10), (2, 30)}
     # the re-delivered id 2 (file 2) produced no self-pair
     assert all(r["rep_id"] != r["doc_id"] for r in got)
+
+
+def test_stream_minhash_neardup_ttl(spark, tmp_path):
+    """Bounded-registry mode: after the TTL a bucket's representative
+    expires, so a later arrival re-registers instead of being flagged —
+    the bucket state covers a bounded logical window."""
+    import glob
+    import shutil
+    import time
+
+    from proj_spark.streaming.jobs import stream_minhash_neardup
+    text = ("a body of text long enough to produce stable minhash "
+            "signatures across every band of the streaming registry")
+    d = tmp_path / "docs"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    d.mkdir()
+
+    def add_file(i, doc_ids):
+        (spark.createDataFrame([(x, text) for x in doc_ids],
+                               ["doc_id", "text"])
+         .coalesce(1).write.parquet(str(d / f"f{i}")))
+        src = glob.glob(str(d / f"f{i}" / "part-*.parquet"))[0]
+        shutil.copy(src, d / f"part-{i:03d}.parquet")
+        shutil.rmtree(d / f"f{i}")
+
+    def run_once():
+        q = (stream_minhash_neardup(spark, str(d), state_ttl_ms=500)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    add_file(0, ["a0"])
+    run_once()                          # a0 registers every bucket
+    import os
+    n0 = (spark.read.parquet(out).count()
+          if os.path.exists(out) and glob.glob(out + "/*.parquet") else 0)
+    assert n0 == 0                      # sole doc: nothing flagged
+    time.sleep(1.5)                     # anchors lapse
+    # b0 + c0 share one micro-batch: the stale a0 anchor is replaced by
+    # b0 (min of the batch), and c0 is flagged against the NEW anchor —
+    # never against the expired a0
+    add_file(1, ["b0", "c0"])
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert rows and all(r["rep_id"] == "b0" and r["doc_id"] == "c0"
+                        for r in rows)
