@@ -489,6 +489,195 @@ def q_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max("northing"), 2).alias("max_n")))
 
 
+FACTORS_PROJ = "+proj=lcc +lat_1=33 +lat_2=45 +ellps=GRS80"
+
+
+def q_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """proj_factors (§2.A.6, src/factors.cpp:15-106) at scale: per-point
+    meridional scale h, parallel scale k, meridian convergence and areal
+    scale s for the LCC secant cone, computed by the reference's 4-corner
+    central-difference algorithm in ONE Arrow batch pass, then aggregated
+    per 5-degree latitude band.
+
+    FULL SQL ORACLE (_sql_factors): the derivative stencil and the factor
+    formulas expand term-by-term into DuckDB SQL with the engine's own
+    cone constants (n, c, rho0) as literals.  Aggregates are exact
+    min/max (no order-dependent float sums) rounded to 1e-5, three orders
+    above the ~2.5e-11 cross-libm drift the h=1e-5 stencil division
+    amplifies a 4-ulp sin/cos difference into.
+    """
+    from proj_spark import create
+    from proj_spark.spark.udf import factors_udf
+
+    op = create(FACTORS_PROJ)
+    pts = _points(spark, sf_dir)
+    d = pts.withColumn("_f", factors_udf(op)(F.col("lon"), F.col("lat")))
+    band = F.floor(F.col("lat") / F.lit(5.0)).cast("long").alias("band")
+    return (d.select(band, F.col("_f.h").alias("h"), F.col("_f.k").alias("k"),
+                     F.col("_f.conv").alias("conv"), F.col("_f.s").alias("s"))
+            .groupBy("band")
+            .agg(F.count("*").alias("n_pages"),
+                 F.round(F.min("k"), 5).alias("min_k"),
+                 F.round(F.max("k"), 5).alias("max_k"),
+                 F.round(F.min("h"), 5).alias("min_h"),
+                 F.round(F.max("h"), 5).alias("max_h"),
+                 F.round(F.min("conv"), 5).alias("min_conv"),
+                 F.round(F.max("conv"), 5).alias("max_conv"),
+                 F.round(F.max("s"), 5).alias("max_s")))
+
+
+def _sql_factors(n: int) -> str:
+    """Central-difference proj_factors oracle: replays factors() +
+    LCC._fwd with identical operation order and the compiled operator's
+    constants as literals.  adjlon is the identity here (|lon| <= 179.99
+    and lam0 = 0) and the pole clip is inactive (|lat| <= ~62), both kept
+    for faithfulness."""
+    from proj_spark import create
+    from proj_spark import mathutils as mu
+
+    op = create(FACTORS_PROJ)
+    N_, C_, RHO0 = repr(op.n), repr(op.c), repr(op.rho0)
+    E_, ES_, ONE_ES = repr(op.e), repr(op.es), repr(op.one_es)
+    EH = repr(0.5 * op.e)         # tsfn exponent, constant-folded
+    H = repr(1e-5)                # reference default stencil step
+    H4 = repr(2.0 * (2.0 * 1e-5))  # _deriv divisor 2*h2
+    CLIP = repr(mu.HALFPI - 1e-5)
+
+    def fwd_x(lamE: str, phiE: str) -> str:
+        t = (f"(TAN(0.5 * ({repr(mu.HALFPI)} - ({phiE})))"
+             f" / POW((1.0 - {E_} * SIN({phiE})) / (1.0 + {E_} * SIN({phiE})), {EH}))")
+        return f"(({C_} * POW({t}, {N_})) * SIN(({lamE}) * {N_}))"
+
+    def fwd_y(lamE: str, phiE: str) -> str:
+        t = (f"(TAN(0.5 * ({repr(mu.HALFPI)} - ({phiE})))"
+             f" / POW((1.0 - {E_} * SIN({phiE})) / (1.0 + {E_} * SIN({phiE})), {EH}))")
+        return f"({RHO0} - ({C_} * POW({t}, {N_})) * COS(({lamE}) * {N_}))"
+
+    lp, lm = f"(l + {H})", f"(l - {H})"
+    pp, pm = f"(p + {H})", f"(p - {H})"
+    return f"""WITH {_pages_cte(n)},
+pts AS (
+  SELECT lat, RADIANS(lon) AS l,
+         LEAST(GREATEST(RADIANS(lat), -{CLIP}), {CLIP}) AS p
+  FROM pages
+),
+corners AS (
+  SELECT lat, p,
+         {fwd_x(lp, pp)} AS xpp, {fwd_y(lp, pp)} AS ypp,
+         {fwd_x(lp, pm)} AS xpm, {fwd_y(lp, pm)} AS ypm,
+         {fwd_x(lm, pm)} AS xmm, {fwd_y(lm, pm)} AS ymm,
+         {fwd_x(lm, pp)} AS xmp, {fwd_y(lm, pp)} AS ymp
+  FROM pts
+),
+der AS (
+  SELECT lat, p,
+         (xpp + xpm - xmm - xmp) / {H4} AS x_l,
+         (ypp + ypm - ymm - ymp) / {H4} AS y_l,
+         (xpp - xpm - xmm + xmp) / {H4} AS x_p,
+         (ypp - ypm - ymm + ymp) / {H4} AS y_p
+  FROM corners
+),
+ell AS (
+  SELECT lat, p, x_l, y_l, x_p, y_p,
+         1.0 - {ES_} * SIN(p) * SIN(p) AS tt
+  FROM der
+),
+fac AS (
+  SELECT lat,
+         SQRT(x_p * x_p + y_p * y_p) * tt * SQRT(tt) / {ONE_ES} AS fh,
+         SQRT(x_l * x_l + y_l * y_l) / COS(p) * SQRT(tt) AS fk,
+         -ATAN2(x_p, y_p) AS conv,
+         (y_p * x_l - x_p * y_l) * (tt * tt / {ONE_ES}) / COS(p) AS s
+  FROM ell
+)
+SELECT CAST(FLOOR(lat / 5.0) AS BIGINT) AS band,
+       COUNT(*) AS n_pages,
+       ROUND(MIN(fk), 5) AS min_k, ROUND(MAX(fk), 5) AS max_k,
+       ROUND(MIN(fh), 5) AS min_h, ROUND(MAX(fh), 5) AS max_h,
+       ROUND(MIN(conv), 5) AS min_conv, ROUND(MAX(conv), 5) AS max_conv,
+       ROUND(MAX(s), 5) AS max_s
+FROM fac GROUP BY 1"""
+
+
+GEOD_Z = 4                 # pair pages within one z4 web-mercator tile
+SPHERE_R = 6370997.0       # PROJ "+ellps=sphere" (src/ellps.cpp:55)
+
+
+def q_geod_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geod_inverse (§2.A.5, src/geodesic.c) at scale on the normal
+    sphere: chain consecutive pages inside each z4 tile (window lead —
+    the only shuffle is the tile hash) and batch-solve the inverse
+    problem — distance + both forward azimuths — with the vectorized
+    Karney kernel.
+
+    FULL SQL ORACLE (_sql_geod_pairs): with f=0 the Karney machinery
+    reduces exactly to the great circle, so the oracle is the closed-form
+    atan2 formulation.  Distances round to 0.1 m and azimuths (normalized
+    to [0,360)) to 1e-3 deg, far above the ~1e-8 m / ~1e-11 deg drift
+    between the two formulations; ellipsoidal accuracy itself is gated by
+    test_geodesic (10 nm) and the vendored geodtest values.
+    """
+    from proj_spark.spark.udf import geod_inverse_udf
+
+    pts = _points(spark, sf_dir).select(
+        "url", "lon", "lat",
+        cells.tile_x(F.col("lon"), GEOD_Z).alias("cx"),
+        cells.tile_y(F.col("lat"), GEOD_Z).alias("cy"))
+    w = Window.partitionBy("cx", "cy").orderBy("url")
+    d = (pts.withColumn("nbr", F.lead("url").over(w))
+         .withColumn("lon2", F.lead("lon").over(w))
+         .withColumn("lat2", F.lead("lat").over(w))
+         .where(F.col("nbr").isNotNull()
+                & ~((F.col("lon2") == F.col("lon"))
+                    & (F.col("lat2") == F.col("lat")))))
+    g = geod_inverse_udf(SPHERE_R, 0.0)
+    r = d.withColumn("_g", g(F.col("lat"), F.col("lon"),
+                             F.col("lat2"), F.col("lon2")))
+    return r.select("url", "nbr",
+                    F.round("_g.s12", 1).alias("dist_m"),
+                    F.round("_g.azi1", 3).alias("azi1_deg"),
+                    F.round("_g.azi2", 3).alias("azi2_deg"))
+
+
+def _sql_geod_pairs(n: int) -> str:
+    num1 = "COS(p1) * SIN(p2) - SIN(p1) * COS(p2) * COS(dl)"
+    return f"""WITH {_pages_cte(n)},
+pts AS (
+  SELECT url, lon, lat,
+         {cells.tile_x_sql('lon', GEOD_Z)} AS cx,
+         {cells.tile_y_sql('lat', GEOD_Z)} AS cy
+  FROM pages
+),
+nb AS (
+  SELECT url, lon, lat,
+         LEAD(url) OVER w AS nbr,
+         LEAD(lon) OVER w AS lon2, LEAD(lat) OVER w AS lat2
+  FROM pts WINDOW w AS (PARTITION BY cx, cy ORDER BY url)
+),
+pr AS (
+  SELECT url, nbr,
+         RADIANS(lat) AS p1, RADIANS(lat2) AS p2,
+         RADIANS(lon2) - RADIANS(lon) AS dl
+  FROM nb
+  WHERE nbr IS NOT NULL AND NOT (lon2 = lon AND lat2 = lat)
+),
+f AS (
+  SELECT url, nbr,
+         ATAN2(SQRT((COS(p2) * SIN(dl)) * (COS(p2) * SIN(dl))
+                    + ({num1}) * ({num1})),
+               SIN(p1) * SIN(p2) + COS(p1) * COS(p2) * COS(dl))
+             * {SPHERE_R!r} AS s12,
+         DEGREES(ATAN2(COS(p2) * SIN(dl), {num1})) AS a1,
+         DEGREES(ATAN2(COS(p1) * SIN(dl),
+                       -(SIN(p1) * COS(p2)) + COS(p1) * SIN(p2) * COS(dl))) AS a2
+  FROM pr
+)
+SELECT url, nbr, ROUND(s12, 1) AS dist_m,
+       ROUND(CASE WHEN a1 < 0 THEN a1 + 360.0 ELSE a1 + 0.0 END, 3) AS azi1_deg,
+       ROUND(CASE WHEN a2 < 0 THEN a2 + 360.0 ELSE a2 + 0.0 END, 3) AS azi2_deg
+FROM f"""
+
+
 # ---------------------------------------------------------------------------
 # queries — text / dedup / similarity layer (documents + embeddings tables)
 # ---------------------------------------------------------------------------
@@ -1667,6 +1856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webmerc_bbox": q_webmerc_bbox,
         "utm_project": q_utm_project,
         "datum_shift": q_datum_shift,
+        "factors": q_factors,
+        "geod_pairs": q_geod_pairs,
         "domain_top_pages": q_domain_top_pages,
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
@@ -1699,6 +1890,8 @@ def oracle_sql() -> dict[str, str]:
         "utm_zones": _sql_utm_zones(n),
         "webmerc_bbox": _sql_webmerc_bbox(n),
         "datum_shift": _sql_datum_shift(n),
+        "factors": _sql_factors(n),
+        "geod_pairs": _sql_geod_pairs(n),
         "domain_top_pages": _sql_domain_top_pages(n),
         "doc_stats": _sql_doc_stats(),
         "exact_dedup": _sql_exact_dedup(),

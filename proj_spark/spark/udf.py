@@ -196,6 +196,64 @@ def datum_pipeline_udf(cart, helmert) -> "pandas_udf":
     return _f
 
 
+def factors_udf(op) -> "pandas_udf":
+    """(lon_deg, lat_deg) -> struct(h, k, conv, s): proj_factors
+    (src/factors.cpp:15-106) as one vectorized Arrow pass — meridional
+    scale h, parallel scale k, meridian convergence (rad) and areal
+    scale s via the reference's 4-corner central differences on the raw
+    projection kernel."""
+    from proj_spark.operations.factors import factors
+
+    schema = StructType([
+        StructField("h", DoubleType()),
+        StructField("k", DoubleType()),
+        StructField("conv", DoubleType()),
+        StructField("s", DoubleType()),
+    ])
+
+    @pandas_udf(schema)
+    def _f(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        fac = factors(op,
+                      np.radians(lon.to_numpy(dtype=np.float64)),
+                      np.radians(lat.to_numpy(dtype=np.float64)))
+        return pd.DataFrame({"h": fac["h"], "k": fac["k"],
+                             "conv": fac["conv"], "s": fac["s"]})
+
+    return _f
+
+
+def geod_inverse_udf(a: float, f: float) -> "pandas_udf":
+    """(lat1, lon1, lat2, lon2 degrees) -> struct(s12 m, azi1, azi2 deg):
+    the geodesic inverse problem (geod_inverse, src/geodesic.c) batch-
+    solved by the vectorized Karney kernel.  Azimuths are normalized to
+    [0, 360) with the sign-safe `d < 0 ? d + 360 : d + 0.0` form (the
+    `+ 0.0` collapses IEEE -0.0 so downstream hashing is stable)."""
+    from proj_spark.operations.karney import Geodesic
+
+    schema = StructType([
+        StructField("s12", DoubleType()),
+        StructField("azi1", DoubleType()),
+        StructField("azi2", DoubleType()),
+    ])
+    g = Geodesic(a, f)
+
+    @pandas_udf(schema)
+    def _f(lat1: pd.Series, lon1: pd.Series,
+           lat2: pd.Series, lon2: pd.Series) -> pd.DataFrame:
+        s12, azi1, azi2 = g.inverse(
+            np.radians(lat1.to_numpy(dtype=np.float64)),
+            np.radians(lon1.to_numpy(dtype=np.float64)),
+            np.radians(lat2.to_numpy(dtype=np.float64)),
+            np.radians(lon2.to_numpy(dtype=np.float64)))
+        a1 = np.degrees(azi1)
+        a2 = np.degrees(azi2)
+        a1 = np.where(a1 < 0.0, a1 + 360.0, a1 + 0.0)
+        a2 = np.where(a2 < 0.0, a2 + 360.0, a2 + 0.0)
+        return pd.DataFrame({"s12": s12, "azi1": a1, "azi2": a2})
+
+    return _f
+
+
 def crs_transform_udf(src: str, dst: str, area: tuple | None = None):
     """pandas UDF transforming (x, y[, z]) columns from CRS `src` to
     `dst` through the planner (candidate ranking + per-point dispatch),

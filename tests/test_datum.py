@@ -396,3 +396,22 @@ def test_helmert_gie_kinematic_two_epochs():
     assert abs(x[1] - 3370658.18087) < 1e-4
     assert abs(y[1] - 711877.42750) < 1e-4
     assert abs(z[1] - 5349787.12648) < 1e-4
+
+
+def test_factors_lcc_closed_form():
+    """Central-difference factors agree with the closed-form LCC scale
+    k = n * rho / m(phi) within the stencil's truncation envelope; the
+    driver query (q_factors) aggregates exactly these values."""
+    from proj_spark import mathutils as mu
+    from proj_spark.operations.factors import factors
+    op = create("+proj=lcc +lat_1=33 +lat_2=45 +ellps=GRS80")
+    phi = np.radians(np.array([-59.0, 0.0, 33.0, 39.0, 45.0, 61.0]))
+    lam = np.radians(np.array([-120.0, 0.0, 30.0, 90.0, -30.0, 170.0]))
+    f = factors(op, lam, phi)
+    rho = op.c * np.power(mu.tsfn(phi, np.sin(phi), op.e), op.n)
+    m = mu.msfn(np.sin(phi), np.cos(phi), op.es)
+    k_exact = op.n * rho / m
+    assert np.allclose(f["k"], k_exact, rtol=1e-7)
+    assert np.allclose(f["h"], k_exact, rtol=1e-7)    # conformal: h == k
+    assert np.allclose(f["conv"], lam * op.n, atol=1e-9)
+    assert np.allclose(f["s"], k_exact * k_exact, rtol=1e-6)

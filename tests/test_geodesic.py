@@ -78,3 +78,43 @@ def test_waypoints_along_geodesic():
     # successive waypoint separations sum back to s12
     seg, _, _ = WGS84.inverse(wl[:-1], wo[:-1], wl[1:], wo[1:])
     assert abs(seg.sum() - s12[0]) < 1e-6
+
+
+def test_sphere_reduces_to_great_circle():
+    """With f=0 the Karney inverse must agree with the closed-form
+    great circle (the basis of the geod_pairs driver oracle)."""
+    g = Geodesic(6370997.0, 0.0)
+    rng = np.random.default_rng(7)
+    lat1 = rng.uniform(-80, 80, 500)
+    lon1 = rng.uniform(-179, 179, 500)
+    # nearby pairs (the driver query regime) plus mid-range offsets
+    lat2 = np.clip(lat1 + rng.uniform(-10, 10, 500), -89, 89)
+    lon2 = lon1 + rng.uniform(-10, 10, 500)
+    s12, azi1, azi2 = g.inverse(np.radians(lat1), np.radians(lon1),
+                                np.radians(lat2), np.radians(lon2))
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dl = np.radians(lon2) - np.radians(lon1)
+    num = np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dl)
+    sig = np.arctan2(np.hypot(np.cos(p2) * np.sin(dl), num),
+                     np.sin(p1) * np.sin(p2)
+                     + np.cos(p1) * np.cos(p2) * np.cos(dl))
+    assert np.allclose(s12, 6370997.0 * sig, atol=1e-6)
+    a1 = np.arctan2(np.cos(p2) * np.sin(dl), num)
+    a2 = np.arctan2(np.cos(p1) * np.sin(dl),
+                    -(np.sin(p1) * np.cos(p2))
+                    + np.cos(p1) * np.sin(p2) * np.cos(dl))
+    assert np.allclose(np.degrees(azi1), np.degrees(a1), atol=1e-9)
+    assert np.allclose(np.degrees(azi2), np.degrees(a2), atol=1e-9)
+
+
+def test_sphere_cardinal_azimuths():
+    """Due-east along the equator and due-south on a meridian: azimuth
+    sign/branch conventions the driver oracle depends on."""
+    g = Geodesic(6370997.0, 0.0)
+    s, a1, a2 = g.inverse(np.radians([0.0, 10.0]), np.radians([0.0, 20.0]),
+                          np.radians([0.0, -10.0]), np.radians([10.0, 20.0]))
+    assert abs(np.degrees(a1[0]) - 90.0) < 1e-12      # east
+    assert abs(np.degrees(a2[0]) - 90.0) < 1e-12
+    assert abs(abs(np.degrees(a1[1])) - 180.0) < 1e-12  # south (+/-180)
+    assert abs(s[0] - 6370997.0 * np.radians(10.0)) < 1e-6
+    assert abs(s[1] - 6370997.0 * np.radians(20.0)) < 1e-6

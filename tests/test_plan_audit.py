@@ -114,3 +114,24 @@ def test_knn_join_partial_topk_single_window_exchange(spark, entry):
     # at least one WindowGroupLimit sits below (later tree line than)
     # the window's Exchange in the tree rendering
     assert any(w > min(exch) for w in wgl)
+
+
+def test_factors_single_arrow_stage_map_side(spark, entry):
+    """proj_factors crosses the JVM/Python boundary once, and the band
+    aggregation is a partial->final hash agg (map-side combine) — the
+    shape that scales: one Arrow pass + one tiny shuffle of 34 bands."""
+    import re
+    s = plan_of(entry.q_factors(spark, SF))
+    nodes = re.findall(r"^\(\d+\) ArrowEvalPython", s, re.M)
+    assert len(nodes) == 1
+    assert s.count("HashAggregate") >= 2       # partial + final
+
+
+def test_geod_pairs_single_window_single_arrow(spark, entry):
+    """The pair chaining shuffles once on the tile key; the Karney solve
+    is one Arrow batch stage above the window."""
+    import re
+    s = plan_of(entry.q_geod_pairs(spark, SF))
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", s, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Window", s, re.M)) == 1
+    assert len(re.findall(r"hashpartitioning", s)) >= 1
