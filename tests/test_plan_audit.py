@@ -135,3 +135,43 @@ def test_geod_pairs_single_window_single_arrow(spark, entry):
     assert len(re.findall(r"^\(\d+\) ArrowEvalPython", s, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Window", s, re.M)) == 1
     assert len(re.findall(r"hashpartitioning", s)) >= 1
+
+
+def test_aqe_splits_skewed_cell_join(spark):
+    """The north rule's skew contract: a dense cell (urban hex / hot
+    domain) on the big side of a cell equi-join is split by AQE's skew
+    join, not serialized into one straggler task.  Salting (spatial/
+    skew.py) covers aggregations; this locks the join-side handling.
+
+    Thresholds are lowered to make the 300k-row fixture 'skewed' at
+    test scale; production keeps the defaults (256 MB) where a 90%-hot
+    cell at 100 TB trips the same rule."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        # 90% of points land in one hot cell, the rest scatter
+        pts = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+             .otherwise(F.col("id") % 1000).alias("cell"),
+            F.col("id").alias("pid"))
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("cell"), (F.col("id") * 2).alias("v"))
+        j = pts.join(dim, "cell").select(F.sum("pid").alias("s"))
+        j.collect()                      # AQE decides at runtime
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
