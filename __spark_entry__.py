@@ -610,6 +610,10 @@ def q_geod_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     problem — distance + both forward azimuths — with the vectorized
     Karney kernel.
 
+    Like knn_join's zoom, GEOD_Z is density-critical: the window sorts
+    one tile per task, so at larger corpora raise z to keep tiles at
+    O(10^5) rows (the chain semantics stay per-tile by construction).
+
     FULL SQL ORACLE (_sql_geod_pairs): with f=0 the Karney machinery
     reduces exactly to the great circle, so the oracle is the closed-form
     atan2 formulation.  Distances round to 0.1 m and azimuths (normalized
