@@ -599,6 +599,139 @@ SELECT CAST(FLOOR(lat / 5.0) AS BIGINT) AS band,
 FROM fac GROUP BY 1"""
 
 
+DGGS_RES = 2               # rHEALPix resolution: base squares / 3^res
+
+
+def q_dggs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-area DGGS rollup — the H3/S2-style index of the north rule:
+    every page is assigned its rHEALPix cell (HEALPix equal-area
+    projection with the polar caps folded onto squares,
+    src/projections/healpix.cpp:533-562 + combine_caps :296-345; the
+    aperture-9 hierarchical grid) at resolution 2 in one batch VUDF
+    pass, counted per cell, with the resolution-1 parent exposing the
+    3x3 hierarchy.  Unlike the slippy quadtree (spatial/cells.py) these
+    cells have EQUAL AREA on the ellipsoid (authalic-latitude HEALPix) —
+    the property density analytics want.
+
+    FULL SQL ORACLE (_sql_dggs_rollup): the authalic-latitude shift, the
+    HEALPix sphere forward and the cap-fold rotations replay term-by-term
+    in SQL; cell ids are exact integers, so there is no rounding gamble —
+    a flip would need a page within ~1e-10 m of a cell edge.
+    """
+    from proj_spark import create
+    from proj_spark.spark.udf import fwd_udf
+
+    op = create("+proj=rhealpix +ellps=GRS80")
+    w = op.a * (math.pi / 2.0) / (3.0 ** DGGS_RES)
+    # grid anchored at the image corner (-pi, -3pi/4) so cell edges align
+    # with the six base squares (the equatorial band edge sits at 4.5
+    # cell-widths from the origin otherwise, splitting cells across
+    # squares and breaking the equal-area property)
+    ox, oy = op.a * math.pi, op.a * (3.0 * math.pi / 4.0)
+    pts = _points(spark, sf_dir)
+    d = pts.withColumn("_p", fwd_udf(op)(F.col("lon"), F.col("lat")))
+    ci = F.floor((F.col("_p.x") + F.lit(ox)) / F.lit(w)).cast("long")
+    cj = F.floor((F.col("_p.y") + F.lit(oy)) / F.lit(w)).cast("long")
+    g = (d.select(ci.alias("ci"), cj.alias("cj"))
+         .groupBy("ci", "cj").agg(F.count("*").alias("n_pages")))
+    return g.select(
+        "ci", "cj",
+        F.floor(F.col("ci") / F.lit(3.0)).cast("long").alias("parent_i"),
+        F.floor(F.col("cj") / F.lit(3.0)).cast("long").alias("parent_j"),
+        "n_pages")
+
+
+def _sql_dggs_rollup(n: int) -> str:
+    """rHEALPix forward replayed in DuckDB: authalic latitude (qsfn),
+    _healpix_sphere_fwd's equatorial/polar branches, and the
+    ns=ss=0 combine_caps rotations with the exact integer matrices."""
+    import math as _m
+
+    from proj_spark import create
+
+    op = create("+proj=rhealpix +ellps=GRS80")
+    E_, ONE_ES, QP = repr(op.e), repr(op.one_es), repr(op.qp)
+    HOE = repr(0.5 / op.e)              # qsfn's (0.5 / e), constant-folded
+    A_ = repr(op.a)                     # authalic-rescaled a (setup)
+    W = repr(op.a * (_m.pi / 2.0) / (3.0 ** DGGS_RES))
+    OX = repr(op.a * _m.pi)             # grid anchor: image corner
+    OY = repr(op.a * (3.0 * _m.pi / 4.0))
+    PI_ = repr(_m.pi)
+    FP = repr(_m.pi / 4.0)              # FORTPI
+    HP = repr(_m.pi / 2.0)              # HALFPI
+    PHI0 = repr(float(__import__("numpy").arcsin(2.0 / 3.0)))
+    Y8 = repr(3 * _m.pi / 8)
+    M3F = repr(-3 * (_m.pi / 4.0))      # -3*FORTPI (cap corner / a0)
+    MF = repr(-(_m.pi / 4.0))
+    # rotation matrices _ROT[0..3] (dggs.py:290), exact 0/+-1 entries
+    rot = {0: (1.0, 0.0, 0.0, 1.0), 1: (0.0, -1.0, 1.0, 0.0),
+           2: (-1.0, 0.0, 0.0, -1.0), 3: (0.0, 1.0, -1.0, 0.0)}
+    rx_case = " ".join(
+        f"WHEN {r} THEN ({m[0]!r} * vx + {m[1]!r} * vy)"
+        for r, m in rot.items())
+    ry_case = " ".join(
+        f"WHEN {r} THEN ({m[2]!r} * vx + {m[3]!r} * vy)"
+        for r, m in rot.items())
+    return f"""WITH {_pages_cte(n)},
+auth AS (  -- authalic latitude: arcsin(q / qp), q = qsfn(sin phi)
+  SELECT RADIANS(lon) AS l,
+         ASIN(LEAST(GREATEST(
+           ({ONE_ES} * (SIN(RADIANS(lat)) / (1.0 - ({E_} * SIN(RADIANS(lat)))
+                                                  * ({E_} * SIN(RADIANS(lat))))
+                        - {HOE} * LN((1.0 - {E_} * SIN(RADIANS(lat)))
+                                     / (1.0 + {E_} * SIN(RADIANS(lat))))))
+           / {QP}, -1.0), 1.0)) AS pa
+  FROM pages
+),
+sph AS (   -- _healpix_sphere_fwd (dggs.py:208-218 / healpix.cpp)
+  SELECT l, pa,
+         ABS(pa) <= {PHI0} AS eq,
+         SQRT(GREATEST(3.0 * (1.0 - ABS(SIN(pa))), 0.0)) AS sigma,
+         {M3F} + {HP} * LEAST(FLOOR(2.0 * l / {PI_} + 2.0), 3.0) AS lamc
+  FROM auth
+),
+sxy AS (
+  SELECT CASE WHEN eq THEN l ELSE lamc + (l - lamc) * sigma END AS x,
+         CASE WHEN eq THEN {Y8} * SIN(pa)
+              ELSE SIGN(pa) * {FP} * (2.0 - sigma) END AS y
+  FROM sph
+),
+caps AS (  -- combine_caps fwd, north_square = south_square = 0
+  SELECT x, y,
+         y > {FP} AS north, y < {MF} AS south,
+         CASE WHEN x < -{HP} THEN 0 WHEN x < 0.0 THEN 1
+              WHEN x < {HP} THEN 2 ELSE 3 END AS cn
+  FROM sxy
+),
+rotv AS (
+  SELECT x, y, north, south,
+         CASE WHEN north THEN cn
+              WHEN cn = 0 THEN 0 ELSE 4 - cn END AS ridx,
+         x - (CASE cn WHEN 0 THEN {M3F} WHEN 1 THEN {MF}
+                      WHEN 2 THEN {FP} ELSE -({M3F}) END) AS vx,
+         y - (CASE WHEN north THEN {HP} ELSE -{HP} END) AS vy
+  FROM caps
+),
+folded AS (
+  SELECT CASE WHEN north OR south
+              THEN (CASE ridx {rx_case} END) + {M3F} ELSE x END AS fx,
+         CASE WHEN north THEN (CASE ridx {ry_case} END) + {HP}
+              WHEN south THEN (CASE ridx {ry_case} END) + -{HP}
+              ELSE y END AS fy
+  FROM rotv
+),
+cellid AS (
+  SELECT CAST(FLOOR(({A_} * fx + {OX}) / {W}) AS BIGINT) AS ci,
+         CAST(FLOOR(({A_} * fy + {OY}) / {W}) AS BIGINT) AS cj
+  FROM folded
+)
+SELECT ci, cj,
+       CAST(FLOOR(ci / 3.0) AS BIGINT) AS parent_i,
+       CAST(FLOOR(cj / 3.0) AS BIGINT) AS parent_j,
+       COUNT(*) AS n_pages
+FROM cellid GROUP BY 1, 2"""
+
+
 GEOD_Z = 4                 # pair pages within one z4 web-mercator tile
 SPHERE_R = 6370997.0       # PROJ "+ellps=sphere" (src/ellps.cpp:55)
 
@@ -1862,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datum_shift": q_datum_shift,
         "factors": q_factors,
         "geod_pairs": q_geod_pairs,
+        "dggs_rollup": q_dggs_rollup,
         "domain_top_pages": q_domain_top_pages,
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
@@ -1896,6 +2030,7 @@ def oracle_sql() -> dict[str, str]:
         "datum_shift": _sql_datum_shift(n),
         "factors": _sql_factors(n),
         "geod_pairs": _sql_geod_pairs(n),
+        "dggs_rollup": _sql_dggs_rollup(n),
         "domain_top_pages": _sql_domain_top_pages(n),
         "doc_stats": _sql_doc_stats(),
         "exact_dedup": _sql_exact_dedup(),

@@ -415,3 +415,27 @@ def test_factors_lcc_closed_form():
     assert np.allclose(f["h"], k_exact, rtol=1e-7)    # conformal: h == k
     assert np.allclose(f["conv"], lam * op.n, atol=1e-9)
     assert np.allclose(f["s"], k_exact * k_exact, rtol=1e-6)
+
+
+def test_rhealpix_cells_equal_area():
+    """The DGGS property the driver query q_dggs_rollup sells: rHEALPix
+    cells of one resolution have equal ellipsoidal area — estimated by
+    uniform-on-the-ellipsoid sampling via the authalic inverse."""
+    import numpy as np
+    op = create("+proj=rhealpix +ellps=GRS80")
+    rng = np.random.default_rng(3)
+    # uniform on the authalic sphere => uniform by ellipsoid area
+    z = rng.uniform(-1, 1, 200_000)
+    lam = rng.uniform(-np.pi, np.pi, 200_000)
+    from proj_spark.operations.simple import authlat, authset
+    apa = authset(op.es)
+    phi = authlat(np.arcsin(z), apa)
+    x, y = op.fwd(lam, phi)
+    w = op.a * (np.pi / 2.0) / 9.0
+    ci = np.floor((x + op.a * np.pi) / w)
+    cj = np.floor((y + op.a * (3.0 * np.pi / 4.0)) / w)
+    _, counts = np.unique(ci * 1000 + cj, return_counts=True)
+    # every resolution-2 cell should catch ~ n/486 points
+    exp = 200_000 / 486.0
+    assert counts.size == 486
+    assert counts.min() > 0.8 * exp and counts.max() < 1.2 * exp

@@ -175,3 +175,12 @@ def test_aqe_splits_skewed_cell_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dggs_rollup_single_arrow_partial_agg(spark, entry):
+    """The DGGS cell assignment is one Arrow pass; the per-cell count is
+    a partial->final hash agg so only (cell, count) pairs shuffle."""
+    import re
+    s = plan_of(entry.q_dggs_rollup(spark, SF))
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", s, re.M)) == 1
+    assert s.count("HashAggregate") >= 2
