@@ -119,7 +119,8 @@ def test_knn_join_partial_topk_single_window_exchange(spark, entry):
 def test_factors_single_arrow_stage_map_side(spark, entry):
     """proj_factors crosses the JVM/Python boundary once, and the band
     aggregation is a partial->final hash agg (map-side combine) — the
-    shape that scales: one Arrow pass + one tiny shuffle of 34 bands."""
+    shape that scales: one Arrow pass + one tiny shuffle (~25 occupied
+    5-degree bands for the |lat| <= ~62 fixture)."""
     import re
     s = plan_of(entry.q_factors(spark, SF))
     nodes = re.findall(r"^\(\d+\) ArrowEvalPython", s, re.M)
