@@ -1,10 +1,16 @@
 """Scaling-probe worker: one pinned Spark run of the kernel pipeline.
 
-Usage:  taskset -c <cpus> python tools/scale_probe.py <cores> <rows>
+Usage:  taskset -c <cpus> python tools/scale_probe.py <cores> <rows> [job]
 
-Runs synthesize -> auto-zoned exact-TM projection (etmerc VUDF) ->
-cell encode -> rollup -> count at local[<cores>], prints
-``RESULT <cores> <best_sec> <rows_per_sec>``.
+job = "kernel" (default): synthesize -> auto-zoned exact-TM projection
+(etmerc VUDF) -> cell encode -> rollup -> count — the map-heavy spine.
+job = "join": synthesize -> broadcast point-in-polygon join against the
+12 admin diamonds -> per-admin rollup — the spatial-JOIN flavor of the
+north rule's throughput metric (cover-cell broadcast equi-join + exact
+ray-cast expression; the points side never shuffles before the tiny
+per-admin aggregate).
+
+Prints ``RESULT <cores> <best_sec> <rows_per_sec>``.
 
 Invoked by bench.py's scaling_probe with the process pinned (taskset)
 to exactly <cores> CPUs, so the python UDF workers and the JVM share
@@ -27,18 +33,33 @@ from proj_spark.spatial import cells  # noqa: E402
 def main() -> None:
     cores = int(sys.argv[1])
     n = int(sys.argv[2])
+    kind = sys.argv[3] if len(sys.argv) > 3 else "kernel"
     spark = get_spark(f"scale-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=max(cores, 8))
-    pts = synth_points(spark, n).select("lon", "lat")
+    pts = synth_points(spark, n)
     u = utm_fwd_udf()
 
-    def job() -> int:
-        return (pts.withColumn("_u", u(F.col("lon"), F.col("lat")))
-                .select(F.col("_u.zone").alias("zone"),
-                        cells.cell_parent(
-                            cells.cell_id(F.col("lon"), F.col("lat"), 12), 6)
-                        .alias("c6"))
-                .groupBy("zone", "c6").count().count())
+    if kind == "join":
+        import __spark_entry__ as entry
+        from proj_spark.spatial.pip import pip_join
+        polys = entry._admin_polygons(spark)
+        # join throughput, not string synthesis: points carry only the
+        # join-relevant columns (like the kernel job's lon/lat select)
+        jpts = pts.select("lon", "lat")
+
+        def job() -> int:
+            hits = pip_join(jpts, polys, z=7)
+            return (hits.groupBy("admin_id")
+                    .agg(F.count("*").alias("n_pages")).count())
+    else:
+        def job() -> int:
+            return (pts.withColumn("_u", u(F.col("lon"), F.col("lat")))
+                    .select(F.col("_u.zone").alias("zone"),
+                            cells.cell_parent(
+                                cells.cell_id(F.col("lon"), F.col("lat"), 12),
+                                6)
+                            .alias("c6"))
+                    .groupBy("zone", "c6").count().count())
 
     job()  # warm: spawn python workers, compile codegen, JIT
     job()
