@@ -81,3 +81,46 @@ def test_geodesic_inverse_direct_property(lat1, lon1, lat2, lon2):
     dlat = abs(glat[0] - lat2 * d2r)
     dlon = abs(np.remainder(glon[0] - lon2 * d2r + np.pi, 2 * np.pi) - np.pi)
     assert np.hypot(dlat, dlon * np.cos(lat2 * d2r)) * 6.4e6 < 1e-6
+
+
+@given(lon=st.floats(-179.9, 179.9), lat=st.floats(-80, 80))
+@settings(max_examples=200, deadline=None)
+def test_factors_lcc_matches_closed_form(lon, lat):
+    """proj_factors (central differences) vs the closed-form LCC scale
+    k = n*rho/m across the whole driver-query domain — guards the
+    stencil against branch/clamp mistakes the 6-point unit test misses."""
+    from proj_spark import mathutils as mu
+    from proj_spark.operations.factors import factors
+    op = create("+proj=lcc +lat_1=33 +lat_2=45 +ellps=GRS80")
+    lam = np.radians(np.array([lon]))
+    phi = np.radians(np.array([lat]))
+    f = factors(op, lam, phi)
+    rho = op.c * np.power(mu.tsfn(phi, np.sin(phi), op.e), op.n)
+    m = mu.msfn(np.sin(phi), np.cos(phi), op.es)
+    k = float(op.n * rho / m)
+    assert abs(f["k"][0] - k) < 1e-6 * max(1.0, k)
+    assert abs(f["h"][0] - k) < 1e-6 * max(1.0, k)
+    assert abs(f["conv"][0] - float(lam[0]) * op.n) < 1e-9
+
+
+@given(lat1=st.floats(-85, 85), lon1=st.floats(-179, 179),
+       dlat=st.floats(-5, 5), dlon=st.floats(-5, 5))
+@settings(max_examples=200, deadline=None)
+def test_sphere_geodesic_matches_great_circle(lat1, lon1, dlat, dlon):
+    """Karney f=0 vs closed-form great circle on arbitrary nearby pairs
+    (the geod_pairs oracle identity, fuzzed)."""
+    from proj_spark.operations.karney import Geodesic
+    g = Geodesic(6370997.0, 0.0)
+    lat2 = min(max(lat1 + dlat, -89.0), 89.0)
+    lon2 = lon1 + dlon
+    if lat1 == lat2 and lon1 == lon2:
+        return
+    s12, _, _ = g.inverse(np.radians([lat1]), np.radians([lon1]),
+                          np.radians([lat2]), np.radians([lon2]))
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dl = np.radians(lon2) - np.radians(lon1)
+    num = np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dl)
+    sig = np.arctan2(np.hypot(np.cos(p2) * np.sin(dl), num),
+                     np.sin(p1) * np.sin(p2)
+                     + np.cos(p1) * np.cos(p2) * np.cos(dl))
+    assert abs(float(s12[0]) - 6370997.0 * float(sig)) < 1e-6
