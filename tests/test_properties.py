@@ -97,7 +97,7 @@ def test_factors_lcc_matches_closed_form(lon, lat):
     f = factors(op, lam, phi)
     rho = op.c * np.power(mu.tsfn(phi, np.sin(phi), op.e), op.n)
     m = mu.msfn(np.sin(phi), np.cos(phi), op.es)
-    k = float(op.n * rho / m)
+    k = float((op.n * rho / m)[0])
     assert abs(f["k"][0] - k) < 1e-6 * max(1.0, k)
     assert abs(f["h"][0] - k) < 1e-6 * max(1.0, k)
     assert abs(f["conv"][0] - float(lam[0]) * op.n) < 1e-9
