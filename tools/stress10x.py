@@ -49,6 +49,9 @@ def geo_queries(z_knn: int):
         "utm_project": entry.q_utm_project,
         "datum_shift": entry.q_datum_shift,
         "pip_admin": entry.q_pip_admin,
+        "factors": entry.q_factors,
+        "geod_pairs": entry.q_geod_pairs,
+        "dggs_rollup": entry.q_dggs_rollup,
         f"knn_join_z{z_knn}": knn_join_at,
     }
 
