@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from proj_spark import temporal
 from proj_spark.pages import CITY_CENTERS, extract_geotags, pages_table
 from proj_spark.spatial import cells
 from proj_spark.spatial.knn import haversine_sql, knn_join, knn_self_join
@@ -1973,6 +1974,100 @@ def _sql_events_hourly() -> str:
 FROM events GROUP BY 1, 2"""
 
 
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 h idle gap splits a session
+
+
+def _events_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with a canonical integer event time (micros since epoch),
+    identical under any session timezone / timestamp read mode."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select("event_id", "user_id", "event_type",
+                     F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+                     temporal.epoch_micros(ev, "ts").alias("tm"))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the same user's most
+    recent strictly-earlier click (ties among equal-time clicks broken
+    by greatest event_id); purchases with no earlier click keep NULLs.
+
+    Plan: merge formulation — union both event streams with a side tag
+    and run last(click, ignorenulls) over one (user_id)-partitioned
+    event-time window (proj_spark/temporal.py asof_join).  One hash
+    exchange of clicks+purchases total, no range join, no pair blowup
+    on hot users — the shape that survives 100 TB.  Time axis parallels
+    the reference's 4D t coordinate (src/proj.h PJ_COORD.xyzt) used by
+    kinematic transforms.
+    """
+    e = _events_micros(spark, sf_dir)
+    clicks = (e.where(F.col("event_type") == "click")
+              .select("user_id", "tm", F.col("event_id").alias("click_event_id")))
+    purch = (e.where(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "cents", "tm"))
+    j = temporal.asof_join(purch, clicks, on="user_id", ts="tm",
+                           tiebreak="click_event_id", strict=True)
+    return j.select("event_id", "user_id", "cents",
+                    F.col("asof.click_event_id").alias("click_event_id"),
+                    (F.col("tm") - F.col("asof.tm")).alias("gap_us"))
+
+
+def _sql_asof_join() -> str:
+    # Independent formulation: per-purchase LATERAL top-1 probe (fine at
+    # oracle scale; the Spark side is the merge plan).
+    return """WITH e AS (SELECT event_id, user_id, event_type,
+                 CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+                 epoch_us(ts) AS tm FROM events),
+p AS (SELECT event_id, user_id, cents, tm FROM e WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, tm FROM e WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.cents, m.click_event_id, m.gap_us
+FROM p LEFT JOIN LATERAL (
+    SELECT c.event_id AS click_event_id, p.tm - c.tm AS gap_us
+    FROM c WHERE c.user_id = p.user_id AND c.tm < p.tm
+    ORDER BY c.tm DESC, c.event_id DESC LIMIT 1
+) m ON TRUE"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: split each user's event stream on >6 h idle gaps
+    (gaps-and-islands), then per-session stats.
+
+    Plan: lag-diff break flag + running sum over one (user_id)-
+    partitioned event-time window (proj_spark/temporal.py sessionize) —
+    a single exchange + sort — followed by the per-session hash agg.
+    Event time is canonical integer micros, so the session boundaries
+    are independent of spark.sql.session.timeZone.
+    """
+    s = temporal.sessionize(_events_micros(spark, sf_dir),
+                            key="user_id", ts="tm", gap=SESSION_GAP_US,
+                            tiebreak="event_id")
+    return (s.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("tm").alias("start_us"),
+                 F.max("tm").alias("end_us"),
+                 (F.max("tm") - F.min("tm")).alias("dur_us"),
+                 F.countDistinct("event_type").alias("n_types"),
+                 F.sum("cents").alias("sum_cents")))
+
+
+def _sql_sessionize() -> str:
+    return f"""WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+                 epoch_us(ts) AS tm FROM events),
+f AS (SELECT *, CASE WHEN LAG(tm) OVER w IS NULL
+                       OR tm - LAG(tm) OVER w > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id)),
+s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tm, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM f)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(tm) AS start_us, MAX(tm) AS end_us,
+       MAX(tm) - MIN(tm) AS dur_us,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM s GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2012,6 +2107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "events_hourly": q_events_hourly,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "crs_dispatch": q_crs_dispatch,
         "gridshift_file": q_gridshift_file,
     }
@@ -2041,6 +2138,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk": _sql_embed_topk(),
         "embed_allpairs": _sql_embed_allpairs(),
         "events_hourly": _sql_events_hourly(),
+        "asof_join": _sql_asof_join(),
+        "sessionize": _sql_sessionize(),
         "utm_project": _sql_utm_project(),
         "ann_pairs": _sql_ann_pairs(),
         "embed_neardup": _sql_embed_neardup(),

@@ -1,0 +1,149 @@
+"""Event-time operators: as-of join, sessionization, canonical micros."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from proj_spark import temporal
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, tm long, event_id long, kind string")
+
+
+def _final_plan(df) -> str:
+    # keep only the AQE final-plan section so node counts aren't doubled
+    return (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+
+
+# ---------------------------------------------------------------------------
+# asof_join semantics
+
+
+def test_asof_strict_picks_latest_earlier(spark):
+    left = _events(spark, [(1, 100, 10, "p"), (1, 50, 11, "p")])
+    right = _events(spark, [(1, 40, 20, "c"), (1, 99, 21, "c"), (1, 100, 22, "c")])
+    out = {r["event_id"]: r["asof"]
+           for r in temporal.asof_join(left, right, on="user_id", ts="tm",
+                                       tiebreak="event_id").collect()}
+    # tm=100 purchase sees the tm=99 click, NOT the equal-time tm=100 one
+    assert out[10]["event_id"] == 21
+    assert out[11]["event_id"] == 20
+
+
+def test_asof_inclusive_admits_equal_time(spark):
+    left = _events(spark, [(1, 100, 10, "p")])
+    right = _events(spark, [(1, 100, 22, "c")])
+    strict = temporal.asof_join(left, right, on="user_id", ts="tm",
+                                tiebreak="event_id").collect()[0]["asof"]
+    incl = temporal.asof_join(left, right, on="user_id", ts="tm",
+                              tiebreak="event_id", strict=False).collect()[0]["asof"]
+    assert strict is None
+    assert incl["event_id"] == 22
+
+
+def test_asof_tiebreak_greatest_wins_and_no_match_is_null(spark):
+    left = _events(spark, [(1, 100, 10, "p"), (2, 100, 12, "p")])
+    right = _events(spark, [(1, 90, 20, "c"), (1, 90, 25, "c")])
+    out = {r["event_id"]: r["asof"]
+           for r in temporal.asof_join(left, right, on="user_id", ts="tm",
+                                       tiebreak="event_id").collect()}
+    assert out[10]["event_id"] == 25  # equal tm -> greatest tiebreak
+    assert out[12] is None            # user 2 has no clicks at all
+
+
+def test_asof_keys_do_not_leak_across_users(spark):
+    left = _events(spark, [(1, 100, 10, "p")])
+    right = _events(spark, [(2, 99, 20, "c")])
+    row = temporal.asof_join(left, right, on="user_id", ts="tm",
+                             tiebreak="event_id").collect()[0]
+    assert row["asof"] is None
+
+
+def test_asof_plan_single_exchange(spark):
+    left = _events(spark, [(1, 100, 10, "p")])
+    right = _events(spark, [(1, 90, 20, "c")])
+    j = temporal.asof_join(left, right, on="user_id", ts="tm",
+                           tiebreak="event_id")
+    j.collect()
+    plan = _final_plan(j)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# sessionize semantics
+
+
+def test_sessionize_gap_boundary_inclusive(spark):
+    # gaps of exactly `gap` stay in-session; gap+1 breaks
+    df = _events(spark, [(1, 0, 1, "e"), (1, 10, 2, "e"), (1, 21, 3, "e"),
+                         (1, 31, 4, "e")])
+    out = {r["event_id"]: r["session_seq"]
+           for r in temporal.sessionize(df, key="user_id", ts="tm", gap=10,
+                                        tiebreak="event_id").collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2}
+
+
+def test_sessionize_per_key_and_plan(spark):
+    df = _events(spark, [(1, 0, 1, "e"), (2, 0, 2, "e"), (2, 100, 3, "e")])
+    sess = temporal.sessionize(df, key="user_id", ts="tm", gap=10,
+                               tiebreak="event_id")
+    out = {r["event_id"]: r["session_seq"] for r in sess.collect()}
+    assert out == {1: 1, 2: 1, 3: 2}
+    plan = _final_plan(sess)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# canonical event-time micros
+
+
+def test_epoch_micros_ntz_matches_stored_value_any_timezone(spark):
+    ntz = spark.sql(
+        "SELECT TIMESTAMP_NTZ'2024-01-05 12:34:56.789012' AS ts "
+        "UNION ALL SELECT TIMESTAMP_NTZ'1969-12-31 23:59:59.000001'")
+    assert ntz.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    expect = {1704458096789012, -999999}
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Australia/Lord_Howe"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = {r[0] for r in
+                   ntz.select(temporal.epoch_micros(ntz, "ts")).collect()}
+            assert got == expect, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_epoch_micros_matches_duckdb_on_events(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = sorted(r[0] for r in ev.select(
+        temporal.epoch_micros(ev, "ts")).collect())
+    want = sorted(r[0] for r in duckdb.sql(
+        f"SELECT epoch_us(ts) FROM '{SF_DIR}/events.parquet'").fetchall())
+    assert got == want
+
+
+def test_epoch_micros_ltz_vs_ntz_read_agree(spark):
+    prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    path = f"{SF_DIR}/events.parquet"
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        ntz = spark.read.parquet(path)
+        assert ntz.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        a = sorted(r[0] for r in ntz.select(
+            temporal.epoch_micros(ntz, "ts")).collect())
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        ltz = spark.read.parquet(path)
+        assert ltz.schema["ts"].dataType.typeName() == "timestamp"
+        b = sorted(r[0] for r in ltz.select(
+            temporal.epoch_micros(ltz, "ts")).collect())
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
+    assert a == b
