@@ -816,6 +816,121 @@ SELECT url, nbr, ROUND(s12, 1) AS dist_m,
 FROM f"""
 
 
+GEOD_AREA_Z = 8            # cell footprints: 1.4 deg wide, O(10^3) km^2
+
+
+def q_geod_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic polygon area at scale (geod_polygonarea, §2.A.5,
+    src/geodesic.c): for every occupied z8 web-mercator cell, the exact
+    spherical area and perimeter of its footprint quad, with the page
+    count — the per-region "how much ground does this bucket cover"
+    rollup a density map needs.
+
+    Plan: one hash agg to the occupied-cell relation (tiny vs pages),
+    corner vertices as pure JVM expressions, explode to 4 edges/cell,
+    ONE flat Arrow batch through the vectorized Karney edge kernel
+    (s12 + S12 per edge), then a JVM-side groupBy sum — the planimeter's
+    accumulation loop re-expressed as a distributed reduction.  The
+    remainder/transit fixups of areareduceA are no-ops here (net
+    prime-meridian transits of a non-pole-enclosing ring are even, and
+    |area| << area0/2), asserted against polygon_area in
+    tests/test_geodesic.py.
+
+    FULL SQL ORACLE (_sql_geod_area): with f=0 each edge's S12 reduces
+    to the closed-form spherical excess of its equator quadrilateral,
+    2*atan2(tan(dl/2)*(t1+t2), 1+t1*t2) with t=tan(phi/2) (Bevis &
+    Cambareri 1987), and the distance to the great-circle atan2 form —
+    drift between the formulations is ~1e-9 relative, absorbed by
+    rounding area to 0.01 km^2 and perimeter to 1 m.
+    """
+    from proj_spark.spark.udf import geod_edge_area_udf
+
+    nn = 1 << GEOD_AREA_Z
+    pts = _points(spark, sf_dir)
+    cl = (pts.groupBy(cells.tile_x(F.col("lon"), GEOD_AREA_Z).alias("cx"),
+                      cells.tile_y(F.col("lat"), GEOD_AREA_Z).alias("cy"))
+          .agg(F.count("*").alias("n_pages")))
+
+    def gud_lat(y):  # tile row -> latitude of its TOP edge (gudermannian)
+        t = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * y / F.lit(float(nn)))
+        return F.degrees(F.atan((F.exp(t) - F.exp(-t)) / F.lit(2.0)))
+
+    c = cl.select(
+        "cx", "cy", "n_pages",
+        (F.col("cx") * F.lit(360.0) / F.lit(float(nn)) - F.lit(180.0)).alias("wl"),
+        ((F.col("cx") + 1) * F.lit(360.0) / F.lit(float(nn)) - F.lit(180.0)).alias("el"),
+        gud_lat(F.col("cy")).alias("nl"),
+        gud_lat(F.col("cy") + 1).alias("sl"))
+    # counter-clockwise ring (w,s) (e,s) (e,n) (w,n) -> 4 directed edges
+    edge = F.explode(F.array(
+        F.struct(F.col("wl").alias("lon1"), F.col("sl").alias("lat1"),
+                 F.col("el").alias("lon2"), F.col("sl").alias("lat2")),
+        F.struct(F.col("el").alias("lon1"), F.col("sl").alias("lat1"),
+                 F.col("el").alias("lon2"), F.col("nl").alias("lat2")),
+        F.struct(F.col("el").alias("lon1"), F.col("nl").alias("lat1"),
+                 F.col("wl").alias("lon2"), F.col("nl").alias("lat2")),
+        F.struct(F.col("wl").alias("lon1"), F.col("nl").alias("lat1"),
+                 F.col("wl").alias("lon2"), F.col("sl").alias("lat2")))).alias("e")
+    g = geod_edge_area_udf(SPHERE_R, 0.0)
+    edges = (c.select("cx", "cy", "n_pages", edge)
+             .withColumn("_g", g(F.col("e.lat1"), F.col("e.lon1"),
+                                 F.col("e.lat2"), F.col("e.lon2"))))
+    return (edges.groupBy("cx", "cy", "n_pages")
+            .agg(F.round(-F.sum("_g.area12") / F.lit(1e6), 2).alias("area_km2"),
+                 F.round(F.sum("_g.s12") / F.lit(1e3), 3).alias("perim_km")))
+
+
+def _sql_geod_area(n: int) -> str:
+    nn = 1 << GEOD_AREA_Z
+    num1 = "COS(p2) * SIN(dl)"
+    num2 = "COS(p1) * SIN(p2) - SIN(p1) * COS(p2) * COS(dl)"
+    gud = ("DEGREES(ATAN((EXP(PI() * (1.0 - 2.0 * ({y}) / {nn}.0))"
+           " - EXP(-(PI() * (1.0 - 2.0 * ({y}) / {nn}.0)))) / 2.0))")
+    return f"""WITH {_pages_cte(n)},
+cl AS (
+  SELECT {cells.tile_x_sql('lon', GEOD_AREA_Z)} AS cx,
+         {cells.tile_y_sql('lat', GEOD_AREA_Z)} AS cy,
+         COUNT(*) AS n_pages
+  FROM pages GROUP BY 1, 2
+),
+c AS (
+  SELECT cx, cy, n_pages,
+         cx * 360.0 / {nn}.0 - 180.0 AS wl,
+         (cx + 1) * 360.0 / {nn}.0 - 180.0 AS el,
+         {gud.format(y='cy', nn=nn)} AS nl,
+         {gud.format(y='cy + 1', nn=nn)} AS sl
+  FROM cl
+),
+v AS (
+  SELECT cx, cy, n_pages,
+         CASE i WHEN 0 THEN wl WHEN 1 THEN el WHEN 2 THEN el ELSE wl END AS lon1,
+         CASE i WHEN 0 THEN sl WHEN 1 THEN sl WHEN 2 THEN nl ELSE nl END AS lat1,
+         CASE i WHEN 0 THEN el WHEN 1 THEN el WHEN 2 THEN wl ELSE wl END AS lon2,
+         CASE i WHEN 0 THEN sl WHEN 1 THEN nl WHEN 2 THEN nl ELSE sl END AS lat2
+  FROM c CROSS JOIN (VALUES (0), (1), (2), (3)) AS edges(i)
+),
+e AS (
+  SELECT cx, cy, n_pages,
+         RADIANS(lat1) AS p1, RADIANS(lat2) AS p2,
+         RADIANS(lon2) - RADIANS(lon1) AS dl
+  FROM v
+),
+f AS (
+  SELECT cx, cy, n_pages,
+         ATAN2(SQRT(({num1}) * ({num1}) + ({num2}) * ({num2})),
+               SIN(p1) * SIN(p2) + COS(p1) * COS(p2) * COS(dl))
+             * {SPHERE_R!r} AS s12,
+         2.0 * ATAN2(TAN(dl / 2.0) * (TAN(p1 / 2.0) + TAN(p2 / 2.0)),
+                     1.0 + TAN(p1 / 2.0) * TAN(p2 / 2.0))
+             * {SPHERE_R!r} * {SPHERE_R!r} AS exc
+  FROM e
+)
+SELECT cx, cy, n_pages,
+       ROUND(-SUM(exc) / 1e6, 2) AS area_km2,
+       ROUND(SUM(s12) / 1e3, 3) AS perim_km
+FROM f GROUP BY 1, 2, 3"""
+
+
 # ---------------------------------------------------------------------------
 # queries — text / dedup / similarity layer (documents + embeddings tables)
 # ---------------------------------------------------------------------------
@@ -2091,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "factors": q_factors,
         "geod_pairs": q_geod_pairs,
         "dggs_rollup": q_dggs_rollup,
+        "geod_area": q_geod_area,
         "domain_top_pages": q_domain_top_pages,
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
@@ -2128,6 +2244,7 @@ def oracle_sql() -> dict[str, str]:
         "factors": _sql_factors(n),
         "geod_pairs": _sql_geod_pairs(n),
         "dggs_rollup": _sql_dggs_rollup(n),
+        "geod_area": _sql_geod_area(n),
         "domain_top_pages": _sql_domain_top_pages(n),
         "doc_stats": _sql_doc_stats(),
         "exact_dedup": _sql_exact_dedup(),

@@ -254,6 +254,36 @@ def geod_inverse_udf(a: float, f: float) -> "pandas_udf":
     return _f
 
 
+def geod_edge_area_udf(a: float, f: float) -> "pandas_udf":
+    """(lat1, lon1, lat2, lon2 degrees) -> struct(s12 m, area12 m^2): one
+    geodesic polygon EDGE's length and signed area term, the per-edge
+    accumulation of the reference's geod_polygonarea
+    (src/geodesic.c geod_polygon_addpoint).  Summing S12 over a closed
+    ring (and negating, per areareduceA's clockwise flip) gives the
+    polygon's geodesic area — done JVM-side by a groupBy, so the Python
+    kernel stays a flat per-edge batch and the reduction distributes."""
+    from proj_spark.operations.karney import Geodesic
+
+    schema = StructType([
+        StructField("s12", DoubleType()),
+        StructField("area12", DoubleType()),
+    ])
+    g = Geodesic(a, f)
+
+    @pandas_udf(schema)
+    def _f(lat1: pd.Series, lon1: pd.Series,
+           lat2: pd.Series, lon2: pd.Series) -> pd.DataFrame:
+        s12, _, _, area = g.inverse(
+            np.radians(lat1.to_numpy(dtype=np.float64)),
+            np.radians(lon1.to_numpy(dtype=np.float64)),
+            np.radians(lat2.to_numpy(dtype=np.float64)),
+            np.radians(lon2.to_numpy(dtype=np.float64)),
+            want_area=True)
+        return pd.DataFrame({"s12": s12, "area12": area})
+
+    return _f
+
+
 def crs_transform_udf(src: str, dst: str, area: tuple | None = None):
     """pandas UDF transforming (x, y[, z]) columns from CRS `src` to
     `dst` through the planner (candidate ranking + per-point dispatch),

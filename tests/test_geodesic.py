@@ -118,3 +118,24 @@ def test_sphere_cardinal_azimuths():
     assert abs(abs(np.degrees(a1[1])) - 180.0) < 1e-12  # south (+/-180)
     assert abs(s[0] - 6370997.0 * np.radians(10.0)) < 1e-6
     assert abs(s[1] - 6370997.0 * np.radians(20.0)) < 1e-6
+
+
+def test_edge_area_sum_equals_polygon_area():
+    """The geod_area query's distributed reduction — sum per-edge S12
+    over the closed ring, then negate — must equal polygon_area()'s
+    areareduceA result for non-pole-enclosing rings (net prime-meridian
+    transits even, |area| << area0/2), on sphere and ellipsoid."""
+    for a, f in ((6370997.0, 0.0), (6378137.0, 1 / 298.257223563)):
+        g = Geodesic(a, f)
+        for lons, lats in [
+            ([-1.40625, 0.0, 0.0, -1.40625], [40.0, 40.0, 41.0, 41.0]),
+            ([178.6, 180.0, 180.0, 178.6], [-85.0, -85.0, -84.3, -84.3]),
+            ([-0.7, 0.7, 0.7, -0.7], [-0.5, -0.5, 0.5, 0.5]),  # equator + pm
+        ]:
+            lam = np.radians(lons)
+            phi = np.radians(lats)
+            per, area = g.polygon_area(phi, lam)
+            s12, _, _, S12 = g.inverse(phi, lam, np.roll(phi, -1),
+                                       np.roll(lam, -1), want_area=True)
+            assert abs(-np.sum(S12) - area) <= 1e-6 * abs(area)
+            assert abs(np.sum(s12) - per) <= 1e-9 * per
