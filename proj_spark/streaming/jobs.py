@@ -331,6 +331,43 @@ def stream_simhash_neardup(spark: SparkSession, docs_dir: str,
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def stream_sessionize(spark: SparkSession, events_dir: str,
+                      gap: str = "6 hours",
+                      watermark: str = "30 days",
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming sessionization: per-user session windows via the native
+    ``F.session_window`` event-time aggregation — the incremental
+    counterpart of the batch gaps-and-islands ``temporal.sessionize``.
+
+    The engine merges an event into an open session while its timestamp
+    is strictly inside [session_start, last_event + gap); state is
+    bounded by the watermark (sessions whose end falls behind
+    max(event_time) - watermark finalize and leave state), so memory is
+    O(open sessions), independent of stream length.  Boundary semantics
+    differ from the batch operator only on a measure-zero set: an
+    event at EXACTLY gap after its predecessor starts a new session
+    here (window end is exclusive) but stays in-session in the batch
+    rule (`diff > gap` breaks); for micro-second event time the
+    distinction never fires, asserted stream==batch in
+    tests/test_streaming.py.
+
+    Streaming session windows emit in "append" mode only (Spark 4): a
+    session row is produced once, when the watermark passes its end —
+    exactly-once session records for the production sink.
+    """
+    ev = _streaming_reader(spark, events_dir, max_files_per_trigger)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (ev.withWatermark("ts", watermark)
+            .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                 .alias("sum_cents"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_cents"))
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str = "complete") -> None:
     """Drain a streaming DataFrame into an in-memory table (tests /

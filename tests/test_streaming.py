@@ -358,3 +358,70 @@ def test_stream_minhash_neardup_ttl(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert rows and all(r["rep_id"] == "b0" and r["doc_id"] == "c0"
                         for r in rows)
+
+
+def test_stream_sessionize_matches_batch_and_islands(spark, events_dir):
+    """Three formulations of the same sessions agree: streaming
+    session_window (update mode, one availableNow batch), batch
+    session_window, and the batch gaps-and-islands temporal.sessionize —
+    start equals the session's first event, session_window's end is
+    last event + gap."""
+    from proj_spark import temporal
+    from proj_spark.streaming import stream_sessionize
+
+    gap_us = 6 * 3600 * 1_000_000
+    # streaming session windows are append-only: a session emits when the
+    # watermark passes its end.  A far-future sentinel event in a SECOND
+    # micro-batch (maxFilesPerTrigger=1) pushes the watermark beyond every
+    # real session, so all of them finalize; the sentinel's own open
+    # session is the only row withheld.
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix="sess_stream_")
+    shutil.copy(EVENTS_SRC, f"{d}/part-000.parquet")
+    (spark.range(1)
+     .select(F.lit(-1).cast("long").alias("event_id"),
+             F.to_timestamp(F.lit("2100-01-01 00:00:00")).alias("ts"),
+             F.lit(-1).cast("long").alias("user_id"),
+             F.lit("sentinel").alias("event_type"),
+             F.lit(0.0).alias("value"), F.lit("{}").alias("props"))
+     .coalesce(1).write.mode("overwrite").parquet(f"{d}/zz-sentinel"))
+    import glob
+    sent = glob.glob(f"{d}/zz-sentinel/part-*.parquet")[0]
+    shutil.move(sent, f"{d}/part-001.parquet")
+    shutil.rmtree(f"{d}/zz-sentinel")
+
+    run_to_memory(stream_sessionize(spark, d, gap="6 hours",
+                                    watermark="0 seconds",
+                                    max_files_per_trigger=1),
+                  "sess", mode="append")
+    got = {(r["user_id"], r["ss"], r["se"]): (r["n_events"], r["sum_cents"])
+           for r in spark.table("sess").where("user_id >= 0").select(
+               "user_id",
+               F.unix_micros("session_start").alias("ss"),
+               F.unix_micros("session_end").alias("se"),
+               "n_events", "sum_cents").collect()}
+
+    ev = (spark.read.parquet(events_dir)
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    batch = (ev.groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c")))
+    want = {(r["user_id"], r["ss"], r["se"]): (r["n"], r["c"])
+            for r in batch.select(
+                "user_id", F.unix_micros("w.start").alias("ss"),
+                F.unix_micros("w.end").alias("se"), "n", "c").collect()}
+    assert got == want
+
+    isl = temporal.sessionize(
+        ev.select("user_id", "event_id",
+                  F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+                  temporal.epoch_micros(ev, "ts").alias("tm")),
+        key="user_id", ts="tm", gap=gap_us, tiebreak="event_id")
+    isl_rows = (isl.groupBy("user_id", "session_seq")
+                .agg(F.count("*").alias("n"), F.min("tm").alias("start_us"),
+                     F.max("tm").alias("end_us"),
+                     F.sum("cents").alias("c")).collect())
+    want2 = {(r["user_id"], r["start_us"], r["end_us"] + gap_us): (r["n"], r["c"])
+             for r in isl_rows}
+    assert got == want2
