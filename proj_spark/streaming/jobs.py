@@ -331,6 +331,112 @@ def stream_simhash_neardup(spark: SparkSession, docs_dir: str,
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+_ASOF_OUT = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("cents", LongType()),
+    StructField("click_event_id", LongType()),
+    StructField("gap_us", LongType()),
+])
+_ASOF_STATE = StructType([
+    StructField("last_tm", LongType()), StructField("last_id", LongType()),
+    StructField("prev_tm", LongType()), StructField("prev_id", LongType()),
+])
+
+
+def stream_asof_enrich(spark: SparkSession, events_dir: str,
+                       fact_type: str = "purchase",
+                       dim_type: str = "click",
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """Streaming as-of enrichment: attach to each fact event the same
+    user's most recent strictly-earlier dim event — the incremental
+    counterpart of the batch ``temporal.asof_join`` merge plan.
+
+    State per user is two (tm, id) pairs: the best dim seen so far and
+    the best strictly-older one (the runner-up matters exactly when a
+    fact shares its timestamp with the newest dim, where strict
+    semantics must fall back one step).  Within a micro-batch the match
+    is a vectorized searchsorted merge (dims and facts each sorted by
+    (tm, id); side='left' lands on the greatest dim strictly before the
+    fact, with greatest id winning timestamp ties) — no per-row Python.
+
+    Equals the batch as-of join whenever micro-batches are event-time
+    ordered per key (time-split file drops, the log-ingest reality);
+    asserted against q_asof_join in tests/test_streaming.py.
+    """
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from proj_spark import temporal
+
+    ev = _streaming_reader(spark, events_dir, max_files_per_trigger)
+    keyed = (ev.where(F.col("event_type").isin(fact_type, dim_type))
+             .select("user_id", "event_id",
+                     (F.col("event_type") == dim_type).alias("is_dim"),
+                     F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+                     temporal.epoch_micros(ev, "ts").alias("tm")))
+
+    def enrich(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        last_tm, last_id, prev_tm, prev_id = (
+            state.get if state.exists else (None, None, None, None))
+        dims = pdf[pdf["is_dim"]].sort_values(["tm", "event_id"])
+        facts = pdf[~pdf["is_dim"]]
+        if len(facts):
+            dtm = dims["tm"].to_numpy(np.int64)
+            did = dims["event_id"].to_numpy(np.int64)
+            ftm = facts["tm"].to_numpy(np.int64)
+            idx = np.searchsorted(dtm, ftm, side="left") - 1
+            got = idx >= 0
+            ctm = np.where(got, dtm[np.maximum(idx, 0)], np.int64(0))
+            cid = np.where(got, did[np.maximum(idx, 0)], np.int64(0))
+            # merge the carried state: it wins when strictly earlier than
+            # the fact AND (tm, id)-greater than the in-batch candidate;
+            # the runner-up pair covers a state tm tied with the fact.
+            for stm, sid in ((last_tm, last_id), (prev_tm, prev_id)):
+                if stm is None:
+                    continue
+                better = (stm < ftm) & (~got | (stm > ctm)
+                                        | ((stm == ctm) & (sid > cid)))
+                ctm = np.where(better, stm, ctm)
+                cid = np.where(better, sid, cid)
+                got = got | better
+            click = pd.Series(cid, dtype="int64").astype("Int64")
+            gap = pd.Series(ftm - ctm, dtype="int64").astype("Int64")
+            click[~got] = pd.NA
+            gap[~got] = pd.NA
+            yield pd.DataFrame({
+                "event_id": facts["event_id"].to_numpy(np.int64),
+                "user_id": np.full(len(facts), key[0], np.int64),
+                "cents": facts["cents"].to_numpy(np.int64),
+                "click_event_id": click,
+                "gap_us": gap,
+            })
+        if len(dims):
+            # fold into (last, prev): among {batch max, batch runner-up,
+            # old last, old prev}, last = greatest (tm, id) pair and
+            # prev = greatest pair strictly older than last.
+            cands = [(int(dims["tm"].iloc[-1]), int(dims["event_id"].iloc[-1]))]
+            older = dims[dims["tm"] < cands[0][0]]
+            if len(older):
+                cands.append((int(older["tm"].iloc[-1]),
+                              int(older["event_id"].iloc[-1])))
+            if last_tm is not None:
+                cands.append((last_tm, last_id))
+            if prev_tm is not None:
+                cands.append((prev_tm, prev_id))
+            nl = max(cands)
+            strict = [c for c in cands if c[0] < nl[0]]
+            p = max(strict) if strict else (None, None)
+            state.update((nl[0], nl[1], p[0], p[1]))
+
+    return (keyed.groupBy("user_id")
+            .applyInPandasWithState(enrich, _ASOF_OUT, _ASOF_STATE,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def stream_sessionize(spark: SparkSession, events_dir: str,
                       gap: str = "6 hours",
                       watermark: str = "30 days",

@@ -425,3 +425,42 @@ def test_stream_sessionize_matches_batch_and_islands(spark, events_dir):
     want2 = {(r["user_id"], r["start_us"], r["end_us"] + gap_us): (r["n"], r["c"])
              for r in isl_rows}
     assert got == want2
+
+
+def test_stream_asof_enrich_matches_batch(spark, tmp_path):
+    """Streaming as-of enrichment over event-time-ordered micro-batches
+    (three time-split files, one per trigger) equals the batch as-of
+    join on the same events — including facts whose matching click
+    arrived in an earlier batch and facts with no earlier click."""
+    import __spark_entry__ as entry
+    from proj_spark.streaming import stream_asof_enrich
+
+    from proj_spark import temporal
+    ev = spark.read.parquet(EVENTS_SRC)
+    ev = ev.withColumn("_tm", temporal.epoch_micros(ev, "ts"))
+    splits = (ev.selectExpr(
+        "percentile(_tm, array(double(1.0/3), double(2.0/3))) p")
+        .collect()[0]["p"])
+    d = tmp_path / "ev"
+    conds = [f"_tm <= {int(splits[0])}",
+             f"_tm > {int(splits[0])} AND _tm <= {int(splits[1])}",
+             f"_tm > {int(splits[1])}"]
+    import glob
+    import shutil
+    for i, c in enumerate(conds):
+        ev.where(c).drop("_tm").coalesce(1).write.parquet(str(d / f"tmp{i}"))
+        part = glob.glob(str(d / f"tmp{i}" / "part-*.parquet"))[0]
+        shutil.move(part, str(d / f"part-{i:03d}.parquet"))
+        shutil.rmtree(str(d / f"tmp{i}"))
+        import os
+        import time
+        t = time.time() - 100 + i * 10   # deterministic micro-batch order
+        os.utime(str(d / f"part-{i:03d}.parquet"), (t, t))
+
+    run_to_memory(stream_asof_enrich(spark, str(d)), "asof_s", mode="append")
+    got = {r["event_id"]: (r["click_event_id"], r["gap_us"], r["cents"])
+           for r in spark.table("asof_s").collect()}
+    want = {r["event_id"]: (r["click_event_id"], r["gap_us"], r["cents"])
+            for r in entry.q_asof_join(spark, "/root/testdata/sf0.001").collect()}
+    assert got == want
+    assert any(v[0] is None for v in want.values())  # no-match facts exist
