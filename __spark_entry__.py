@@ -34,7 +34,8 @@ from pyspark.sql.window import Window
 from proj_spark import temporal
 from proj_spark.pages import CITY_CENTERS, extract_geotags, pages_table
 from proj_spark.spatial import cells
-from proj_spark.spatial.knn import haversine_sql, knn_join, knn_self_join
+from proj_spark.spatial.knn import (EARTH_R, haversine_sql, knn_join,
+                                    knn_self_join, radius_join)
 from proj_spark.spatial.pip import pip_join
 from proj_spark.text import analysis
 
@@ -814,6 +815,47 @@ SELECT url, nbr, ROUND(s12, 1) AS dist_m,
        ROUND(CASE WHEN a1 < 0 THEN a1 + 360.0 ELSE a1 + 0.0 END, 3) AS azi1_deg,
        ROUND(CASE WHEN a2 < 0 THEN a2 + 360.0 ELSE a2 + 0.0 END, 3) AS azi2_deg
 FROM f"""
+
+
+RADIUS_M = 1000.0          # distance-join radius
+RADIUS_Z = 13              # cells ~2.4 km ground size at |lat| 60.3: ring-1
+                           # provably covers 1 km (radius_join validates)
+PAGES_MAX_ABS_LAT = 61.0   # city centers reach 59.3 + 1 deg jitter;
+                           # the uniform band is +-59.99 (pages.py)
+
+
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-bounded spatial self-join: every unordered pair of
+    geotagged pages within 1 km (haversine), via the proven-complete
+    cell + ring-1 candidate equi-join at z13 (spatial/knn.py
+    radius_join).  The range-join sibling of knn_join: same grid plan,
+    threshold semantics instead of top-k.
+
+    FULL SQL ORACLE (_sql_radius_join): an INDEPENDENT formulation —
+    latitude-band bucket join (bucket = floor(lat / dlat), neighbors
+    d in {-1,0,1}) + the exact haversine filter — so the oracle also
+    proves the engine's ring-1 cover complete on this data.
+    """
+    pts = _points(spark, sf_dir)
+    res = radius_join(pts, RADIUS_M, z=RADIUS_Z, id_col="url",
+                      max_abs_lat=PAGES_MAX_ABS_LAT)
+    return res.select("id_a", "id_b", F.round("dist_m", 3).alias("dist_m"))
+
+
+def _sql_radius_join(n: int) -> str:
+    dist = haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    dlat = f"({RADIUS_M!r} / ({EARTH_R!r} * PI() / 180.0))"
+    return f"""WITH {_pages_cte(n)},
+pts AS (
+  SELECT url, lon, lat,
+         CAST(FLOOR(lat / {dlat}) AS BIGINT) AS k
+  FROM pages
+)
+SELECT a.url AS id_a, b.url AS id_b, ROUND({dist}, 3) AS dist_m
+FROM pts a
+CROSS JOIN (VALUES (-1), (0), (1)) ds(d)
+JOIN pts b ON b.k = a.k + ds.d AND a.url < b.url
+WHERE {dist} <= {RADIUS_M!r}"""
 
 
 GEOD_AREA_Z = 8            # cell footprints: 1.4 deg wide, O(10^3) km^2
@@ -2199,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_admin": q_pip_admin,
         "knn": q_knn,
         "knn_join": q_knn_join,
+        "radius_join": q_radius_join,
         "utm_zones": q_utm_zones,
         "webmerc_bbox": q_webmerc_bbox,
         "utm_project": q_utm_project,
@@ -2238,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_admin": _sql_pip_admin(n),
         "knn": _sql_knn(n),
         "knn_join": _sql_knn_join(n),
+        "radius_join": _sql_radius_join(n),
         "utm_zones": _sql_utm_zones(n),
         "webmerc_bbox": _sql_webmerc_bbox(n),
         "datum_shift": _sql_datum_shift(n),

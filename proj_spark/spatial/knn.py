@@ -288,6 +288,60 @@ def knn_join(queries: DataFrame, data: DataFrame, k: int, z: int = 9,
     return out
 
 
+def radius_join(pts: DataFrame, radius_m: float, z: int = 13,
+                id_col: str = "url", lon_col: str = "lon",
+                lat_col: str = "lat",
+                max_abs_lat: float | None = None) -> DataFrame:
+    """Distance-bounded spatial self-join: every unordered point pair
+    within ``radius_m`` meters (haversine), as (id_a < id_b, dist_m).
+
+    Same candidate machinery as :func:`knn_self_join` — equi-join each
+    point's cell against the Chebyshev ring-1 cells of the other side at
+    zoom ``z`` — but with a PROVEN-complete contract: web-mercator cells
+    are locally square with ground size 2*pi*R*cos(lat)/2^z, so one ring
+    covers every neighbor within ``radius_m`` provided the radius is at
+    most ~the cell size at the data's highest |latitude|.  That bound is
+    validated up front (against ``max_abs_lat``, or a one-pass max over
+    the data when None) with a 0.9 safety factor for the cells' local
+    non-squareness; a violating (radius, z) raises instead of silently
+    under-reporting pairs.
+
+    Scale shape: one shuffle on the cell key (dense cells AQE-split),
+    candidate fan-out bounded by cell occupancy x 9, work sum(cell^2),
+    never n^2 — the standard DISTANCE-join grid plan (reference
+    analogue: grid bbox containment dispatch, src/apply_gridshift.cpp).
+    """
+    if max_abs_lat is None:
+        max_abs_lat = float(pts.agg(
+            F.max(F.abs(F.col(lat_col)))).collect()[0][0])
+    min_dim = (2.0 * math.pi * EARTH_R
+               * math.cos(math.radians(min(abs(max_abs_lat), 85.06)))
+               / (1 << z))
+    if radius_m > 0.9 * min_dim:
+        raise ValueError(
+            f"radius {radius_m} m exceeds 0.9x the zoom-{z} cell size "
+            f"({min_dim:.0f} m) at |lat|={max_abs_lat:.2f}; ring-1 cover "
+            f"would be incomplete — lower z or the radius")
+    base = pts.select(
+        F.col(id_col), F.col(lon_col), F.col(lat_col),
+        cells.cell_id(F.col(lon_col), F.col(lat_col), z).alias("cell"))
+    left = base.select(
+        id_col, lon_col, lat_col,
+        F.explode(cells.neighbor_cells(F.col("cell"), 1)).alias("cell"))
+    right = base.select(F.col(id_col).alias("_rid"),
+                        F.col(lon_col).alias("_rlon"),
+                        F.col(lat_col).alias("_rlat"), "cell")
+    # ring membership is Chebyshev-symmetric and the right side carries ONE
+    # cell per point, so id_a < id_b keeps each pair exactly once
+    cand = (left.join(right, "cell")
+            .where(F.col(id_col) < F.col("_rid")))
+    return (cand.select(
+        F.col(id_col).alias("id_a"), F.col("_rid").alias("id_b"),
+        haversine_expr(F.col(lon_col), F.col(lat_col),
+                       F.col("_rlon"), F.col("_rlat")).alias("dist_m"))
+        .where(F.col("dist_m") <= F.lit(float(radius_m))))
+
+
 def knn_self_join(pts: DataFrame, k: int = 3, z: int = 10, ring: int = 1,
                   id_col: str = "url", lon_col: str = "lon",
                   lat_col: str = "lat") -> DataFrame:

@@ -147,3 +147,40 @@ def test_epoch_micros_ltz_vs_ntz_read_agree(spark):
     finally:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# radius_join (spatial range join; lives here with the other pair-ops tests)
+
+
+def test_radius_join_exact_pairs_and_validation(spark):
+    from proj_spark.spatial.knn import EARTH_R, radius_join
+    import math
+    # four points near lat 50: A-B ~724 m apart, C ~ 7 km away, D remote
+    rows = [("a", 10.0, 50.0), ("b", 10.01, 50.001), ("c", 10.1, 50.05),
+            ("d", 20.0, 55.0)]
+    pts = spark.createDataFrame(rows, "url string, lon double, lat double")
+    got = {(r["id_a"], r["id_b"]): r["dist_m"]
+           for r in radius_join(pts, 1000.0, z=13).collect()}
+    assert set(got) == {("a", "b")}
+    # exact haversine cross-check
+    p1, p2 = math.radians(50.0), math.radians(50.001)
+    dl = math.radians(0.01)
+    h = (math.sin((p2 - p1) / 2) ** 2
+         + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+    want = 2 * EARTH_R * math.asin(math.sqrt(h))
+    assert abs(got[("a", "b")] - want) < 1e-6
+    # an uncoverable (radius, z) must refuse, not under-report
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ring-1 cover"):
+        radius_join(pts, 5000.0, z=13)
+
+
+def test_radius_join_infers_max_lat_from_data(spark):
+    from proj_spark.spatial.knn import radius_join
+    # equatorial data: z13 cells are ~4.9 km, so 3 km is coverable ONLY
+    # because max|lat| is inferred low; the same call would raise at 61N
+    rows = [("a", 0.0, 0.0), ("b", 0.02, 0.01)]
+    pts = spark.createDataFrame(rows, "url string, lon double, lat double")
+    out = radius_join(pts, 3000.0, z=13).collect()
+    assert len(out) == 1 and out[0]["id_a"] == "a"
