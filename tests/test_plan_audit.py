@@ -185,3 +185,33 @@ def test_dggs_rollup_single_arrow_partial_agg(spark, entry):
     s = plan_of(entry.q_dggs_rollup(spark, SF))
     assert len(re.findall(r"^\(\d+\) ArrowEvalPython", s, re.M)) == 1
     assert s.count("HashAggregate") >= 2
+
+
+def test_radius_join_prunes_and_hash_joins(spark, entry):
+    """The range join must (a) prune text/warc_ts at the scan, (b) run
+    the cell candidate join as a hash join (never a nested-loop or
+    cartesian — the n^2 shapes), and (c) apply the distance threshold
+    as a codegen'd filter, not a UDF."""
+    s = plan_of(entry.q_radius_join(spark, SF))
+    reads = [ln for ln in s.splitlines() if "ReadSchema" in ln]
+    assert reads and all("text" not in ln and "warc_ts" not in ln
+                         for ln in reads)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "HashJoin" in s            # shuffled or broadcast hash join
+    assert "ArrowEvalPython" not in s  # pure-expression distance filter
+
+
+def test_geod_area_single_arrow_stage_after_agg(spark, entry):
+    """geod_area's Karney edge kernel must run ONCE (a single
+    ArrowEvalPython stage over the exploded edges) and sit ABOVE the
+    cell aggregation, so the Python boundary sees O(cells), not
+    O(pages)."""
+    import re
+    s = plan_of(entry.q_geod_area(spark, SF))
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", s, re.M)) == 1
+    lines = s.splitlines()
+    arrow = [i for i, ln in enumerate(lines) if "ArrowEvalPython" in ln]
+    aggs = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    # the page-count agg renders BELOW (later tree line than) the kernel
+    assert any(a > arrow[0] for a in aggs)
