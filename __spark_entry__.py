@@ -858,6 +858,93 @@ JOIN pts b ON b.k = a.k + ds.d AND a.url < b.url
 WHERE {dist} <= {RADIUS_M!r}"""
 
 
+ZB_BITS = 16               # 2^16 x 2^16 Morton grid (32-bit zkey)
+ZB_MAX_RANGES = 32         # zkey interval budget for the bbox cover
+# query window: city 1 (Los Angeles) cluster footprint (center +-
+# jitter: lon +-1.5, lat +-1.0 in pages.py) — plus whatever uniform-
+# band pages fall inside
+ZB_LON_MIN, ZB_LON_MAX = CITY_CENTERS[1][0] - 1.5, CITY_CENTERS[1][0] + 1.5
+ZB_LAT_MIN, ZB_LAT_MAX = CITY_CENTERS[1][1] - 1.0, CITY_CENTERS[1][1] + 1.0
+
+
+def q_zorder_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox query through a Z-order (Morton) curve cover: the data-
+    layout primitive that turns a 100 TB bbox scan into a file-skipping
+    read (spatial/zorder.py; Delta/Iceberg Z-ORDER clustering built
+    from stock operators).
+
+    Plan: zkey as a pure codegen expression, the bbox decomposed
+    driver-side into <= {ZB_MAX_RANGES} contiguous zkey intervals
+    (quadtree refinement — the plan-time analogue of subgrid bbox
+    dispatch, src/apply_gridshift.cpp:182+), an OR-of-BETWEEN range
+    predicate (the shape parquet min/max pruning understands on
+    z-clustered files — demonstrated in tests/test_zorder.py), then
+    the exact window predicate to strip quantization slop.
+
+    FULL SQL ORACLE (_sql_zorder_bbox): the PLAIN bbox filter, no
+    z machinery — so a decomposition that under-covers even one grid
+    cell loses rows and fails the hash.  The oracle literally proves
+    the interval cover complete on this data.
+    """
+    from proj_spark.spatial import zorder
+
+    pts = _points(spark, sf_dir)
+    keyed = pts.withColumn(
+        "zkey", zorder.zorder_key(F.col("lon"), F.col("lat"), ZB_BITS))
+    rngs = zorder.bbox_ranges(ZB_LON_MIN, ZB_LON_MAX, ZB_LAT_MIN,
+                              ZB_LAT_MAX, ZB_BITS, ZB_MAX_RANGES)
+    pruned = keyed.where(zorder.ranges_predicate(F.col("zkey"), rngs))
+    exact = pruned.where(
+        (F.col("lon") >= F.lit(ZB_LON_MIN)) & (F.col("lon") <= F.lit(ZB_LON_MAX))
+        & (F.col("lat") >= F.lit(ZB_LAT_MIN)) & (F.col("lat") <= F.lit(ZB_LAT_MAX)))
+    return exact.select("url", "domain", "zkey")
+
+
+def _sql_zorder_bbox(n: int) -> str:
+    from proj_spark.spatial import zorder
+
+    zk = zorder.zorder_key_sql("lon", "lat", ZB_BITS)
+    return f"""WITH {_pages_cte(n)}
+SELECT url, domain, {zk} AS zkey
+FROM pages
+WHERE lon >= {ZB_LON_MIN!r} AND lon <= {ZB_LON_MAX!r}
+  AND lat >= {ZB_LAT_MIN!r} AND lat <= {ZB_LAT_MAX!r}"""
+
+
+GH_PRECISION = 4           # geohash-4 cells: 0.35 x 0.18 deg
+
+
+def q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density rollup keyed by geohash — the interoperable base32
+    z-order string (lon-first interleave), computed as a pure SQL
+    expression (spatial/zorder.py geohash; no UDF): pages per geohash-4
+    cell with the distinct-domain count.  The curve is the same Morton
+    interleave zorder_bbox scans by; the string form is what external
+    systems (ES, Redis, BI tools) key on.
+
+    FULL SQL ORACLE (_sql_geohash_rollup): the identical integer
+    arithmetic + base32 table indexing in DuckDB — exact strings,
+    exact counts.
+    """
+    from proj_spark.spatial import zorder
+
+    pts = _points(spark, sf_dir)
+    return (pts.groupBy(zorder.geohash(F.col("lon"), F.col("lat"),
+                                       GH_PRECISION).alias("gh"))
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("domain").alias("n_domains")))
+
+
+def _sql_geohash_rollup(n: int) -> str:
+    from proj_spark.spatial import zorder
+
+    gh = zorder.geohash_sql("lon", "lat", GH_PRECISION)
+    return f"""WITH {_pages_cte(n)}
+SELECT {gh} AS gh, COUNT(*) AS n_pages,
+       COUNT(DISTINCT domain) AS n_domains
+FROM pages GROUP BY 1"""
+
+
 GEOD_AREA_Z = 8            # cell footprints: 1.4 deg wide, O(10^3) km^2
 
 
@@ -2242,6 +2329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "knn_join": q_knn_join,
         "radius_join": q_radius_join,
+        "zorder_bbox": q_zorder_bbox,
+        "geohash_rollup": q_geohash_rollup,
         "utm_zones": q_utm_zones,
         "webmerc_bbox": q_webmerc_bbox,
         "utm_project": q_utm_project,
@@ -2282,6 +2371,8 @@ def oracle_sql() -> dict[str, str]:
         "knn": _sql_knn(n),
         "knn_join": _sql_knn_join(n),
         "radius_join": _sql_radius_join(n),
+        "zorder_bbox": _sql_zorder_bbox(n),
+        "geohash_rollup": _sql_geohash_rollup(n),
         "utm_zones": _sql_utm_zones(n),
         "webmerc_bbox": _sql_webmerc_bbox(n),
         "datum_shift": _sql_datum_shift(n),
