@@ -876,10 +876,13 @@ def q_zorder_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: zkey as a pure codegen expression, the bbox decomposed
     driver-side into <= {ZB_MAX_RANGES} contiguous zkey intervals
     (quadtree refinement — the plan-time analogue of subgrid bbox
-    dispatch, src/apply_gridshift.cpp:182+), an OR-of-BETWEEN range
-    predicate (the shape parquet min/max pruning understands on
-    z-clustered files — demonstrated in tests/test_zorder.py), then
-    the exact window predicate to strip quantization slop.
+    dispatch, src/apply_gridshift.cpp:182+), interval membership as a
+    broadcast LEFT SEMI range join (the computed key is evaluated once
+    per row; an OR-of-BETWEEN filter would inline the Morton spread 64x
+    and blow codegen's 64 KB method limit — on STORED zkey columns the
+    BETWEEN predicate is the right shape and reaches parquet min/max
+    pruning, demonstrated in tests/test_zorder.py), then the exact
+    window predicate to strip quantization slop.
 
     FULL SQL ORACLE (_sql_zorder_bbox): the PLAIN bbox filter, no
     z machinery — so a decomposition that under-covers even one grid
@@ -893,7 +896,7 @@ def q_zorder_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zkey", zorder.zorder_key(F.col("lon"), F.col("lat"), ZB_BITS))
     rngs = zorder.bbox_ranges(ZB_LON_MIN, ZB_LON_MAX, ZB_LAT_MIN,
                               ZB_LAT_MAX, ZB_BITS, ZB_MAX_RANGES)
-    pruned = keyed.where(zorder.ranges_predicate(F.col("zkey"), rngs))
+    pruned = zorder.ranges_semi_join(keyed, rngs)
     exact = pruned.where(
         (F.col("lon") >= F.lit(ZB_LON_MIN)) & (F.col("lon") <= F.lit(ZB_LON_MAX))
         & (F.col("lat") >= F.lit(ZB_LAT_MIN)) & (F.col("lat") <= F.lit(ZB_LAT_MAX)))

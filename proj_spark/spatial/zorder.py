@@ -212,6 +212,28 @@ def ranges_predicate_sql(zkey: str, ranges: list[tuple[int, int]]) -> str:
                        for lo, hi in ranges)
 
 
+def ranges_semi_join(df: DataFrame, ranges: list[tuple[int, int]],
+                     key_col: str = "zkey") -> DataFrame:
+    """Keep the rows whose ``key_col`` falls in any interval, via a
+    broadcast LEFT SEMI range join against the (tiny) interval table.
+
+    Use this when the key is a COMPUTED column: an OR-of-BETWEEN filter
+    would inline the key expression once per interval bound (64 copies
+    for 32 ranges — enough to blow codegen's 64 KB method limit for a
+    Morton-spread expression), while a join condition references the
+    projected attribute, so the key is evaluated once per row.  It is
+    also the shape that survives a range list too long for a predicate.
+    ``ranges_predicate`` remains the right tool for a STORED key column
+    (plain attribute, min/max pushdown).
+    """
+    if not ranges:
+        raise ValueError("no ranges")
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(ranges, "z_lo long, z_hi long")
+    cond = (F.col(key_col) >= F.col("z_lo")) & (F.col(key_col) <= F.col("z_hi"))
+    return df.join(F.broadcast(rdf), cond, "left_semi")
+
+
 def cluster_by_zorder(df: DataFrame, lon: str = "lon", lat: str = "lat",
                       bits: int = MAX_BITS, n_files: int = 32,
                       key_col: str = "zkey") -> DataFrame:
