@@ -948,6 +948,134 @@ SELECT {gh} AS gh, COUNT(*) AS n_pages,
 FROM pages GROUP BY 1"""
 
 
+RASTER_Z = 12              # raster resolution: ~0.088 deg cells
+
+
+def q_admin_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon rasterization + zonal statistics — the vector->raster
+    direction of tile assignment: burn each admin polygon onto the z12
+    quad grid with the center rule (a cell belongs to the polygon iff
+    its CENTER is inside — GDAL rasterize's default), classify cells
+    interior (all 4 corners inside; exact for convex rings) vs
+    boundary, then count pages per raster cell via one broadcast join.
+
+    Plan: 12 polygons explode to ~2k candidate cells (pure JVM
+    sequence x sequence), ray-cast center/corner tests as codegen
+    expressions (spatial/pip.py pip_expr, no UDF); the pages side maps
+    to cell ids and broadcast-joins the raster — zero shuffles of the
+    big relation, partial agg above the join.  Cell latitude bounds are
+    spelled with the exp-form gudermannian so the identical closed form
+    exists in ANSI SQL.
+
+    FULL SQL ORACLE (_sql_admin_raster): an INDEPENDENT formulation —
+    the admin diamonds are L1 balls, so center-in is
+    |u|+|v| <= 1 closed form and interior is max_u + max_v <= 1
+    (the L1 norm is convex, so its max over a rect splits per axis) —
+    no ray casting, proving the engine's generic even-odd crossing
+    test against the exact geometry.
+    """
+    from proj_spark.spatial.pip import pip_expr, polygon_bbox
+
+    nn = float(1 << RASTER_Z)
+    polys = _admin_polygons(spark)
+    cand = (polys.withColumn("_b", polygon_bbox(F.col("ring")))
+            .withColumn("_x", F.explode(F.sequence(
+                cells.tile_x(F.col("_b.minx"), RASTER_Z),
+                cells.tile_x(F.col("_b.maxx"), RASTER_Z))))
+            .withColumn("_y", F.explode(F.sequence(
+                cells.tile_y(F.col("_b.maxy"), RASTER_Z),
+                cells.tile_y(F.col("_b.miny"), RASTER_Z)))))
+
+    def lon_at(xc):
+        return xc * F.lit(360.0) / F.lit(nn) - F.lit(180.0)
+
+    def gud_lat(yc):  # tile row -> latitude (exp-form gudermannian)
+        t = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * yc / F.lit(nn))
+        return F.degrees(F.atan((F.exp(t) - F.exp(-t)) / F.lit(2.0)))
+
+    cxm = lon_at(F.col("_x") + F.lit(0.5))
+    cym = gud_lat(F.col("_y") + F.lit(0.5))
+    wl, el = lon_at(F.col("_x") + F.lit(0.0)), lon_at(F.col("_x") + F.lit(1.0))
+    nl, sl = gud_lat(F.col("_y") + F.lit(0.0)), gud_lat(F.col("_y") + F.lit(1.0))
+    ring = F.col("ring")
+    interior = (pip_expr(wl, sl, ring) & pip_expr(el, sl, ring)
+                & pip_expr(wl, nl, ring) & pip_expr(el, nl, ring))
+    raster = (cand.where(pip_expr(cxm, cym, ring))
+              .select("admin_id", F.col("_x").alias("cell_x"),
+                      F.col("_y").alias("cell_y"),
+                      interior.alias("interior")))
+
+    pts = _points(spark, sf_dir)
+    keyed = pts.select(
+        cells.tile_x(F.col("lon"), RASTER_Z).alias("cell_x"),
+        cells.tile_y(F.col("lat"), RASTER_Z).alias("cell_y"))
+    assigned = (keyed.join(F.broadcast(raster.select("admin_id", "cell_x",
+                                                     "cell_y")),
+                           ["cell_x", "cell_y"], "inner")
+                .groupBy("admin_id", "cell_x", "cell_y")
+                .agg(F.count("*").alias("_n")))
+    # assigned has at most one row per raster cell — broadcast-safe at
+    # any corpus size (the left outer would otherwise sort-merge, adding
+    # two exchanges of the tiny relations)
+    return (raster.join(F.broadcast(assigned),
+                        ["admin_id", "cell_x", "cell_y"], "left")
+            .select("admin_id", "cell_x", "cell_y", "interior",
+                    F.coalesce(F.col("_n"), F.lit(0)).alias("n_pages")))
+
+
+def _sql_admin_raster(n: int) -> str:
+    nn = float(1 << RASTER_Z)
+    z = RASTER_Z
+
+    def gud(y_expr: str) -> str:
+        t = f"(PI() * (1.0 - 2.0 * {y_expr} / {nn!r}))"
+        return f"DEGREES(ATAN((EXP({t}) - EXP(-{t})) / 2.0))"
+
+    return f"""WITH {_pages_cte(n)},
+adm AS (SELECT * FROM {_admin_values_sql()}),
+bounds AS (
+  SELECT admin_id, cx, cy, rx, ry,
+         {cells.tile_x_sql('(cx - rx)', z)} AS x0,
+         {cells.tile_x_sql('(cx + rx)', z)} AS x1,
+         {cells.tile_y_sql('(cy + ry)', z)} AS y0,
+         {cells.tile_y_sql('(cy - ry)', z)} AS y1
+  FROM adm
+),
+cand AS (
+  SELECT admin_id, cx, cy, rx, ry,
+         x0 + ri.range AS x, y0 + rj.range AS y
+  FROM bounds
+  JOIN range(0, 128) ri ON x0 + ri.range <= x1
+  JOIN range(0, 128) rj ON y0 + rj.range <= y1
+),
+geo AS (
+  SELECT admin_id, cx, cy, rx, ry, x, y,
+         (x + 0.5) * 360.0 / {nn!r} - 180.0 AS cxm,
+         {gud('(y + 0.5)')} AS cym,
+         (x + 0.0) * 360.0 / {nn!r} - 180.0 AS wl,
+         (x + 1.0) * 360.0 / {nn!r} - 180.0 AS el,
+         {gud('(y + 0.0)')} AS nl,
+         {gud('(y + 1.0)')} AS sl
+  FROM cand
+),
+raster AS (
+  SELECT admin_id, x AS cell_x, y AS cell_y,
+         (GREATEST(ABS(wl - cx), ABS(el - cx)) / rx
+          + GREATEST(ABS(sl - cy), ABS(nl - cy)) / ry) <= 1.0 AS interior
+  FROM geo
+  WHERE ABS(cxm - cx) / rx + ABS(cym - cy) / ry <= 1.0
+),
+cnt AS (
+  SELECT {cells.tile_x_sql('lon', z)} AS cell_x,
+         {cells.tile_y_sql('lat', z)} AS cell_y,
+         COUNT(*) AS _n
+  FROM pages GROUP BY 1, 2
+)
+SELECT r.admin_id, r.cell_x, r.cell_y, r.interior,
+       COALESCE(c._n, 0) AS n_pages
+FROM raster r LEFT JOIN cnt c USING (cell_x, cell_y)"""
+
+
 GEOD_AREA_Z = 8            # cell footprints: 1.4 deg wide, O(10^3) km^2
 
 
@@ -2334,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": q_radius_join,
         "zorder_bbox": q_zorder_bbox,
         "geohash_rollup": q_geohash_rollup,
+        "admin_raster": q_admin_raster,
         "utm_zones": q_utm_zones,
         "webmerc_bbox": q_webmerc_bbox,
         "utm_project": q_utm_project,
@@ -2376,6 +2505,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_join": _sql_radius_join(n),
         "zorder_bbox": _sql_zorder_bbox(n),
         "geohash_rollup": _sql_geohash_rollup(n),
+        "admin_raster": _sql_admin_raster(n),
         "utm_zones": _sql_utm_zones(n),
         "webmerc_bbox": _sql_webmerc_bbox(n),
         "datum_shift": _sql_datum_shift(n),

@@ -28,7 +28,7 @@ HEADLINE = [
     "tile_density", "cell_rollup", "pip_admin", "knn", "knn_join", "utm_zones",
     "webmerc_bbox", "utm_project", "datum_shift", "factors", "geod_pairs",
     "dggs_rollup", "geod_area", "asof_join", "sessionize", "radius_join",
-    "zorder_bbox", "geohash_rollup",
+    "zorder_bbox", "geohash_rollup", "admin_raster",
     "doc_stats", "exact_dedup",
     "token_topk", "ngram_pairs", "embed_topk", "events_hourly",
     "crs_dispatch", "gridshift_file", "minhash_neardup", "simhash_neardup",

@@ -202,6 +202,19 @@ def test_radius_join_prunes_and_hash_joins(spark, entry):
     assert "ArrowEvalPython" not in s  # pure-expression distance filter
 
 
+def test_admin_raster_broadcasts_both_joins(spark, entry):
+    """Rasterize-and-zonal-count must never shuffle the pages relation:
+    the raster is broadcast to the pages side and the per-cell counts
+    are broadcast back to the raster — no sort-merge join, and the only
+    exchange is the tiny partial-agg one."""
+    import re
+    s = plan_of(entry.q_admin_raster(spark, SF))
+    assert "SortMergeJoin" not in s
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", s, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Exchange", s, re.M)) <= 1
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+
+
 def test_geod_area_single_arrow_stage_after_agg(spark, entry):
     """geod_area's Karney edge kernel must run ONCE (a single
     ArrowEvalPython stage over the exploded edges) and sit ABOVE the
