@@ -1209,7 +1209,8 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_tok_len", "digit_ratio", "punct_ratio", "quality", "fp")
 
 
-def _sql_doc_stats() -> str:
+def _sql_text_stats() -> dict[str, str]:
+    """DuckDB twins of the analysis.py per-document expressions."""
     toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')"
     n_tok = f"len({toks})"
     tot = f"list_aggregate(list_transform({toks}, t -> len(t)), 'sum')"
@@ -1222,6 +1223,16 @@ def _sql_doc_stats() -> str:
     len_ok = f"LEAST(CAST({n_tok} AS DOUBLE) / 50.0, 1.0)"
     word_ok = f"(CASE WHEN {mtl} >= 3.0 AND {mtl} <= 10.0 THEN 1.0 ELSE 0.5 END)"
     noise_ok = f"GREATEST(0.0, 1.0 - ({dr} + {pr}) * 2.0)"
+    quality = f"ROUND({len_ok} * {word_ok} * {noise_ok}, 6)"
+    return {"n": n, "n_tok": n_tok, "mtl": mtl, "dr": dr, "pr": pr,
+            "len_ok": len_ok, "word_ok": word_ok, "noise_ok": noise_ok,
+            "quality": quality}
+
+
+def _sql_doc_stats() -> str:
+    s = _sql_text_stats()
+    n, n_tok, mtl, dr, pr = s["n"], s["n_tok"], s["mtl"], s["dr"], s["pr"]
+    len_ok, word_ok, noise_ok = s["len_ok"], s["word_ok"], s["noise_ok"]
     return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST({n} AS BIGINT) AS n_chars_c,
        CAST({n_tok} AS BIGINT) AS n_tokens,
@@ -1254,16 +1265,20 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.groupBy("lang", "guess").agg(F.count("*").alias("n_docs"))
 
 
-def _sql_lang_confusion() -> str:
+def _sql_lang_guess() -> str:
+    """DuckDB twin of analysis.lang_guess (argmax stopword hits)."""
     toks = ("list_distinct(list_transform(list_filter("
             "regexp_split_to_array(trim(text), '\\s+'), t -> t != ''), t -> lower(t)))")
     hits = {lang: f"len(list_intersect({toks}, {words!r}))"
             for lang, words in analysis.STOPWORDS.items()}
     best = "GREATEST(" + ", ".join(hits.values()) + ")"
-    case = "CASE WHEN " + " WHEN ".join(
+    return "CASE WHEN " + " WHEN ".join(
         f"{best} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
         for lang in analysis.STOPWORDS) + " ELSE 'und' END"
-    return f"""SELECT lang, {case.replace("WHEN", "WHEN", 1)} AS guess, COUNT(*) AS n_docs
+
+
+def _sql_lang_confusion() -> str:
+    return f"""SELECT lang, {_sql_lang_guess()} AS guess, COUNT(*) AS n_docs
 FROM documents GROUP BY 1, 2"""
 
 
@@ -2444,6 +2459,226 @@ FROM s GROUP BY 1, 2"""
 
 
 # ---------------------------------------------------------------------------
+# queries — spatial analytics layer (pyramid / autocorrelation / interpolation
+# / per-tile serving) + the webtext curation funnel
+# ---------------------------------------------------------------------------
+
+PYRAMID_Z_MAX = 9
+PYRAMID_Z_MIN = 4
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole tile pyramid z4..z9 in ONE pass over the points.
+
+    Plan: one shuffle of the point rows (the z9 groupBy); every coarser
+    level re-aggregates the previous level's TILE rows (4x smaller each
+    step), and Catalyst exchange reuse plans each level's shuffle once
+    across the union branches (ReusedExchange — asserted by
+    tests/test_plan_audit.py).  The oracle recomputes every level
+    directly from the points, so it independently verifies the
+    parent(z,x,y) = (z-1, x>>1, y>>1) floor-composition property the
+    rollup relies on.
+    """
+    from proj_spark.spatial import pyramid
+    pts = _points(spark, sf_dir)
+    return pyramid.tile_pyramid(pts, PYRAMID_Z_MAX, PYRAMID_Z_MIN)
+
+
+def _sql_tile_pyramid(n: int) -> str:
+    levels = []
+    for z in range(PYRAMID_Z_MAX, PYRAMID_Z_MIN - 1, -1):
+        levels.append(f"""SELECT CAST({z} AS INT) AS zoom,
+       {cells.tile_x_sql('lon', z)} AS tile_x,
+       {cells.tile_y_sql('lat', z)} AS tile_y,
+       COUNT(*) AS n
+FROM pages GROUP BY 2, 3""")
+    union = "\nUNION ALL\n".join(levels)
+    return f"WITH {_pages_cte(n)}\n{union}"
+
+
+MORANS_Z = 6
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of page density over
+    the occupied z6 cell lattice (rook contiguity).
+
+    Exact-integer sufficient statistics (see spatial/stats.py): the
+    only float math is the final one-row assembly, from exactly-
+    representable integers with one fixed parenthesization — so the
+    DuckDB oracle reproduces the double bit-for-bit.
+    """
+    from proj_spark.spatial import stats as spatial_stats
+    pts = _points(spark, sf_dir)
+    return spatial_stats.morans_i(spatial_stats.cell_counts(pts, MORANS_Z))
+
+
+def _sql_morans_i(n: int) -> str:
+    z = MORANS_Z
+    xb = "(CAST(t_sum AS DOUBLE) / n_cells)"
+    num = f"(s_pairs - ({xb} * s_i)) + ((w_pairs * {xb}) * {xb})"
+    den = f"s_sq - ((n_cells * {xb}) * {xb})"
+    return f"""WITH {_pages_cte(n)},
+cl AS (SELECT {cells.tile_x_sql('lon', z)} AS tx,
+              {cells.tile_y_sql('lat', z)} AS ty, COUNT(*) AS x
+       FROM pages GROUP BY 1, 2),
+pr AS (SELECT a.x AS xi, b.x AS xj
+       FROM cl a JOIN cl b
+         ON (b.tx = a.tx + 1 AND b.ty = a.ty)
+         OR (b.tx = a.tx - 1 AND b.ty = a.ty)
+         OR (b.tx = a.tx AND b.ty = a.ty + 1)
+         OR (b.tx = a.tx AND b.ty = a.ty - 1)),
+node AS (SELECT COUNT(*) AS n_cells, CAST(SUM(x) AS BIGINT) AS t_sum,
+                CAST(SUM(x * x) AS BIGINT) AS s_sq FROM cl),
+edge AS (SELECT COUNT(*) AS w_pairs, CAST(SUM(xi + xj) AS BIGINT) AS s_i,
+                CAST(SUM(xi * xj) AS BIGINT) AS s_pairs FROM pr)
+SELECT n_cells, w_pairs, t_sum, s_sq, s_i, s_pairs,
+       CASE WHEN w_pairs > 0 AND ({den}) != 0.0
+            THEN ROUND(((CAST(n_cells AS DOUBLE) / w_pairs) * ({num})) / ({den}), 6)
+       END AS morans_i
+FROM node, edge"""
+
+
+VIEWPORT_Z = 7
+VIEWPORT_K = 3
+
+
+def q_viewport_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tile feature selection: the top-3 pages per z7 viewport
+    tile under a deterministic content ranking (md5 of the url — a
+    stable sampling order any engine reproduces).
+
+    Plan: Spark 4 rewrites the row_number-filter into WindowGroupLimit
+    (per-partition partial top-k BELOW the window exchange), so dense
+    city tiles never ship more than k rows per map task — the same
+    partial-top-k shape knn_join locks in the plan audit.
+    """
+    pts = _points(spark, sf_dir)
+    t = pts.select(
+        cells.tile_x(F.col("lon"), VIEWPORT_Z).alias("tile_x"),
+        cells.tile_y(F.col("lat"), VIEWPORT_Z).alias("tile_y"),
+        "url")
+    w = Window.partitionBy("tile_x", "tile_y").orderBy(F.md5("url"))
+    return (t.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= VIEWPORT_K)
+            .select("tile_x", "tile_y", "rank", "url"))
+
+
+def _sql_viewport_topk(n: int) -> str:
+    z = VIEWPORT_Z
+    return f"""WITH {_pages_cte(n)},
+t AS (SELECT {cells.tile_x_sql('lon', z)} AS tile_x,
+             {cells.tile_y_sql('lat', z)} AS tile_y, url
+      FROM pages)
+SELECT tile_x, tile_y, CAST(rnk AS INT) AS rank, url
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                                   ORDER BY md5(url)) AS rnk FROM t)
+WHERE rnk <= {VIEWPORT_K}"""
+
+
+IDW_RADIUS_M = 100_000.0
+IDW_Z = 7
+
+
+def _page_value(url) -> F.Column:
+    """Deterministic per-page sample value in [0, 1000): the synthesis
+    hash bucket h % 1000, recomputed from the url's page ordinal so the
+    oracle derives the identical value from `i`."""
+    i = F.regexp_extract(url, r"/page/(\d+)$", 1).cast("long")
+    h = F.pmod(i * F.lit(2654435761), F.lit(2 ** 31))
+    return F.pmod(h, F.lit(1000))
+
+
+def q_idw_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation of a page metric at the
+    10 city query points from all pages within 100 km.
+
+    Integer-quantized weights make the accumulators exact (see
+    spatial/interp.py); the cell-ring cover proof is the radius_join
+    one, validated up front.  The oracle joins every page against every
+    query directly (no cells), independently proving the ring cover
+    complete on data.
+    """
+    from proj_spark.spatial import interp
+    pts = _points(spark, sf_dir).withColumn("val", _page_value(F.col("url")))
+    qdf = _knn_queries_df(spark)
+    return interp.idw_interp(
+        qdf, pts, IDW_RADIUS_M, IDW_Z, F.col("val"),
+        max_abs_lat=PAGES_MAX_ABS_LAT)
+
+
+def _sql_idw_interp(n: int) -> str:
+    hav = haversine_sql("qlon", "qlat", "lon", "lat")
+    return f"""WITH {_pages_cte(n)},
+qp AS (SELECT * FROM {_knn_values_sql()}),
+hits AS (
+  SELECT query_id,
+         CAST(FLOOR(CAST(10000000000 AS DOUBLE) / (d_m * d_m)) AS BIGINT) AS w,
+         val
+  FROM (SELECT query_id,
+               GREATEST(CAST(ROUND({hav}, 0) AS BIGINT), CAST(10 AS BIGINT)) AS d_m,
+               ((i * 2654435761) % 2147483648) % 1000 AS val
+        FROM pages, qp
+        WHERE {hav} <= {IDW_RADIUS_M!r})),
+agg AS (SELECT query_id, COUNT(*) AS n_pts, CAST(SUM(w) AS BIGINT) AS sum_w,
+               CAST(SUM(w * val) AS BIGINT) AS sum_wv
+        FROM hits GROUP BY 1)
+SELECT q.query_id, COALESCE(a.n_pts, 0) AS n_pts,
+       COALESCE(a.sum_w, 0) AS sum_w, COALESCE(a.sum_wv, 0) AS sum_wv,
+       CASE WHEN a.sum_w > 0
+            THEN ROUND(CAST(a.sum_wv AS DOUBLE) / a.sum_w, 6) END AS idw
+FROM qp q LEFT JOIN agg a USING (query_id)"""
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation funnel per source: total -> quality-kept
+    (score >= 0.5) -> language-verified (stopword lang-ID agrees with
+    the label) -> exact-dedup survivors (min doc_id per content md5).
+
+    The whole funnel is pure SQL expressions + two hash aggregations —
+    no UDFs, fully codegen'd, one shuffle each on (source) and (fp).
+    """
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    base = docs.select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("fp"),
+        (analysis.quality_score(t) >= 0.5).alias("q_ok"),
+        (analysis.lang_guess(t) == F.col("lang")).alias("l_ok"))
+    agg1 = base.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.count_if(F.col("q_ok")).alias("n_quality"),
+        F.count_if(F.col("q_ok") & F.col("l_ok")).alias("n_lang"))
+    kept = (base.where(F.col("q_ok") & F.col("l_ok"))
+            .groupBy("fp")
+            .agg(F.min_by("source", "doc_id").alias("source"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_kept")))
+    return (agg1.join(kept, "source", "left")
+            .select("source", "n_total", "n_quality", "n_lang",
+                    F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept")))
+
+
+def _sql_curation_funnel() -> str:
+    quality = _sql_text_stats()["quality"]
+    guess = _sql_lang_guess()
+    return f"""WITH b AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fp,
+         ({quality} >= 0.5) AS q_ok, (({guess}) = lang) AS l_ok
+  FROM documents),
+a1 AS (SELECT source, COUNT(*) AS n_total,
+              COUNT(*) FILTER (WHERE q_ok) AS n_quality,
+              COUNT(*) FILTER (WHERE q_ok AND l_ok) AS n_lang
+       FROM b GROUP BY 1),
+k AS (SELECT source, COUNT(*) AS n_kept
+      FROM (SELECT arg_min(source, doc_id) AS source
+            FROM b WHERE q_ok AND l_ok GROUP BY fp)
+      GROUP BY 1)
+SELECT a1.source, n_total, n_quality, n_lang, COALESCE(n_kept, 0) AS n_kept
+FROM a1 LEFT JOIN k USING (source)"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2471,6 +2706,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geod_pairs": q_geod_pairs,
         "dggs_rollup": q_dggs_rollup,
         "geod_area": q_geod_area,
+        "tile_pyramid": q_tile_pyramid,
+        "morans_i": q_morans_i,
+        "viewport_topk": q_viewport_topk,
+        "idw_interp": q_idw_interp,
+        "curation_funnel": q_curation_funnel,
         "domain_top_pages": q_domain_top_pages,
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
@@ -2513,6 +2753,11 @@ def oracle_sql() -> dict[str, str]:
         "geod_pairs": _sql_geod_pairs(n),
         "dggs_rollup": _sql_dggs_rollup(n),
         "geod_area": _sql_geod_area(n),
+        "tile_pyramid": _sql_tile_pyramid(n),
+        "morans_i": _sql_morans_i(n),
+        "viewport_topk": _sql_viewport_topk(n),
+        "idw_interp": _sql_idw_interp(n),
+        "curation_funnel": _sql_curation_funnel(),
         "domain_top_pages": _sql_domain_top_pages(n),
         "doc_stats": _sql_doc_stats(),
         "exact_dedup": _sql_exact_dedup(),

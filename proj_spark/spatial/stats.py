@@ -1,0 +1,94 @@
+"""Spatial statistics over the cell lattice: global Moran's I.
+
+Moran's I is THE standard global spatial-autocorrelation measure
+(Moran 1950; the textbook form in Cliff & Ord 1981): for cell values
+x_i with binary rook contiguity weights w_ij (1 iff cells share an
+edge), with x_bar the mean over the N occupied cells and
+W = number of directed neighbor pairs,
+
+    I = (N / W) * sum_ij (x_i - x_bar)(x_j - x_bar)
+                / sum_i  (x_i - x_bar)^2
+
+Engine formulation — exact-integer sufficient statistics.  Expanding
+the centered products keeps every aggregate an exact BIGINT sum of
+integer cell counts (no order-dependent float accumulation, the repo's
+oracle-parity rule):
+
+    sum_ij (x_i-xb)(x_j-xb) = S_pairs - xb * S_i + W * xb^2
+    sum_i  (x_i-xb)^2       = S_sq    - N * xb^2
+
+with S_pairs = sum over pairs of x_i*x_j, S_i = sum over pairs of
+(x_i + x_j), S_sq = sum of x_i^2, T = sum x_i, xb = T/N.  Only the
+final assembly touches doubles, from exactly-representable integers
+with one fixed parenthesization, so any engine reproduces it bit-for-
+bit.
+
+Scale shape: one groupBy of the points to cells (the only big
+shuffle), then a neighbor equi-join of the CELL table against itself
+(4 shifted keys via explode — rows = 4x occupied cells, never points),
+then single-row aggregates.  Rook neighbors are in-lattice only: no
+x wraparound (consistent with cells.neighbor_cells; the dateline
+carries no test data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import cells
+
+
+def cell_counts(pts: DataFrame, z: int,
+                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Occupied-cell page counts at zoom z: (tx, ty, x)."""
+    return (pts
+            .select(cells.tile_x(F.col(lon_col), z).alias("tx"),
+                    cells.tile_y(F.col(lat_col), z).alias("ty"))
+            .groupBy("tx", "ty")
+            .agg(F.count("*").alias("x")))
+
+
+def morans_i(counts: DataFrame) -> DataFrame:
+    """Global Moran's I over (tx, ty, x) cell counts with rook weights.
+
+    Returns ONE row: the exact integer sufficient statistics
+    (n_cells, w_pairs, t_sum, s_sq, s_i, s_pairs) plus morans_i
+    rounded to 6 dp.  Degenerate lattices (no neighbor pairs, or zero
+    variance) yield NULL morans_i rather than a division error.
+    """
+    # directed neighbor pairs among occupied cells: explode the 4 rook
+    # offsets on the left, equi-join the shifted key against the cells
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+    ])
+    left = (counts
+            .withColumn("_o", F.explode(offsets))
+            .select((F.col("tx") + F.col("_o.dx")).alias("ntx"),
+                    (F.col("ty") + F.col("_o.dy")).alias("nty"),
+                    F.col("x").alias("xi")))
+    right = counts.select(F.col("tx").alias("ntx"), F.col("ty").alias("nty"),
+                          F.col("x").alias("xj"))
+    pairs = left.join(right, ["ntx", "nty"])
+
+    node = counts.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("x").alias("t_sum"),
+        F.sum(F.col("x") * F.col("x")).alias("s_sq"))
+    edge = pairs.agg(
+        F.count("*").alias("w_pairs"),
+        F.sum(F.col("xi") + F.col("xj")).alias("s_i"),
+        F.sum(F.col("xi") * F.col("xj")).alias("s_pairs"))
+
+    j = node.crossJoin(edge)
+    xb = F.col("t_sum").cast("double") / F.col("n_cells")
+    num = (F.col("s_pairs") - xb * F.col("s_i")
+           + F.col("w_pairs") * xb * xb)
+    den = F.col("s_sq") - F.col("n_cells") * xb * xb
+    i_val = F.when(
+        (F.col("w_pairs") > 0) & (den != 0.0),
+        F.round((F.col("n_cells").cast("double") / F.col("w_pairs"))
+                * num / den, 6))
+    return j.select("n_cells", "w_pairs", "t_sum", "s_sq", "s_i", "s_pairs",
+                    i_val.alias("morans_i"))

@@ -1,0 +1,230 @@
+"""Spatial analytics layer: tile pyramid, Moran's I, IDW interpolation,
+per-tile top-k serving, curation funnel."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from proj_spark.pages import synth_points
+from proj_spark.spatial import cells, interp, pyramid
+from proj_spark.spatial import stats as spatial_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+    return e
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    return synth_points(spark, 3000).persist()
+
+
+# --- tile pyramid ---------------------------------------------------------
+
+def test_pyramid_levels_match_direct_encoding(spark, pts):
+    """Every rolled-up level equals the direct per-zoom groupBy — the
+    floor-composition hierarchy property, checked on data."""
+    pyr = {(r.zoom, r.tile_x, r.tile_y): r.n
+           for r in pyramid.tile_pyramid(pts, 6, 3).collect()}
+    for z in range(3, 7):
+        direct = {(z, r.tx, r.ty): r.n for r in
+                  pts.select(cells.tile_x(F.col("lon"), z).alias("tx"),
+                             cells.tile_y(F.col("lat"), z).alias("ty"))
+                  .groupBy("tx", "ty").agg(F.count("*").alias("n")).collect()}
+        got = {k: v for k, v in pyr.items() if k[0] == z}
+        assert got == direct, f"level {z} diverges from direct encoding"
+
+
+def test_pyramid_parent_is_sum_of_children(spark, pts):
+    rows = pyramid.tile_pyramid(pts, 6, 5).collect()
+    fine = [(r.tile_x, r.tile_y, r.n) for r in rows if r.zoom == 6]
+    coarse = {(r.tile_x, r.tile_y): r.n for r in rows if r.zoom == 5}
+    acc: dict[tuple[int, int], int] = {}
+    for x, y, n in fine:
+        acc[(x >> 1, y >> 1)] = acc.get((x >> 1, y >> 1), 0) + n
+    assert acc == coarse
+
+
+def test_pyramid_scans_base_once(spark, entry):
+    """Each pyramid level is materialized once: the union branches read
+    InMemoryTableScans and the raw points relation appears exactly once
+    in the plan (inside the base level's cached subtree) — without the
+    persists every branch re-derives its ancestor chain from the source
+    (measured: 6 full scans for z9..z4)."""
+    df = entry.q_tile_pyramid(spark, SF)
+    try:
+        s = plan_of(df)
+        assert "InMemoryTableScan" in s
+        import re
+        assert len(re.findall(r"\(\d+\) (?:Scan parquet|Range)\b", s)) == 1
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_pyramid_validates_range(spark, pts):
+    with pytest.raises(ValueError):
+        pyramid.tile_pyramid(pts, 3, 5)   # z_min > z_max
+    with pytest.raises(ValueError):
+        pyramid.tile_pyramid(pts, 40, 2)  # z_max beyond MAX_Z
+
+
+# --- Moran's I ------------------------------------------------------------
+
+def _counts_df(spark, rows):
+    return spark.createDataFrame(rows, "tx long, ty long, x long")
+
+
+def test_morans_two_cell_hand_case(spark):
+    """(0,0)=1, (1,0)=3: N=2, W=2, T=4, S_sq=10, S_i=8, S_pairs=6,
+    I = (2/2) * (6 - 2*8 + 2*4) / (10 - 2*4) = -1 (hand computed)."""
+    r = spatial_stats.morans_i(
+        _counts_df(spark, [(0, 0, 1), (1, 0, 3)])).collect()[0]
+    assert (r.n_cells, r.w_pairs, r.t_sum, r.s_sq, r.s_i, r.s_pairs) == \
+        (2, 2, 4, 10, 8, 6)
+    assert r.morans_i == -1.0
+
+
+def test_morans_checkerboard_is_minus_one(spark):
+    """2x2 checkerboard 1/9: perfect negative autocorrelation."""
+    r = spatial_stats.morans_i(_counts_df(
+        spark, [(0, 0, 1), (1, 0, 9), (0, 1, 9), (1, 1, 1)])).collect()[0]
+    assert r.w_pairs == 8
+    assert r.morans_i == -1.0
+
+
+def test_morans_isolated_cells_null(spark):
+    """No adjacent occupied cells -> W=0 -> NULL (not a crash)."""
+    r = spatial_stats.morans_i(_counts_df(
+        spark, [(0, 0, 5), (7, 7, 2)])).collect()[0]
+    assert r.w_pairs == 0 and r.morans_i is None
+
+
+def test_morans_constant_field_null(spark):
+    """Zero variance -> NULL rather than 0/0."""
+    r = spatial_stats.morans_i(_counts_df(
+        spark, [(0, 0, 4), (1, 0, 4), (0, 1, 4)])).collect()[0]
+    assert r.morans_i is None
+
+
+def test_morans_positive_on_clustered_pages(spark, pts):
+    """City-clustered synthesis -> positive spatial autocorrelation."""
+    r = spatial_stats.morans_i(spatial_stats.cell_counts(pts, 5)).collect()[0]
+    assert r.morans_i is not None and r.morans_i > 0.05
+
+
+# --- IDW interpolation ----------------------------------------------------
+
+def test_idw_floor_division_exact_over_domain():
+    """floor(1e10 / d^2) in float64 == exact integer division for EVERY
+    quantized distance in [10 m, 100 km] — the proof that lets the SQL
+    oracle spell the identical float expression."""
+    d = np.arange(10, 100001, dtype=np.int64)
+    b = d * d
+    q_float = np.floor(np.float64(interp.W_SCALE) / b.astype(np.float64))
+    assert np.array_equal(q_float.astype(np.int64), interp.W_SCALE // b)
+
+
+def test_idw_rejects_uncoverable_radius(spark):
+    q = spark.createDataFrame([(0, 0.0, 0.0)], "query_id long, lon double, lat double")
+    with pytest.raises(ValueError, match="ring-1 cover"):
+        interp.idw_interp(q, q, radius_m=500_000.0, z=8,
+                          value=F.lit(1), max_abs_lat=61.0)
+
+
+def test_idw_matches_bruteforce(spark, pts):
+    """Cell-ring IDW == direct numpy IDW with the same quantization."""
+    from proj_spark.spatial.knn import EARTH_R
+    qrows = [(0, -74.0, 40.7), (1, 2.35, 48.86)]
+    q = spark.createDataFrame(qrows, "query_id long, lon double, lat double")
+    data = pts.withColumn("val", (F.col("url").substr(-1, 1).cast("long")))
+    got = {r.query_id: r for r in
+           interp.idw_interp(q, data, 50_000.0, 8, F.col("val"),
+                             max_abs_lat=61.0).collect()}
+    pdf = data.select("lon", "lat", "val").toPandas()
+    for qid, qlon, qlat in qrows:
+        p1, p2 = np.radians(qlat), np.radians(pdf["lat"].to_numpy())
+        dlam = np.radians(pdf["lon"].to_numpy()) - np.radians(qlon)
+        h = (np.sin((p2 - p1) / 2) ** 2
+             + np.cos(p1) * np.cos(p2) * np.sin(dlam / 2) ** 2)
+        d = 2.0 * EARTH_R * np.arcsin(np.sqrt(h))
+        sel = d <= 50_000.0
+        d_m = np.maximum(np.floor(d[sel] + 0.5).astype(np.int64), 10)
+        w = interp.W_SCALE // (d_m * d_m)
+        v = pdf["val"].to_numpy()[sel]
+        r = got[qid]
+        assert r.n_pts == int(sel.sum())
+        assert r.sum_w == int(w.sum())
+        assert r.sum_wv == int((w * v).sum())
+        if w.sum() > 0:
+            assert r.idw == pytest.approx(
+                round(float(w @ v) / float(w.sum()), 6), abs=1e-9)
+
+
+def test_idw_no_coverage_yields_null(spark):
+    q = spark.createDataFrame([(0, -40.0, -45.0)],
+                              "query_id long, lon double, lat double")
+    data = spark.createDataFrame([(10.0, 10.0, 5)],
+                                 "lon double, lat double, val long")
+    r = interp.idw_interp(q, data, 50_000.0, 8, F.col("val"),
+                          max_abs_lat=61.0).collect()[0]
+    assert r.n_pts == 0 and r.sum_w == 0 and r.idw is None
+
+
+def test_idw_broadcasts_query_side(spark, entry):
+    """The big points side must never shuffle: broadcast ring join only."""
+    s = plan_of(entry.q_idw_interp(spark, SF))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+# --- viewport top-k -------------------------------------------------------
+
+def test_viewport_topk_partial_topk_plan(spark, entry):
+    """row_number <= k must compile to WindowGroupLimit with a partial
+    (pre-shuffle) pass, so dense tiles ship <= k rows per map task."""
+    s = plan_of(entry.q_viewport_topk(spark, SF))
+    assert s.count("WindowGroupLimit") >= 2
+
+
+def test_viewport_topk_semantics(spark, entry):
+    rows = entry.q_viewport_topk(spark, SF).collect()
+    per_tile: dict[tuple[int, int], list] = {}
+    for r in rows:
+        per_tile.setdefault((r.tile_x, r.tile_y), []).append(r)
+    import hashlib
+    for tile, rs in per_tile.items():
+        assert len(rs) <= 3
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+        ordered = sorted(rs, key=lambda r: r.rank)
+        md5s = [hashlib.md5(r.url.encode()).hexdigest() for r in ordered]
+        assert md5s == sorted(md5s)
+
+
+# --- curation funnel ------------------------------------------------------
+
+def test_curation_funnel_monotone_and_consistent(spark, entry):
+    out = entry.q_curation_funnel(spark, "/root/testdata/sf0.01").collect()
+    assert out, "funnel must produce per-source rows"
+    for r in out:
+        assert r.n_total >= r.n_quality >= r.n_lang >= r.n_kept >= 0
+    # independent check of one stage: total quality-kept count
+    docs = entry._docs(spark, "/root/testdata/sf0.01")
+    from proj_spark.text import analysis
+    n_q = docs.where(analysis.quality_score(F.col("text")) >= 0.5).count()
+    assert sum(r.n_quality for r in out) == n_q
