@@ -34,8 +34,8 @@ from pyspark.sql.window import Window
 from proj_spark import temporal
 from proj_spark.pages import CITY_CENTERS, extract_geotags, pages_table
 from proj_spark.spatial import cells
-from proj_spark.spatial.knn import (EARTH_R, haversine_sql, knn_join,
-                                    knn_self_join, radius_join)
+from proj_spark.spatial.knn import (EARTH_R, haversine_expr, haversine_sql,
+                                    knn_join, knn_self_join, radius_join)
 from proj_spark.spatial.pip import pip_join
 from proj_spark.text import analysis
 
@@ -2630,6 +2630,52 @@ SELECT q.query_id, COALESCE(a.n_pts, 0) AS n_pts,
 FROM qp q LEFT JOIN agg a USING (query_id)"""
 
 
+DRIFT_JUMP_M = 5_000_000.0  # a >5000 km hop = inter-continental relocation
+
+
+def q_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl-path drift: order each domain's geotagged pages
+    by crawl sequence and measure the consecutive geodesic steps —
+    total path length, longest hop, and inter-continental jump count
+    (the geo-consistency signal crawl pipelines use to catch CDN/proxy
+    mislocations).
+
+    Plan: the sessionize shape — ONE exchange + sort on (domain) for
+    the lag window, and the following per-domain hash agg reuses that
+    partitioning (no second exchange).  Step sums are per-step meter-
+    rounded BIGINTs, so the aggregate is an exact integer sum (order-
+    independent); max_step is order-independent by definition.
+    """
+    pts = _points(spark, sf_dir)
+    seq = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    w = Window.partitionBy("domain").orderBy("seq")
+    t = (pts.select("domain", seq.alias("seq"), "lat", "lon")
+         .withColumn("plat", F.lag("lat").over(w))
+         .withColumn("plon", F.lag("lon").over(w)))
+    st = t.withColumn("step", haversine_expr(
+        F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat")))
+    return (st.groupBy("domain").agg(
+        F.count("*").alias("n_pages"),
+        F.count("step").alias("n_steps"),
+        F.count_if(F.col("step") > F.lit(DRIFT_JUMP_M)).alias("n_jumps"),
+        F.sum(F.round(F.col("step"), 0).cast("long")).alias("sum_step_m"),
+        F.round(F.max("step"), 0).cast("long").alias("max_step_m")))
+
+
+def _sql_domain_drift(n: int) -> str:
+    hav = haversine_sql("plon", "plat", "lon", "lat")
+    return f"""WITH {_pages_cte(n)},
+s AS (SELECT domain, i AS seq, lat, lon,
+             LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+      FROM pages WINDOW w AS (PARTITION BY domain ORDER BY i)),
+st AS (SELECT domain, {hav} AS step FROM s)
+SELECT domain, COUNT(*) AS n_pages, COUNT(step) AS n_steps,
+       COUNT(*) FILTER (WHERE step > {DRIFT_JUMP_M!r}) AS n_jumps,
+       CAST(SUM(CAST(ROUND(step, 0) AS BIGINT)) AS BIGINT) AS sum_step_m,
+       CAST(ROUND(MAX(step), 0) AS BIGINT) AS max_step_m
+FROM st GROUP BY 1"""
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation funnel per source: total -> quality-kept
     (score >= 0.5) -> language-verified (stopword lang-ID agrees with
@@ -2711,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewport_topk": q_viewport_topk,
         "idw_interp": q_idw_interp,
         "curation_funnel": q_curation_funnel,
+        "domain_drift": q_domain_drift,
         "domain_top_pages": q_domain_top_pages,
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
@@ -2758,6 +2805,7 @@ def oracle_sql() -> dict[str, str]:
         "viewport_topk": _sql_viewport_topk(n),
         "idw_interp": _sql_idw_interp(n),
         "curation_funnel": _sql_curation_funnel(),
+        "domain_drift": _sql_domain_drift(n),
         "domain_top_pages": _sql_domain_top_pages(n),
         "doc_stats": _sql_doc_stats(),
         "exact_dedup": _sql_exact_dedup(),

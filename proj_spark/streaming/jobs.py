@@ -71,6 +71,36 @@ def stream_tile_density(spark: SparkSession, pages_dir: str, z: int = 8,
             .agg(F.count("*").alias("n_pages")))
 
 
+def stream_tile_pyramid(spark: SparkSession, pages_dir: str,
+                        z_max: int = 8, z_min: int = 4,
+                        max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming multi-zoom tile counts (the serving pyramid, live).
+
+    The batch builder (spatial/pyramid.py) CHAINS per-level aggregations
+    — each level reads the previous level's materialized tiles.
+    Structured Streaming forbids chained aggregates, so the streaming-
+    correct formulation is the other trade: EXPLODE each point to its
+    (z_min..z_max) ancestor tiles up front and run ONE aggregation.
+    Shuffle volume is (z_max-z_min+1)x the points — the price of a
+    single stateful stage — and state is one running count per
+    (zoom, tile), bounded by the tile universe, not the stream length.
+    """
+    if not 0 <= z_min <= z_max <= cells.MAX_Z:
+        raise ValueError(f"need 0 <= z_min <= z_max <= {cells.MAX_Z}")
+    pages = _streaming_reader(spark, pages_dir, max_files_per_trigger)
+    pts = extract_geotags(pages).where(F.col("lat").isNotNull())
+    levels = F.array(*[
+        F.struct(F.lit(z).alias("zoom"),
+                 cells.tile_x(F.col("lon"), z).alias("tile_x"),
+                 cells.tile_y(F.col("lat"), z).alias("tile_y"))
+        for z in range(z_max, z_min - 1, -1)])
+    return (pts.select(F.explode(levels).alias("t"))
+            .groupBy(F.col("t.zoom").alias("zoom"),
+                     F.col("t.tile_x").alias("tile_x"),
+                     F.col("t.tile_y").alias("tile_y"))
+            .agg(F.count("*").alias("n")))
+
+
 _STATE_SCHEMA = StructType([StructField("total", LongType()),
                             StructField("batches", IntegerType())])
 _OUT_SCHEMA = StructType([

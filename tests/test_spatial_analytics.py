@@ -228,3 +228,45 @@ def test_curation_funnel_monotone_and_consistent(spark, entry):
     from proj_spark.text import analysis
     n_q = docs.where(analysis.quality_score(F.col("text")) >= 0.5).count()
     assert sum(r.n_quality for r in out) == n_q
+
+
+# --- domain drift ---------------------------------------------------------
+
+def test_domain_drift_single_exchange(spark, entry):
+    """The lag window and the per-domain agg share ONE hash exchange on
+    (domain) — the sessionize plan shape."""
+    import re
+    s = plan_of(entry.q_domain_drift(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange\b", s)) == 1
+    assert "hashpartitioning(domain" in s
+
+
+def test_domain_drift_semantics(spark):
+    """Hand-built two-domain path: step accounting and jump detection."""
+    import __spark_entry__ as entry
+    from proj_spark.spatial.knn import haversine_expr
+    rows = [("a", 1, 0.0, 0.0), ("a", 2, 0.0, 1.0), ("a", 3, 60.0, 1.0),
+            ("b", 1, 10.0, 10.0)]
+    df = spark.createDataFrame(rows, "domain string, seq long, lat double, lon double")
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("domain").orderBy("seq")
+    t = (df.withColumn("plat", F.lag("lat").over(w))
+         .withColumn("plon", F.lag("lon").over(w))
+         .withColumn("step", haversine_expr(F.col("plon"), F.col("plat"),
+                                            F.col("lon"), F.col("lat"))))
+    agg = (t.groupBy("domain").agg(
+        F.count("*").alias("n_pages"),
+        F.count("step").alias("n_steps"),
+        F.count_if(F.col("step") > F.lit(entry.DRIFT_JUMP_M)).alias("n_jumps"),
+        F.sum(F.round(F.col("step"), 0).cast("long")).alias("sum_step_m"),
+        F.round(F.max("step"), 0).cast("long").alias("max_step_m")))
+    out = {r.domain: r for r in agg.collect()}
+    # domain a: steps ~111 km (1 deg lon at equator) and ~6672 km (60 deg
+    # lat) -> one >5000 km jump; domain b: single page, no steps
+    assert out["a"].n_pages == 3 and out["a"].n_steps == 2
+    assert out["a"].n_jumps == 1
+    assert out["a"].max_step_m == pytest.approx(6672_000, rel=0.01)
+    assert out["a"].sum_step_m - out["a"].max_step_m == \
+        pytest.approx(111_195, rel=0.01)
+    assert out["b"].n_steps == 0 and out["b"].sum_step_m is None \
+        and out["b"].max_step_m is None

@@ -464,3 +464,24 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
             for r in entry.q_asof_join(spark, "/root/testdata/sf0.001").collect()}
     assert got == want
     assert any(v[0] is None for v in want.values())  # no-match facts exist
+
+
+def test_stream_tile_pyramid_matches_batch(spark, pages_dir):
+    """Streaming explode-then-aggregate pyramid == batch chained-
+    aggregation pyramid (two formulations of the same hierarchy)."""
+    from proj_spark.spatial import pyramid
+    from proj_spark.streaming import stream_tile_pyramid
+
+    run_to_memory(stream_tile_pyramid(spark, pages_dir, z_max=7, z_min=4),
+                  "pyr")
+    got = {(r["zoom"], r["tile_x"], r["tile_y"]): r["n"]
+           for r in spark.table("pyr").collect()}
+    from proj_spark.pages import extract_geotags
+    pts = (extract_geotags(spark.read.parquet(pages_dir))
+           .where(F.col("lat").isNotNull()))
+    try:
+        want = {(r["zoom"], r["tile_x"], r["tile_y"]): r["n"]
+                for r in pyramid.tile_pyramid(pts, 7, 4).collect()}
+    finally:
+        spark.catalog.clearCache()
+    assert got == want
