@@ -2676,6 +2676,96 @@ SELECT domain, COUNT(*) AS n_pages, COUNT(step) AS n_steps,
 FROM st GROUP BY 1"""
 
 
+WIN_K = 12       # k-gram width (winnowing noise threshold)
+WIN_W = 16       # window size (guarantee threshold t = w + k - 1 = 27)
+WIN_DF_CAP = 100  # drop fingerprints shared by more docs (skew guard)
+WIN_MIN_SHARED = 2
+
+
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash document fingerprinting,
+    Schleimer et al. 2003): one row per (doc, selected k-gram hash).
+
+    Pure higher-order expressions — the polynomial fold and window-min
+    selection run inside codegen; the DuckDB oracle reproduces every
+    hash bit-for-bit (list_reduce's first-element seeding equals the
+    init-0 fold).  See proj_spark/text/winnow.py.
+    """
+    from proj_spark.text import winnow
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return winnow.fingerprints(docs, k=WIN_K, w=WIN_W)
+
+
+def _winnow_sel_sql() -> str:
+    """DuckDB CTE chain computing the per-doc winnowing selection
+    (columns: doc_id, sel BIGINT[]) — DuckDB range() is end-EXCLUSIVE
+    where Spark sequence() is inclusive, hence the +2 bounds."""
+    k, w, m, b = WIN_K, WIN_W, 2147483647, 131
+    return f"""c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           list_transform(range(1, len(lower(text)) + 1),
+                          i -> CAST(ascii(substr(lower(text), i, 1)) AS BIGINT)) AS codes
+      FROM documents),
+h AS (SELECT doc_id,
+             CASE WHEN len(codes) >= {k} THEN
+               list_transform(range(1, len(codes) - {k} + 2),
+                              i -> list_reduce(codes[i:i+{k - 1}],
+                                               (a, x) -> (a * {b} + x) % {m}))
+             ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM c),
+s AS (SELECT doc_id,
+             CASE WHEN len(hs) >= {w} THEN
+               list_sort(list_distinct(list_transform(
+                 range(1, len(hs) - {w} + 2),
+                 i -> list_aggregate(hs[i:i+{w - 1}], 'min'))))
+             WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+             ELSE CAST([] AS BIGINT[]) END AS sel
+      FROM h)"""
+
+
+def _sql_winnow_fp() -> str:
+    return f"""WITH {_winnow_sel_sql()}
+SELECT doc_id, CAST(unnest(sel) AS BIGINT) AS fp FROM s"""
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup localization by shared winnowing fingerprints: document
+    pairs sharing >= 2 selected hashes (the winnowing index join).
+
+    Scale shape: shuffle on fp with a document-frequency cap (a
+    fingerprint shared by df docs contributes df^2 pairs on ONE shuffle
+    key — the ngram_pairs skew lesson), then a pair-count hash agg.
+    """
+    from proj_spark.text import winnow
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    # persist: the self-join below references the fingerprint relation
+    # three times (df-cap + both join sides) — without materialization
+    # the winnowing kernel would run 3x over the corpus
+    fps = winnow.fingerprints(docs, k=WIN_K, w=WIN_W).persist()
+    rare = (fps.groupBy("fp").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= WIN_DF_CAP))
+    kept = fps.join(F.broadcast(rare.select("fp")), "fp")
+    a = kept.select("fp", F.col("doc_id").alias("id_a"))
+    b = kept.select("fp", F.col("doc_id").alias("id_b"))
+    return (a.join(b, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= WIN_MIN_SHARED))
+
+
+def _sql_winnow_pairs() -> str:
+    return f"""WITH {_winnow_sel_sql()},
+fps AS (SELECT doc_id, CAST(unnest(sel) AS BIGINT) AS fp FROM s),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {WIN_DF_CAP}),
+kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WIN_MIN_SHARED}"""
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation funnel per source: total -> quality-kept
     (score >= 0.5) -> language-verified (stopword lang-ID agrees with
@@ -2758,6 +2848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_interp": q_idw_interp,
         "curation_funnel": q_curation_funnel,
         "domain_drift": q_domain_drift,
+        "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         "domain_top_pages": q_domain_top_pages,
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
@@ -2806,6 +2898,8 @@ def oracle_sql() -> dict[str, str]:
         "idw_interp": _sql_idw_interp(n),
         "curation_funnel": _sql_curation_funnel(),
         "domain_drift": _sql_domain_drift(n),
+        "winnow_fp": _sql_winnow_fp(),
+        "winnow_pairs": _sql_winnow_pairs(),
         "domain_top_pages": _sql_domain_top_pages(n),
         "doc_stats": _sql_doc_stats(),
         "exact_dedup": _sql_exact_dedup(),

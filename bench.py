@@ -29,11 +29,12 @@ HEADLINE = [
     "webmerc_bbox", "utm_project", "datum_shift", "factors", "geod_pairs",
     "dggs_rollup", "geod_area", "asof_join", "sessionize", "radius_join",
     "zorder_bbox", "geohash_rollup", "admin_raster",
-    "tile_pyramid", "morans_i", "viewport_topk", "idw_interp",
+    "tile_pyramid", "morans_i", "viewport_topk", "idw_interp", "domain_drift",
     "doc_stats", "exact_dedup", "curation_funnel",
     "token_topk", "ngram_pairs", "embed_topk", "events_hourly",
     "crs_dispatch", "gridshift_file", "minhash_neardup", "simhash_neardup",
     "ann_pairs", "ivf_topk", "dedup_groups", "embed_neardup",
+    "winnow_fp", "winnow_pairs",
 ]
 
 

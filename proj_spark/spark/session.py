@@ -39,7 +39,12 @@ def get_spark(app: str = "proj_spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local-mode executor sizing: the driver JVM hosts all 32 task
+        # threads, so an 8g heap GC-thrashes once a long suite accumulates
+        # codegen classes + broadcasts (measured: 39-query steady pass
+        # 138 s at 8g vs 111 s at 24g, knn_join 23 s -> 10 s).  On a real
+        # cluster this is executor memory, sized per-executor as usual.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
