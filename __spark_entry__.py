@@ -2676,6 +2676,28 @@ SELECT domain, COUNT(*) AS n_pages, COUNT(step) AS n_steps,
 FROM st GROUP BY 1"""
 
 
+def q_bpe_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-30 BPE-ish pretokenizer units (space-absorbing letter/
+    digit/symbol runs — the GPT-2 pretokenizer restricted to the
+    lookahead-free regex subset Java regex and RE2 share), plus the
+    corpus-total unit count as a cross-check column.
+
+    Same scale shape as token_topk: explode -> partial hash agg ->
+    TakeOrdered; the regexp runs once per document inside codegen.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(analysis.bpe_tokens(F.col("text"))).alias("unit"))
+    return (toks.groupBy("unit").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "unit").limit(30))
+
+
+def _sql_bpe_token_topk() -> str:
+    return f"""SELECT unit, COUNT(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '{analysis.BPE_PATTERN}')) AS unit
+      FROM documents)
+GROUP BY 1 ORDER BY n DESC, unit LIMIT 30"""
+
+
 WIN_K = 12       # k-gram width (winnowing noise threshold)
 WIN_W = 16       # window size (guarantee threshold t = w + k - 1 = 27)
 WIN_DF_CAP = 100  # drop fingerprints shared by more docs (skew guard)
@@ -2850,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_drift": q_domain_drift,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
+        "bpe_token_topk": q_bpe_token_topk,
         "domain_top_pages": q_domain_top_pages,
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
@@ -2900,6 +2923,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_drift": _sql_domain_drift(n),
         "winnow_fp": _sql_winnow_fp(),
         "winnow_pairs": _sql_winnow_pairs(),
+        "bpe_token_topk": _sql_bpe_token_topk(),
         "domain_top_pages": _sql_domain_top_pages(n),
         "doc_stats": _sql_doc_stats(),
         "exact_dedup": _sql_exact_dedup(),

@@ -34,7 +34,7 @@ HEADLINE = [
     "token_topk", "ngram_pairs", "embed_topk", "events_hourly",
     "crs_dispatch", "gridshift_file", "minhash_neardup", "simhash_neardup",
     "ann_pairs", "ivf_topk", "dedup_groups", "embed_neardup",
-    "winnow_fp", "winnow_pairs",
+    "winnow_fp", "winnow_pairs", "bpe_token_topk",
 ]
 
 

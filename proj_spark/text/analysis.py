@@ -27,6 +27,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pretokenizer, restricted to the lookahead-free regex subset
+# shared by Java regex (Spark) and RE2 (DuckDB oracles): letter runs,
+# digit runs, and other-symbol runs, each optionally absorbing ONE
+# preceding space (the "BPE-ish" merge unit; applied to lowercased text)
+BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pretokenization of lowercased text (see BPE_PATTERN)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

@@ -115,3 +115,27 @@ def test_kernel_equals_expression_on_corpus(spark):
     b = sorted((r.doc_id, r.fp) for r in
                winnow.fingerprints(docs, impl="expr").collect())
     assert a == b and len(a) > 0
+
+
+def test_bpe_pretokenizer_matches_python_re(spark):
+    """Spark regexp_extract_all (Java regex) == python re (the oracle's
+    RE2 was probed separately) over mixed text — the pattern stays in
+    the lookahead-free subset all three dialects share."""
+    import re as _re
+
+    from proj_spark.text import analysis
+
+    texts = [
+        "The quick brown-fox 123 jumps!  twice, 2nd time; http://x.y/z",
+        "ALL-CAPS and   triple  spaces ...ellipsis... 42nd st.",
+        "unicode: héllo wörld — naïve café 3.14159",
+        "",
+        "1234567890",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {r.i: r.toks for r in
+           df.select("i", analysis.bpe_tokens(F.col("text")).alias("toks"))
+           .collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _re.findall(analysis.BPE_PATTERN, t.lower()), t

@@ -17,10 +17,19 @@ to exactly <cores> CPUs, so the python UDF workers and the JVM share
 the same budget a real <cores>-core executor would have.
 """
 
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+# The probe models an N-core EXECUTOR: a small fixed heap to match the
+# pinned CPU budget (the engine's 24g local-suite default is sized for
+# a 32-thread 42-query session and measurably mis-behaves under a
+# 2-8 CPU taskset pin — a 24g-heap 8-CPU pass was observed wedged in
+# GC/startup).  All recorded scaling sessions ran at 8g; keep the
+# series comparable.
+os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
 
 from pyspark.sql import functions as F  # noqa: E402
 
