@@ -2676,6 +2676,64 @@ SELECT domain, COUNT(*) AS n_pages, COUNT(step) AS n_steps,
 FROM st GROUP BY 1"""
 
 
+def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse geocoding at scale: label EVERY page with its nearest of
+    the 40 city centers, then per-city stats.
+
+    Plan shape for a big side: the label set is a LITERAL array, the
+    argmin is `array_min` over per-candidate (dist, id) structs — all
+    inside whole-stage codegen, ZERO joins and zero shuffles of the
+    points until the final per-city hash agg.  This is the degenerate
+    (small fixed candidate set) kNN that enrichment pipelines run over
+    the full corpus; the ring-join machinery (knn_join) is for
+    candidate sets that don't fit a literal/broadcast.
+
+    Tie-break: struct comparison orders by (dist, city_id), so an exact
+    distance tie picks the lower id deterministically in both engines.
+    Distance sums are per-point meter-rounded BIGINTs (exact, order-
+    independent).
+    """
+    pts = _points(spark, sf_dir)
+    cand = F.array(*[
+        F.struct(
+            (F.lit(2.0 * EARTH_R) * F.asin(F.sqrt(
+                F.pow(F.sin((F.radians(F.lit(cy)) - F.radians(F.col("lat"))) / 2), 2)
+                + F.cos(F.radians(F.col("lat"))) * F.cos(F.radians(F.lit(cy)))
+                * F.pow(F.sin((F.radians(F.lit(cx)) - F.radians(F.col("lon"))) / 2), 2)
+            ))).alias("d"),
+            F.lit(i).alias("city_id"))
+        for i, (cx, cy) in enumerate(CITY_CENTERS)])
+    best = F.array_min(cand)
+    lab = pts.select(
+        "domain",
+        best["city_id"].alias("city_id"),
+        F.round(best["d"], 0).cast("long").alias("d_m"))
+    return (lab.groupBy("city_id").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("domain").alias("n_domains"),
+        F.sum("d_m").alias("sum_dist_m"),
+        F.max("d_m").alias("max_dist_m")))
+
+
+def _sql_reverse_geocode(n: int) -> str:
+    terms = []
+    for i, (cx, cy) in enumerate(CITY_CENTERS):
+        d = (f"2.0 * {EARTH_R} * ASIN(SQRT("
+             f"POWER(SIN((RADIANS({cy!r}) - RADIANS(lat))/2), 2) + "
+             f"COS(RADIANS(lat)) * COS(RADIANS({cy!r})) * "
+             f"POWER(SIN((RADIANS({cx!r}) - RADIANS(lon))/2), 2)))")
+        terms.append(f"({d}, {i})")
+    lst = "[" + ", ".join(terms) + "]"
+    return f"""WITH {_pages_cte(n)},
+lab AS (SELECT domain,
+               best[2] AS city_id,
+               CAST(ROUND(best[1], 0) AS BIGINT) AS d_m
+        FROM (SELECT domain, list_aggregate({lst}, 'min') AS best FROM pages))
+SELECT city_id, COUNT(*) AS n_pages, COUNT(DISTINCT domain) AS n_domains,
+       CAST(SUM(d_m) AS BIGINT) AS sum_dist_m, MAX(d_m) AS max_dist_m
+FROM lab GROUP BY 1"""
+
+
 def q_bpe_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus top-30 BPE-ish pretokenizer units (space-absorbing letter/
     digit/symbol runs — the GPT-2 pretokenizer restricted to the
@@ -2873,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
         "bpe_token_topk": q_bpe_token_topk,
+        "reverse_geocode": q_reverse_geocode,
         "domain_top_pages": q_domain_top_pages,
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
@@ -2924,6 +2983,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fp": _sql_winnow_fp(),
         "winnow_pairs": _sql_winnow_pairs(),
         "bpe_token_topk": _sql_bpe_token_topk(),
+        "reverse_geocode": _sql_reverse_geocode(n),
         "domain_top_pages": _sql_domain_top_pages(n),
         "doc_stats": _sql_doc_stats(),
         "exact_dedup": _sql_exact_dedup(),
