@@ -1298,6 +1298,97 @@ FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+')
 GROUP BY 1 ORDER BY n DESC, token LIMIT 30"""
 
 
+CHUNK_W = 8
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide duplicate-chunk removal stats per doc.
+
+    Fixed-width token chunks stand in for paragraphs (the synthetic
+    corpus has no newlines); an instance is removed unless it is the
+    corpus-wide first occurrence by (doc_id, pos).  See
+    proj_spark/text/repetition.py for the one-shuffle-per-stage plan.
+    """
+    from proj_spark.text.repetition import chunk_dedup_stats
+    out = chunk_dedup_stats(_docs(spark, sf_dir), CHUNK_W)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_chunks", "n_removed", "n_tokens", "kept_tok",
+                      "kept_frac")
+
+
+def _sql_chunk_dedup() -> str:
+    w = CHUNK_W
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "t -> t != '')")
+    return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+ch AS (
+  SELECT doc_id,
+         unnest([{{'pos': i,
+                   'chunk': array_to_string(toks[i*{w}+1 : i*{w}+{w}], ' '),
+                   'ctok': least({w}, len(toks) - i*{w})}}
+                 for i in generate_series(0, (len(toks) - 1) // {w})]) AS c
+  FROM t WHERE len(toks) > 0
+), m AS (
+  SELECT doc_id, c.pos AS pos, c.ctok AS ctok,
+         ROW_NUMBER() OVER (PARTITION BY c.chunk
+                            ORDER BY doc_id, c.pos) AS rn
+  FROM ch
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(ctok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN rn > 1 THEN 0 ELSE ctok END) AS BIGINT) AS kept_tok,
+       ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 0 ELSE ctok END) AS DOUBLE)
+             / SUM(ctok), 6) AS kept_frac
+FROM m GROUP BY 1"""
+
+
+def q_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition metrics + filter flag
+    (duplicate-token fraction, top-bigram share)."""
+    from proj_spark.text.repetition import repetition_stats
+    out = repetition_stats(_docs(spark, sf_dir))
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+def _sql_gopher_rep() -> str:
+    from proj_spark.text.repetition import (DUP_TOKEN_MAX_FRAC,
+                                            TOP_BIGRAM_MAX_SHARE)
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "t -> t != '')")
+    return f"""WITH t AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CASE WHEN len(toks) >= 2
+              THEN [toks[i] || ' ' || toks[i+1]
+                    for i in generate_series(1, len(toks) - 1)]
+              ELSE [] END AS bigrams
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+), bg AS (
+  SELECT doc_id, n_tokens, n_distinct, unnest(bigrams) AS bigram FROM t
+), counts AS (
+  SELECT doc_id, n_tokens, n_distinct, bigram, COUNT(*) AS bn
+  FROM bg GROUP BY 1, 2, 3, 4
+), agg AS (
+  SELECT doc_id, n_tokens, n_distinct,
+         CAST(SUM(bn) AS BIGINT) AS n_bigrams,
+         CAST(MAX(bn) AS BIGINT) AS top_bigram_n
+  FROM counts GROUP BY 1, 2, 3
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, n_distinct,
+       ROUND(CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens, 6)
+         AS dup_tok_frac,
+       n_bigrams, top_bigram_n,
+       ROUND(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 6)
+         AS top_bigram_share,
+       (ROUND(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 6)
+          > {TOP_BIGRAM_MAX_SHARE!r}
+        OR ROUND(CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens, 6)
+          > {DUP_TOKEN_MAX_FRAC!r}) AS rep_flagged
+FROM agg"""
+
+
 # 20-char shingles: wide enough that vocabulary-level n-grams don't become
 # ubiquitous (a shingle shared by thousands of docs makes the
 # join-on-shingle pair count quadratic in document frequency)
@@ -2935,6 +3026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_top_pages": q_domain_top_pages,
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
+        "chunk_dedup": q_chunk_dedup,
+        "gopher_rep": q_gopher_rep,
         "lang_confusion": q_lang_confusion,
         "token_topk": q_token_topk,
         "ngram_pairs": q_ngram_pairs,
@@ -2987,6 +3080,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_top_pages": _sql_domain_top_pages(n),
         "doc_stats": _sql_doc_stats(),
         "exact_dedup": _sql_exact_dedup(),
+        "chunk_dedup": _sql_chunk_dedup(),
+        "gopher_rep": _sql_gopher_rep(),
         "lang_confusion": _sql_lang_confusion(),
         "token_topk": _sql_token_topk(),
         "ngram_pairs": _sql_ngram_pairs(),

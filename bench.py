@@ -30,7 +30,9 @@ HEADLINE = [
     "dggs_rollup", "geod_area", "asof_join", "sessionize", "radius_join",
     "zorder_bbox", "geohash_rollup", "admin_raster",
     "tile_pyramid", "morans_i", "viewport_topk", "idw_interp", "domain_drift",
-    "doc_stats", "exact_dedup", "curation_funnel",
+    "reverse_geocode",
+    "doc_stats", "exact_dedup", "curation_funnel", "chunk_dedup",
+    "gopher_rep",
     "token_topk", "ngram_pairs", "embed_topk", "events_hourly",
     "crs_dispatch", "gridshift_file", "minhash_neardup", "simhash_neardup",
     "ann_pairs", "ivf_topk", "dedup_groups", "embed_neardup",
