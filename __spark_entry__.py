@@ -2630,6 +2630,84 @@ SELECT n_cells, w_pairs, t_sum, s_sq, s_i, s_pairs,
 FROM node, edge"""
 
 
+HEATMAP_Z = 8
+
+
+def _kernel_values_sql() -> str:
+    from proj_spark.spatial.stats import KERNEL_3X3
+    vals = ", ".join(f"({dx}, {dy}, {w})" for dx, dy, w in KERNEL_3X3)
+    return f"(VALUES {vals}) AS o(dx, dy, w)"
+
+
+def q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 hottest z8 tiles after 3x3 binomial raster smoothing —
+    the KDE-style heatmap layer (see spatial/stats.kernel_smooth:
+    scatter-explode of the TILE table, integer weights, one shuffle)."""
+    from proj_spark.spatial import stats as spatial_stats
+    pts = _points(spark, sf_dir)
+    sm = spatial_stats.kernel_smooth(
+        spatial_stats.cell_counts(pts, HEATMAP_Z), HEATMAP_Z)
+    return (sm.orderBy(F.col("density").desc(), "tx", "ty").limit(100)
+            .select("tx", "ty", "n_pages", "density"))
+
+
+def _sql_heatmap(n: int) -> str:
+    z = HEATMAP_Z
+    side = 1 << z
+    return f"""WITH {_pages_cte(n)},
+cl AS (SELECT {cells.tile_x_sql('lon', z)} AS tx,
+              {cells.tile_y_sql('lat', z)} AS ty, COUNT(*) AS x
+       FROM pages GROUP BY 1, 2),
+sc AS (SELECT tx + dx AS tx2, ty + dy AS ty2, x * w AS wx,
+              CASE WHEN dx = 0 AND dy = 0 THEN x ELSE 0 END AS own
+       FROM cl CROSS JOIN {_kernel_values_sql()})
+SELECT tx2 AS tx, ty2 AS ty,
+       CAST(SUM(own) AS BIGINT) AS n_pages,
+       CAST(SUM(wx) AS BIGINT) AS density
+FROM sc
+WHERE tx2 >= 0 AND tx2 < {side} AND ty2 >= 0 AND ty2 < {side}
+GROUP BY 1, 2
+ORDER BY density DESC, tx, ty LIMIT 100"""
+
+
+GETIS_Z = 6
+
+
+def q_getis_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-score for every occupied z6 cell (the
+    standard local hotspot statistic; exact-integer sufficient stats +
+    fixed float assembly => bit-equal oracle, the morans_i discipline).
+    """
+    from proj_spark.spatial import stats as spatial_stats
+    pts = _points(spark, sf_dir)
+    return spatial_stats.getis_gi(
+        spatial_stats.cell_counts(pts, GETIS_Z))
+
+
+def _sql_getis_hotspots(n: int) -> str:
+    z = GETIS_Z
+    xb = "(CAST(t_sum AS DOUBLE) / n_cells)"
+    s = f"SQRT(CAST(s_sq AS DOUBLE) / n_cells - {xb} * {xb})"
+    vt = ("((CAST(n_cells AS DOUBLE) * k - k * k) / "
+          "(CAST(n_cells AS DOUBLE) - 1.0))")
+    return f"""WITH {_pages_cte(n)},
+cl AS (SELECT {cells.tile_x_sql('lon', z)} AS tx,
+              {cells.tile_y_sql('lat', z)} AS ty, COUNT(*) AS x
+       FROM pages GROUP BY 1, 2),
+win AS (SELECT a.tx AS tx, a.ty AS ty,
+               CAST(SUM(b.x) AS BIGINT) AS w_sum, COUNT(*) AS k
+        FROM cl a CROSS JOIN {_kernel_values_sql()}
+        JOIN cl b ON b.tx = a.tx + dx AND b.ty = a.ty + dy
+        GROUP BY 1, 2),
+g AS (SELECT COUNT(*) AS n_cells, CAST(SUM(x) AS BIGINT) AS t_sum,
+             CAST(SUM(x * x) AS BIGINT) AS s_sq FROM cl)
+SELECT w.tx, w.ty, c.x AS n_pages, w.w_sum, w.k,
+       CASE WHEN n_cells > 1 AND {s} > 0.0 AND {vt} > 0.0
+            THEN ROUND((w.w_sum - {xb} * w.k) / ({s} * SQRT({vt})), 6)
+       END AS gi_star
+FROM win w JOIN cl c ON c.tx = w.tx AND c.ty = w.ty CROSS JOIN g"""
+
+
 VIEWPORT_Z = 7
 VIEWPORT_K = 3
 
@@ -3014,6 +3092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dggs_rollup": q_dggs_rollup,
         "geod_area": q_geod_area,
         "tile_pyramid": q_tile_pyramid,
+        "heatmap": q_heatmap,
+        "getis_hotspots": q_getis_hotspots,
         "morans_i": q_morans_i,
         "viewport_topk": q_viewport_topk,
         "idw_interp": q_idw_interp,
@@ -3068,6 +3148,8 @@ def oracle_sql() -> dict[str, str]:
         "dggs_rollup": _sql_dggs_rollup(n),
         "geod_area": _sql_geod_area(n),
         "tile_pyramid": _sql_tile_pyramid(n),
+        "heatmap": _sql_heatmap(n),
+        "getis_hotspots": _sql_getis_hotspots(n),
         "morans_i": _sql_morans_i(n),
         "viewport_topk": _sql_viewport_topk(n),
         "idw_interp": _sql_idw_interp(n),

@@ -92,3 +92,93 @@ def morans_i(counts: DataFrame) -> DataFrame:
                 * num / den, 6))
     return j.select("n_cells", "w_pairs", "t_sum", "s_sq", "s_i", "s_pairs",
                     i_val.alias("morans_i"))
+
+
+# 3x3 binomial (Gaussian-approximating) kernel — INTEGER weights so the
+# convolution is an exact BIGINT sum any engine reproduces bit-for-bit
+KERNEL_3X3 = [(dx, dy, (2 - abs(dx)) * (2 - abs(dy)))
+              for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def kernel_smooth(counts: DataFrame, z: int) -> DataFrame:
+    """Raster convolution: 3x3 binomial smoothing of tile counts (the
+    KDE-style heatmap step of every web-map density layer).
+
+    Scatter formulation: each occupied tile EXPLODES its 9 weighted
+    contributions onto shifted targets, then one hash agg on the target
+    tile sums them — rows = 9x occupied TILES (never points), one
+    shuffle.  At 100 TB the tile table is the already-aggregated small
+    relation, so the convolution costs a rounding error next to the
+    point scan.  Targets outside the z-lattice are dropped (no x wrap:
+    consistent with cells.neighbor_cells; the dateline carries no data).
+
+    Output per target tile: (tx, ty, n_pages = its own raw count or 0,
+    density = sum of weighted neighbor counts, weight total 16).
+    """
+    n = 1 << z
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(w).alias("w"))
+        for dx, dy, w in KERNEL_3X3])
+    scat = (counts
+            .withColumn("_o", F.explode(offsets))
+            .select((F.col("tx") + F.col("_o.dx")).alias("tx"),
+                    (F.col("ty") + F.col("_o.dy")).alias("ty"),
+                    (F.col("x") * F.col("_o.w")).alias("wx"),
+                    F.when((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0),
+                           F.col("x")).otherwise(F.lit(0)).alias("own")))
+    return (scat
+            .where((F.col("tx") >= 0) & (F.col("tx") < n)
+                   & (F.col("ty") >= 0) & (F.col("ty") < n))
+            .groupBy("tx", "ty")
+            .agg(F.sum("own").cast("long").alias("n_pages"),
+                 F.sum("wx").cast("long").alias("density")))
+
+
+def getis_gi(counts: DataFrame) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores over occupied cells (Getis & Ord
+    1992; Ord & Getis 1995 eq. 6) with binary 3x3 queen weights
+    INCLUDING self (the * variant), study region = the occupied cells.
+
+        Gi* = (W_i - xb*k_i) / (S * sqrt((n*k_i - k_i^2) / (n - 1)))
+
+    with W_i = sum of x_j over occupied window cells, k_i their count,
+    xb/S the global mean/std (ddof=0), n the occupied-cell count.
+
+    Exactness contract (the morans_i discipline): W_i, k_i, n, T=sum x,
+    S_sq=sum x^2 are exact BIGINTs; the per-row assembly is a fixed
+    parenthesization of correctly-rounded IEEE ops (/ * - sqrt), so the
+    SQL oracle reproduces the rounded double bit-for-bit.
+
+    Scale shape: one 9-offset explode of the CELL table joined back on
+    the shifted key (rows = 9x cells), one agg, one broadcastable
+    1-row global join.
+    """
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy, _ in KERNEL_3X3])
+    left = (counts
+            .withColumn("_o", F.explode(offsets))
+            .select((F.col("tx") + F.col("_o.dx")).alias("ntx"),
+                    (F.col("ty") + F.col("_o.dy")).alias("nty"),
+                    F.col("tx").alias("tx"), F.col("ty").alias("ty")))
+    right = counts.select(F.col("tx").alias("ntx"), F.col("ty").alias("nty"),
+                          F.col("x").alias("xj"))
+    win = (left.join(right, ["ntx", "nty"])
+           .groupBy("tx", "ty")
+           .agg(F.sum("xj").cast("long").alias("w_sum"),
+                F.count("*").cast("long").alias("k")))
+    glob = counts.agg(F.count("*").alias("n_cells"),
+                      F.sum("x").cast("long").alias("t_sum"),
+                      F.sum(F.col("x") * F.col("x")).cast("long")
+                      .alias("s_sq"))
+    j = win.join(counts, ["tx", "ty"]).crossJoin(F.broadcast(glob))
+    n = F.col("n_cells").cast("double")
+    xb = F.col("t_sum") / n
+    s = F.sqrt(F.col("s_sq") / n - xb * xb)
+    varterm = (n * F.col("k") - F.col("k") * F.col("k")) / (n - F.lit(1.0))
+    gi = F.when((F.col("n_cells") > 1) & (s > 0.0) & (varterm > 0.0),
+                F.round((F.col("w_sum") - xb * F.col("k"))
+                        / (s * F.sqrt(varterm)), 6))
+    return j.select("tx", "ty", F.col("x").alias("n_pages"),
+                    "w_sum", "k", gi.alias("gi_star"))

@@ -270,3 +270,52 @@ def test_domain_drift_semantics(spark):
         pytest.approx(111_195, rel=0.01)
     assert out["b"].n_steps == 0 and out["b"].sum_step_m is None \
         and out["b"].max_step_m is None
+
+
+def test_kernel_smooth_single_cell_scatter(spark):
+    """One cell of 4 pages scatters the 3x3 binomial kernel: center
+    16, edges 8, corners 4; n_pages only at the center."""
+    sm = {(r.tx, r.ty): r for r in spatial_stats.kernel_smooth(
+        _counts_df(spark, [(5, 5, 4)]), z=4).collect()}
+    assert len(sm) == 9
+    assert sm[(5, 5)].density == 16 and sm[(5, 5)].n_pages == 4
+    assert sm[(4, 5)].density == 8 and sm[(4, 5)].n_pages == 0
+    assert sm[(4, 4)].density == 4
+
+
+def test_kernel_smooth_drops_out_of_lattice(spark):
+    """A corner cell only scatters onto in-lattice targets (no wrap)."""
+    sm = spatial_stats.kernel_smooth(
+        _counts_df(spark, [(0, 0, 1)]), z=3).collect()
+    assert {(r.tx, r.ty) for r in sm} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_kernel_smooth_is_join_free(spark):
+    plan = spatial_stats.kernel_smooth(
+        _counts_df(spark, [(0, 0, 1)]), z=3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_getis_hand_case(spark):
+    """Row (0,0)=1,(1,0)=3,(2,0)=2: n=3, xb=2, S=sqrt(2/3).
+    Ends: k=2, varterm=1 -> gi=(w_sum-4)/S; middle: k=n=3 -> NULL."""
+    rows = {(r.tx, r.ty): r for r in spatial_stats.getis_gi(
+        _counts_df(spark, [(0, 0, 1), (1, 0, 3), (2, 0, 2)])).collect()}
+    import math
+    s = math.sqrt(14 / 3 - 4.0)
+    assert rows[(0, 0)].w_sum == 4 and rows[(0, 0)].k == 2
+    assert rows[(0, 0)].gi_star == 0.0
+    assert rows[(1, 0)].k == 3 and rows[(1, 0)].gi_star is None
+    assert rows[(2, 0)].gi_star == pytest.approx((5 - 4) / s, abs=1e-6)
+
+
+def test_getis_hot_cell_positive_cold_negative(spark):
+    """A dense blob's center scores high positive; a far sparse cell
+    in a sparse neighborhood scores negative."""
+    blob = [(10 + dx, 10 + dy, 50) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    cold = [(30, 30, 1), (31, 30, 1)]
+    rows = {(r.tx, r.ty): r for r in spatial_stats.getis_gi(
+        _counts_df(spark, blob + cold)).collect()}
+    assert rows[(10, 10)].gi_star > 1.0
+    assert rows[(30, 30)].gi_star < 0.0
