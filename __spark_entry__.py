@@ -2670,6 +2670,74 @@ GROUP BY 1, 2
 ORDER BY density DESC, tx, ty LIMIT 100"""
 
 
+DENSE_Z = 8
+DENSE_MIN = 5
+
+
+def q_dense_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN-style clustering: connected components of dense z8
+    tiles (>= DENSE_MIN pages) under rook adjacency, one row per
+    cluster with size, page total and bbox.
+
+    Plan: the iterative hash-to-min + pointer-jumping CC of
+    text/components.py (O(log diameter) rounds, two key-shuffles per
+    round, lineage truncated per round) runs on the DENSE-TILE graph —
+    at 100 TB the tile table is already the aggregated small relation,
+    so CC cost is independent of the point count.  The oracle computes
+    the same labels independently via a recursive-CTE transitive
+    closure (min reachable id).
+    """
+    from proj_spark.spatial import stats as spatial_stats
+    from proj_spark.text.components import connected_components
+    side = 1 << DENSE_Z
+    pts = _points(spark, sf_dir)
+    dense = (spatial_stats.cell_counts(pts, DENSE_Z)
+             .where(F.col("x") >= DENSE_MIN)
+             .withColumn("id", F.col("tx") * side + F.col("ty")))
+    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in ((1, 0), (0, 1))])
+    l = (dense.withColumn("_o", F.explode(off))
+         .select((F.col("tx") + F.col("_o.dx")).alias("ntx"),
+                 (F.col("ty") + F.col("_o.dy")).alias("nty"),
+                 F.col("id").alias("src")))
+    r = dense.select(F.col("tx").alias("ntx"), F.col("ty").alias("nty"),
+                     F.col("id").alias("dst"))
+    edges = l.join(r, ["ntx", "nty"]).select("src", "dst")
+    cc = connected_components(edges)
+    lab = (dense.join(cc, "id", "left")
+           .withColumn("comp_id", F.coalesce("comp", "id")))
+    return (lab.groupBy("comp_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("x").cast("long").alias("n_pages"),
+        F.min("tx").alias("tx_min"), F.max("tx").alias("tx_max"),
+        F.min("ty").alias("ty_min"), F.max("ty").alias("ty_max")))
+
+
+def _sql_dense_clusters(n: int) -> str:
+    z, side = DENSE_Z, 1 << DENSE_Z
+    return f"""WITH RECURSIVE {_pages_cte(n)},
+cl AS (SELECT {cells.tile_x_sql('lon', z)} AS tx,
+              {cells.tile_y_sql('lat', z)} AS ty, COUNT(*) AS x
+       FROM pages GROUP BY 1, 2),
+dense AS (SELECT tx * {side} + ty AS id, tx, ty, x
+          FROM cl WHERE x >= {DENSE_MIN}),
+e AS (SELECT a.id AS src, b.id AS dst
+      FROM dense a JOIN dense b
+        ON (b.tx = a.tx + 1 AND b.ty = a.ty)
+        OR (b.tx = a.tx - 1 AND b.ty = a.ty)
+        OR (b.tx = a.tx AND b.ty = a.ty + 1)
+        OR (b.tx = a.tx AND b.ty = a.ty - 1)),
+reach AS (SELECT id AS src, id AS dst FROM dense
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst),
+lab AS (SELECT src AS id, MIN(dst) AS comp_id FROM reach GROUP BY 1)
+SELECT CAST(comp_id AS BIGINT) AS comp_id, COUNT(*) AS n_cells,
+       CAST(SUM(x) AS BIGINT) AS n_pages,
+       MIN(tx) AS tx_min, MAX(tx) AS tx_max,
+       MIN(ty) AS ty_min, MAX(ty) AS ty_max
+FROM dense JOIN lab USING (id) GROUP BY 1"""
+
+
 GETIS_Z = 6
 
 
@@ -3094,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "heatmap": q_heatmap,
         "getis_hotspots": q_getis_hotspots,
+        "dense_clusters": q_dense_clusters,
         "morans_i": q_morans_i,
         "viewport_topk": q_viewport_topk,
         "idw_interp": q_idw_interp,
@@ -3150,6 +3219,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": _sql_tile_pyramid(n),
         "heatmap": _sql_heatmap(n),
         "getis_hotspots": _sql_getis_hotspots(n),
+        "dense_clusters": _sql_dense_clusters(n),
         "morans_i": _sql_morans_i(n),
         "viewport_topk": _sql_viewport_topk(n),
         "idw_interp": _sql_idw_interp(n),

@@ -319,3 +319,31 @@ def test_getis_hot_cell_positive_cold_negative(spark):
         _counts_df(spark, blob + cold)).collect()}
     assert rows[(10, 10)].gi_star > 1.0
     assert rows[(30, 30)].gi_star < 0.0
+
+
+def test_dense_clusters_l_shape_and_singleton(spark, monkeypatch):
+    """An L-shaped blob of dense tiles is ONE cluster with the right
+    bbox; an isolated dense tile is a singleton; sparse tiles drop."""
+    import __spark_entry__ as entry
+
+    counts = _counts_df(spark, [
+        # L-shape: (10,10),(11,10),(11,11) all dense
+        (10, 10, 9), (11, 10, 7), (11, 11, 6),
+        # diagonal-only contact is NOT rook-adjacent -> separate
+        (12, 12, 8),
+        # sparse tile below threshold
+        (20, 20, 2),
+    ])
+    monkeypatch.setattr(entry, "_points", lambda *_: None)
+    from proj_spark.spatial import stats as spatial_stats
+    monkeypatch.setattr(spatial_stats, "cell_counts",
+                        lambda *_, **__: counts)
+    out = {r.comp_id: r for r in
+           entry.q_dense_clusters(spark, "ignored").collect()}
+    side = 1 << entry.DENSE_Z
+    l_id = 10 * side + 10
+    assert out[l_id].n_cells == 3 and out[l_id].n_pages == 22
+    assert (out[l_id].tx_min, out[l_id].tx_max,
+            out[l_id].ty_min, out[l_id].ty_max) == (10, 11, 10, 11)
+    assert out[12 * side + 12].n_cells == 1
+    assert 20 * side + 20 not in out
