@@ -2738,6 +2738,43 @@ SELECT CAST(comp_id AS BIGINT) AS comp_id, COUNT(*) AS n_cells,
 FROM dense JOIN lab USING (id) GROUP BY 1"""
 
 
+HEX_SIZE = 0.75   # hexagon circumradius, degrees
+
+
+def q_hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 densest hexagonal cells (H3-style axial hex binning).
+
+    The hex grid is the north rule's "urban H3 hexes" axis: pointy-top
+    axial hexagons over the plate-carree plane, encoded with the pure
+    expressions of spatial/hexgrid.py (cube rounding, zero UDFs, whole-
+    stage codegen).  At 100 TB this is one map-side-combined hash agg;
+    the skewed urban hexes are exactly what AQE/salting handles in
+    q_domain_cells.  Oracle replays the identical FLOOR(+0.5) cube
+    rounding in DuckDB — integer cell ids, bit-exact.
+    """
+    from proj_spark.spatial import hexgrid
+    pts = _points(spark, sf_dir)
+    q, r = hexgrid.hex_qr(F.col("lon"), F.col("lat"), HEX_SIZE)
+    return (pts.select(q.alias("hq"), r.alias("hr"), "domain")
+            .groupBy("hq", "hr")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("domain").alias("n_domains"))
+            .orderBy(F.col("n_pages").desc(), "hq", "hr")
+            .limit(100))
+
+
+def _sql_hex_density(n: int) -> str:
+    from proj_spark.spatial import hexgrid
+    q, r = hexgrid.hex_qr_sql("lon", "lat", HEX_SIZE)
+    return f"""WITH {_pages_cte(n)}
+SELECT {q} AS hq, {r} AS hr,
+       COUNT(*) AS n_pages, COUNT(DISTINCT domain) AS n_domains
+FROM pages
+GROUP BY 1, 2
+ORDER BY n_pages DESC, hq, hr
+LIMIT 100"""
+
+
 GETIS_Z = 6
 
 
@@ -3163,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heatmap": q_heatmap,
         "getis_hotspots": q_getis_hotspots,
         "dense_clusters": q_dense_clusters,
+        "hex_density": q_hex_density,
         "morans_i": q_morans_i,
         "viewport_topk": q_viewport_topk,
         "idw_interp": q_idw_interp,
@@ -3220,6 +3258,7 @@ def oracle_sql() -> dict[str, str]:
         "heatmap": _sql_heatmap(n),
         "getis_hotspots": _sql_getis_hotspots(n),
         "dense_clusters": _sql_dense_clusters(n),
+        "hex_density": _sql_hex_density(n),
         "morans_i": _sql_morans_i(n),
         "viewport_topk": _sql_viewport_topk(n),
         "idw_interp": _sql_idw_interp(n),

