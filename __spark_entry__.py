@@ -2775,6 +2775,60 @@ ORDER BY n_pages DESC, hq, hr
 LIMIT 100"""
 
 
+PR_ITERS = 5
+PR_TOPK = 50
+
+
+def q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain authority: integer-quantized PageRank over the domain link
+    graph, top-50 by score.
+
+    The link graph is extracted deterministically from each page's url
+    (the stand-in for href extraction from `html`): page i on domain d
+    links to domains (h//131) % N and (h//17) % N with h the page's
+    synthesis hash — so the oracle can regenerate identical edges.  All
+    rank arithmetic is exact BIGINT (proj_spark/graph.py): Spark's
+    partial-agg reorderings cannot perturb a single unit, making the
+    unrolled-CTE DuckDB oracle bit-exact.  One edge shuffle total; each
+    of the 5 rounds is a broadcast join + hash agg (see graph.py for the
+    1e8-node co-partitioned variant).
+    """
+    from proj_spark.graph import pagerank
+    pts = _points(spark, sf_dir)
+    raw = pts.select(
+        F.col("domain").cast("long").alias("src"),
+        ((F.regexp_extract("url", r"page/(\d+)", 1).cast("long")
+          * F.lit(2654435761)) % F.lit(2147483648)).alias("h"))
+    edges = (raw.select("src", F.explode(F.array(
+        F.expr(f"(h div 131) % {N_DOMAINS}"),
+        F.expr(f"(h div 17) % {N_DOMAINS}"))).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst").agg(F.count("*").alias("w")))
+    nodes = spark.range(N_DOMAINS).select(F.col("id").alias("node"))
+    pr = pagerank(edges, nodes, iters=PR_ITERS)
+    return (pr.select(F.col("node").alias("domain"), "score")
+            .orderBy(F.col("score").desc(), "domain").limit(PR_TOPK))
+
+
+def _sql_pagerank_domains(n: int) -> str:
+    from proj_spark.graph import pagerank_sql
+    edges_cte = f"""{_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+e AS (SELECT src, dst, COUNT(*) AS w FROM (
+        SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+        UNION ALL
+        SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+      WHERE src <> dst GROUP BY 1, 2)"""
+    nodes_cte = f"nodes AS (SELECT range AS node FROM range(0, {N_DOMAINS}))"
+    body = pagerank_sql(edges_cte, nodes_cte, iters=PR_ITERS)
+    return (body.replace("SELECT node, score FROM",
+                         "SELECT node AS domain, score FROM")
+            + f"\nORDER BY score DESC, domain LIMIT {PR_TOPK}")
+
+
 GETIS_Z = 6
 
 
@@ -3201,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getis_hotspots": q_getis_hotspots,
         "dense_clusters": q_dense_clusters,
         "hex_density": q_hex_density,
+        "pagerank_domains": q_pagerank_domains,
         "morans_i": q_morans_i,
         "viewport_topk": q_viewport_topk,
         "idw_interp": q_idw_interp,
@@ -3259,6 +3314,7 @@ def oracle_sql() -> dict[str, str]:
         "getis_hotspots": _sql_getis_hotspots(n),
         "dense_clusters": _sql_dense_clusters(n),
         "hex_density": _sql_hex_density(n),
+        "pagerank_domains": _sql_pagerank_domains(n),
         "morans_i": _sql_morans_i(n),
         "viewport_topk": _sql_viewport_topk(n),
         "idw_interp": _sql_idw_interp(n),

@@ -1,0 +1,98 @@
+"""Iterative graph analytics over Spark DataFrames (PageRank).
+
+Web-curation pipelines rank domains by link authority before sampling
+training data; this module provides a PageRank whose arithmetic is
+*integer-quantized* so that a SQL oracle can replay it bit-exactly:
+
+  - ranks are BIGINT micro-units (init `I` per node, total mass N*I);
+  - an edge (src -> dst, weight w) carries `(rank[src] * w) div W[src]`
+    where W[src] is src's total out-weight (integer floor division);
+  - the update is `base + (85 * incoming) div 100` with
+    `base = (15 * I) div 100` — every step is exact 64-bit integer math,
+    identical under any evaluation order, so Spark and DuckDB agree to
+    the last unit no matter how partial aggregation reorders the sums.
+
+Dangling mass (nodes with no out-edges) is dropped, not redistributed —
+a standard variant; both engines implement the same rule.
+
+Scale plan (100 TB / 1e8-domain graph): the edge relation is the big
+side — it is shuffled ONCE onto `src` when the out-weight totals are
+computed, then persisted; each of the `iters` rounds is one join
+(broadcast while the rank relation fits, the co-partitioned sort-merge
+join reuses the persisted edge partitioning otherwise) plus one
+map-side-combined hash aggregation on `dst`.  Rank relations are
+persisted per round and the previous round unpersisted, truncating the
+iterative lineage exactly like text/components.py's pointer-jumping CC.
+
+Reference analogue: this is the engine's second iterative-dataflow
+operator next to connected_components; the reference's own iterative
+kernels are the Newton loops inside projection inverses
+(e.g. src/projections/aea.cpp msfn/qsfn iterations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_INIT = 1_000_000_000          # micro-units per node at iteration 0
+PR_NUM, PR_DEN = 85, 100         # damping 0.85 as an exact rational
+
+
+def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
+             init: int = PR_INIT) -> DataFrame:
+    """Quantized PageRank.
+
+    edges: (src long, dst long, w long) — aggregated multigraph weights.
+    nodes: (node long) — the full node universe (isolated nodes keep
+    the teleport base).  Returns (node, score) with score in the same
+    integer micro-units.
+    """
+    base = (PR_DEN - PR_NUM) * init // PR_DEN
+    w_tot = edges.groupBy("src").agg(F.sum("w").alias("w_tot"))
+    e = edges.join(w_tot, "src").persist()
+    rank = nodes.select("node", F.lit(init).cast("long").alias("score"))
+    prev = None
+    for _ in range(iters):
+        contrib = (e.join(F.broadcast(rank.withColumnRenamed("node", "src")),
+                          "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("(score * w) div w_tot").alias("c")))
+        incoming = contrib.groupBy("node").agg(F.sum("c").alias("m"))
+        nxt = (nodes.join(incoming, "node", "left")
+               .select("node",
+                       (F.lit(base)
+                        + F.expr(f"({PR_NUM} * coalesce(m, 0)) div {PR_DEN}")
+                        ).cast("long").alias("score"))).persist()
+        nxt.count()                      # materialize before dropping prev
+        if prev is not None:
+            prev.unpersist()
+        prev, rank = nxt, nxt
+    e.unpersist()
+    return rank
+
+
+def pagerank_sql(edges_cte: str, nodes_cte: str, iters: int = 5,
+                 init: int = PR_INIT) -> str:
+    """DuckDB twin: unrolled per-iteration CTEs replaying `pagerank`.
+
+    `edges_cte` must define `e(src, dst, w)`; `nodes_cte` must define
+    `nodes(node)`.  Returns the full `WITH ... SELECT node, score` text
+    (no trailing ORDER BY — the caller appends its own).
+    """
+    base = (PR_DEN - PR_NUM) * init // PR_DEN
+    parts = [edges_cte, nodes_cte,
+             "wt AS (SELECT src, SUM(w) AS w_tot FROM e GROUP BY 1)",
+             "ew AS (SELECT e.src, e.dst, e.w, wt.w_tot FROM e JOIN wt USING (src))",
+             f"pr0 AS (SELECT node, CAST({init} AS BIGINT) AS score FROM nodes)"]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"in{k} AS (SELECT ew.dst AS node, "
+            f"SUM((p.score * ew.w) // ew.w_tot) AS m "
+            f"FROM ew JOIN pr{k - 1} p ON p.node = ew.src GROUP BY 1)")
+        parts.append(
+            f"pr{k} AS (SELECT n.node, CAST({base} + "
+            f"({PR_NUM} * COALESCE(i.m, 0)) // {PR_DEN} AS BIGINT) AS score "
+            f"FROM nodes n LEFT JOIN in{k} i ON i.node = n.node)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, score FROM pr{iters}")

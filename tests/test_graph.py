@@ -1,0 +1,70 @@
+"""Tests for proj_spark.graph (quantized PageRank)."""
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from proj_spark.graph import PR_INIT, pagerank, pagerank_sql
+
+
+def _edges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, w long")
+
+
+def _nodes(spark, n):
+    return spark.range(n).select(F.col("id").alias("node"))
+
+
+def test_pagerank_cycle_symmetric(spark):
+    """A 3-cycle is vertex-transitive: all scores equal, mass conserved
+    to within the integer-division truncation per node per round."""
+    pr = pagerank(_edges(spark, [(0, 1, 1), (1, 2, 1), (2, 0, 1)]),
+                  _nodes(spark, 3), iters=4)
+    scores = {r.node: r.score for r in pr.collect()}
+    assert len(set(scores.values())) == 1
+    assert abs(scores[0] - PR_INIT) <= 4  # truncation only
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Leaves 1..4 all link to 0; 0 links back to 1.  Node 0 ends far
+    above the teleport base, node 1 above leaves 2..4."""
+    edges = [(i, 0, 1) for i in range(1, 5)] + [(0, 1, 1)]
+    pr = pagerank(_edges(spark, edges), _nodes(spark, 5), iters=5)
+    s = {r.node: r.score for r in pr.collect()}
+    assert s[0] > 2 * PR_INIT
+    assert s[1] > s[2] == s[3] == s[4]
+
+
+def test_pagerank_dangling_mass_drops(spark):
+    """0 -> 1 with 1 dangling: total mass strictly shrinks (no
+    redistribution), and node 1 still receives 0's contribution."""
+    pr = pagerank(_edges(spark, [(0, 1, 1)]), _nodes(spark, 2), iters=3)
+    s = {r.node: r.score for r in pr.collect()}
+    assert s[0] + s[1] < 2 * PR_INIT
+    assert s[1] > s[0]
+
+
+@pytest.mark.parametrize("iters", [1, 5])
+def test_pagerank_matches_sql_twin(spark, iters):
+    """Spark pagerank == DuckDB pagerank_sql to the last micro-unit on
+    a deterministic pseudo-random weighted multigraph."""
+    n = 40
+    triples = []
+    for i in range(400):
+        h = (i * 2654435761) % 2147483648
+        s, d, w = h % n, (h // 7) % n, 1 + h % 3
+        if s != d:
+            triples.append((s, d, w))
+    agg = {}
+    for s, d, w in triples:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    triples = [(s, d, w) for (s, d), w in sorted(agg.items())]
+    got = {r.node: r.score for r in
+           pagerank(_edges(spark, triples), _nodes(spark, n),
+                    iters=iters).collect()}
+    vals = ", ".join(f"({s}, {d}, {w})" for s, d, w in triples)
+    sql = pagerank_sql(
+        f"e(src, dst, w) AS (SELECT * FROM (VALUES {vals}))",
+        f"nodes AS (SELECT range AS node FROM range(0, {n}))",
+        iters=iters)
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == want
