@@ -2829,6 +2829,56 @@ e AS (SELECT src, dst, COUNT(*) AS w FROM (
             + f"\nORDER BY score DESC, domain LIMIT {PR_TOPK}")
 
 
+RECT_MOD = 101      # every 101st page becomes a viewport rectangle
+RECT_CELL = 2.0     # PBSM grid cell (deg) >= max rect extent (1.2)
+
+
+def _rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewport rectangles derived from every 101st page: center at the
+    page point, half-extents 0.2..0.6 x 0.15..0.35 deg from the page
+    hash (the oracle regenerates them by the same integer arithmetic)."""
+    pts = _points(spark, sf_dir)
+    base = pts.select(
+        F.regexp_extract("url", r"page/(\d+)", 1).cast("long").alias("id"),
+        "lon", "lat").where(F.col("id") % RECT_MOD == 0)
+    h = (F.col("id") * F.lit(2654435761)) % F.lit(2147483648)
+    rx = F.lit(0.2) + (h % F.lit(5)).cast("double") * F.lit(0.1)
+    ry = F.lit(0.15) + (h % F.lit(3)).cast("double") * F.lit(0.1)
+    return base.select(
+        "id",
+        (F.col("lon") - rx).alias("xmin"), (F.col("lon") + rx).alias("xmax"),
+        (F.col("lat") - ry).alias("ymin"), (F.col("lat") + ry).alias("ymax"))
+
+
+def q_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extent-overlay join: all intersecting viewport-rectangle pairs
+    with exact intersection areas, via the PBSM grid join of
+    spatial/overlay.py (bounded 4-cell explode, one cell-hash shuffle,
+    reference-point dedup — no distinct).  The DuckDB oracle is a
+    direct theta join, a different algorithm entirely, so agreement
+    validates binning completeness AND the dedup rule."""
+    from proj_spark.spatial.overlay import rect_self_join
+    return rect_self_join(_rects(spark, sf_dir), RECT_CELL)
+
+
+def _sql_rect_join(n: int) -> str:
+    from proj_spark.spatial.overlay import rect_self_join_sql
+    rects_cte = f"""{_pages_cte(n)},
+ids AS (SELECT CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT) AS id,
+               lon, lat
+        FROM pages WHERE CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                         % {RECT_MOD} = 0),
+hs AS (SELECT id, lon, lat, (id * 2654435761) % 2147483648 AS h FROM ids),
+rects AS (SELECT id,
+                 lon - (0.2 + CAST(h % 5 AS DOUBLE) * 0.1) AS xmin,
+                 lon + (0.2 + CAST(h % 5 AS DOUBLE) * 0.1) AS xmax,
+                 lat - (0.15 + CAST(h % 3 AS DOUBLE) * 0.1) AS ymin,
+                 lat + (0.15 + CAST(h % 3 AS DOUBLE) * 0.1) AS ymax
+          FROM hs)"""
+    return (f"WITH {rects_cte}\n"
+            + rect_self_join_sql("rects", RECT_CELL))
+
+
 GETIS_Z = 6
 
 
@@ -3256,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_clusters": q_dense_clusters,
         "hex_density": q_hex_density,
         "pagerank_domains": q_pagerank_domains,
+        "rect_join": q_rect_join,
         "morans_i": q_morans_i,
         "viewport_topk": q_viewport_topk,
         "idw_interp": q_idw_interp,
@@ -3315,6 +3366,7 @@ def oracle_sql() -> dict[str, str]:
         "dense_clusters": _sql_dense_clusters(n),
         "hex_density": _sql_hex_density(n),
         "pagerank_domains": _sql_pagerank_domains(n),
+        "rect_join": _sql_rect_join(n),
         "morans_i": _sql_morans_i(n),
         "viewport_topk": _sql_viewport_topk(n),
         "idw_interp": _sql_idw_interp(n),

@@ -31,7 +31,7 @@ HEADLINE = [
     "zorder_bbox", "geohash_rollup", "admin_raster",
     "tile_pyramid", "morans_i", "viewport_topk", "idw_interp", "domain_drift",
     "reverse_geocode", "heatmap", "getis_hotspots", "dense_clusters",
-    "hex_density", "pagerank_domains",
+    "hex_density", "pagerank_domains", "rect_join",
     "doc_stats", "exact_dedup", "curation_funnel", "chunk_dedup",
     "gopher_rep",
     "token_topk", "ngram_pairs", "embed_topk", "events_hourly",
