@@ -2671,7 +2671,17 @@ ORDER BY density DESC, tx, ty LIMIT 100"""
 
 
 DENSE_Z = 8
-DENSE_MIN = 5
+
+
+def _dense_min(n: int) -> int:
+    """Density threshold scales with corpus size (pages per z8 tile of
+    uniform noise grows linearly with n, so a FIXED threshold would at
+    some scale mark the whole world dense and fuse it into one lattice
+    component of huge diameter — the classic mis-parameterized DBSCAN).
+    n/12000 ~= 6x the expected uniform-noise tile count, so only true
+    city clusters qualify at every sf; floor of 5 keeps the sf0.01
+    oracle scale unchanged."""
+    return max(5, n // 12000)
 
 
 def q_dense_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2692,7 +2702,7 @@ def q_dense_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = 1 << DENSE_Z
     pts = _points(spark, sf_dir)
     dense = (spatial_stats.cell_counts(pts, DENSE_Z)
-             .where(F.col("x") >= DENSE_MIN)
+             .where(F.col("x") >= _dense_min(_n_pages(sf_dir)))
              .withColumn("id", F.col("tx") * side + F.col("ty")))
     off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                     for dx, dy in ((1, 0), (0, 1))])
@@ -2720,7 +2730,7 @@ cl AS (SELECT {cells.tile_x_sql('lon', z)} AS tx,
               {cells.tile_y_sql('lat', z)} AS ty, COUNT(*) AS x
        FROM pages GROUP BY 1, 2),
 dense AS (SELECT tx * {side} + ty AS id, tx, ty, x
-          FROM cl WHERE x >= {DENSE_MIN}),
+          FROM cl WHERE x >= {_dense_min(n)}),
 e AS (SELECT a.id AS src, b.id AS dst
       FROM dense a JOIN dense b
         ON (b.tx = a.tx + 1 AND b.ty = a.ty)
