@@ -52,7 +52,7 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
     w_tot = edges.groupBy("src").agg(F.sum("w").alias("w_tot"))
     e = edges.join(w_tot, "src").persist()
     rank = nodes.select("node", F.lit(init).cast("long").alias("score"))
-    prev = None
+    inter = []
     for _ in range(iters):
         contrib = (e.join(F.broadcast(rank.withColumnRenamed("node", "src")),
                           "src")
@@ -64,10 +64,15 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 5,
                        (F.lit(base)
                         + F.expr(f"({PR_NUM} * coalesce(m, 0)) div {PR_DEN}")
                         ).cast("long").alias("score"))).persist()
-        nxt.count()                      # materialize before dropping prev
-        if prev is not None:
-            prev.unpersist()
-        prev, rank = nxt, nxt
+        inter.append(nxt)
+        rank = nxt
+    # ONE materializing job fills every per-round cache (each round's
+    # broadcast build executes exactly once), then the intermediates
+    # and the edge relation can be dropped; only the final rank stays
+    # cached for the caller's collect.
+    rank.count()
+    for df in inter[:-1]:
+        df.unpersist()
     e.unpersist()
     return rank
 

@@ -121,10 +121,20 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         F.size("toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
         F.expr(
-            # guard: sequence(1, 0) would DESCEND in Spark, not be empty
-            "CASE WHEN size(toks) >= 2 THEN transform("
-            "sequence(1, size(toks) - 1), "
-            "i -> concat(toks[i - 1], ' ', toks[i])) "
+            # Bigrams shuffle as xxhash64 int64 keys, not strings (the
+            # ngram_pairs trick): counts are identical absent a 64-bit
+            # collision (~1e-12/doc), which would surface as a visible
+            # oracle mismatch; the DuckDB twin keeps literal strings.
+            # zip_with over two slices, NOT transform-with-indexing:
+            # CollapseProject inlines `toks` into every lambda element
+            # access, so `i -> f(toks[i-1], toks[i])` re-tokenizes the
+            # document per ELEMENT (O(tokens^2), measured 20x slower);
+            # zip_with binds the element variables directly and
+            # references `toks` only a constant number of times.
+            "CASE WHEN size(toks) >= 2 THEN zip_with("
+            "slice(toks, 1, size(toks) - 1), "
+            "slice(toks, 2, size(toks) - 1), "
+            "(a, b) -> xxhash64(a, b)) "
             "ELSE array() END").alias("bigrams"))
     bg = t.select("doc_id", "n_tokens", "n_distinct",
                   F.explode("bigrams").alias("bigram"))
