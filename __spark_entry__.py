@@ -1519,11 +1519,11 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("is_keep"))
 
 
-def _sql_dedup_groups() -> str:
-    """Oracle: identical Jaccard edges, components via a recursive-CTE
-    reachability closure (min reachable id == min id in component,
-    since the edge set is symmetrized)."""
-    return f"""WITH RECURSIVE {_ngram_cte()},
+def _dedup_cc_ctes() -> str:
+    """The shared recursive-CTE component assignment (edges -> reach ->
+    cc -> assigned -> sized) used by the dedup_groups and
+    dedup_keep_best oracles."""
+    return f"""{_ngram_cte()},
 edges AS (
   SELECT id_a AS u, id_b AS v FROM j WHERE jaccard >= {DEDUP_TAU}
   UNION ALL
@@ -1542,7 +1542,14 @@ edges AS (
   FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
 ), sized AS (
   SELECT comp_id, COUNT(*) AS comp_size FROM assigned GROUP BY comp_id
-)
+)"""
+
+
+def _sql_dedup_groups() -> str:
+    """Oracle: identical Jaccard edges, components via a recursive-CTE
+    reachability closure (min reachable id == min id in component,
+    since the edge set is symmetrized)."""
+    return f"""WITH RECURSIVE {_dedup_cc_ctes()}
 SELECT a.doc_id, a.comp_id, CAST(s.comp_size AS BIGINT) AS comp_size,
        a.doc_id = a.comp_id AS is_keep
 FROM assigned a JOIN sized s USING (comp_id)"""
@@ -3283,6 +3290,318 @@ FROM a1 LEFT JOIN k USING (source)"""
 
 
 # ---------------------------------------------------------------------------
+# queries — corpus curation (sampling, representative selection, CCNet
+# buckets, distinctive terms, URL canonicalization)
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 2000, "de": 4000, "fr": 6000, "es": 8000}
+SAMPLE_DEFAULT = 9500  # zh and anything unlisted
+SAMPLE_DENOM = 10_000
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified downsampling (training-data
+    mixture control): keep a doc iff hash31(doc_id) % 10000 < rate(lang).
+
+    The decision is a pure map-side expression — reproducible across
+    runs, cluster sizes, and engines, unlike df.sample whose output
+    depends on partition layout.  One hash agg on (lang, source)."""
+    from proj_spark.text import curation
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        "lang", "source", F.col("doc_id").cast("long").alias("doc_id"),
+        curation.sample_key(F.col("doc_id"), SAMPLE_DENOM).alias("sk"))
+    rate = F.lit(SAMPLE_DEFAULT)
+    for k, v in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    keyed = keyed.withColumn("kept", F.col("sk") < rate)
+    return (keyed.groupBy("lang", "source")
+            .agg(F.count("*").alias("n_total"),
+                 F.count_if(F.col("kept")).alias("n_kept"),
+                 F.coalesce(F.sum(F.when(F.col("kept"), F.col("doc_id"))),
+                            F.lit(0)).alias("kept_id_sum")))
+
+
+def _sql_stratified_sample() -> str:
+    from proj_spark.text.curation import sample_key_sql
+    rate = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    ) + f" ELSE {SAMPLE_DEFAULT} END"
+    return f"""WITH k AS (
+  SELECT lang, source, CAST(doc_id AS BIGINT) AS doc_id,
+         {sample_key_sql('doc_id', SAMPLE_DENOM)} AS sk, {rate} AS rate
+  FROM documents)
+SELECT lang, source, COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE sk < rate) AS n_kept,
+       CAST(COALESCE(SUM(doc_id) FILTER (WHERE sk < rate), 0) AS BIGINT)
+         AS kept_id_sum
+FROM k GROUP BY 1, 2"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-group representative selection: within each near-dup
+    component (same edges as dedup_groups) keep the doc with the most
+    tokens, ties to the smallest doc_id — the exact-integer 'keep
+    longest' policy real pipelines use so boilerplate-trimmed fragments
+    lose to the full document.  One hash agg on comp_id after the CC
+    assignment; the argmax is max_by over an (n_tokens, -doc_id) struct
+    (no float quality scores whose ulp drift could flip the argmax)."""
+    from proj_spark.text.components import dedup_assign
+    from proj_spark.text.curation import keep_longest
+    docs = _docs(spark, sf_dir)
+    edges = (_ngram_jaccard(spark, sf_dir)
+             .where(F.col("jaccard") >= DEDUP_TAU)
+             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    comp = dedup_assign(docs.select("doc_id"), edges, id_col="doc_id")
+    out = keep_longest(docs, comp.select("doc_id", "comp_id"))
+    return out.select(F.col("comp_id").cast("long").alias("comp_id"),
+                      F.col("comp_size").cast("long").alias("comp_size"),
+                      F.col("keep_id").cast("long").alias("keep_id"),
+                      F.col("keep_tokens").cast("long").alias("keep_tokens"))
+
+
+def _sql_dedup_keep_best() -> str:
+    n_tok = _sql_text_stats()["n_tok"]
+    return f"""WITH RECURSIVE {_dedup_cc_ctes()},
+tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({n_tok} AS BIGINT) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT a.comp_id, t.doc_id, t.n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY a.comp_id
+                            ORDER BY t.n_tokens DESC, t.doc_id) AS rn
+  FROM assigned a JOIN tok t USING (doc_id)
+)
+SELECT r.comp_id, CAST(s.comp_size AS BIGINT) AS comp_size,
+       r.doc_id AS keep_id, r.n_tokens AS keep_tokens
+FROM ranked r JOIN sized s USING (comp_id) WHERE rn = 1"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail terciles by unigram popularity (the
+    LM-perplexity proxy kept exact-rational: mean corpus frequency of a
+    doc's tokens).  Bucket thresholds come from two distributed
+    TakeOrdered probes — NOT a single-partition global ntile window —
+    then a shuffle-free CASE pass; the oracle recomputes the buckets
+    with an actual NTILE(3), independently proving the threshold
+    bucketing reproduces it exactly."""
+    from proj_spark.text.curation import ccnet_buckets
+    b = ccnet_buckets(_docs(spark, sf_dir))
+    return (b.groupBy("bucket", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("tok_sum"),
+                 F.round(F.min("pop"), 6).alias("min_pop"),
+                 F.round(F.max("pop"), 6).alias("max_pop")))
+
+
+def _sql_ccnet_buckets() -> str:
+    return """WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t != '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+), pop AS (
+  SELECT doc_id, lang,
+         CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS pop,
+         COUNT(*) AS n_tokens
+  FROM tok JOIN vocab USING (token) GROUP BY 1, 2
+), b AS (
+  SELECT *, NTILE(3) OVER (ORDER BY pop DESC, doc_id) AS bucket FROM pop
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+       ROUND(MIN(pop), 6) AS min_pop, ROUND(MAX(pop), 6) AS max_pop
+FROM b GROUP BY 1, 2"""
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 distinctive terms per language by rational tf-idf:
+    score = (tf_lang * 1e6) div df_corpus as an exact BIGINT integer
+    division (ulp-free ranking; log-idf orders identically for fixed tf
+    since idf is monotone in 1/df).  Token shuffle is vocabulary-
+    bounded; the top-k window partitions by lang."""
+    from proj_spark.text.curation import distinctive_terms
+    return distinctive_terms(_docs(spark, sf_dir), top_k=10)
+
+
+def _sql_distinctive_terms() -> str:
+    return """WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t != '')) AS token
+  FROM documents
+), tf AS (
+  SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), dfx AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), scored AS (
+  SELECT lang, token, tf, df, (tf * 1000000) // df AS score
+  FROM tf JOIN dfx USING (token)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY score DESC, token) AS rank
+  FROM scored
+)
+SELECT lang, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: each page is exploded into 3
+    deterministic URL spellings (scheme/case/www variants, tracking
+    params, fragments, trailing slashes — the Common-Crawl reality),
+    canonicalized with proj_spark.text.urlnorm.canonical_url (one pure
+    regex expression chain, map-only), and deduped per canonical form.
+    Per-domain rollup proves every variant collapses back to exactly
+    its page: n_canon == n_pages and no cross-page merges."""
+    from proj_spark.text.urlnorm import canonical_url
+    pages = pages_table(spark, _n_pages(sf_dir), N_DOMAINS)
+    i = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    h = F.pmod(i * F.lit(2654435761), F.lit(2 ** 31))
+    base = pages.select(
+        "url", F.regexp_extract("url", r"site(\d+)\.", 1).alias("domain"),
+        h.alias("h"))
+    v = base.select(
+        "url", "domain",
+        F.explode(F.array(F.lit(1), F.lit(7), F.lit(49))).alias("dv"),
+        F.col("h"))
+    c = F.pmod(F.expr("h div dv"), F.lit(6))
+    scheme_host = F.regexp_extract("url", r"^(https://[^/]+)", 1)
+    rest = F.regexp_replace("url", r"^https://[^/]+", "")
+    variant = (F.when(c == 1, F.concat(F.lit("http://www."),
+                                       F.regexp_replace("url", r"^https://", "")))
+               .when(c == 2, F.concat(F.upper(scheme_host), rest))
+               .when(c == 3, F.concat(F.col("url"), F.lit("/")))
+               .when(c == 4, F.concat(F.col("url"),
+                                      F.lit("?utm_source=feed&utm_medium=rss")))
+               .when(c == 5, F.concat(F.col("url"), F.lit("?ref=crawler#frag")))
+               .otherwise(F.col("url")))
+    canon = v.select("domain", canonical_url(variant).alias("canon"))
+    per = canon.groupBy("domain", "canon").agg(F.count("*").alias("n_var"))
+    return (per.groupBy("domain")
+            .agg(F.count("*").alias("n_canon"),
+                 F.sum("n_var").cast("long").alias("n_variant_rows"),
+                 F.max("n_var").cast("long").alias("max_group")))
+
+
+def _sql_url_canon(n: int) -> str:
+    from proj_spark.text.urlnorm import canonical_url_sql
+    variant = """CASE c
+      WHEN 1 THEN 'http://www.' || regexp_replace(url, '^https://', '')
+      WHEN 2 THEN upper(regexp_extract(url, '^(https://[^/]+)', 1))
+                  || regexp_replace(url, '^https://[^/]+', '')
+      WHEN 3 THEN url || '/'
+      WHEN 4 THEN url || '?utm_source=feed&utm_medium=rss'
+      WHEN 5 THEN url || '?ref=crawler#frag'
+      ELSE url END"""
+    return f"""WITH {_pages_cte(n)},
+v AS (
+  SELECT p.url, p.domain, (g.h // dv) % 6 AS c
+  FROM pages p JOIN pages_geo g USING (i), UNNEST([1, 7, 49]) AS t(dv)
+), canon AS (
+  SELECT domain, {canonical_url_sql(variant)} AS canon FROM v
+), per AS (
+  SELECT domain, canon, COUNT(*) AS n_var FROM canon GROUP BY 1, 2
+)
+SELECT domain, COUNT(*) AS n_canon,
+       CAST(SUM(n_var) AS BIGINT) AS n_variant_rows,
+       CAST(MAX(n_var) AS BIGINT) AS max_group
+FROM per GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# queries — spatial anti-join + geodesic densification
+# ---------------------------------------------------------------------------
+
+def q_coverage_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ANTI join: pages inside an admin region's bounding box
+    but NOT inside the diamond itself (the corner slivers) — the
+    coverage-gap / unlabeled-points primitive.  Broadcast semi-join for
+    the bbox candidacy, broadcast anti-join for the exact test; the big
+    points relation never shuffles.  Rollup per z7 cell."""
+    pts = _points(spark, sf_dir)
+    admins = spark.createDataFrame(
+        _admin_specs(), "admin_id long, cx double, cy double, "
+        "rx double, ry double")
+    bbox = ((F.abs(pts["lon"] - admins["cx"]) <= admins["rx"]) &
+            (F.abs(pts["lat"] - admins["cy"]) <= admins["ry"]))
+    inside = (F.abs(pts["lon"] - admins["cx"]) / admins["rx"]
+              + F.abs(pts["lat"] - admins["cy"]) / admins["ry"] < 1.0)
+    cand = pts.join(F.broadcast(admins), bbox, "leftsemi")
+    gap = cand.join(F.broadcast(admins), inside, "leftanti")
+    return (gap.select(cells.cell_id(F.col("lon"), F.col("lat"), 7)
+                       .alias("cell7"))
+            .groupBy("cell7").agg(F.count("*").alias("n_gap")))
+
+
+def _sql_coverage_gap(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+gap AS (
+  SELECT lon, lat FROM pages p
+  WHERE EXISTS (SELECT 1 FROM {_admin_values_sql()}
+                WHERE ABS(p.lon - cx) <= rx AND ABS(p.lat - cy) <= ry)
+    AND NOT EXISTS (SELECT 1 FROM {_admin_values_sql()}
+                    WHERE ABS(p.lon - cx) / rx + ABS(p.lat - cy) / ry < 1.0)
+)
+SELECT {cells.cell_id_sql('lon', 'lat', 7)} AS cell7, COUNT(*) AS n_gap
+FROM gap GROUP BY 1"""
+
+
+def q_path_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic path densification: insert the great-circle midpoint
+    between consecutive crawl-path points of each domain (the resample-
+    before-rasterize primitive for tiling sparse trajectories).
+
+    Midpoint via the unit-sphere chord bisector — u = unit(p1 + p2) —
+    entirely in codegen'd trig expressions (no UDF); one exchange+sort
+    on (domain) for the lead window, map-only after.  Antipodal pairs
+    (undefined midpoint) would yield |p1+p2| ~ 0; jittered city data
+    never produces them, and atan2(0, 0) = 0 in both engines anyway."""
+    pts = _points(spark, sf_dir)
+    seq = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    w = Window.partitionBy("domain").orderBy("seq")
+    t = (pts.select("domain", seq.alias("seq"), "lat", "lon")
+         .withColumn("nlat", F.lead("lat").over(w))
+         .withColumn("nlon", F.lead("lon").over(w))
+         .where(F.col("nlat").isNotNull()))
+    rad = lambda cc: F.radians(cc)
+    x = (F.cos(rad(F.col("lat"))) * F.cos(rad(F.col("lon")))
+         + F.cos(rad(F.col("nlat"))) * F.cos(rad(F.col("nlon"))))
+    y = (F.cos(rad(F.col("lat"))) * F.sin(rad(F.col("lon")))
+         + F.cos(rad(F.col("nlat"))) * F.sin(rad(F.col("nlon"))))
+    z = F.sin(rad(F.col("lat"))) + F.sin(rad(F.col("nlat")))
+    mlat = F.degrees(F.atan2(z, F.sqrt(x * x + y * y)))
+    mlon = F.degrees(F.atan2(y, x))
+    return t.select("domain", "seq",
+                    F.round(mlat, 6).alias("mid_lat"),
+                    F.round(mlon, 6).alias("mid_lon"))
+
+
+def _sql_path_densify(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+s AS (
+  SELECT domain, i AS seq, lat, lon,
+         LEAD(lat) OVER w AS nlat, LEAD(lon) OVER w AS nlon
+  FROM pages WINDOW w AS (PARTITION BY domain ORDER BY i)
+), m AS (
+  SELECT domain, seq,
+         cos(radians(lat)) * cos(radians(lon))
+           + cos(radians(nlat)) * cos(radians(nlon)) AS x,
+         cos(radians(lat)) * sin(radians(lon))
+           + cos(radians(nlat)) * sin(radians(nlon)) AS y,
+         sin(radians(lat)) + sin(radians(nlat)) AS z
+  FROM s WHERE nlat IS NOT NULL
+)
+SELECT domain, seq,
+       ROUND(degrees(atan2(z, sqrt(x * x + y * y))), 6) AS mid_lat,
+       ROUND(degrees(atan2(y, x)), 6) AS mid_lon
+FROM m"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -3348,6 +3667,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "crs_dispatch": q_crs_dispatch,
         "gridshift_file": q_gridshift_file,
+        "stratified_sample": q_stratified_sample,
+        "dedup_keep_best": q_dedup_keep_best,
+        "ccnet_buckets": q_ccnet_buckets,
+        "distinctive_terms": q_distinctive_terms,
+        "url_canon": q_url_canon,
+        "coverage_gap": q_coverage_gap,
+        "path_densify": q_path_densify,
     }
 
 
@@ -3409,4 +3735,11 @@ def oracle_sql() -> dict[str, str]:
         "crs_dispatch": _sql_crs_dispatch(),
         "gridshift_file": _sql_gridshift_file(),
         "media_features": _sql_media_features(n),
+        "stratified_sample": _sql_stratified_sample(),
+        "dedup_keep_best": _sql_dedup_keep_best(),
+        "ccnet_buckets": _sql_ccnet_buckets(),
+        "distinctive_terms": _sql_distinctive_terms(),
+        "url_canon": _sql_url_canon(n),
+        "coverage_gap": _sql_coverage_gap(n),
+        "path_densify": _sql_path_densify(n),
     }
