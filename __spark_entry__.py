@@ -3602,6 +3602,227 @@ FROM m"""
 
 
 # ---------------------------------------------------------------------------
+# queries — mergeable sketches + exact substring dedup
+# ---------------------------------------------------------------------------
+
+def q_hll_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct domains per z5 tile, exact AND via a deterministic
+    HyperLogLog built from pure expressions (proj_spark.sketches).
+
+    At 100 TB the exact count-distinct shuffles (cell, domain) pairs;
+    the HLL path partial-aggregates 256 registers map-side and merges —
+    constant state per cell.  The engine-owned hash makes every
+    register (and the one-division estimate) bit-reproducible in the
+    DuckDB oracle, unlike approx_count_distinct's private HLL++."""
+    from proj_spark import sketches as sk
+    from proj_spark.text.curation import hash31
+    pts = _points(spark, sf_dir)
+    base = pts.select(
+        cells.cell_id(F.col("lon"), F.col("lat"), 5).alias("cell5"),
+        F.col("domain").cast("long").alias("dom"))
+    hcol = base.withColumn("h", hash31(F.col("dom")))
+    reg = (hcol.groupBy("cell5", sk.hll_bucket(F.col("h")).alias("bucket"))
+           .agg(F.max(sk.hll_rho(F.col("h"))).alias("mr")))
+    hll = (reg.groupBy("cell5")
+           .agg(sk.hll_stat(F.col("mr"), F.count("*")).alias("s"),
+                (F.lit(sk.HLL_M) - F.count("*")).alias("n_zero")))
+    exact = base.groupBy("cell5").agg(
+        F.count_distinct("dom").alias("n_exact"))
+    est = sk.hll_estimate(F.col("s"))
+    return (exact.join(hll, "cell5")
+            .select("cell5", "n_exact", "s",
+                    F.col("n_zero").cast("long").alias("n_zero"),
+                    F.round(est, 4).alias("hll_est"),
+                    F.round((est - F.col("n_exact")) / F.col("n_exact"), 4)
+                    .alias("rel_err")))
+
+
+def _sql_hll_tiles(n: int) -> str:
+    from proj_spark import sketches as sk
+    from proj_spark.text.curation import hash31_sql
+    h = hash31_sql("CAST(domain AS BIGINT)")
+    est = sk.hll_estimate_sql("s")
+    return f"""WITH {_pages_cte(n)},
+b AS (
+  SELECT {cells.cell_id_sql('lon', 'lat', 5)} AS cell5,
+         CAST(domain AS BIGINT) AS dom, {h} AS h
+  FROM pages
+), reg AS (
+  SELECT cell5, {sk.hll_bucket_sql('h')} AS bucket,
+         MAX({sk.hll_rho_sql('h')}) AS mr
+  FROM b GROUP BY 1, 2
+), hll AS (
+  SELECT cell5,
+         CAST(SUM(CAST(POWER(2, {sk.HLL_RHO_MAX} - mr) AS BIGINT))
+              + ({sk.HLL_M} - COUNT(*)) * {1 << sk.HLL_RHO_MAX} AS BIGINT) AS s,
+         CAST({sk.HLL_M} - COUNT(*) AS BIGINT) AS n_zero
+  FROM reg GROUP BY 1
+), exact AS (
+  SELECT cell5, COUNT(DISTINCT dom) AS n_exact FROM b GROUP BY 1
+)
+SELECT cell5, n_exact, s, n_zero,
+       ROUND({est}, 4) AS hll_est,
+       ROUND(({est} - n_exact) / n_exact, 4) AS rel_err
+FROM exact JOIN hll USING (cell5)"""
+
+
+CM_PROBES = ["data", "query", "spark", "window", "value", "join",
+             "zzz_absent", "qwerty"]
+
+
+def q_cmsketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter probe: build a 4x1024 exact-BIGINT counter
+    sketch over the token stream (vocabulary-bounded shuffle; counters
+    partial-agg map-side and merge exactly under any reorder), then
+    point-estimate a fixed probe set.  CM guarantees est >= exact;
+    the oracle replays every counter."""
+    from proj_spark import sketches as sk
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(
+        analysis.tokens(F.lower(F.col("text")))).alias("token"))
+    cnt = (toks.groupBy("token").agg(F.count("*").alias("n"))
+           .withColumn("tid", sk.token_id48(F.col("token"))))
+    rows = F.array(*[
+        F.struct(F.lit(r).alias("r"), sk.cm_col(F.col("tid"), r).alias("col"))
+        for r in range(sk.CM_D)])
+    counters = (cnt.select("n", F.explode(rows).alias("rc"))
+                .groupBy(F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
+                .agg(F.sum("n").alias("c")))
+    probes = spark.createDataFrame([(t,) for t in CM_PROBES], "token string") \
+        .withColumn("tid", sk.token_id48(F.col("token")))
+    pcells = probes.select("token", F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), sk.cm_col(F.col("tid"), r).alias("col"))
+        for r in range(sk.CM_D)])).alias("rc"))
+    est = (pcells.join(F.broadcast(counters),
+                       (F.col("rc.r") == F.col("r"))
+                       & (F.col("rc.col") == F.col("col")), "left")
+           .groupBy("token")
+           .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_est")))
+    exact = cnt.select("token", F.col("n").alias("n_exact"))
+    return (est.join(exact, "token", "left")
+            .select("token",
+                    F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
+                    F.col("cm_est").cast("long").alias("cm_est"))
+            .withColumn("overcount",
+                        (F.col("cm_est") - F.col("n_exact")).cast("long")))
+
+
+def _sql_cmsketch_tokens() -> str:
+    from proj_spark import sketches as sk
+    tid = sk.token_id48_sql("token")
+    probe_vals = ", ".join(f"('{t}')" for t in CM_PROBES)
+    row_cells = " UNION ALL ".join(
+        f"SELECT token, n, {r} AS r, {sk.cm_col_sql('tid', r)} AS col FROM cnt"
+        for r in range(sk.CM_D))
+    probe_cells = " UNION ALL ".join(
+        f"SELECT token, {r} AS r, {sk.cm_col_sql('tid', r)} AS col FROM probes"
+        for r in range(sk.CM_D))
+    return f"""WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t != '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, COUNT(*) AS n, {tid} AS tid FROM tok GROUP BY 1
+), cells AS ({row_cells}
+), counters AS (
+  SELECT r, col, SUM(n) AS c FROM cells GROUP BY 1, 2
+), probes AS (
+  SELECT token, {tid} AS tid FROM (VALUES {probe_vals}) AS p(token)
+), pc AS ({probe_cells}
+), est AS (
+  SELECT pc.token, MIN(COALESCE(c.c, 0)) AS cm_est
+  FROM pc LEFT JOIN counters c USING (r, col) GROUP BY 1
+)
+SELECT e.token, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_exact,
+       CAST(e.cm_est AS BIGINT) AS cm_est,
+       CAST(e.cm_est - COALESCE(cnt.n, 0) AS BIGINT) AS overcount
+FROM est e LEFT JOIN cnt USING (token)"""
+
+
+DUP_K = 8
+_US = "\x1f"  # unit separator joins window tokens unambiguously
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dedup statistics (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): for every document,
+    how much of it is covered by an 8-token window that also appears
+    verbatim in ANOTHER document.
+
+    Plan: the window keys are built with 7 LEAD()s over ONE
+    exchange+sort on doc_id (no interpreted higher-order lambdas), the
+    cross-doc test is a vocabulary-style shuffle on the window key
+    (at real scale the key would shuffle as xxhash64 — same plan shape
+    as ngram_pairs), and coverage is an exact distinct count over the
+    positions the duplicated windows span."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.posexplode(analysis.tokens(F.lower(F.col("text"))))
+                       .alias("pos", "token"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")] + [F.lead("token", j).over(w)
+                                for j in range(1, DUP_K)]
+    win = (toks.select("doc_id", "pos",
+                       F.concat_ws(_US, *parts).alias("wkey"),
+                       F.lead("token", DUP_K - 1).over(w).alias("last"))
+           .where(F.col("last").isNotNull()).drop("last"))
+    dup = (win.groupBy("wkey")
+           .agg(F.count_distinct("doc_id").alias("dc"))
+           .where(F.col("dc") >= 2).select("wkey"))
+    hits = win.join(dup, "wkey")
+    cov = (hits.select("doc_id", F.explode(
+        F.sequence(F.col("pos"), F.col("pos") + F.lit(DUP_K - 1)))
+        .alias("tpos"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tpos").alias("n_cov")))
+    nwin = hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_win"))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.size(analysis.tokens(F.lower(F.col("text"))))
+                       .cast("long").alias("n_tokens"))
+    return (base.join(nwin, "doc_id", "left").join(cov, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce(F.col("n_dup_win"), F.lit(0)).cast("long")
+                    .alias("n_dup_win"),
+                    F.coalesce(F.col("n_cov"), F.lit(0)).cast("long")
+                    .alias("n_cov"),
+                    F.round(F.coalesce(F.col("n_cov"), F.lit(0))
+                            .cast("double") / F.col("n_tokens"), 6)
+                    .alias("dup_ratio")))
+
+
+def _sql_dup_spans() -> str:
+    k = DUP_K
+    return f"""WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS l
+  FROM documents
+), win AS (
+  SELECT doc_id, i AS pos, array_to_string(l[i:i + {k - 1}], chr(31)) AS wkey
+  FROM tok, UNNEST(generate_series(1, len(l) - {k - 1})) AS t(i)
+  WHERE len(l) >= {k}
+), dup AS (
+  SELECT wkey FROM win GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT win.doc_id, win.pos FROM win JOIN dup USING (wkey)
+), cov AS (
+  SELECT doc_id, COUNT(DISTINCT pos + o) AS n_cov
+  FROM hits, UNNEST(generate_series(0, {k - 1})) AS t(o)
+  GROUP BY 1
+), nwin AS (
+  SELECT doc_id, COUNT(*) AS n_dup_win FROM hits GROUP BY 1
+), base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(len(l) AS BIGINT) AS n_tokens
+  FROM tok
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(n_dup_win, 0) AS BIGINT) AS n_dup_win,
+       CAST(COALESCE(n_cov, 0) AS BIGINT) AS n_cov,
+       ROUND(CAST(COALESCE(n_cov, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_ratio
+FROM base b LEFT JOIN nwin USING (doc_id) LEFT JOIN cov USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -3674,6 +3895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "coverage_gap": q_coverage_gap,
         "path_densify": q_path_densify,
+        "hll_tiles": q_hll_tiles,
+        "cmsketch_tokens": q_cmsketch_tokens,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -3742,4 +3966,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canon": _sql_url_canon(n),
         "coverage_gap": _sql_coverage_gap(n),
         "path_densify": _sql_path_densify(n),
+        "hll_tiles": _sql_hll_tiles(n),
+        "cmsketch_tokens": _sql_cmsketch_tokens(),
+        "dup_spans": _sql_dup_spans(),
     }

@@ -38,6 +38,9 @@ HEADLINE = [
     "crs_dispatch", "gridshift_file", "minhash_neardup", "simhash_neardup",
     "ann_pairs", "ivf_topk", "dedup_groups", "embed_neardup",
     "winnow_fp", "winnow_pairs", "bpe_token_topk",
+    "stratified_sample", "dedup_keep_best", "ccnet_buckets",
+    "distinctive_terms", "url_canon", "coverage_gap", "path_densify",
+    "hll_tiles", "cmsketch_tokens", "dup_spans",
 ]
 
 
