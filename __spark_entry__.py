@@ -3750,11 +3750,15 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim in ANOTHER document.
 
     Plan: the window keys are built with 7 LEAD()s over ONE
-    exchange+sort on doc_id (no interpreted higher-order lambdas), the
-    cross-doc test is a vocabulary-style shuffle on the window key
-    (at real scale the key would shuffle as xxhash64 — same plan shape
-    as ngram_pairs), and coverage is an exact distinct count over the
-    positions the duplicated windows span."""
+    exchange+sort on doc_id (no interpreted higher-order lambdas) and
+    the window relation is persisted — it feeds both the cross-doc
+    duplicate detection and the coverage join, and without the persist
+    Catalyst re-scans and re-sorts the corpus once per use.  The
+    cross-doc test is a vocabulary-style shuffle on the window key (at
+    real scale the key would shuffle as xxhash64 — same plan shape as
+    ngram_pairs); per-doc duplicate-window and covered-token counts
+    come out of ONE aggregation over the exploded spans (two distinct
+    counts via expand)."""
     docs = _docs(spark, sf_dir)
     toks = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                        F.posexplode(analysis.tokens(F.lower(F.col("text"))))
@@ -3765,21 +3769,21 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = (toks.select("doc_id", "pos",
                        F.concat_ws(_US, *parts).alias("wkey"),
                        F.lead("token", DUP_K - 1).over(w).alias("last"))
-           .where(F.col("last").isNotNull()).drop("last"))
+           .where(F.col("last").isNotNull()).drop("last")).persist()
     dup = (win.groupBy("wkey")
            .agg(F.count_distinct("doc_id").alias("dc"))
            .where(F.col("dc") >= 2).select("wkey"))
     hits = win.join(dup, "wkey")
-    cov = (hits.select("doc_id", F.explode(
+    stats = (hits.select("doc_id", "pos", F.explode(
         F.sequence(F.col("pos"), F.col("pos") + F.lit(DUP_K - 1)))
         .alias("tpos"))
         .groupBy("doc_id")
-        .agg(F.count_distinct("tpos").alias("n_cov")))
-    nwin = hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_win"))
+        .agg(F.count_distinct("pos").alias("n_dup_win"),
+             F.count_distinct("tpos").alias("n_cov")))
     base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                        F.size(analysis.tokens(F.lower(F.col("text"))))
                        .cast("long").alias("n_tokens"))
-    return (base.join(nwin, "doc_id", "left").join(cov, "doc_id", "left")
+    return (base.join(stats, "doc_id", "left")
             .select("doc_id", "n_tokens",
                     F.coalesce(F.col("n_dup_win"), F.lit(0)).cast("long")
                     .alias("n_dup_win"),

@@ -228,3 +228,64 @@ def test_geod_area_single_arrow_stage_after_agg(spark, entry):
     aggs = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
     # the page-count agg renders BELOW (later tree line than) the kernel
     assert any(a > arrow[0] for a in aggs)
+
+
+def test_coverage_gap_points_never_shuffle_before_joins(spark, entry):
+    """Both spatial tests are broadcast NLJs over the 12-row admin list;
+    the only Exchange is the final cell rollup."""
+    import re
+    s = plan_of(entry.q_coverage_gap(spark, SF))
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", s, re.M)) == 2
+    assert "LeftSemi" in s and "LeftAnti" in s
+    assert "SortMergeJoin" not in s
+    # exchanges: 2 broadcasts + exactly one hash partitioning (cell agg)
+    assert len(re.findall(r"hashpartitioning\(cell7", s)) == 1
+
+
+def test_hll_registers_partial_aggregate_map_side(spark, entry):
+    """The HLL register build must partial-aggregate (map-side max)
+    before its exchange — that is what makes the sketch mergeable and
+    shuffle-light at 10^12 rows."""
+    import re
+    s = plan_of(entry.q_hll_tiles(spark, SF))
+    assert re.search(r"partial_max", s), "register max must combine map-side"
+    # the estimate join keys on cell5 -> broadcast-able small aggregate
+    assert "BroadcastHashJoin" in s
+
+
+def test_dup_spans_single_window_sort(spark, entry):
+    """All 7 LEADs share ONE exchange+sort on doc_id (window collapse),
+    computed once and persisted (both consumers read the InMemory
+    relation); no interpreted higher-order lambdas in the hot path."""
+    import re
+    df = entry.q_dup_spans(spark, SF)
+    try:
+        s = plan_of(df)
+        wins = re.findall(r"^\(\d+\) Window", s, re.M)
+        assert len(wins) <= 1, f"window subtree duplicated: {len(wins)}"
+        assert s.count("InMemoryTableScan") >= 2  # both uses hit the cache
+        assert "transform(" not in s  # no interpreted HOF
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_stratified_sample_map_only_filter(spark, entry):
+    """The sampling decision is a pure per-row expression: exactly one
+    exchange (the lang/source rollup), no UDFs."""
+    import re
+    s = plan_of(entry.q_stratified_sample(spark, SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", s, re.M)) == 1
+    assert "Python" not in s
+
+
+def test_url_canon_no_udf_single_scan(spark, entry):
+    """Canonicalization is one regex expression chain over one scan."""
+    import re
+    s = plan_of(entry.q_url_canon(spark, SF))
+    assert "Python" not in s
+    scans = re.findall(r"^\(\d+\) Scan parquet", s, re.M)
+    assert len(scans) == 1
+    # the scan reads only url (html/text pruned)
+    reads = [ln for ln in s.splitlines() if "ReadSchema" in ln]
+    assert reads and all("html" not in ln and "text" not in ln
+                         for ln in reads)
