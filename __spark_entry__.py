@@ -3826,6 +3826,49 @@ SELECT b.doc_id, b.n_tokens,
 FROM base b LEFT JOIN nwin USING (doc_id) LEFT JOIN cov USING (doc_id)"""
 
 
+def q_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supercluster-style marker placement: per z6 cell, the page count
+    and the exact centroid of its points — the primitive map renderers
+    use to place one aggregated marker per cluster at each zoom.
+
+    The coordinates are 6-dp decimals by contract (extraction is a
+    %.6f round-trip), so each one is recovered as an exact micro-degree
+    BIGINT; the centroid is an exact integer sum floored once into
+    micro-degrees — order-independent under any partial-agg reorder (a
+    naive AVG(lat) over doubles is partitioning-dependent) and free of
+    round-half landmines (sum/n lands exactly on .5 µdeg whenever n is
+    even, where HALF_UP engines disagree with round-to-nearest ones).
+    One shuffle."""
+    pts = _points(spark, sf_dir)
+    lat6 = F.round(F.col("lat") * 1e6, 0).cast("long")
+    lon6 = F.round(F.col("lon") * 1e6, 0).cast("long")
+    agg = (pts.select(cells.cell_id(F.col("lon"), F.col("lat"), 6)
+                      .alias("cell6"), lat6.alias("lat6"), lon6.alias("lon6"))
+           .groupBy("cell6")
+           .agg(F.count("*").alias("n_pages"),
+                F.sum("lat6").alias("slat"), F.sum("lon6").alias("slon")))
+    # floor(sum/n): the double quotient's error (~1e-8 µdeg) is far
+    # below the 1/n >= 1.6e-6 gap to the nearest integer, so the floor
+    # is exact in both engines
+    return agg.select(
+        "cell6", "n_pages",
+        F.floor(F.col("slat").cast("double") / F.col("n_pages"))
+        .cast("long").alias("c_lat6"),
+        F.floor(F.col("slon").cast("double") / F.col("n_pages"))
+        .cast("long").alias("c_lon6"))
+
+
+def _sql_cluster_centroids(n: int) -> str:
+    return f"""WITH {_pages_cte(n)}
+SELECT {cells.cell_id_sql('lon', 'lat', 6)} AS cell6,
+       COUNT(*) AS n_pages,
+       CAST(FLOOR(CAST(SUM(CAST(ROUND(lat * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                  / COUNT(*)) AS BIGINT) AS c_lat6,
+       CAST(FLOOR(CAST(SUM(CAST(ROUND(lon * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                  / COUNT(*)) AS BIGINT) AS c_lon6
+FROM pages GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3902,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tiles": q_hll_tiles,
         "cmsketch_tokens": q_cmsketch_tokens,
         "dup_spans": q_dup_spans,
+        "cluster_centroids": q_cluster_centroids,
     }
 
 
@@ -3973,4 +4017,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_tiles": _sql_hll_tiles(n),
         "cmsketch_tokens": _sql_cmsketch_tokens(),
         "dup_spans": _sql_dup_spans(),
+        "cluster_centroids": _sql_cluster_centroids(n),
     }

@@ -40,7 +40,7 @@ HEADLINE = [
     "winnow_fp", "winnow_pairs", "bpe_token_topk",
     "stratified_sample", "dedup_keep_best", "ccnet_buckets",
     "distinctive_terms", "url_canon", "coverage_gap", "path_densify",
-    "hll_tiles", "cmsketch_tokens", "dup_spans",
+    "hll_tiles", "cmsketch_tokens", "dup_spans", "cluster_centroids",
 ]
 
 

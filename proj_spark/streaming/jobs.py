@@ -504,6 +504,68 @@ def stream_sessionize(spark: SparkSession, events_dir: str,
                     "n_events", "sum_cents"))
 
 
+def stream_hll_tiles(spark: SparkSession, pages_dir: str,
+                     z: int = 5,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """Incremental distinct-domain HLL per tile: the batch sketch
+    (proj_spark.sketches) as a stateful streaming operator.
+
+    State per cell is the 256-register array; each micro-batch
+    max-merges its rows in (the HLL merge is idempotent and
+    commutative, so re-delivered files cannot corrupt the state).
+    Emits (cell, s, n_zero) after every update — the same exact-integer
+    sufficient statistic the batch query reports, which is what the
+    stream==batch test asserts register-for-register."""
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType
+
+    from proj_spark import sketches as sk
+    from proj_spark.text.curation import hash31
+
+    pages = _streaming_reader(spark, pages_dir, max_files_per_trigger)
+    pts = extract_geotags(pages).where(F.col("lat").isNotNull())
+    keyed = pts.select(
+        cells.cell_id(F.col("lon"), F.col("lat"), z).alias("cell"),
+        hash31(F.regexp_extract("url", r"site(\d+)\.", 1).cast("long"))
+        .alias("h"))
+
+    out_schema = StructType([
+        StructField("cell", LongType()),
+        StructField("s", LongType()),
+        StructField("n_zero", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("regs", ArrayType(IntegerType())),
+    ])
+
+    def merge(key, pdfs, state: GroupState):
+        regs = np.array(state.get[0], dtype=np.int64) if state.exists \
+            else np.zeros(sk.HLL_M, dtype=np.int64)
+        for pdf in pdfs:
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            bucket = h % sk.HLL_M
+            w = h // sk.HLL_M
+            # bitlength(w) == ceil(log2(w + 1)): exact for w < 2^23
+            # (log2 of an exact power of two is exact; otherwise the
+            # true value is >= 1e-7 from the nearest integer)
+            rho = np.where(
+                w == 0, sk.HLL_RHO_MAX,
+                sk.HLL_RHO_MAX
+                - np.ceil(np.log2(w + 1)).astype(np.int64))
+            np.maximum.at(regs, bucket, rho)
+        state.update(([int(v) for v in regs],))
+        present = regs > 0
+        s = int((2 ** (sk.HLL_RHO_MAX - regs[present])).sum()
+                + (sk.HLL_M - present.sum()) * 2 ** sk.HLL_RHO_MAX)
+        yield pd.DataFrame({"cell": [key[0]], "s": [s],
+                            "n_zero": [int(sk.HLL_M - present.sum())]})
+
+    return (keyed.groupBy("cell")
+            .applyInPandasWithState(merge, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str = "complete") -> None:
     """Drain a streaming DataFrame into an in-memory table (tests /

@@ -485,3 +485,38 @@ def test_stream_tile_pyramid_matches_batch(spark, pages_dir):
     finally:
         spark.catalog.clearCache()
     assert got == want
+
+
+def test_stream_hll_tiles_matches_batch(spark, pages_dir):
+    """The streaming HLL's exact-integer statistic equals the batch
+    register build on the same files, register-for-register (take the
+    LAST update per cell — 'update' mode re-emits on every batch)."""
+    from proj_spark import sketches as sk
+    from proj_spark.streaming.jobs import stream_hll_tiles
+    from proj_spark.text.curation import hash31
+    from proj_spark.pages import extract_geotags
+    from proj_spark.spatial import cells as _cells
+
+    run_to_memory(stream_hll_tiles(spark, pages_dir, z=5,
+                                   max_files_per_trigger=1),
+                  "hll_stream", mode="update")
+    rows = spark.sql(
+        "SELECT cell, s, n_zero FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY "
+        "         monotonically_increasing_id() DESC) rn FROM hll_stream"
+        ") WHERE rn = 1").collect()
+    got = {r["cell"]: (r["s"], r["n_zero"]) for r in rows}
+
+    pts = extract_geotags(spark.read.parquet(pages_dir)).where(
+        F.col("lat").isNotNull())
+    h = hash31(F.regexp_extract("url", r"site(\d+)\.", 1).cast("long"))
+    base = pts.select(
+        _cells.cell_id(F.col("lon"), F.col("lat"), 5).alias("cell"),
+        h.alias("h"))
+    reg = (base.groupBy("cell", sk.hll_bucket(F.col("h")).alias("b"))
+           .agg(F.max(sk.hll_rho(F.col("h"))).alias("mr")))
+    batch = (reg.groupBy("cell")
+             .agg(sk.hll_stat(F.col("mr"), F.count("*")).alias("s"),
+                  (F.lit(sk.HLL_M) - F.count("*")).alias("n_zero")))
+    want = {r["cell"]: (r["s"], r["n_zero"]) for r in batch.collect()}
+    assert got == want
