@@ -3869,6 +3869,56 @@ SELECT {cells.cell_id_sql('lon', 'lat', 6)} AS cell6,
 FROM pages GROUP BY 1"""
 
 
+QUANTILES = [(50, "p50"), (90, "p90"), (99, "p99")]
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-count quantiles (the Gopher length-
+    filter calibration stat): p50/p90/p99 as 'smallest v with
+    cum_count >= ceil(q*n)' — a pure cumulative-sum definition with no
+    engine-private percentile sketch, so both engines agree exactly.
+
+    Plan: one shuffle on (lang, n_tokens) for the value histogram, a
+    window cumsum WITHIN each lang partition (partition-local, no
+    global sort), then a min per quantile.  The histogram is at most
+    |langs| x |distinct lengths| rows — tiny relative to the corpus."""
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(analysis.tokens(F.col("text"))).cast("long")
+    hist = (docs.select("lang", n_tok.alias("v"))
+            .groupBy("lang", "v").agg(F.count("*").alias("c")))
+    w = Window.partitionBy("lang").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (hist.withColumn("cum", F.sum("c").over(w))
+           .withColumn("n", F.sum("c").over(Window.partitionBy("lang"))))
+    aggs = [F.min(F.when(F.col("cum") >= F.ceil(F.col("n") * q / 100),
+                         F.col("v"))).alias(name)
+            for q, name in QUANTILES]
+    return (cum.groupBy("lang")
+            .agg(F.max("n").alias("n_docs"), *aggs)
+            .select("lang", F.col("n_docs").cast("long").alias("n_docs"),
+                    *[F.col(nm).cast("long").alias(nm)
+                      for _, nm in QUANTILES]))
+
+
+def _sql_token_quantiles() -> str:
+    n_tok = _sql_text_stats()["n_tok"]
+    sel = ", ".join(
+        f"MIN(CASE WHEN cum >= CEIL(n * {q} / 100) THEN v END) AS {nm}"
+        for q, nm in QUANTILES)
+    return f"""WITH hist AS (
+  SELECT lang, CAST({n_tok} AS BIGINT) AS v, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT lang, v, c,
+         SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+       {sel}
+FROM cum GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3946,6 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cmsketch_tokens": q_cmsketch_tokens,
         "dup_spans": q_dup_spans,
         "cluster_centroids": q_cluster_centroids,
+        "token_quantiles": q_token_quantiles,
     }
 
 
@@ -4018,4 +4069,5 @@ def oracle_sql() -> dict[str, str]:
         "cmsketch_tokens": _sql_cmsketch_tokens(),
         "dup_spans": _sql_dup_spans(),
         "cluster_centroids": _sql_cluster_centroids(n),
+        "token_quantiles": _sql_token_quantiles(),
     }

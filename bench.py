@@ -41,6 +41,7 @@ HEADLINE = [
     "stratified_sample", "dedup_keep_best", "ccnet_buckets",
     "distinctive_terms", "url_canon", "coverage_gap", "path_densify",
     "hll_tiles", "cmsketch_tokens", "dup_spans", "cluster_centroids",
+    "token_quantiles",
 ]
 
 

@@ -176,3 +176,15 @@ def test_canonical_url_sql_twin(spark):
             f"SELECT {canonical_url_sql('url')} "
             f"FROM (SELECT ? AS url)", [raw]).fetchone()[0]
         assert got == want, raw
+
+
+def test_token_quantiles_definition(spark, monkeypatch):
+    import __spark_entry__ as em
+    # lengths 1..10 for en: p50 -> smallest v with cum >= 5 -> 5;
+    # p90 -> 9; p99 -> ceil(9.9)=10
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i), "en", "s", 1) for i in range(1, 11)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    monkeypatch.setattr(em, "_docs", lambda _s, _d: docs)
+    row = em.q_token_quantiles(spark, "ignored").collect()[0]
+    assert (row["n_docs"], row["p50"], row["p90"], row["p99"]) == (10, 5, 9, 10)
