@@ -3919,6 +3919,192 @@ SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
 FROM cum GROUP BY 1"""
 
 
+ADAPT_CAP = 256  # max pages per serving tile in the adaptive cut
+
+
+def q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree tiling: the variable-resolution cut where every
+    non-empty region gets the SHALLOWEST tile holding <= ADAPT_CAP
+    pages (dense cities split deep, sparse ocean stays coarse); z_max
+    tiles still over cap are flagged overflow.  See
+    proj_spark/spatial/adaptive.py for the partition-exactly-once
+    argument and the tile-rows-only join plan."""
+    from proj_spark.spatial import adaptive, pyramid
+    pts = _points(spark, sf_dir)
+    pyr = pyramid.tile_pyramid(pts, PYRAMID_Z_MAX, PYRAMID_Z_MIN)
+    return adaptive.adaptive_cut(pyr, PYRAMID_Z_MIN, PYRAMID_Z_MAX,
+                                 ADAPT_CAP)
+
+
+def _sql_adaptive_tiles(n: int) -> str:
+    levels = []
+    for z in range(PYRAMID_Z_MAX, PYRAMID_Z_MIN - 1, -1):
+        levels.append(f"""SELECT {z} AS zoom,
+       {cells.tile_x_sql('lon', z)} AS tile_x,
+       {cells.tile_y_sql('lat', z)} AS tile_y,
+       COUNT(*) AS n
+FROM pages GROUP BY 2, 3""")
+    union = "\nUNION ALL\n".join(levels)
+    return f"""WITH {_pages_cte(n)},
+lv AS (
+{union}
+)
+SELECT CAST(c.zoom AS INT) AS zoom, c.tile_x, c.tile_y,
+       CAST(c.n AS BIGINT) AS n_pages, c.n > {ADAPT_CAP} AS overflow
+FROM lv c LEFT JOIN (SELECT * FROM lv WHERE n > {ADAPT_CAP}) p
+  ON p.zoom = c.zoom - 1 AND p.tile_x = c.tile_x // 2
+ AND p.tile_y = c.tile_y // 2
+WHERE (c.n <= {ADAPT_CAP}
+       AND (c.zoom = {PYRAMID_Z_MIN} OR p.zoom IS NOT NULL))
+   OR (c.zoom = {PYRAMID_Z_MAX} AND c.n > {ADAPT_CAP})"""
+
+
+# GPT-3-style decontamination: benchmark set = every 10th doc (id % 10
+# == 7); a training doc is contaminated when it shares an exact token
+# 13-gram with any benchmark doc (the testdata's planted near-dups make
+# this non-trivial: partial-overlap fractions, not just exact dups).
+CONTAM_MOD = 10
+CONTAM_REM = 7
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark 13-gram decontamination over the documents corpus.
+    See proj_spark/text/contamination.py for the broadcast-the-benchmark
+    plan (the corpus side sees exactly one wide stage)."""
+    from proj_spark.text import contamination
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return contamination.contamination_stats(
+        docs, lambda i: i % CONTAM_MOD == CONTAM_REM)
+
+
+def _sql_decontaminate() -> str:
+    nn = 13
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "x -> x != '')")
+    return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+ngr AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i+1:i+{nn}], ' ')
+                 for i in generate_series(0, len(toks) - {nn})])) AS ng
+  FROM t WHERE len(toks) >= {nn}
+),
+bench AS (SELECT DISTINCT ng FROM ngr
+          WHERE doc_id % {CONTAM_MOD} = {CONTAM_REM}),
+train AS (SELECT doc_id, ng FROM ngr
+          WHERE doc_id % {CONTAM_MOD} != {CONTAM_REM}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM train GROUP BY 1),
+hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM train
+         WHERE ng IN (SELECT ng FROM bench) GROUP BY 1)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / n_ngrams, 6) AS hit_frac
+FROM sizes s JOIN hits h ON s.doc_id = h.doc_id"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: per-document mean bigram
+    conditional probability under the corpus's own bigram model,
+    micro-quantized by exact integer division (no float accumulation).
+    See proj_spark/text/contamination.py bigram_lm_scores."""
+    from proj_spark.text import contamination
+    return contamination.bigram_lm_scores(
+        _docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def _sql_lm_score() -> str:
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "x -> x != '')")
+    return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+bgl AS (
+  SELECT doc_id,
+         unnest([{{'w1': toks[i+1], 'bg': toks[i+1] || ' ' || toks[i+2]}}
+                 for i in generate_series(0, len(toks) - 2)]) AS b
+  FROM t WHERE len(toks) >= 2
+),
+bgf AS (SELECT doc_id, b.w1 AS w1, b.bg AS bigram FROM bgl),
+cb AS (SELECT bigram, COUNT(*) AS cb FROM bgf GROUP BY 1),
+cw AS (SELECT w1, COUNT(*) AS cw FROM bgf GROUP BY 1),
+sc AS (SELECT doc_id, (1000000 * cb.cb) // cw.cw AS micro
+       FROM bgf JOIN cb USING (bigram) JOIN cw USING (w1))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(micro) AS BIGINT) AS sum_micro,
+       ROUND(CAST(SUM(micro) AS DOUBLE) / COUNT(*), 4) AS avg_micro
+FROM sc GROUP BY 1"""
+
+
+def _pii_text_col() -> "F.Column":
+    """Deterministic PII overlay: 2/3 of docs get a synthetic contact
+    block (email; or email + phone + IPv4) derived from doc_id by pure
+    integer arithmetic, so the oracle regenerates the identical bytes."""
+    i = F.col("doc_id")
+    m = F.pmod(i, F.lit(97)).cast("string")
+    p4 = F.lpad(F.pmod(i * 7919, F.lit(10000)).cast("string"), 4, "0")
+    a = F.pmod(i * 13, F.lit(256)).cast("string")
+    b = F.pmod(i * 29, F.lit(256)).cast("string")
+    c = F.pmod(i * 53, F.lit(256)).cast("string")
+    email = F.concat(F.lit(" Contact user"), i.cast("string"),
+                     F.lit("@site"), m, F.lit(".example"))
+    v = F.pmod(i, F.lit(3))
+    contact = (
+        F.when(v == 1, F.concat(email, F.lit(" for details.")))
+        .when(v == 2, F.concat(
+            email, F.lit(" or call +1-555-"), p4,
+            F.lit("; server at 10."), a, F.lit("."), b, F.lit("."), c,
+            F.lit(" today.")))
+        .otherwise(F.lit("")))
+    return F.concat(F.col("text"), contact)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: count + redact emails / phones / IPv4
+    (typed placeholder tokens), entirely as codegen'd regexp
+    expressions — zero UDFs, zero shuffles; the canonical map-parallel
+    full-corpus rewrite.  Output hashes the redacted text so the oracle
+    verifies the rewrite byte-for-byte."""
+    from proj_spark.text import pii
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pt = _pii_text_col()
+    ne, np_, ni = pii.pii_counts(pt)
+    red = pii.redact(pt)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ne.cast("long").alias("n_emails"),
+        np_.cast("long").alias("n_phones"),
+        ni.cast("long").alias("n_ipv4"),
+        F.length(red).cast("long").alias("red_len"),
+        F.md5(F.encode(red, "UTF-8")).alias("red_md5"))
+
+
+def _sql_pii_redact() -> str:
+    from proj_spark.text import pii
+    e = pii.sql_pii_exprs("pii_text")
+    return f"""WITH p AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 3 = 1 THEN
+             ' Contact user' || CAST(doc_id AS VARCHAR) || '@site'
+             || CAST(doc_id % 97 AS VARCHAR) || '.example for details.'
+           WHEN doc_id % 3 = 2 THEN
+             ' Contact user' || CAST(doc_id AS VARCHAR) || '@site'
+             || CAST(doc_id % 97 AS VARCHAR) || '.example or call +1-555-'
+             || lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0')
+             || '; server at 10.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+             || '.' || CAST((doc_id * 29) % 256 AS VARCHAR)
+             || '.' || CAST((doc_id * 53) % 256 AS VARCHAR) || ' today.'
+           ELSE '' END AS pii_text
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({e['n_emails']} AS BIGINT) AS n_emails,
+       CAST({e['n_phones']} AS BIGINT) AS n_phones,
+       CAST({e['n_ipv4']} AS BIGINT) AS n_ipv4,
+       CAST(length({e['redacted']}) AS BIGINT) AS red_len,
+       md5({e['redacted']}) AS red_md5
+FROM p"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3997,6 +4183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "cluster_centroids": q_cluster_centroids,
         "token_quantiles": q_token_quantiles,
+        "adaptive_tiles": q_adaptive_tiles,
+        "decontaminate": q_decontaminate,
+        "lm_score": q_lm_score,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -4070,4 +4260,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _sql_dup_spans(),
         "cluster_centroids": _sql_cluster_centroids(n),
         "token_quantiles": _sql_token_quantiles(),
+        "adaptive_tiles": _sql_adaptive_tiles(n),
+        "decontaminate": _sql_decontaminate(),
+        "lm_score": _sql_lm_score(),
+        "pii_redact": _sql_pii_redact(),
     }

@@ -42,6 +42,7 @@ HEADLINE = [
     "distinctive_terms", "url_canon", "coverage_gap", "path_densify",
     "hll_tiles", "cmsketch_tokens", "dup_spans", "cluster_centroids",
     "token_quantiles",
+    "adaptive_tiles", "decontaminate", "lm_score", "pii_redact",
 ]
 
 

@@ -289,3 +289,42 @@ def test_url_canon_no_udf_single_scan(spark, entry):
     reads = [ln for ln in s.splitlines() if "ReadSchema" in ln]
     assert reads and all("html" not in ln and "text" not in ln
                          for ln in reads)
+
+
+def test_pii_redact_map_only_no_udf(spark, entry):
+    """The PII scrub is a pure codegen'd rewrite: one scan, zero
+    exchanges, zero Python — the shape a 100 TB full-corpus rewrite
+    needs."""
+    import re
+    s = plan_of(entry.q_pii_redact(spark, SF))
+    assert "Exchange" not in s
+    assert "Python" not in s
+    scans = re.findall(r"^\(\d+\) Scan parquet", s, re.M)
+    assert len(scans) == 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark, entry):
+    """The benchmark n-gram set broadcasts (it is small by definition);
+    the corpus side must never feed a sort-merge join on the n-gram
+    key."""
+    s = plan_of(entry.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    assert "Python" not in s
+
+
+def test_lm_score_no_udf_no_nlj(spark, entry):
+    """Bigram LM scoring stays JVM-side: explode + hash aggs + hash
+    joins only."""
+    s = plan_of(entry.q_lm_score(spark, SF))
+    assert "Python" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_adaptive_tiles_joins_tile_rows_only(spark, entry):
+    """The cut self-join runs over the persisted pyramid levels (tile
+    rows), never re-joining the raw points."""
+    s = plan_of(entry.q_adaptive_tiles(spark, SF))
+    assert "InMemoryTableScan" in s
+    assert "CartesianProduct" not in s
