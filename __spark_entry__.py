@@ -4105,6 +4105,46 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM p"""
 
 
+# Corridor route: NYC -> London -> Paris -> Berlin -> Moscow (city
+# centers from CITY_CENTERS), 100 km half-width, top-20 per segment.
+CORRIDOR_WAYPOINTS = [CITY_CENTERS[0], CITY_CENTERS[6], CITY_CENTERS[7],
+                      CITY_CENTERS[8], CITY_CENTERS[13]]
+CORRIDOR_D_KM = 100.0
+CORRIDOR_K = 20
+
+
+def q_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle corridor join: the 20 nearest pages per route
+    segment among pages within 100 km of it.  See
+    proj_spark/spatial/corridor.py for the vector cross-track math and
+    the broadcast-NLJ-with-exact-pruning-box plan (the points relation
+    never shuffles before the per-segment top-k).  The oracle runs the
+    UNPRUNED theta join, so it independently verifies the pruning box
+    drops nothing."""
+    from proj_spark.spatial import corridor
+    pts = _points(spark, sf_dir)
+    return corridor.corridor_topk(pts, CORRIDOR_WAYPOINTS, CORRIDOR_D_KM,
+                                  CORRIDOR_K)
+
+
+def _sql_corridor(n: int) -> str:
+    from proj_spark.spatial import corridor
+    d = corridor.dist_sql("lon", "lat")
+    segs = corridor.segments_values_sql(CORRIDOR_WAYPOINTS, CORRIDOR_D_KM)
+    return f"""WITH {_pages_cte(n)},
+cand AS (
+  SELECT seg_id, url, ROUND({d} / 1000.0, 3) AS dist_km
+  FROM pages CROSS JOIN {segs}
+  WHERE {d} <= {CORRIDOR_D_KM!r} * 1000.0
+)
+SELECT CAST(seg_id AS INT) AS seg_id, CAST(rnk AS INT) AS rnk, url, dist_km
+FROM (SELECT seg_id, url, dist_km,
+             ROW_NUMBER() OVER (PARTITION BY seg_id
+                                ORDER BY dist_km, url) AS rnk
+      FROM cand)
+WHERE rnk <= {CORRIDOR_K}"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4187,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
         "pii_redact": q_pii_redact,
+        "corridor": q_corridor,
     }
 
 
@@ -4264,4 +4305,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _sql_decontaminate(),
         "lm_score": _sql_lm_score(),
         "pii_redact": _sql_pii_redact(),
+        "corridor": _sql_corridor(n),
     }

@@ -328,3 +328,17 @@ def test_adaptive_tiles_joins_tile_rows_only(spark, entry):
     s = plan_of(entry.q_adaptive_tiles(spark, SF))
     assert "InMemoryTableScan" in s
     assert "CartesianProduct" not in s
+
+
+def test_corridor_points_map_side_until_topk(spark, entry):
+    """Corridor join: points relation joins the broadcast segments via
+    NLJ (bbox gate) and shuffles exactly once — for the per-segment
+    window top-k, which must be a partial WindowGroupLimit."""
+    import re
+    s = plan_of(entry.q_corridor(spark, SF))
+    assert "BroadcastNestedLoopJoin" in s
+    # no UDF nodes (the broadcast side's createDataFrame plumbing is
+    # allowed to mention Python; the point stream must stay JVM-side)
+    assert "EvalPython" not in s
+    assert "WindowGroupLimit" in s
+    assert len(re.findall(r"^\(\d+\) Exchange", s, re.M)) == 1
