@@ -4145,6 +4145,73 @@ FROM (SELECT seg_id, url, dist_km,
 WHERE rnk <= {CORRIDOR_K}"""
 
 
+# Douglas-Peucker area tolerance in µdeg² (|cross| of the chord and
+# point vectors).  1e16 ≈ a 1-degree-deviation × 1-degree-chord scale —
+# coarse enough to compress the jumpy synthetic crawl paths ~2.4x.
+DP_TOL_AREA = 10_000_000_000_000_000
+
+
+def q_traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl-path simplification: Douglas-Peucker with the
+    EXACT-integer triangle-area criterion over micro-degree
+    coordinates.  See proj_spark/spatial/simplify.py for why area (not
+    perpendicular distance) makes the recursion decisions float-free
+    and the kept set engine-independent; the oracle replays the same
+    recursion tree as a recursive CTE that splits every active
+    interval at its deviation argmax."""
+    from proj_spark.spatial.simplify import simplify_stats
+    pts = _points(spark, sf_dir)
+    seq = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    t = pts.select("domain", seq.alias("seq"), "lat", "lon")
+    return simplify_stats(t, DP_TOL_AREA)
+
+
+def _sql_traj_simplify(n: int) -> str:
+    dev = "ABS((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))"
+    return f"""WITH RECURSIVE {_pages_cte(n)},
+pts AS (SELECT domain, i AS seq,
+               CAST(ROUND(lon * 1000000.0) AS BIGINT) AS x,
+               CAST(ROUND(lat * 1000000.0) AS BIGINT) AS y
+        FROM pages),
+bounds AS (SELECT domain, MIN(seq) AS lo, MAX(seq) AS hi
+           FROM pts GROUP BY 1),
+iv(domain, lo, hi) AS (
+  SELECT domain, lo, hi FROM bounds
+  UNION ALL
+  SELECT s.domain,
+         CASE WHEN c.side = 0 THEN s.lo ELSE s.m END,
+         CASE WHEN c.side = 0 THEN s.m ELSE s.hi END
+  FROM (
+    SELECT domain, lo, hi, m, dev FROM (
+      SELECT iv.domain, iv.lo, iv.hi, p.seq AS m, {dev} AS dev,
+             ROW_NUMBER() OVER (PARTITION BY iv.domain, iv.lo, iv.hi
+                                ORDER BY {dev} DESC, p.seq) AS rn
+      FROM iv
+      JOIN pts a ON a.domain = iv.domain AND a.seq = iv.lo
+      JOIN pts b ON b.domain = iv.domain AND b.seq = iv.hi
+      JOIN pts p ON p.domain = iv.domain
+                AND p.seq > iv.lo AND p.seq < iv.hi
+    ) WHERE rn = 1 AND dev > {DP_TOL_AREA}
+  ) s CROSS JOIN (VALUES (0), (1)) c(side)
+),
+kept AS (
+  -- DISTINCT over UNION ALL, deliberately: plain UNION fails to
+  -- deduplicate rows streamed out of the recursive buffer in this
+  -- shape (duckdb quirk, reproduced on 1.x)
+  SELECT DISTINCT domain, seq FROM (
+    SELECT domain, lo AS seq FROM iv
+    UNION ALL
+    SELECT domain, hi AS seq FROM iv)
+),
+np_ AS (SELECT domain, COUNT(*) AS n_pts FROM pts GROUP BY 1),
+nk AS (SELECT domain, COUNT(*) AS n_kept,
+              CAST(SUM(seq) AS BIGINT) AS kept_seq_sum
+       FROM kept GROUP BY 1)
+SELECT np_.domain AS domain, n_pts, n_kept, kept_seq_sum,
+       ROUND(CAST(n_kept AS DOUBLE) / n_pts, 6) AS kept_frac
+FROM np_ JOIN nk ON np_.domain = nk.domain"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4228,6 +4295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "pii_redact": q_pii_redact,
         "corridor": q_corridor,
+        "traj_simplify": q_traj_simplify,
     }
 
 
@@ -4306,4 +4374,5 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _sql_lm_score(),
         "pii_redact": _sql_pii_redact(),
         "corridor": _sql_corridor(n),
+        "traj_simplify": _sql_traj_simplify(n),
     }

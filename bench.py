@@ -43,7 +43,7 @@ HEADLINE = [
     "hll_tiles", "cmsketch_tokens", "dup_spans", "cluster_centroids",
     "token_quantiles",
     "adaptive_tiles", "decontaminate", "lm_score", "pii_redact",
-    "corridor",
+    "corridor", "traj_simplify",
 ]
 
 

@@ -342,3 +342,12 @@ def test_corridor_points_map_side_until_topk(spark, entry):
     assert "EvalPython" not in s
     assert "WindowGroupLimit" in s
     assert len(re.findall(r"^\(\d+\) Exchange", s, re.M)) == 1
+
+
+def test_traj_simplify_one_exchange_grouped_pandas(spark, entry):
+    """DP simplification shuffles the points exactly once (on the
+    trajectory key) into the grouped-pandas kernel."""
+    import re
+    s = plan_of(entry.q_traj_simplify(spark, SF))
+    assert "FlatMapGroupsInPandas" in s
+    assert len(re.findall(r"^\(\d+\) Exchange", s, re.M)) == 1
