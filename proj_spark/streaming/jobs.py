@@ -566,6 +566,39 @@ def stream_hll_tiles(spark: SparkSession, pages_dir: str,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def stream_corridor_counts(spark: SparkSession, pages_dir: str,
+                           waypoints: list[tuple[float, float]],
+                           d_km: float,
+                           max_files_per_trigger: int | None = None
+                           ) -> DataFrame:
+    """Streaming corridor/geofence monitor: running per-segment page
+    counts + nearest approach within d_km of the route.
+
+    Membership is STATELESS — the same broadcast-literal vector
+    cross-track math as the batch operator (spatial/corridor.py),
+    evaluated per micro-batch via a stream-static broadcast join gated
+    by the exact pruning box.  The only state is the running
+    (count, min) per segment: |route| rows, independent of stream
+    length.  min-merge is idempotent/commutative, count assumes
+    exactly-once file delivery (the parquet source's contract)."""
+    from proj_spark.spatial import corridor
+
+    pages = _streaming_reader(spark, pages_dir, max_files_per_trigger)
+    pts = extract_geotags(pages).where(F.col("lat").isNotNull())
+    segs = spark.createDataFrame(corridor.segment_specs(waypoints, d_km),
+                                 corridor.SEG_SCHEMA)
+    bbox = ((F.col("lat") >= F.col("lat_lo"))
+            & (F.col("lat") <= F.col("lat_hi"))
+            & (F.col("lon") >= F.col("lon_lo"))
+            & (F.col("lon") <= F.col("lon_hi")))
+    cand = (pts.join(F.broadcast(segs), bbox)
+            .withColumn("dist_m", F.expr(corridor.dist_sql()))
+            .where(F.col("dist_m") <= d_km * 1000.0))
+    return (cand.groupBy("seg_id")
+            .agg(F.count("*").alias("n_pages"),
+                 F.round(F.min("dist_m") / 1000.0, 3).alias("min_km")))
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str = "complete") -> None:
     """Drain a streaming DataFrame into an in-memory table (tests /

@@ -520,3 +520,27 @@ def test_stream_hll_tiles_matches_batch(spark, pages_dir):
                   (F.lit(sk.HLL_M) - F.count("*")).alias("n_zero")))
     want = {r["cell"]: (r["s"], r["n_zero"]) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_corridor_matches_batch(spark, pages_dir):
+    from proj_spark.pages import extract_geotags
+    from proj_spark.spatial import corridor
+    from proj_spark.streaming.jobs import stream_corridor_counts
+
+    wps = [(-74.0, 40.7), (-0.1, 51.5), (2.35, 48.86)]
+    run_to_memory(stream_corridor_counts(spark, pages_dir, wps, 150.0),
+                  "corr")
+    got = {r["seg_id"]: (r["n_pages"], r["min_km"])
+           for r in spark.table("corr").collect()}
+    pts = extract_geotags(spark.read.parquet(pages_dir)) \
+        .where(F.col("lat").isNotNull())
+    segs = spark.createDataFrame(corridor.segment_specs(wps, 150.0),
+                                 corridor.SEG_SCHEMA)
+    batch = (pts.crossJoin(F.broadcast(segs))
+             .withColumn("dist_m", F.expr(corridor.dist_sql()))
+             .where(F.col("dist_m") <= 150.0 * 1000.0)
+             .groupBy("seg_id")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.min("dist_m") / 1000.0, 3).alias("m")))
+    want = {r["seg_id"]: (r["n"], r["m"]) for r in batch.collect()}
+    assert got == want and got
