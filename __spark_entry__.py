@@ -4145,6 +4145,53 @@ FROM (SELECT seg_id, url, dist_km,
 WHERE rnk <= {CORRIDOR_K}"""
 
 
+# Map-match route: SF -> LA -> Chicago -> NYC -> DC (city centers),
+# 150 km half-width — wide enough to catch the route cities' own page
+# clusters, so the match population is realistic (dense blobs near
+# waypoints, sparse jitter between).
+MM_WAYPOINTS = [CITY_CENTERS[3], CITY_CENTERS[1], CITY_CENTERS[2],
+                CITY_CENTERS[0], CITY_CENTERS[4]]
+MM_D_KM = 150.0
+
+
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching: every page within 150 km of the SF->LA->Chicago->
+    NYC->DC route snaps to its nearest segment, reporting cross-track
+    distance and chainage (km along the route) of the matched position
+    — the GPS-trace-to-road assignment primitive, at corpus scale.
+    See proj_spark/spatial/corridor.py map_match for the broadcast +
+    exact-pruning-box plan (the points relation never shuffles before
+    the per-point argmin) and the deterministic junction tie-break.
+
+    FULL SQL ORACLE (_sql_map_match): the UNPRUNED theta join with the
+    same shared distance/chainage SQL strings — independently proves
+    the per-segment pruning boxes drop no true match."""
+    from proj_spark.spatial import corridor
+    pts = _points(spark, sf_dir)
+    return corridor.map_match(pts, MM_WAYPOINTS, MM_D_KM)
+
+
+def _sql_map_match(n: int) -> str:
+    from proj_spark.spatial import corridor
+    d = corridor.dist_sql("lon", "lat")
+    ch = corridor.chain_sql("lon", "lat")
+    segs = corridor.segments_values_sql(MM_WAYPOINTS, MM_D_KM)
+    return f"""WITH {_pages_cte(n)},
+cand AS (
+  SELECT url, seg_id,
+         ROUND({d} / 1000.0, 3) AS dist_km,
+         ROUND(({ch}) / 1000.0, 3) AS chain_km
+  FROM pages CROSS JOIN {segs}
+  WHERE {d} <= {MM_D_KM!r} * 1000.0
+)
+SELECT url, CAST(seg_id AS INT) AS seg_id, dist_km, chain_km
+FROM (SELECT url, seg_id, dist_km, chain_km,
+             ROW_NUMBER() OVER (PARTITION BY url
+                                ORDER BY dist_km, seg_id) AS rnk
+      FROM cand)
+WHERE rnk = 1"""
+
+
 # Douglas-Peucker area tolerance in µdeg² (|cross| of the chord and
 # point vectors).  1e16 ≈ a 1-degree-deviation × 1-degree-chord scale —
 # coarse enough to compress the jumpy synthetic crawl paths ~2.4x.
@@ -4295,6 +4342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "pii_redact": q_pii_redact,
         "corridor": q_corridor,
+        "map_match": q_map_match,
         "traj_simplify": q_traj_simplify,
     }
 
@@ -4374,5 +4422,6 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _sql_lm_score(),
         "pii_redact": _sql_pii_redact(),
         "corridor": _sql_corridor(n),
+        "map_match": _sql_map_match(n),
         "traj_simplify": _sql_traj_simplify(n),
     }

@@ -72,7 +72,8 @@ SEG_SCHEMA = ("seg_id int, alon double, alat double, blon double, "
               "blat double, nx double, ny double, nz double, "
               "nlen double, nax double, nay double, naz double, "
               "bnx double, bny double, bnz double, lat_lo double, "
-              "lat_hi double, lon_lo double, lon_hi double")
+              "lat_hi double, lon_lo double, lon_hi double, "
+              "seg_m double, cum_m double")
 
 SEG_COLS = [c.split()[0] for c in SEG_SCHEMA.split(", ")]
 
@@ -85,6 +86,7 @@ def segment_specs(waypoints: list[tuple[float, float]],
     antimeridian or a pole (asserted).
     """
     out = []
+    cum_m = 0.0
     for s, (wa, wb) in enumerate(zip(waypoints, waypoints[1:])):
         assert abs(wa[0] - wb[0]) < 180.0, "segment crosses antimeridian"
         a3, b3 = _unit(*wa), _unit(*wb)
@@ -119,10 +121,15 @@ def segment_specs(waypoints: list[tuple[float, float]],
         pad_lon = d_km / (km_per_deg * math.cos(math.radians(phi_max))) * 1.05
         lon_lo = min(wa[0], wb[0]) - pad_lon
         lon_hi = max(wa[0], wb[0]) + pad_lon
+        # geodesic (spherical) segment length + route chainage at its
+        # start — plain driver floats shipped as literals, so both
+        # engines see byte-identical constants
+        seg_m = EARTH_R * math.atan2(nlen, _dot(a3, b3))
         out.append((s, wa[0], wa[1], wb[0], wb[1],
                     n[0], n[1], n[2], nlen,
                     na[0], na[1], na[2], bn[0], bn[1], bn[2],
-                    lat_lo, lat_hi, lon_lo, lon_hi))
+                    lat_lo, lat_hi, lon_lo, lon_hi, seg_m, cum_m))
+        cum_m += seg_m
     return out
 
 
@@ -172,6 +179,71 @@ def corridor_topk(pts: DataFrame, waypoints: list[tuple[float, float]],
             .select(F.col("seg_id").cast("int").alias("seg_id"),
                     F.col("rnk").cast("int").alias("rnk"),
                     F.col(key_col), "dist_km"))
+
+
+def chain_sql(lon: str = "lon", lat: str = "lat") -> str:
+    """Route chainage (meters from the route start) of a point's match
+    on the segment, as ONE SQL string shared verbatim by Spark and
+    DuckDB.  Beside the segment, the along-track angle from endpoint A
+    is atan2(P·(n̂×A), P·Â) — n×A is perpendicular to A in the circle's
+    plane pointing toward B with |n×A| = |n|; in the endpoint caps the
+    match clamps to the segment start (chainage cum_m) or end
+    (cum_m + seg_m)."""
+    px = f"(COS(RADIANS({lat})) * COS(RADIANS({lon})))"
+    py = f"(COS(RADIANS({lat})) * SIN(RADIANS({lon})))"
+    pz = f"(SIN(RADIANS({lat})))"
+    s1 = f"({px} * nax + {py} * nay + {pz} * naz)"
+    s2 = f"({px} * bnx + {py} * bny + {pz} * bnz)"
+    pa = (f"({px} * (COS(RADIANS(alat)) * COS(RADIANS(alon))) "
+          f"+ {py} * (COS(RADIANS(alat)) * SIN(RADIANS(alon))) "
+          f"+ {pz} * (SIN(RADIANS(alat))))")
+    along = f"{EARTH_R!r} * ATAN2({s1} / nlen, {pa})"
+    hav_a = haversine_sql(lon, lat, "alon", "alat")
+    hav_b = haversine_sql(lon, lat, "blon", "blat")
+    return (f"CASE WHEN {s1} >= 0 AND {s2} >= 0 THEN cum_m + {along} "
+            f"WHEN {hav_a} <= {hav_b} THEN cum_m "
+            f"ELSE cum_m + seg_m END")
+
+
+def map_match(pts: DataFrame, waypoints: list[tuple[float, float]],
+              d_km: float, lon_col: str = "lon", lat_col: str = "lat",
+              key_col: str = "url") -> DataFrame:
+    """Map matching: snap every point within d_km of the route to its
+    NEAREST segment, with the cross-track distance and the chainage
+    (km along the route) of the matched position — the GPS-trace /
+    asset-to-route assignment primitive.
+
+    Plan shape (and why it holds at 10^12 points): the segment
+    relation is tiny and broadcast, candidates are gated by each
+    segment's exact pruning box before any trig runs, so the points
+    relation is scanned once map-side; the only exchange is the
+    per-point argmin window over the ~|route-local| candidate subset.
+    Ties (a point equidistant from the two segments sharing a
+    waypoint) are exact equalities in both engines — the cap distance
+    to the shared waypoint is the same literal expression — and break
+    deterministically by seg_id.
+    """
+    spark = SparkSession.getActiveSession()
+    segs = spark.createDataFrame(segment_specs(waypoints, d_km),
+                                 SEG_SCHEMA)
+    bbox = ((F.col(lat_col) >= F.col("lat_lo"))
+            & (F.col(lat_col) <= F.col("lat_hi"))
+            & (F.col(lon_col) >= F.col("lon_lo"))
+            & (F.col(lon_col) <= F.col("lon_hi")))
+    d = F.expr(dist_sql(lon_col, lat_col))
+    ch = F.expr(chain_sql(lon_col, lat_col))
+    cand = (pts.join(F.broadcast(segs), bbox)
+            .withColumn("dist_m", d)
+            .where(F.col("dist_m") <= d_km * 1000.0)
+            .select(key_col, "seg_id",
+                    F.round(F.col("dist_m") / 1000.0, 3).alias("dist_km"),
+                    F.round(ch / 1000.0, 3).alias("chain_km")))
+    w = Window.partitionBy(key_col).orderBy("dist_km", "seg_id")
+    return (cand.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select(F.col(key_col),
+                    F.col("seg_id").cast("int").alias("seg_id"),
+                    "dist_km", "chain_km"))
 
 
 def segments_values_sql(waypoints: list[tuple[float, float]],

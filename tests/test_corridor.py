@@ -66,3 +66,58 @@ def test_pruning_box_complete_vs_unpruned(spark):
     got = pruned.groupBy("seg_id").agg(F.count("*").alias("n")).collect()
     for r in got:
         assert r.n == min(50, full_n[r.seg_id])
+
+
+def test_map_match_chainage_scalar(spark):
+    # two equator segments (0,0)->(10,0)->(20,0).  (5,1) matches seg 0
+    # at chainage 5 deg of arc; (15,-1) matches seg 1 at 15 deg; (21,0)
+    # is past the route end -> clamps to full route length (20 deg);
+    # (-1,0) is before the start -> clamps to 0.
+    pts = spark.createDataFrame(
+        [("a", 5.0, 1.0), ("b", 15.0, -1.0), ("c", 21.0, 0.0),
+         ("d", -1.0, 0.0)],
+        "url string, lon double, lat double")
+    out = {r.url: r for r in corridor.map_match(
+        pts, [(0.0, 0.0), (10.0, 0.0), (20.0, 0.0)], 500.0).collect()}
+    deg_km = math.pi * EARTH_R / 180.0 / 1000.0
+    assert out["a"].seg_id == 0
+    assert out["a"].chain_km == pytest.approx(5 * deg_km, abs=1e-2)
+    assert out["b"].seg_id == 1
+    assert out["b"].chain_km == pytest.approx(15 * deg_km, abs=1e-2)
+    assert out["c"].chain_km == pytest.approx(20 * deg_km, abs=1e-2)
+    assert out["d"].chain_km == 0.0
+
+
+def test_map_match_one_row_per_point_and_argmin(spark):
+    # a point beside the junction of two segments must appear ONCE,
+    # matched to the lower seg_id on the exact tie
+    pts = spark.createDataFrame(
+        [("j", 10.0, 0.5), ("k", 3.0, -0.2)],
+        "url string, lon double, lat double")
+    rows = corridor.map_match(
+        pts, [(0.0, 0.0), (10.0, 0.0), (20.0, 0.0)], 500.0).collect()
+    by_url = {}
+    for r in rows:
+        assert r.url not in by_url
+        by_url[r.url] = r
+    assert by_url["j"].seg_id == 0  # tie at the shared waypoint
+    assert by_url["k"].seg_id == 0
+
+
+def test_map_match_plan_broadcast_no_preshuffle(spark):
+    # the points relation must reach the candidate join without an
+    # Exchange; the only exchange is the per-point argmin window
+    import contextlib
+    import io
+    pts = spark.range(0, 100).select(
+        F.col("id").cast("string").alias("url"),
+        (F.col("id") * 0.05).alias("lon"),
+        F.lit(0.1).alias("lat"))
+    df = corridor.map_match(pts, [(0.0, 0.0), (10.0, 0.0)], 300.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    pre, _, _ = plan.partition("Join")
+    assert "Exchange hashpartitioning" not in pre
