@@ -4192,6 +4192,40 @@ FROM (SELECT url, seg_id, dist_km, chain_km,
 WHERE rnk = 1"""
 
 
+HILBERT_BITS = 8     # 256x256 grid; buckets of 16 cells -> <=4096 rows
+
+
+def q_hilbert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus density rollup keyed by HILBERT-curve buckets — the
+    locality-optimal layout key (adjacent keys are ALWAYS adjacent
+    cells, so a bbox touches few, long key runs; what Z-order trades
+    away at its seams).  See proj_spark/spatial/hilbert.py for the
+    per-level integer state walk as chained codegen projections and
+    the engine-portability notes (arithmetic XOR, %-based bit tests).
+
+    FULL SQL ORACLE (_sql_hilbert_rollup): the identical per-level
+    chain as DuckDB CTEs — integer-exact keys, exact counts.
+    tests/test_hilbert.py proves the unit-step locality property and
+    exhaustive scalar/Spark/DuckDB agreement."""
+    from proj_spark.spatial.hilbert import hilbert_df
+    pts = _points(spark, sf_dir)
+    keyed = hilbert_df(pts, bits=HILBERT_BITS)
+    return (keyed.groupBy(F.expr("hkey DIV 16").alias("bucket"))
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("domain").alias("n_domains")))
+
+
+def _sql_hilbert_rollup(n: int) -> str:
+    from proj_spark.spatial.hilbert import hilbert_cte_sql
+    chain = hilbert_cte_sql("pages", bits=HILBERT_BITS)
+    return f"""WITH {_pages_cte(n)},
+{chain}
+SELECT hkey // 16 AS bucket,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT domain) AS n_domains
+FROM hilbert GROUP BY 1"""
+
+
 # Douglas-Peucker area tolerance in µdeg² (|cross| of the chord and
 # point vectors).  1e16 ≈ a 1-degree-deviation × 1-degree-chord scale —
 # coarse enough to compress the jumpy synthetic crawl paths ~2.4x.
@@ -4343,6 +4377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "corridor": q_corridor,
         "map_match": q_map_match,
+        "hilbert_rollup": q_hilbert_rollup,
         "traj_simplify": q_traj_simplify,
     }
 
@@ -4423,5 +4458,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _sql_pii_redact(),
         "corridor": _sql_corridor(n),
         "map_match": _sql_map_match(n),
+        "hilbert_rollup": _sql_hilbert_rollup(n),
         "traj_simplify": _sql_traj_simplify(n),
     }
