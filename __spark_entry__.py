@@ -4192,6 +4192,75 @@ FROM (SELECT url, seg_id, dist_km, chain_km,
 WHERE rnk = 1"""
 
 
+SI_CELL_UDEG = 2_000_000.0   # 2-deg PBSM grid cells (µdeg)
+SI_MAX_UDEG = 2_000_000      # keep city-local hops; long-haul jumps are
+                             # not crawl-path geometry (and would need
+                             # segment splitting, not bigger cells)
+
+
+def _crawl_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl-path segments in exact µdeg ints: consecutive
+    geotagged pages chained by page number, filtered to city-local
+    hops (|dx|,|dy| <= {SI_MAX_UDEG} µdeg) and non-degenerate."""
+    pts = _points(spark, sf_dir)
+    seq = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    t = pts.select("domain", seq.alias("seq"),
+                   F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
+                   F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
+    w = Window.partitionBy("domain").orderBy("seq")
+    segs = (t.select(F.col("seq").alias("id"), F.col("domain").alias("grp"),
+                     F.col("x").alias("x1"), F.col("y").alias("y1"),
+                     F.lead("x").over(w).alias("x2"),
+                     F.lead("y").over(w).alias("y2"))
+            .where(F.col("x2").isNotNull()
+                   & (F.abs(F.col("x2") - F.col("x1")) <= SI_MAX_UDEG)
+                   & (F.abs(F.col("y2") - F.col("y1")) <= SI_MAX_UDEG)
+                   & ~((F.col("x1") == F.col("x2"))
+                       & (F.col("y1") == F.col("y2")))))
+    return segs
+
+
+def q_seg_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-line overlay: which crawl-path segments of DIFFERENT
+    domains properly cross?  The vector-overlay primitive (road x road,
+    route x boundary) as a PBSM grid join — bin to 2-deg cells,
+    equi-join on the cell, EXACT-integer orientation tests (no float
+    epsilon), reference-point dedup so no distinct shuffle.  See
+    proj_spark/spatial/overlay.py seg_self_join.
+
+    FULL SQL ORACLE (_sql_seg_intersect): the unpruned theta join with
+    the same integer predicate — a different algorithm (no grid, no
+    dedup rule), so agreement proves the binning + reference-point
+    logic drops nothing and double-counts nothing."""
+    from proj_spark.spatial.overlay import seg_self_join
+    segs = _crawl_segments(spark, sf_dir)
+    out = seg_self_join(segs, SI_CELL_UDEG)
+    return out.select("id_a", "id_b",
+                      F.col("grp_a").alias("domain_a"),
+                      F.col("grp_b").alias("domain_b"))
+
+
+def _sql_seg_intersect(n: int) -> str:
+    from proj_spark.spatial.overlay import seg_self_join_sql
+    inner = seg_self_join_sql("segf")
+    return f"""WITH {_pages_cte(n)},
+pts AS (SELECT domain, i AS seq,
+               CAST(ROUND(lon * 1e6, 0) AS BIGINT) AS x,
+               CAST(ROUND(lat * 1e6, 0) AS BIGINT) AS y
+        FROM pages),
+segs AS (SELECT seq AS id, domain AS grp, x AS x1, y AS y1,
+                LEAD(x) OVER (PARTITION BY domain ORDER BY seq) AS x2,
+                LEAD(y) OVER (PARTITION BY domain ORDER BY seq) AS y2
+         FROM pts),
+segf AS (SELECT * FROM segs
+         WHERE x2 IS NOT NULL
+           AND ABS(x2 - x1) <= {SI_MAX_UDEG}
+           AND ABS(y2 - y1) <= {SI_MAX_UDEG}
+           AND NOT (x1 = x2 AND y1 = y2))
+SELECT id_a, id_b, grp_a AS domain_a, grp_b AS domain_b
+FROM ({inner})"""
+
+
 HILBERT_BITS = 8     # 256x256 grid; buckets of 16 cells -> <=4096 rows
 
 
@@ -4378,6 +4447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corridor": q_corridor,
         "map_match": q_map_match,
         "hilbert_rollup": q_hilbert_rollup,
+        "seg_intersect": q_seg_intersect,
         "traj_simplify": q_traj_simplify,
     }
 
@@ -4459,5 +4529,6 @@ def oracle_sql() -> dict[str, str]:
         "corridor": _sql_corridor(n),
         "map_match": _sql_map_match(n),
         "hilbert_rollup": _sql_hilbert_rollup(n),
+        "seg_intersect": _sql_seg_intersect(n),
         "traj_simplify": _sql_traj_simplify(n),
     }

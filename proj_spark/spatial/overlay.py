@@ -80,3 +80,94 @@ FROM {rects_rel} a JOIN {rects_rel} b
   ON a.id < b.id
  AND GREATEST(a.xmin, b.xmin) < LEAST(a.xmax, b.xmax)
  AND GREATEST(a.ymin, b.ymin) < LEAST(a.ymax, b.ymax)"""
+
+
+# ---------------------------------------------------------------------------
+# segment-intersection self-join (line-line overlay)
+# ---------------------------------------------------------------------------
+
+def _d_sql(p: str, q: str) -> str:
+    """Orientation cross product of segment p1->p2 vs point q1 — exact
+    BIGINT arithmetic over micro-degree coordinates (|coord| <= 1.8e8,
+    so products stay < 2^63; signs are compared, never multiplied)."""
+    return (f"(({p}_x2 - {p}_x1) * ({q}_y - {p}_y1) "
+            f"- ({p}_y2 - {p}_y1) * ({q}_x - {p}_x1))")
+
+
+def seg_intersect_pred_sql(a: str = "a", b: str = "b") -> str:
+    """Proper-intersection predicate for segments a/b with columns
+    {x1,y1,x2,y2} (µdeg BIGINT), prefixed `a_`/`b_` — shared verbatim
+    by Spark and DuckDB; pure integer arithmetic, engine-exact."""
+    d1 = _d_sql(a, f"{b}1").replace(f"{b}1_x", f"{b}_x1").replace(
+        f"{b}1_y", f"{b}_y1")
+    d2 = _d_sql(a, f"{b}2").replace(f"{b}2_x", f"{b}_x2").replace(
+        f"{b}2_y", f"{b}_y2")
+    d3 = _d_sql(b, f"{a}1").replace(f"{a}1_x", f"{a}_x1").replace(
+        f"{a}1_y", f"{a}_y1")
+    d4 = _d_sql(b, f"{a}2").replace(f"{a}2_x", f"{a}_x2").replace(
+        f"{a}2_y", f"{a}_y2")
+    side = lambda u, v: (f"(({u} > 0 AND {v} < 0) OR ({u} < 0 AND {v} > 0))")
+    return f"({side(d1, d2)} AND {side(d3, d4)})"
+
+
+def seg_self_join(segs: DataFrame, cell_udeg: float) -> DataFrame:
+    """All PROPERLY intersecting cross-group segment pairs (id_a < id_b).
+
+    segs: (id long, grp string, x1, y1, x2, y2 bigint µdeg); callers
+    must pre-filter to |x2-x1|, |y2-y1| <= cell_udeg so each segment's
+    bbox covers at most 2x2 grid cells (bounded explode).  Same PBSM
+    shape as rect_self_join: bin to cells, equi-join on the cell,
+    exact integer orientation test, reference-point dedup (only the
+    cell holding the bbox-intersection min corner reports the pair) —
+    no distinct shuffle, no UDF, arbitrarily skewed urban cells split
+    by AQE.  Touching/collinear contacts (a zero cross product) are
+    NOT intersections — exact-integer semantics, no float epsilon.
+    """
+    L = float(cell_udeg)
+    xmin, xmax = F.least("x1", "x2"), F.greatest("x1", "x2")
+    ymin, ymax = F.least("y1", "y2"), F.greatest("y1", "y2")
+    binned = (segs
+              .withColumn("bxmin", xmin).withColumn("bxmax", xmax)
+              .withColumn("bymin", ymin).withColumn("bymax", ymax)
+              .withColumn("gx", F.explode(F.sequence(
+                  F.floor(F.col("bxmin") / F.lit(L)),
+                  F.floor(F.col("bxmax") / F.lit(L)))))
+              .withColumn("gy", F.explode(F.sequence(
+                  F.floor(F.col("bymin") / F.lit(L)),
+                  F.floor(F.col("bymax") / F.lit(L))))))
+    cols = ("id", "grp", "x1", "y1", "x2", "y2",
+            "bxmin", "bxmax", "bymin", "bymax")
+    a = binned.select(*[F.col(c).alias(f"a_{c}") for c in cols], "gx", "gy")
+    b = binned.select(*[F.col(c).alias(f"b_{c}") for c in cols], "gx", "gy")
+    rx = F.greatest("a_bxmin", "b_bxmin")
+    ry = F.greatest("a_bymin", "b_bymin")
+    return (a.join(b, ["gx", "gy"])
+            .where((F.col("a_id") < F.col("b_id"))
+                   & (F.col("a_grp") != F.col("b_grp"))
+                   & (F.greatest("a_bxmin", "b_bxmin")
+                      <= F.least("a_bxmax", "b_bxmax"))
+                   & (F.greatest("a_bymin", "b_bymin")
+                      <= F.least("a_bymax", "b_bymax"))
+                   & (F.col("gx") == F.floor(rx / F.lit(L)))
+                   & (F.col("gy") == F.floor(ry / F.lit(L)))
+                   & F.expr(seg_intersect_pred_sql()))
+            .select(F.col("a_id").alias("id_a"),
+                    F.col("b_id").alias("id_b"),
+                    F.col("a_grp").alias("grp_a"),
+                    F.col("b_grp").alias("grp_b")))
+
+
+def seg_self_join_sql(segs_rel: str) -> str:
+    """DuckDB twin: the UNPRUNED theta join with the same integer
+    predicate — deliberately a different algorithm (no grid, no dedup
+    rule), so agreement proves the binning + reference-point logic."""
+    pred = seg_intersect_pred_sql()
+    on = (pred
+          .replace("a_x1", "a.x1").replace("a_y1", "a.y1")
+          .replace("a_x2", "a.x2").replace("a_y2", "a.y2")
+          .replace("b_x1", "b.x1").replace("b_y1", "b.y1")
+          .replace("b_x2", "b.x2").replace("b_y2", "b.y2"))
+    return f"""SELECT a.id AS id_a, b.id AS id_b,
+       a.grp AS grp_a, b.grp AS grp_b
+FROM {segs_rel} a JOIN {segs_rel} b
+  ON a.id < b.id AND a.grp != b.grp AND {on}"""

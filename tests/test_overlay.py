@@ -54,3 +54,51 @@ def test_rect_join_matches_theta_oracle(spark):
                   con.execute(rect_self_join_sql("rects", 2.0)).fetchall())
     assert len(want) > 100
     assert got == want
+
+
+def test_seg_self_join_known_cases(spark):
+    from proj_spark.spatial.overlay import seg_self_join
+    # X-cross; endpoint touch (not proper); collinear overlap (not
+    # proper); cross sitting ON a 10-unit cell boundary (dedup rule);
+    # same-group cross (excluded)
+    rows = [
+        (1, "p", 0, 0, 8, 8), (2, "q", 0, 8, 8, 0),          # cross
+        (3, "r", 8, 8, 16, 8),                               # touch w/ 1
+        (4, "s", 2, 2, 6, 6),                                # collinear w/ 1
+        (5, "t", 9, 0, 9, 40), (6, "u", 5, 20, 15, 20),      # boundary cross
+        (7, "q", 0, 4, 8, 12),                               # crosses 1, grp q
+        (8, "q", 4, 0, 12, 8),
+    ]
+    segs = spark.createDataFrame(
+        rows, "id long, grp string, x1 long, y1 long, x2 long, y2 long")
+    got = sorted((r.id_a, r.id_b)
+                 for r in seg_self_join(segs, 10.0).collect())
+    # brute force with the same predicate semantics
+    import itertools
+
+    def d(ax1, ay1, ax2, ay2, px, py):
+        return (ax2 - ax1) * (py - ay1) - (ay2 - ay1) * (px - ax1)
+
+    def proper(a, b):
+        d1 = d(a[2], a[3], a[4], a[5], b[2], b[3])
+        d2 = d(a[2], a[3], a[4], a[5], b[4], b[5])
+        d3 = d(b[2], b[3], b[4], b[5], a[2], a[3])
+        d4 = d(b[2], b[3], b[4], b[5], a[4], a[5])
+        return ((d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0
+                and (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0)
+
+    want = sorted((a[0], b[0]) for a, b in itertools.combinations(rows, 2)
+                  if a[1] != b[1] and proper(a, b))
+    assert got == want
+    assert (1, 2) in got and (5, 6) in got
+    assert all(p != (1, 7) for p in got) or (1, 7) not in want
+
+
+def test_seg_self_join_no_duplicate_reports(spark):
+    """Segments spanning several cells must report each pair ONCE."""
+    from proj_spark.spatial.overlay import seg_self_join
+    segs = spark.createDataFrame(
+        [(1, "a", 0, 1, 39, 2), (2, "b", 20, -10, 21, 30)],
+        "id long, grp string, x1 long, y1 long, x2 long, y2 long")
+    got = seg_self_join(segs, 10.0).collect()
+    assert len(got) == 1 and (got[0].id_a, got[0].id_b) == (1, 2)
