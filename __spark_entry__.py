@@ -4002,6 +4002,56 @@ SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
 FROM sizes s JOIN hits h ON s.doc_id = h.doc_id"""
 
 
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the broadcast-bitset scale path
+    of q_decontaminate: the benchmark split is hashed ONCE into a
+    16 KiB bitset and the whole corpus probes it inside a single
+    map-side Arrow stage (zero joins/shuffles on the big side; the
+    false-positive rate is a deterministic, budgeted property of the
+    m/k parameters).  See proj_spark/text/bloom.py.
+
+    FULL SQL ORACLE (_sql_bloom_decontam): rebuilds the identical M61
+    char-32-gram hashes and double-hashed bit positions in SQL and
+    tests membership relationally — bit collisions (the FPs) included,
+    so the comparison is value-exact, not statistical."""
+    from proj_spark.text import bloom
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % CONTAM_MOD == CONTAM_REM)
+    words = bloom.build_bloom_bits(bench)
+    train = docs.where(F.col("doc_id") % CONTAM_MOD != CONTAM_REM)
+    return bloom.bloom_stats(train, words)
+
+
+def _sql_bloom_decontam() -> str:
+    from proj_spark.text.bloom import (BLOOM_K, GRAM_WIDTH, gram_hash_sql,
+                                       positions_sql)
+    hv = gram_hash_sql("text", "p", GRAM_WIDTH)
+    pos = positions_sql("hv", "i.i")
+    return f"""WITH g AS (
+  SELECT DISTINCT doc_id, {hv} AS hv
+  FROM documents,
+       UNNEST(generate_series(1, greatest(len(text) - {GRAM_WIDTH - 1}, 0)))
+         AS t(p)
+), pos AS (
+  SELECT doc_id, hv, {pos} AS bp
+  FROM g CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i) i
+), bench_bits AS (
+  SELECT DISTINCT bp FROM pos WHERE doc_id % {CONTAM_MOD} = {CONTAM_REM}
+), memb AS (
+  SELECT doc_id, hv,
+         COUNT(*) FILTER (WHERE bp IN (SELECT bp FROM bench_bits))
+           = {BLOOM_K} AS member
+  FROM pos WHERE doc_id % {CONTAM_MOD} != {CONTAM_REM}
+  GROUP BY doc_id, hv
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hit_frac
+FROM memb GROUP BY 1"""
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality score: per-document mean bigram
     conditional probability under the corpus's own bigram model,
@@ -4442,6 +4492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quantiles": q_token_quantiles,
         "adaptive_tiles": q_adaptive_tiles,
         "decontaminate": q_decontaminate,
+        "bloom_decontam": q_bloom_decontam,
         "lm_score": q_lm_score,
         "pii_redact": q_pii_redact,
         "corridor": q_corridor,
@@ -4524,6 +4575,7 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": _sql_token_quantiles(),
         "adaptive_tiles": _sql_adaptive_tiles(n),
         "decontaminate": _sql_decontaminate(),
+        "bloom_decontam": _sql_bloom_decontam(),
         "lm_score": _sql_lm_score(),
         "pii_redact": _sql_pii_redact(),
         "corridor": _sql_corridor(n),

@@ -44,6 +44,7 @@ HEADLINE = [
     "token_quantiles",
     "adaptive_tiles", "decontaminate", "lm_score", "pii_redact",
     "corridor", "traj_simplify",
+    "map_match", "hilbert_rollup", "seg_intersect",
 ]
 
 
