@@ -4311,6 +4311,102 @@ SELECT id_a, id_b, grp_a AS domain_a, grp_b AS domain_b
 FROM ({inner})"""
 
 
+HULL_Z = 5           # hull groups: z5 webmerc tiles (11.25 deg)
+
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT convex hull per z5 tile over µdeg-integer page points:
+    vertex count + exact 2x shoelace area.  The hull is computed as a
+    DISTRIBUTIVE aggregate — local monotone-chain hulls per
+    (tile, salt) slice, then a merge hull over the few surviving
+    extreme vertices (hull(S) = hull(∪ hull(S_i))) — so the corpus
+    side is touched once however large it is.  See
+    proj_spark/spatial/hull.py.
+
+    FULL SQL ORACLE (_sql_convex_hull): a recursive-CTE QUICKHULL — a
+    different algorithm entirely — whose inserted-triangle cross
+    products sum to the identical integer 2A, and whose found-vertex
+    count is the identical n_hull (strict integer cross tests both
+    sides: extreme vertices only, no float epsilon)."""
+    from proj_spark.spatial.hull import hull_stats
+    pts = _points(spark, sf_dir)
+    t = pts.select(
+        cells.tile_x(F.col("lon"), HULL_Z).alias("tile_x"),
+        cells.tile_y(F.col("lat"), HULL_Z).alias("tile_y"),
+        F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
+        F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
+    return hull_stats(t, ["tile_x", "tile_y"])
+
+
+def _sql_convex_hull(n: int) -> str:
+    tx = cells.tile_x_sql("lon", HULL_Z)
+    ty = cells.tile_y_sql("lat", HULL_Z)
+
+    def cross(ax, ay, bx, by, px, py):
+        return (f"(({bx} - {ax}) * ({py} - {ay}) "
+                f"- (({by} - {ay}) * ({px} - {ax})))")
+
+    cr_e = cross("e.ax", "e.ay", "e.bx", "e.by", "p.x", "p.y")
+    return f"""WITH RECURSIVE {_pages_cte(n)},
+pts AS (SELECT DISTINCT {tx} AS tx, {ty} AS ty,
+               CAST(ROUND(lon * 1e6, 0) AS BIGINT) AS x,
+               CAST(ROUND(lat * 1e6, 0) AS BIGINT) AS y
+        FROM pages),
+lpt AS (SELECT tx, ty, x AS lx, y AS ly FROM (
+          SELECT tx, ty, x, y,
+                 ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY x, y) AS rn
+          FROM pts) WHERE rn = 1),
+rpt AS (SELECT tx, ty, x AS rx, y AS ry FROM (
+          SELECT tx, ty, x, y,
+                 ROW_NUMBER() OVER (PARTITION BY tx, ty
+                                    ORDER BY x DESC, y DESC) AS rn
+          FROM pts) WHERE rn = 1),
+seeds AS (SELECT l.tx, l.ty, lx, ly, rx, ry
+          FROM lpt l JOIN rpt r USING (tx, ty)
+          WHERE NOT (lx = rx AND ly = ry)),
+seeds2 AS (SELECT tx, ty, lx AS ax, ly AS ay, rx AS bx, ry AS by
+           FROM seeds
+           UNION ALL
+           SELECT tx, ty, rx, ry, lx, ly FROM seeds),
+edges(tx, ty, ax, ay, bx, by) AS (
+  SELECT tx, ty, ax, ay, bx, by FROM seeds2
+  UNION ALL
+  SELECT f.tx, f.ty,
+         CASE s.side WHEN 0 THEN f.ax ELSE f.fx END,
+         CASE s.side WHEN 0 THEN f.ay ELSE f.fy END,
+         CASE s.side WHEN 0 THEN f.fx ELSE f.bx END,
+         CASE s.side WHEN 0 THEN f.fy ELSE f.by END
+  FROM (
+    SELECT * FROM (
+      SELECT e.tx, e.ty, e.ax, e.ay, e.bx, e.by, p.x AS fx, p.y AS fy,
+             ROW_NUMBER() OVER (PARTITION BY e.tx, e.ty, e.ax, e.ay,
+                                             e.bx, e.by
+                                ORDER BY {cr_e} DESC, p.x, p.y) AS rn
+      FROM edges e JOIN pts p
+        ON p.tx = e.tx AND p.ty = e.ty AND {cr_e} > 0
+    ) WHERE rn = 1
+  ) f CROSS JOIN (VALUES (0), (1)) s(side)
+),
+best AS (
+  SELECT tx, ty, cr FROM (
+    SELECT e.tx, e.ty, {cr_e} AS cr,
+           ROW_NUMBER() OVER (PARTITION BY e.tx, e.ty, e.ax, e.ay,
+                                           e.bx, e.by
+                              ORDER BY {cr_e} DESC, p.x, p.y) AS rn
+    FROM edges e JOIN pts p
+      ON p.tx = e.tx AND p.ty = e.ty AND {cr_e} > 0
+  ) WHERE rn = 1
+),
+agg AS (SELECT tx, ty, COUNT(*) AS n_f,
+               SUM(cr) AS area2 FROM best GROUP BY 1, 2),
+npts AS (SELECT tx, ty, COUNT(*) AS n FROM pts GROUP BY 1, 2)
+SELECT np.tx AS tile_x, np.ty AS tile_y,
+       CAST(CASE WHEN np.n = 1 THEN 1
+                 ELSE 2 + COALESCE(a.n_f, 0) END AS BIGINT) AS n_hull,
+       CAST(COALESCE(a.area2, 0) AS BIGINT) AS area2
+FROM npts np LEFT JOIN agg a ON a.tx = np.tx AND a.ty = np.ty"""
+
+
 HILBERT_BITS = 8     # 256x256 grid; buckets of 16 cells -> <=4096 rows
 
 
@@ -4499,6 +4595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match": q_map_match,
         "hilbert_rollup": q_hilbert_rollup,
         "seg_intersect": q_seg_intersect,
+        "convex_hull": q_convex_hull,
         "traj_simplify": q_traj_simplify,
     }
 
@@ -4582,5 +4679,6 @@ def oracle_sql() -> dict[str, str]:
         "map_match": _sql_map_match(n),
         "hilbert_rollup": _sql_hilbert_rollup(n),
         "seg_intersect": _sql_seg_intersect(n),
+        "convex_hull": _sql_convex_hull(n),
         "traj_simplify": _sql_traj_simplify(n),
     }

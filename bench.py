@@ -44,7 +44,8 @@ HEADLINE = [
     "token_quantiles",
     "adaptive_tiles", "decontaminate", "lm_score", "pii_redact",
     "corridor", "traj_simplify",
-    "map_match", "hilbert_rollup", "seg_intersect",
+    "map_match", "hilbert_rollup", "seg_intersect", "bloom_decontam",
+    "convex_hull",
 ]
 
 
