@@ -4052,6 +4052,44 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM memb GROUP BY 1"""
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pareto skyline of (token count, distinct-token
+    count): the non-dominated docs on the length-vs-vocabulary plane —
+    the data-selection frontier operator.  See
+    proj_spark/text/curation.py pareto_skyline for the pre-aggregate
+    plan (the frontier is computed on the tiny (lang, n_tokens)
+    distinct-value relation, never by windowing the corpus; the big
+    side pays one partial-agg shuffle + a broadcast probe).
+
+    FULL SQL ORACLE (_sql_skyline): the literal NOT-EXISTS dominance
+    anti-join — a different algorithm; exact integer metrics, exact
+    row set."""
+    from proj_spark.text.curation import pareto_skyline
+    toks = analysis.tokens(F.col("text"))
+    m = _docs(spark, sf_dir).select(
+        "lang", F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"))
+    return pareto_skyline(m, "lang", "doc_id", "n_tokens", "n_uniq")
+
+
+def _sql_skyline() -> str:
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "x -> x != '')")
+    return f"""WITH m AS (
+  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({toks})) AS BIGINT) AS n_uniq
+  FROM documents
+)
+SELECT lang, doc_id, n_tokens, n_uniq FROM m t
+WHERE NOT EXISTS (
+  SELECT 1 FROM m o
+  WHERE o.lang = t.lang
+    AND o.n_tokens >= t.n_tokens AND o.n_uniq >= t.n_uniq
+    AND (o.n_tokens > t.n_tokens OR o.n_uniq > t.n_uniq))"""
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality score: per-document mean bigram
     conditional probability under the corpus's own bigram model,
@@ -4589,6 +4627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_tiles": q_adaptive_tiles,
         "decontaminate": q_decontaminate,
         "bloom_decontam": q_bloom_decontam,
+        "skyline": q_skyline,
         "lm_score": q_lm_score,
         "pii_redact": q_pii_redact,
         "corridor": q_corridor,
@@ -4673,6 +4712,7 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_tiles": _sql_adaptive_tiles(n),
         "decontaminate": _sql_decontaminate(),
         "bloom_decontam": _sql_bloom_decontam(),
+        "skyline": _sql_skyline(),
         "lm_score": _sql_lm_score(),
         "pii_redact": _sql_pii_redact(),
         "corridor": _sql_corridor(n),

@@ -196,3 +196,34 @@ def distinctive_terms(docs: DataFrame, top_k: int = 10) -> DataFrame:
                     F.col("df").cast("long").alias("df"),
                     F.col("score").cast("long").alias("score"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def pareto_skyline(df: DataFrame, grp: str, id_col: str,
+                   m1: str, m2: str) -> DataFrame:
+    """2-D Pareto skyline per group: rows not STRICTLY dominated on the
+    (maximize m1, maximize m2) plane — the data-selection frontier
+    ("no other doc is at least as long AND at least as high-quality,
+    better in one").  Exact integer semantics; duplicate (m1, m2)
+    points dominate nothing and all survive.
+
+    Scale shape: a naive skyline windows over the whole group (one
+    giant partition per group — unusable at 10^12 rows).  Instead the
+    frontier is computed on the (group, m1) PRE-AGGREGATE — max(m2)
+    per distinct m1, a relation bounded by the metric's cardinality,
+    not the corpus — with one running-max window over that tiny
+    relation, then a broadcast join back.  The corpus side is touched
+    by exactly one partial-agg shuffle on (group, m1).
+
+    Keep rule: a row survives iff its m2 equals its (group, m1) max
+    AND beats max(m2) over all STRICTLY larger m1 (NULL-safe at the
+    longest m1).
+    """
+    mx = df.groupBy(grp, m1).agg(F.max(m2).alias("_mq"))
+    w = (Window.partitionBy(grp).orderBy(F.col(m1).desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    mx = mx.withColumn("_A", F.max("_mq").over(w))
+    keep = ((F.col(m2) == F.col("_mq"))
+            & (F.col("_A").isNull() | (F.col(m2) > F.col("_A"))))
+    return (df.join(F.broadcast(mx), [grp, m1])
+            .where(keep)
+            .select(grp, id_col, m1, m2))

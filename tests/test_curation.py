@@ -188,3 +188,25 @@ def test_token_quantiles_definition(spark, monkeypatch):
     monkeypatch.setattr(em, "_docs", lambda _s, _d: docs)
     row = em.q_token_quantiles(spark, "ignored").collect()[0]
     assert (row["n_docs"], row["p50"], row["p90"], row["p99"]) == (10, 5, 9, 10)
+
+
+def test_pareto_skyline_semantics(spark):
+    from proj_spark.text.curation import pareto_skyline
+    rows = [
+        ("en", 1, 10, 5), ("en", 2, 10, 5),   # duplicate frontier pts
+        ("en", 3, 10, 4),                     # dominated by 1/2
+        ("en", 4, 12, 3),                     # frontier (longest)
+        ("en", 5, 8, 9),                      # frontier (richest)
+        ("en", 6, 8, 9), ("en", 7, 7, 9),     # 6 dup-survives, 7 dominated
+        ("de", 8, 1, 1),                      # other group untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "lang string, doc_id long, n_tokens long, n_uniq long")
+    got = sorted(r.doc_id for r in pareto_skyline(
+        df, "lang", "doc_id", "n_tokens", "n_uniq").collect())
+    # brute-force dominance
+    want = sorted(
+        i for (g, i, a, b) in rows
+        if not any(og == g and oa >= a and ob >= b and (oa > a or ob > b)
+                   for (og, oi, oa, ob) in rows))
+    assert got == want == [1, 2, 4, 5, 6, 8]
