@@ -4376,7 +4376,11 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hull_stats(t, ["tile_x", "tile_y"])
 
 
-def _sql_convex_hull(n: int) -> str:
+def _quickhull_cte(n: int) -> str:
+    """Shared recursive-CTE quickhull over z{Z} tile groups: CTEs
+    through `edges` (every directed hull sub-edge) and `bestf` (each
+    edge's farthest strictly-left point + its cross).  Used by the
+    convex_hull and hull_diameter oracles."""
     tx = cells.tile_x_sql("lon", HULL_Z)
     ty = cells.tile_y_sql("lat", HULL_Z)
 
@@ -4385,7 +4389,7 @@ def _sql_convex_hull(n: int) -> str:
                 f"- (({by} - {ay}) * ({px} - {ax})))")
 
     cr_e = cross("e.ax", "e.ay", "e.bx", "e.by", "p.x", "p.y")
-    return f"""WITH RECURSIVE {_pages_cte(n)},
+    return f"""{_pages_cte(n)},
 pts AS (SELECT DISTINCT {tx} AS tx, {ty} AS ty,
                CAST(ROUND(lon * 1e6, 0) AS BIGINT) AS x,
                CAST(ROUND(lat * 1e6, 0) AS BIGINT) AS y
@@ -4425,24 +4429,64 @@ edges(tx, ty, ax, ay, bx, by) AS (
     ) WHERE rn = 1
   ) f CROSS JOIN (VALUES (0), (1)) s(side)
 ),
-best AS (
-  SELECT tx, ty, cr FROM (
-    SELECT e.tx, e.ty, {cr_e} AS cr,
+bestf AS (
+  SELECT tx, ty, fx, fy, cr FROM (
+    SELECT e.tx, e.ty, p.x AS fx, p.y AS fy, {cr_e} AS cr,
            ROW_NUMBER() OVER (PARTITION BY e.tx, e.ty, e.ax, e.ay,
                                            e.bx, e.by
                               ORDER BY {cr_e} DESC, p.x, p.y) AS rn
     FROM edges e JOIN pts p
       ON p.tx = e.tx AND p.ty = e.ty AND {cr_e} > 0
   ) WHERE rn = 1
-),
+)"""
+
+
+def _sql_convex_hull(n: int) -> str:
+    return f"""WITH RECURSIVE {_quickhull_cte(n)},
 agg AS (SELECT tx, ty, COUNT(*) AS n_f,
-               SUM(cr) AS area2 FROM best GROUP BY 1, 2),
+               SUM(cr) AS area2 FROM bestf GROUP BY 1, 2),
 npts AS (SELECT tx, ty, COUNT(*) AS n FROM pts GROUP BY 1, 2)
 SELECT np.tx AS tile_x, np.ty AS tile_y,
        CAST(CASE WHEN np.n = 1 THEN 1
                  ELSE 2 + COALESCE(a.n_f, 0) END AS BIGINT) AS n_hull,
        CAST(COALESCE(a.area2, 0) AS BIGINT) AS area2
 FROM npts np LEFT JOIN agg a ON a.tx = np.tx AND a.ty = np.ty"""
+
+
+def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile set DIAMETER (max squared point-pair µdeg distance):
+    the farthest pair of a set lies between hull vertices, so the
+    distributive hull reduction (proj_spark/spatial/hull.py) makes the
+    exact corpus-wide farthest-pair computable from each group's few
+    extreme vertices — never a pairwise join of the raw points.
+
+    FULL SQL ORACLE (_sql_hull_diameter): quickhull vertices via the
+    shared recursive CTE, then the exact max over vertex pairs."""
+    from proj_spark.spatial.hull import hull_stats
+    pts = _points(spark, sf_dir)
+    t = pts.select(
+        cells.tile_x(F.col("lon"), HULL_Z).alias("tile_x"),
+        cells.tile_y(F.col("lat"), HULL_Z).alias("tile_y"),
+        F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
+        F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
+    out = hull_stats(t, ["tile_x", "tile_y"], with_diameter=True)
+    return out.select("tile_x", "tile_y", "n_hull", "diam2")
+
+
+def _sql_hull_diameter(n: int) -> str:
+    return f"""WITH RECURSIVE {_quickhull_cte(n)},
+verts AS (
+  SELECT DISTINCT tx, ty, x, y FROM (
+    SELECT tx, ty, lx AS x, ly AS y FROM lpt
+    UNION ALL SELECT tx, ty, rx, ry FROM rpt
+    UNION ALL SELECT tx, ty, fx, fy FROM bestf)
+)
+SELECT a.tx AS tile_x, a.ty AS tile_y,
+       CAST(COUNT(DISTINCT (a.x, a.y)) AS BIGINT) AS n_hull,
+       CAST(MAX((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y)) AS BIGINT) AS diam2
+FROM verts a JOIN verts b ON a.tx = b.tx AND a.ty = b.ty
+GROUP BY 1, 2"""
 
 
 HILBERT_BITS = 8     # 256x256 grid; buckets of 16 cells -> <=4096 rows
@@ -4635,6 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_rollup": q_hilbert_rollup,
         "seg_intersect": q_seg_intersect,
         "convex_hull": q_convex_hull,
+        "hull_diameter": q_hull_diameter,
         "traj_simplify": q_traj_simplify,
     }
 
@@ -4720,5 +4765,6 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_rollup": _sql_hilbert_rollup(n),
         "seg_intersect": _sql_seg_intersect(n),
         "convex_hull": _sql_convex_hull(n),
+        "hull_diameter": _sql_hull_diameter(n),
         "traj_simplify": _sql_traj_simplify(n),
     }

@@ -45,7 +45,7 @@ HEADLINE = [
     "adaptive_tiles", "decontaminate", "lm_score", "pii_redact",
     "corridor", "traj_simplify",
     "map_match", "hilbert_rollup", "seg_intersect", "bloom_decontam",
-    "convex_hull", "skyline",
+    "convex_hull", "skyline", "hull_diameter",
 ]
 
 

@@ -72,13 +72,33 @@ def shoelace2(hull: np.ndarray) -> int:
     return tot
 
 
+def diameter2(hull: np.ndarray) -> int:
+    """Exact max squared point-pair distance over hull vertices (the
+    set diameter lies between hull vertices).  Brute over the few
+    vertices with Python ints — O(h^2) on h ~ tens, exact."""
+    if len(hull) < 2:
+        return 0
+    pts = [(int(p[0]), int(p[1])) for p in hull]
+    best = 0
+    for i in range(len(pts)):
+        x1, y1 = pts[i]
+        for x2, y2 in pts[i + 1:]:
+            d = (x2 - x1) ** 2 + (y2 - y1) ** 2
+            if d > best:
+                best = d
+    return best
+
+
 def hull_stats(pts: DataFrame, grp_cols: list[str], x: str = "x",
-               y: str = "y", salt: int = 8) -> DataFrame:
-    """Per-group (n_hull, area2) over exact integer coordinates.
+               y: str = "y", salt: int = 8,
+               with_diameter: bool = False) -> DataFrame:
+    """Per-group (n_hull, area2[, diam2]) over exact integer coords.
 
     Two-level distributive plan (see module docstring); `salt` bounds
     stage-1 group width — any deterministic split is correct, the
-    result is partitioning-independent.
+    result is partitioning-independent.  The diameter is exact too:
+    the farthest pair of a set are both extreme points, so it is
+    computable from the merged hull's vertices alone.
     """
     schema_pts = (", ".join(f"{c} {t}" for c, t in
                             zip(grp_cols, _grp_types(pts, grp_cols)))
@@ -92,13 +112,17 @@ def hull_stats(pts: DataFrame, grp_cols: list[str], x: str = "x",
             res[c] = pdf[c].iloc[0]
         return res[grp_cols + [x, y]]
 
+    extra = ["diam2"] if with_diameter else []
+
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         h = chain_hull(pdf[[x, y]].to_numpy(dtype=np.int64))
         res = pd.DataFrame({"n_hull": [len(h)],
                             "area2": [shoelace2(h)]})
+        if with_diameter:
+            res["diam2"] = [diameter2(h)]
         for c in grp_cols:
             res[c] = pdf[c].iloc[0]
-        return res[grp_cols + ["n_hull", "area2"]]
+        return res[grp_cols + ["n_hull", "area2"] + extra]
 
     salted = pts.withColumn(
         "_salt", F.pmod(F.col(x) + F.col(y), F.lit(salt)))
@@ -106,7 +130,8 @@ def hull_stats(pts: DataFrame, grp_cols: list[str], x: str = "x",
                .applyInPandas(local, schema_pts))
     schema_out = (", ".join(f"{c} {t}" for c, t in
                             zip(grp_cols, _grp_types(pts, grp_cols)))
-                  + ", n_hull long, area2 long")
+                  + ", n_hull long, area2 long"
+                  + (", diam2 long" if with_diameter else ""))
     return locals_.groupBy(*grp_cols).applyInPandas(final, schema_out)
 
 

@@ -79,3 +79,13 @@ def test_distributive_salted_equals_direct(spark):
         h = chain_hull(np.array(ps, dtype=np.int64))
         assert got[g] == (len(h), shoelace2(h)), g
     assert got[7] == (1, 0) and got[8] == (2, 0)
+
+
+def test_diameter2_exact():
+    from proj_spark.spatial.hull import diameter2
+    import numpy as np
+    h = chain_hull(np.array([[0, 0], [10, 0], [10, 7], [0, 7], [5, 3]],
+                            dtype=np.int64))
+    assert diameter2(h) == 10 * 10 + 7 * 7
+    assert diameter2(np.array([[3, 3]], dtype=np.int64)) == 0
+    assert diameter2(np.zeros((0, 2), dtype=np.int64)) == 0
