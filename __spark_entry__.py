@@ -2827,6 +2827,57 @@ def q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("score").desc(), "domain").limit(PR_TOPK))
 
 
+BFS_SEED_MOD = 97    # seeds: domains divisible by 97 (11 of 1000)
+BFS_DEPTH = 4
+
+
+def q_domain_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph reachability: exact minimum hop count from a seed
+    domain set over the extracted domain link graph, depth-bounded
+    level-synchronous BFS (one frontier join + anti-join per round,
+    lineage truncated per level — see proj_spark/graph.py bfs_hops).
+
+    FULL SQL ORACLE (_sql_domain_hops): a recursive CTE with UNION
+    dedup on (node, hops) pairs and a MIN(h) rollup — a different
+    evaluation strategy over the same deterministic edge set."""
+    from proj_spark.graph import bfs_hops
+    pts = _points(spark, sf_dir)
+    raw = pts.select(
+        F.col("domain").cast("long").alias("src"),
+        ((F.regexp_extract("url", r"page/(\d+)", 1).cast("long")
+          * F.lit(2654435761)) % F.lit(2147483648)).alias("h"))
+    edges = (raw.select("src", F.explode(F.array(
+        F.expr(f"(h div 131) % {N_DOMAINS}"),
+        F.expr(f"(h div 17) % {N_DOMAINS}"))).alias("dst"))
+        .where(F.col("src") != F.col("dst")))
+    seeds = (spark.range(N_DOMAINS).select(F.col("id").alias("node"))
+             .where(F.col("node") % BFS_SEED_MOD == 0))
+    out = bfs_hops(edges, seeds, BFS_DEPTH)
+    return out.select(F.col("node").alias("domain"), "hops")
+
+
+def _sql_domain_hops(n: int) -> str:
+    return f"""WITH RECURSIVE {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+e AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+        UNION ALL
+        SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+      WHERE src != dst),
+reach(node, h) AS (
+  SELECT i AS node, 0 AS h
+  FROM range(0, {N_DOMAINS}) t(i) WHERE i % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, r.h + 1 FROM reach r JOIN e ON e.src = r.node
+  WHERE r.h < {BFS_DEPTH}
+)
+SELECT CAST(node AS BIGINT) AS domain, CAST(MIN(h) AS BIGINT) AS hops
+FROM reach GROUP BY 1"""
+
+
 def _sql_pagerank_domains(n: int) -> str:
     from proj_spark.graph import pagerank_sql
     edges_cte = f"""{_pages_cte(n)},
@@ -4624,6 +4675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_clusters": q_dense_clusters,
         "hex_density": q_hex_density,
         "pagerank_domains": q_pagerank_domains,
+        "domain_hops": q_domain_hops,
         "rect_join": q_rect_join,
         "morans_i": q_morans_i,
         "viewport_topk": q_viewport_topk,
@@ -4709,6 +4761,7 @@ def oracle_sql() -> dict[str, str]:
         "dense_clusters": _sql_dense_clusters(n),
         "hex_density": _sql_hex_density(n),
         "pagerank_domains": _sql_pagerank_domains(n),
+        "domain_hops": _sql_domain_hops(n),
         "rect_join": _sql_rect_join(n),
         "morans_i": _sql_morans_i(n),
         "viewport_topk": _sql_viewport_topk(n),

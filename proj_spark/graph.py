@@ -101,3 +101,43 @@ def pagerank_sql(edges_cte: str, nodes_cte: str, iters: int = 5,
             f"FROM nodes n LEFT JOIN in{k} i ON i.node = n.node)")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, score FROM pr{iters}")
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame,
+             max_depth: int = 4) -> DataFrame:
+    """Exact minimum hop count from a seed set, depth-bounded BFS.
+
+    edges: (src long, dst long) — direction respected; seeds: (node).
+    Returns (node, hops) for every node reachable within `max_depth`.
+
+    Scale plan: level-synchronous frontier expansion — each round is
+    ONE equi-join of the (small, shrinking) frontier against the edge
+    relation plus a distinct and an anti-join against the visited set;
+    the edge relation is persisted once and reused every round (on a
+    cluster, pre-partitioned by src so the frontier join is
+    co-located).  Rounds persist their (tiny) frontier and the loop
+    early-stops when a frontier is empty, so lineage stays truncated —
+    the same discipline as pagerank() above and the pointer-jumping CC.
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    visited = seeds.select(F.col("node"),
+                           F.lit(0).cast("long").alias("hops")).persist()
+    frontier = visited.select("node")
+    rounds = [visited]
+    for h in range(1, max_depth + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .select("node", F.lit(h).cast("long").alias("hops"))
+               .persist())
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        visited = visited.union(nxt).persist()
+        rounds.append(visited)
+        frontier = nxt.select("node")
+    visited.count()
+    for df in rounds[:-1]:
+        df.unpersist()
+    e.unpersist()
+    return visited

@@ -68,3 +68,25 @@ def test_pagerank_matches_sql_twin(spark, iters):
         iters=iters)
     want = dict(duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_bfs_hops_small_graph(spark):
+    from proj_spark.graph import bfs_hops
+    # 0->1->2->3->4 chain, plus island 9; direction matters (5->0 does
+    # not make 5 reachable)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 0), (2, 1)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, 3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4 beyond depth, 5/9 unreachable
+
+
+def test_bfs_hops_early_stop_and_min(spark):
+    from proj_spark.graph import bfs_hops
+    # two paths to node 3: length 1 and length 2 -> hops must be 1
+    edges = spark.createDataFrame(
+        [(0, 3), (0, 1), (1, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, 10).collect()}
+    assert got == {0: 0, 1: 1, 3: 1}
