@@ -2878,6 +2878,55 @@ SELECT CAST(node AS BIGINT) AS domain, CAST(MIN(h) AS BIGINT) AS hops
 FROM reach GROUP BY 1"""
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain triangle counts of the undirected link graph — the
+    clustering/motif primitive behind community and spam detection.
+    Degree-ORIENTED wedge generation (proj_spark/graph.py
+    triangle_counts): every wedge materializes at its lowest-degree
+    corner, so hub domains never explode a quadratic hot key.
+
+    FULL SQL ORACLE (_sql_triangles): the plain canonical a<b<c
+    three-way self-join — no degree ranking — so agreement proves the
+    orientation scheme counts every triangle exactly once."""
+    from proj_spark.graph import triangle_counts
+    pts = _points(spark, sf_dir)
+    raw = pts.select(
+        F.col("domain").cast("long").alias("src"),
+        ((F.regexp_extract("url", r"page/(\d+)", 1).cast("long")
+          * F.lit(2654435761)) % F.lit(2147483648)).alias("h"))
+    edges = (raw.select("src", F.explode(F.array(
+        F.expr(f"(h div 131) % {N_DOMAINS}"),
+        F.expr(f"(h div 17) % {N_DOMAINS}"))).alias("dst")))
+    out = triangle_counts(edges)
+    return out.select(F.col("node").alias("domain"),
+                      F.col("n_tri").cast("long").alias("n_tri"))
+
+
+def _sql_triangles(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM (
+          SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+          UNION ALL
+          SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+        WHERE src != dst),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT CAST(node AS BIGINT) AS domain, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM (SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY 1"""
+
+
 def _sql_pagerank_domains(n: int) -> str:
     from proj_spark.graph import pagerank_sql
     edges_cte = f"""{_pages_cte(n)},
@@ -4676,6 +4725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_density": q_hex_density,
         "pagerank_domains": q_pagerank_domains,
         "domain_hops": q_domain_hops,
+        "triangles": q_triangles,
         "rect_join": q_rect_join,
         "morans_i": q_morans_i,
         "viewport_topk": q_viewport_topk,
@@ -4762,6 +4812,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_density": _sql_hex_density(n),
         "pagerank_domains": _sql_pagerank_domains(n),
         "domain_hops": _sql_domain_hops(n),
+        "triangles": _sql_triangles(n),
         "rect_join": _sql_rect_join(n),
         "morans_i": _sql_morans_i(n),
         "viewport_topk": _sql_viewport_topk(n),

@@ -141,3 +141,51 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
         df.unpersist()
     e.unpersist()
     return visited
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts of the UNDIRECTED simple graph
+    underlying `edges` (direction/self-loops/duplicates dropped).
+
+    Scale plan — degree orientation (the classic MapReduce trick):
+    orient every edge from its (degree, id)-smaller endpoint to the
+    larger, so every wedge is generated at its LOWEST-degree corner;
+    a hub of degree d generates O(sum of its neighbors' wedges), not
+    O(d^2) — the quadratic hot-key blowup of naive wedge joins never
+    materializes.  Each triangle is generated exactly once (at its
+    minimum-rank corner) and closed by one equi-join back against the
+    oriented edge list.  Three shuffles total, all on edge keys.
+
+    Returns (node, n_tri) for nodes in >= 1 triangle.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .union(und.select("b"))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    withdeg = (und
+               .join(deg.withColumnRenamed("node", "a")
+                        .withColumnRenamed("d", "da"), "a")
+               .join(deg.withColumnRenamed("node", "b")
+                        .withColumnRenamed("d", "db"), "b"))
+    lo_is_a = ((F.col("da") < F.col("db"))
+               | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))))
+    oriented = withdeg.select(
+        F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_is_a, F.col("db")).otherwise(F.col("da")).alias("dv"))
+    e1 = oriented.select(F.col("u"), F.col("v").alias("x"),
+                         F.col("dv").alias("dx"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("y"),
+                         F.col("dv").alias("dy"))
+    wedges = (e1.join(e2, "u")
+              .where((F.col("dx") < F.col("dy"))
+                     | ((F.col("dx") == F.col("dy"))
+                        & (F.col("x") < F.col("y")))))
+    closer = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closer, ["x", "y"]).select("u", "x", "y")
+    return (tris.select(F.col("u").alias("node"))
+            .union(tris.select("x"))
+            .union(tris.select("y"))
+            .groupBy("node").agg(F.count("*").alias("n_tri")))

@@ -90,3 +90,23 @@ def test_bfs_hops_early_stop_and_min(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     got = {r.node: r.hops for r in bfs_hops(edges, seeds, 10).collect()}
     assert got == {0: 0, 1: 1, 3: 1}
+
+
+def test_triangle_counts_known(spark):
+    from proj_spark.graph import triangle_counts
+    # K4 on {0,1,2,3}: each node is in C(3,2)=3 triangles; plus a
+    # pendant edge (3,4) and a disconnected edge (7,8): no triangles.
+    # Edge list includes duplicates, reversals, and a self-loop.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (3, 4), (7, 8), (5, 5), (2, 3)],
+        "src long, dst long")
+    got = {r.node: r.n_tri for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_star_has_none(spark):
+    from proj_spark.graph import triangle_counts
+    edges = spark.createDataFrame([(0, i) for i in range(1, 30)],
+                                  "src long, dst long")
+    assert triangle_counts(edges).count() == 0
