@@ -351,3 +351,31 @@ def test_traj_simplify_one_exchange_grouped_pandas(spark, entry):
     s = plan_of(entry.q_traj_simplify(spark, SF))
     assert "FlatMapGroupsInPandas" in s
     assert len(re.findall(r"^\(\d+\) Exchange", s, re.M)) == 1
+
+
+def test_bloom_decontam_zero_exchange(spark, entry):
+    """The bitset probe is ONE map-side Arrow stage: the corpus
+    relation must reach the output with NO Exchange anywhere."""
+    s = plan_of(entry.q_bloom_decontam(spark, SF))
+    assert "Exchange" not in s
+    assert "MapInPandas" in s or "ArrowEvalPython" in s
+
+
+def test_skyline_broadcasts_frontier(spark, entry):
+    """The corpus side pays one partial-agg shuffle; the frontier
+    relation comes back as a BROADCAST probe, never a sort-merge."""
+    s = plan_of(entry.q_skyline(spark, SF))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_seg_intersect_no_distinct_after_join(spark, entry):
+    """Reference-point dedup replaces a distinct: after the cell
+    equi-join there must be no aggregation/distinct exchange — the
+    join's output flows straight to the project."""
+    s = plan_of(entry.q_seg_intersect(spark, SF))
+    joins = [ln for ln in s.splitlines() if "Join" in ln]
+    assert joins
+    # exactly one exchange pair feeds the pair join; nothing after it
+    after = s.split("Join", 1)[0]
+    assert "HashAggregate" not in after
