@@ -2474,6 +2474,58 @@ def _events_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
                      temporal.epoch_micros(ev, "ts").alias("tm"))
 
 
+IJ_CELL_US = 7_200_000_000        # 2 h cells >= the longest interval
+IJ_EPOCH0_US = 1_704_067_200_000_000   # 2024-01-01T00:00:00Z
+IJ_N_WINDOWS = 400
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range (interval overlap) join — the operator Spark lacks
+    natively: each event's activity interval [tm, tm + dur) against a
+    deterministic maintenance-window relation, with the exact overlap
+    duration.  1-D PBSM over 2 h time cells (see
+    proj_spark/temporal.py interval_join): bounded 2-cell explode,
+    cell equi-join, reference-point dedup — no distinct shuffle, and
+    hot hours are exactly what AQE skew-split handles.  All times are
+    integer epoch-µs (session-timezone independent, the events_hourly
+    lesson).
+
+    FULL SQL ORACLE (_sql_interval_join): the unpruned theta join over
+    the same integer intervals."""
+    from proj_spark.temporal import interval_join
+    ev = _events_micros(spark, sf_dir)
+    a = ev.select(F.col("event_id").alias("a_id"),
+                  F.col("tm").alias("a_s"),
+                  (F.col("tm") + (F.lit(1) + F.col("event_id") % 900)
+                   * F.lit(1_000_000)).alias("a_e"))
+    w = spark.range(IJ_N_WINDOWS).select(
+        F.col("id").alias("b_id"),
+        (F.lit(IJ_EPOCH0_US) + F.col("id") * F.lit(IJ_CELL_US)).alias("b_s"),
+        (F.lit(IJ_EPOCH0_US) + F.col("id") * F.lit(IJ_CELL_US)
+         + (F.lit(300) + (F.col("id") * F.col("id")) % 3600)
+         * F.lit(1_000_000)).alias("b_e"))
+    out = interval_join(a, w, IJ_CELL_US)
+    return out.select(F.col("a_id").alias("event_id"),
+                      F.col("b_id").alias("win_id"), "ovl_us")
+
+
+def _sql_interval_join() -> str:
+    return f"""WITH a AS (
+  SELECT event_id AS a_id, epoch_us(ts) AS a_s,
+         epoch_us(ts) + (1 + event_id % 900) * 1000000 AS a_e
+  FROM events
+), w AS (
+  SELECT i AS b_id,
+         {IJ_EPOCH0_US} + i * {IJ_CELL_US} AS b_s,
+         {IJ_EPOCH0_US} + i * {IJ_CELL_US}
+           + (300 + (i * i) % 3600) * 1000000 AS b_e
+  FROM range(0, {IJ_N_WINDOWS}) t(i)
+)
+SELECT a_id AS event_id, b_id AS win_id,
+       LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS ovl_us
+FROM a JOIN w ON a_s < b_e AND b_s < a_e"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event matched to the same user's most
     recent strictly-earlier click (ties among equal-time clicks broken
@@ -2878,6 +2930,9 @@ SELECT CAST(node AS BIGINT) AS domain, CAST(MIN(h) AS BIGINT) AS hops
 FROM reach GROUP BY 1"""
 
 
+TRI_SAMPLE_MOD = 8   # DOULION edge-sample rate p = 1/8
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain triangle counts of the undirected link graph — the
     clustering/motif primitive behind community and spam detection.
@@ -2885,9 +2940,18 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle_counts): every wedge materializes at its lowest-degree
     corner, so hub domains never explode a quadratic hot key.
 
+    The synthetic domain graph approaches COMPLETENESS as the corpus
+    grows (every page adds 2 pseudo-random edges over a fixed 1000
+    domains), so the query applies DOULION deterministic-hash edge
+    sampling at p = 1/8 — counts are exact on the
+    sampled graph, count/p^3 estimates the full graph, and wedge work
+    drops by p^2 (real domain graphs are sparse; the sampling lever is
+    still how you bound hub wedges at 10^12 pages).
+
     FULL SQL ORACLE (_sql_triangles): the plain canonical a<b<c
-    three-way self-join — no degree ranking — so agreement proves the
-    orientation scheme counts every triangle exactly once."""
+    three-way self-join — no degree ranking — over the SAME sampled
+    edge set, so agreement proves the orientation scheme counts every
+    triangle exactly once."""
     from proj_spark.graph import triangle_counts
     pts = _points(spark, sf_dir)
     raw = pts.select(
@@ -2897,7 +2961,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (raw.select("src", F.explode(F.array(
         F.expr(f"(h div 131) % {N_DOMAINS}"),
         F.expr(f"(h div 17) % {N_DOMAINS}"))).alias("dst")))
-    out = triangle_counts(edges)
+    out = triangle_counts(edges, sample_mod=TRI_SAMPLE_MOD)
     return out.select(F.col("node").alias("domain"),
                       F.col("n_tri").cast("long").alias("n_tri"))
 
@@ -2908,12 +2972,14 @@ raw AS (SELECT CAST(domain AS BIGINT) AS src,
                (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
                 * 2654435761) % 2147483648 AS h
         FROM pages),
-und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-        FROM (
-          SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
-          UNION ALL
-          SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
-        WHERE src != dst),
+und AS (SELECT a, b FROM (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM (
+            SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+            UNION ALL
+            SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+          WHERE src != dst)
+        WHERE (a * 1000003 + b) % {TRI_SAMPLE_MOD} = 0),
 tri AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM und e1
@@ -4755,6 +4821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "events_hourly": q_events_hourly,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "sessionize": q_sessionize,
         "crs_dispatch": q_crs_dispatch,
         "gridshift_file": q_gridshift_file,
@@ -4836,6 +4903,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_allpairs": _sql_embed_allpairs(),
         "events_hourly": _sql_events_hourly(),
         "asof_join": _sql_asof_join(),
+        "interval_join": _sql_interval_join(),
         "sessionize": _sql_sessionize(),
         "utm_project": _sql_utm_project(),
         "ann_pairs": _sql_ann_pairs(),

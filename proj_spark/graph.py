@@ -143,9 +143,19 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
     return visited
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame,
+                    sample_mod: int | None = None) -> DataFrame:
     """Exact per-node triangle counts of the UNDIRECTED simple graph
     underlying `edges` (direction/self-loops/duplicates dropped).
+
+    ``sample_mod``: optional DOULION-style edge sparsification
+    (Tsourakakis et al., KDD'09) — keep the canonical edge (a, b) iff
+    (a * 1000003 + b) % sample_mod == 0, i.e. a DETERMINISTIC hash
+    sample at rate p = 1/sample_mod.  Counts on the sampled graph are
+    exact and engine-reproducible; the unbiased whole-graph estimate
+    is count / p^3.  This is the standard lever when the graph is
+    dense (the synthetic domain graph approaches completeness as the
+    corpus grows — wedge work is Σ deg², and sampling cuts it by p²).
 
     Scale plan — degree orientation (the classic MapReduce trick):
     orient every edge from its (degree, id)-smaller endpoint to the
@@ -161,6 +171,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     und = (edges.select(F.least("src", "dst").alias("a"),
                         F.greatest("src", "dst").alias("b"))
            .where(F.col("a") != F.col("b")).distinct())
+    if sample_mod is not None:
+        und = und.where(
+            (F.col("a") * 1000003 + F.col("b")) % sample_mod == 0)
     deg = (und.select(F.col("a").alias("node"))
            .union(und.select("b"))
            .groupBy("node").agg(F.count("*").alias("d")))

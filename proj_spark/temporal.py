@@ -141,3 +141,42 @@ def sessionize(df: DataFrame, key: str | list[str], ts: str,
     return (df.withColumn("_brk", brk)
             .withColumn(session_col, F.sum("_brk").over(run).cast("long"))
             .drop("_brk"))
+
+
+def interval_join(a: DataFrame, b: DataFrame, cell_us: int,
+                  a_id: str = "a_id", b_id: str = "b_id") -> DataFrame:
+    """Overlap join of two half-open µs-integer interval relations —
+    the time-range join Spark has no native operator for.
+
+    a: (a_id long, a_s long, a_e long), b: (b_id long, b_s long,
+    b_e long), both with s < e and e - s <= cell_us (callers size the
+    cell to the max interval length; longer spans should be SPLIT into
+    cell-sized pieces upstream, not joined with bigger cells).
+
+    1-D PBSM: each interval covers <= 2 time cells (bounded explode),
+    equi-join on the cell co-partitions both sides, the exact overlap
+    predicate `a_s < b_e AND b_s < a_e` filters, and the pair is
+    reported only by the cell containing max(a_s, b_s) (reference-point
+    rule) — exact integer semantics, no distinct shuffle, arbitrarily
+    hot hours split by AQE.  Returns (a_id, b_id, ovl_us).
+    """
+    C = int(cell_us)
+
+    def binned(df: DataFrame, pid: str, s: str, e: str,
+               out_id: str) -> DataFrame:
+        return df.select(
+            F.col(pid).alias(out_id), F.col(s), F.col(e),
+            F.explode(F.sequence(
+                F.floor(F.col(s) / F.lit(C)),
+                F.floor((F.col(e) - 1) / F.lit(C)))).alias("tcell"))
+
+    aa = binned(a, a_id, "a_s", "a_e", a_id)
+    bb = binned(b, b_id, "b_s", "b_e", b_id)
+    ref = F.greatest("a_s", "b_s")
+    return (aa.join(bb, "tcell")
+            .where((F.col("a_s") < F.col("b_e"))
+                   & (F.col("b_s") < F.col("a_e"))
+                   & (F.col("tcell") == F.floor(ref / F.lit(C))))
+            .select(a_id, b_id,
+                    (F.least("a_e", "b_e")
+                     - F.greatest("a_s", "b_s")).alias("ovl_us")))

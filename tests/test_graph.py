@@ -110,3 +110,22 @@ def test_triangle_counts_star_has_none(spark):
     edges = spark.createDataFrame([(0, i) for i in range(1, 30)],
                                   "src long, dst long")
     assert triangle_counts(edges).count() == 0
+
+
+def test_triangle_counts_doulion_sampling(spark):
+    from proj_spark.graph import triangle_counts
+    import itertools, random
+    rng = random.Random(3)
+    nodes = list(range(24))
+    edges = [(a, b) for a, b in itertools.combinations(nodes, 2)
+             if rng.random() < 0.5]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_tri
+           for r in triangle_counts(df, sample_mod=3).collect()}
+    kept = {(a, b) for a, b in edges if (a * 1000003 + b) % 3 == 0}
+    want = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= kept:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want

@@ -184,3 +184,34 @@ def test_radius_join_infers_max_lat_from_data(spark):
     pts = spark.createDataFrame(rows, "url string, lon double, lat double")
     out = radius_join(pts, 3000.0, z=13).collect()
     assert len(out) == 1 and out[0]["id_a"] == "a"
+
+
+def test_interval_join_exact_pairs(spark):
+    from proj_spark.temporal import interval_join
+    import itertools
+    # crafted intervals incl.: touching (no overlap, half-open), nested,
+    # cell-boundary straddlers (cell = 100)
+    a_rows = [(1, 0, 50), (2, 95, 140), (3, 200, 300), (4, 399, 400)]
+    b_rows = [(10, 40, 100), (11, 100, 120), (12, 300, 310),
+              (13, 350, 450), (14, 0, 1)]
+    a = spark.createDataFrame(a_rows, "a_id long, a_s long, a_e long")
+    b = spark.createDataFrame(b_rows, "b_id long, b_s long, b_e long")
+    got = sorted((r.event_id if hasattr(r, "event_id") else r.a_id,
+                  r.b_id, r.ovl_us)
+                 for r in interval_join(a, b, 100).collect())
+    want = sorted((ai, bi, min(ae, be) - max(as_, bs))
+                  for (ai, as_, ae), (bi, bs, be)
+                  in itertools.product(a_rows, b_rows)
+                  if as_ < be and bs < ae)
+    assert got == want
+    # the touching pairs (a3 ends at 300 where b12 starts; a1/b11) absent
+    assert all(p[2] > 0 for p in got)
+
+
+def test_interval_join_no_duplicates_across_cells(spark):
+    from proj_spark.temporal import interval_join
+    # both intervals straddle the same two cells -> pair must appear once
+    a = spark.createDataFrame([(1, 90, 190)], "a_id long, a_s long, a_e long")
+    b = spark.createDataFrame([(2, 95, 195)], "b_id long, b_s long, b_e long")
+    got = interval_join(a, b, 100).collect()
+    assert len(got) == 1 and got[0].ovl_us == 95
