@@ -3992,6 +3992,65 @@ SELECT b.doc_id, b.n_tokens,
 FROM base b LEFT JOIN nwin USING (doc_id) LEFT JOIN cov USING (doc_id)"""
 
 
+def q_domain_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain geographic footprint: exact integer centroid + the
+    radius of gyration (mean squared µdeg distance from the centroid,
+    div-quantized) — the classic mobility/dispersion metric, telling a
+    curation pipeline which domains are geographically focused vs
+    scattered.
+
+    Exactness: coords shift to NON-NEGATIVE µdeg before any integer
+    division (Spark's `div` truncates toward zero, DuckDB's `//`
+    floors — they only agree on non-negative operands), the centroid
+    is one floored division of exact sums, and per-row squared
+    distances are div-quantized by 1e6 BEFORE summing so the total
+    stays far below 2^63 even under ANSI mode.  Two shuffles on
+    `domain` + one broadcast join back.
+
+    FULL SQL ORACLE (_sql_domain_gyration): identical arithmetic."""
+    pts = _points(spark, sf_dir)
+    t = pts.select(
+        "domain",
+        (F.round(F.col("lon") * 1e6, 0).cast("long")
+         + F.lit(180_000_000)).alias("x"),
+        (F.round(F.col("lat") * 1e6, 0).cast("long")
+         + F.lit(90_000_000)).alias("y"))
+    c = (t.groupBy("domain")
+         .agg(F.count("*").alias("n_pages"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"))
+         .select("domain", "n_pages",
+                 F.expr("sx div n_pages").alias("cx"),
+                 F.expr("sy div n_pages").alias("cy")))
+    d2q = F.expr("((x - cx) * (x - cx) + (y - cy) * (y - cy)) "
+                 "div 1000000")
+    out = (t.join(F.broadcast(c), "domain")
+           .groupBy("domain", "n_pages", "cx", "cy")
+           .agg(F.sum(d2q).alias("sd2q")))
+    return out.select(
+        "domain", "n_pages",
+        (F.col("cx") - 180_000_000).alias("cx_udeg"),
+        (F.col("cy") - 90_000_000).alias("cy_udeg"),
+        F.expr("sd2q div n_pages").alias("rog2q"))
+
+
+def _sql_domain_gyration(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+t AS (SELECT domain,
+             CAST(ROUND(lon * 1e6, 0) AS BIGINT) + 180000000 AS x,
+             CAST(ROUND(lat * 1e6, 0) AS BIGINT) + 90000000 AS y
+      FROM pages),
+c AS (SELECT domain, COUNT(*) AS n_pages,
+             SUM(x) // COUNT(*) AS cx, SUM(y) // COUNT(*) AS cy
+      FROM t GROUP BY 1)
+SELECT t.domain, c.n_pages,
+       CAST(c.cx - 180000000 AS BIGINT) AS cx_udeg,
+       CAST(c.cy - 90000000 AS BIGINT) AS cy_udeg,
+       CAST(SUM(((x - cx) * (x - cx) + (y - cy) * (y - cy)) // 1000000)
+            // c.n_pages AS BIGINT) AS rog2q
+FROM t JOIN c USING (domain)
+GROUP BY 1, 2, 3, 4"""
+
+
 def q_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supercluster-style marker placement: per z6 cell, the page count
     and the exact centroid of its points — the primitive map renderers
@@ -4836,6 +4895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cmsketch_tokens": q_cmsketch_tokens,
         "dup_spans": q_dup_spans,
         "cluster_centroids": q_cluster_centroids,
+        "domain_gyration": q_domain_gyration,
         "token_quantiles": q_token_quantiles,
         "adaptive_tiles": q_adaptive_tiles,
         "decontaminate": q_decontaminate,
@@ -4925,6 +4985,7 @@ def oracle_sql() -> dict[str, str]:
         "cmsketch_tokens": _sql_cmsketch_tokens(),
         "dup_spans": _sql_dup_spans(),
         "cluster_centroids": _sql_cluster_centroids(n),
+        "domain_gyration": _sql_domain_gyration(n),
         "token_quantiles": _sql_token_quantiles(),
         "adaptive_tiles": _sql_adaptive_tiles(n),
         "decontaminate": _sql_decontaminate(),

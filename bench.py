@@ -46,7 +46,7 @@ HEADLINE = [
     "corridor", "traj_simplify",
     "map_match", "hilbert_rollup", "seg_intersect", "bloom_decontam",
     "convex_hull", "skyline", "hull_diameter",
-    "domain_hops", "triangles", "interval_join",
+    "domain_hops", "triangles", "interval_join", "domain_gyration",
 ]
 
 
