@@ -2663,6 +2663,44 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_stats.morans_i(spatial_stats.cell_counts(pts, MORANS_Z))
 
 
+def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Geary's C spatial autocorrelation of page density over
+    the occupied z6 rook lattice — the local-contrast complement to
+    Moran's I (same exact-integer sufficient statistics, one fixed
+    float assembly mirrored by the oracle; see
+    spatial/stats.py gearys_c)."""
+    from proj_spark.spatial import stats as spatial_stats
+    pts = _points(spark, sf_dir)
+    return spatial_stats.gearys_c(spatial_stats.cell_counts(pts, MORANS_Z))
+
+
+def _sql_gearys_c(n: int) -> str:
+    z = MORANS_Z
+    xb = "(CAST(t_sum AS DOUBLE) / n_cells)"
+    den = f"s_sq - ((n_cells * {xb}) * {xb})"
+    return f"""WITH {_pages_cte(n)},
+cl AS (SELECT {cells.tile_x_sql('lon', z)} AS tx,
+              {cells.tile_y_sql('lat', z)} AS ty, COUNT(*) AS x
+       FROM pages GROUP BY 1, 2),
+pr AS (SELECT a.x AS xi, b.x AS xj
+       FROM cl a JOIN cl b
+         ON (b.tx = a.tx + 1 AND b.ty = a.ty)
+         OR (b.tx = a.tx - 1 AND b.ty = a.ty)
+         OR (b.tx = a.tx AND b.ty = a.ty + 1)
+         OR (b.tx = a.tx AND b.ty = a.ty - 1)),
+node AS (SELECT COUNT(*) AS n_cells, CAST(SUM(x) AS BIGINT) AS t_sum,
+                CAST(SUM(x * x) AS BIGINT) AS s_sq FROM cl),
+edge AS (SELECT COUNT(*) AS w_pairs,
+                CAST(SUM((xi - xj) * (xi - xj)) AS BIGINT) AS s_diff2
+         FROM pr)
+SELECT n_cells, w_pairs, t_sum, s_sq, s_diff2,
+       CASE WHEN w_pairs > 0 AND ({den}) != 0.0
+            THEN ROUND(((CAST(n_cells - 1 AS DOUBLE) / (2.0 * w_pairs))
+                        * s_diff2) / ({den}), 6)
+       END AS gearys_c
+FROM node, edge"""
+
+
 def _sql_morans_i(n: int) -> str:
     z = MORANS_Z
     xb = "(CAST(t_sum AS DOUBLE) / n_cells)"
@@ -4853,6 +4891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "rect_join": q_rect_join,
         "morans_i": q_morans_i,
+        "gearys_c": q_gearys_c,
         "viewport_topk": q_viewport_topk,
         "idw_interp": q_idw_interp,
         "curation_funnel": q_curation_funnel,
@@ -4942,6 +4981,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _sql_triangles(n),
         "rect_join": _sql_rect_join(n),
         "morans_i": _sql_morans_i(n),
+        "gearys_c": _sql_gearys_c(n),
         "viewport_topk": _sql_viewport_topk(n),
         "idw_interp": _sql_idw_interp(n),
         "curation_funnel": _sql_curation_funnel(),

@@ -94,6 +94,53 @@ def morans_i(counts: DataFrame) -> DataFrame:
                     i_val.alias("morans_i"))
 
 
+def gearys_c(counts: DataFrame) -> DataFrame:
+    """Global Geary's C over (tx, ty, x) cell counts with rook weights
+    — Moran's I's local-contrast complement (C < 1 clustered, C > 1
+    dispersed; sensitive to neighbor DIFFERENCES where I measures
+    covariance with the mean).
+
+    Same exact-integer discipline as morans_i above: the sufficient
+    statistics (n_cells, w_pairs, s_sq, t_sum, s_diff2 = Σ(xi-xj)²
+    over directed rook pairs) are BIGINT-exact under any partial-agg
+    reordering; the single one-row float assembly uses one fixed
+    parenthesization the oracle mirrors:
+        C = ((n-1) / (2·W)) · s_diff2 / (s_sq - n·x̄²).
+    """
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+    ])
+    left = (counts
+            .withColumn("_o", F.explode(offsets))
+            .select((F.col("tx") + F.col("_o.dx")).alias("ntx"),
+                    (F.col("ty") + F.col("_o.dy")).alias("nty"),
+                    F.col("x").alias("xi")))
+    right = counts.select(F.col("tx").alias("ntx"), F.col("ty").alias("nty"),
+                          F.col("x").alias("xj"))
+    pairs = left.join(right, ["ntx", "nty"])
+
+    node = counts.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("x").alias("t_sum"),
+        F.sum(F.col("x") * F.col("x")).alias("s_sq"))
+    edge = pairs.agg(
+        F.count("*").alias("w_pairs"),
+        F.sum((F.col("xi") - F.col("xj"))
+              * (F.col("xi") - F.col("xj"))).alias("s_diff2"))
+
+    j = node.crossJoin(edge)
+    xb = F.col("t_sum").cast("double") / F.col("n_cells")
+    den = F.col("s_sq") - F.col("n_cells") * xb * xb
+    c_val = F.when(
+        (F.col("w_pairs") > 0) & (den != 0.0),
+        F.round(((F.col("n_cells") - 1).cast("double")
+                 / (2.0 * F.col("w_pairs"))
+                 * F.col("s_diff2")) / den, 6))
+    return j.select("n_cells", "w_pairs", "t_sum", "s_sq", "s_diff2",
+                    c_val.alias("gearys_c"))
+
+
 # 3x3 binomial (Gaussian-approximating) kernel — INTEGER weights so the
 # convolution is an exact BIGINT sum any engine reproduces bit-for-bit
 KERNEL_3X3 = [(dx, dy, (2 - abs(dx)) * (2 - abs(dy)))

@@ -398,3 +398,25 @@ def test_hex_qr_sql_twin_matches_spark(spark):
     want = sorted(tuple(x) for x in con.execute(
         f"SELECT lon, {qs} AS q, {rs} AS r FROM t").fetchall())
     assert got == want
+
+
+def test_gearys_c_known_lattice(spark):
+    from proj_spark.spatial.stats import gearys_c
+    # 2x2 checkerboard 1/5: perfectly dispersed -> C well above 1
+    counts = spark.createDataFrame(
+        [(0, 0, 1), (1, 0, 5), (0, 1, 5), (1, 1, 1)],
+        "tx long, ty long, x long")
+    r = gearys_c(counts).collect()[0]
+    # n=4, W=8 directed pairs, every neighbor diff = ±4 -> s_diff2=128
+    assert r.n_cells == 4 and r.w_pairs == 8 and r.s_diff2 == 128
+    # x̄=3, den = 72 - 36 = 16? s_sq=52, den = 52 - 4*9 = 16
+    # C = (3/16) * 128 / 16 = 1.5
+    assert r.gearys_c == 1.5
+
+
+def test_gearys_c_uniform_is_degenerate(spark):
+    from proj_spark.spatial.stats import gearys_c
+    counts = spark.createDataFrame(
+        [(0, 0, 7), (1, 0, 7)], "tx long, ty long, x long")
+    r = gearys_c(counts).collect()[0]
+    assert r.gearys_c is None  # zero variance -> NULL, not a crash
