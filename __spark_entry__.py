@@ -2663,6 +2663,55 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_stats.morans_i(spatial_stats.cell_counts(pts, MORANS_Z))
 
 
+OD_Z = 4             # OD matrix resolution: z4 tiles
+
+
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix: consecutive crawl hops per domain
+    rolled up to (z4 tile -> z4 tile) flows with hop counts and
+    distinct moving domains — the mobility-style OD aggregation.  One
+    window per domain path (LEAD), one hash agg; self-flows (same
+    tile) excluded so the matrix shows movement, not dwell.
+
+    FULL SQL ORACLE (_sql_od_flows): same LEAD + rollup in DuckDB."""
+    pts = _points(spark, sf_dir)
+    seq = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    t = pts.select("domain", seq.alias("seq"),
+                   cells.tile_x(F.col("lon"), OD_Z).alias("tx"),
+                   cells.tile_y(F.col("lat"), OD_Z).alias("ty"))
+    w = Window.partitionBy("domain").orderBy("seq")
+    hops = (t.select("domain", "tx", "ty",
+                     F.lead("tx").over(w).alias("tx2"),
+                     F.lead("ty").over(w).alias("ty2"))
+            .where(F.col("tx2").isNotNull()
+                   & ~((F.col("tx") == F.col("tx2"))
+                       & (F.col("ty") == F.col("ty2")))))
+    return (hops.groupBy(F.col("tx").alias("from_x"),
+                         F.col("ty").alias("from_y"),
+                         F.col("tx2").alias("to_x"),
+                         F.col("ty2").alias("to_y"))
+            .agg(F.count("*").alias("n_hops"),
+                 F.countDistinct("domain").alias("n_domains")))
+
+
+def _sql_od_flows(n: int) -> str:
+    z = OD_Z
+    return f"""WITH {_pages_cte(n)},
+t AS (SELECT domain, i AS seq,
+             {cells.tile_x_sql('lon', z)} AS tx,
+             {cells.tile_y_sql('lat', z)} AS ty
+      FROM pages),
+hops AS (SELECT domain, tx, ty,
+                LEAD(tx) OVER (PARTITION BY domain ORDER BY seq) AS tx2,
+                LEAD(ty) OVER (PARTITION BY domain ORDER BY seq) AS ty2
+         FROM t)
+SELECT tx AS from_x, ty AS from_y, tx2 AS to_x, ty2 AS to_y,
+       COUNT(*) AS n_hops, COUNT(DISTINCT domain) AS n_domains
+FROM hops
+WHERE tx2 IS NOT NULL AND NOT (tx = tx2 AND ty = ty2)
+GROUP BY 1, 2, 3, 4"""
+
+
 def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Geary's C spatial autocorrelation of page density over
     the occupied z6 rook lattice — the local-contrast complement to
@@ -4892,6 +4941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_join": q_rect_join,
         "morans_i": q_morans_i,
         "gearys_c": q_gearys_c,
+        "od_flows": q_od_flows,
         "viewport_topk": q_viewport_topk,
         "idw_interp": q_idw_interp,
         "curation_funnel": q_curation_funnel,
@@ -4982,6 +5032,7 @@ def oracle_sql() -> dict[str, str]:
         "rect_join": _sql_rect_join(n),
         "morans_i": _sql_morans_i(n),
         "gearys_c": _sql_gearys_c(n),
+        "od_flows": _sql_od_flows(n),
         "viewport_topk": _sql_viewport_topk(n),
         "idw_interp": _sql_idw_interp(n),
         "curation_funnel": _sql_curation_funnel(),
