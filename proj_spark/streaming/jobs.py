@@ -599,6 +599,36 @@ def stream_corridor_counts(spark: SparkSession, pages_dir: str,
                  F.round(F.min("dist_m") / 1000.0, 3).alias("min_km")))
 
 
+def stream_interval_join(spark: SparkSession, events_dir: str,
+                         windows: DataFrame,
+                         max_files_per_trigger: int | None = None
+                         ) -> DataFrame:
+    """Streaming time-range join: each arriving event's activity
+    interval [tm, tm + dur) matched against a STATIC window relation
+    (maintenance calendars, outage schedules) with the exact overlap.
+
+    Stream-static broadcast join — stateless, append-mode, no
+    watermark needed (the static side never changes, so every match is
+    final the moment the event arrives).  Interval times are integer
+    epoch-µs end to end: identical results under any session timezone,
+    and row-for-row equal to the batch interval_join on the same files
+    (tests/test_streaming.py).  The static side must expose
+    (win_id long, b_s long, b_e long)."""
+    ev = _streaming_reader(spark, events_dir, max_files_per_trigger)
+    from proj_spark import temporal
+    a = ev.select(F.col("event_id"),
+                  temporal.epoch_micros(ev, "ts").alias("a_s"),
+                  (temporal.epoch_micros(ev, "ts")
+                   + (F.lit(1) + F.col("event_id") % 900)
+                   * F.lit(1_000_000)).alias("a_e"))
+    return (a.join(F.broadcast(windows),
+                   (F.col("a_s") < F.col("b_e"))
+                   & (F.col("b_s") < F.col("a_e")))
+            .select("event_id", "win_id",
+                    (F.least("a_e", "b_e")
+                     - F.greatest("a_s", "b_s")).alias("ovl_us")))
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str = "complete") -> None:
     """Drain a streaming DataFrame into an in-memory table (tests /

@@ -544,3 +544,34 @@ def test_stream_corridor_matches_batch(spark, pages_dir):
                   F.round(F.min("dist_m") / 1000.0, 3).alias("m")))
     want = {r["seg_id"]: (r["n"], r["m"]) for r in batch.collect()}
     assert got == want and got
+
+
+def test_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-static range join == the batch 1-D PBSM interval join on
+    the same files (append mode, stateless)."""
+    from proj_spark.streaming.jobs import stream_interval_join
+    from proj_spark.temporal import interval_join, epoch_micros
+
+    CELL = 7_200_000_000
+    EPOCH0 = 1_704_067_200_000_000
+    wins = spark.range(400).select(
+        F.col("id").alias("win_id"),
+        (F.lit(EPOCH0) + F.col("id") * F.lit(CELL)).alias("b_s"),
+        (F.lit(EPOCH0) + F.col("id") * F.lit(CELL)
+         + (F.lit(300) + (F.col("id") * F.col("id")) % 3600)
+         * F.lit(1_000_000)).alias("b_e"))
+    run_to_memory(stream_interval_join(spark, events_dir, wins),
+                  "ij_stream", mode="append")
+    got = sorted((r["event_id"], r["win_id"], r["ovl_us"])
+                 for r in spark.table("ij_stream").collect())
+
+    ev = spark.read.parquet(events_dir)
+    a = ev.select(F.col("event_id").alias("a_id"),
+                  epoch_micros(ev, "ts").alias("a_s"),
+                  (epoch_micros(ev, "ts")
+                   + (F.lit(1) + F.col("event_id") % 900)
+                   * F.lit(1_000_000)).alias("a_e"))
+    b = wins.select(F.col("win_id").alias("b_id"), "b_s", "b_e")
+    want = sorted((r["a_id"], r["b_id"], r["ovl_us"])
+                  for r in interval_join(a, b, CELL).collect())
+    assert got == want and len(got) > 50
