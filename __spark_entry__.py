@@ -2479,6 +2479,27 @@ IJ_EPOCH0_US = 1_704_067_200_000_000   # 2024-01-01T00:00:00Z
 IJ_N_WINDOWS = 400
 
 
+def _event_intervals(ev: DataFrame) -> DataFrame:
+    """Event activity intervals [tm, tm + dur) in integer epoch-µs —
+    the ONE definition shared by the batch query, the streaming job's
+    caller, and the stream==batch test (dur = 1..900 s from event_id)."""
+    return ev.select(F.col("event_id").alias("a_id"),
+                     temporal.epoch_micros(ev, "ts").alias("a_s"),
+                     (temporal.epoch_micros(ev, "ts")
+                      + (F.lit(1) + F.col("event_id") % 900)
+                      * F.lit(1_000_000)).alias("a_e"))
+
+
+def _ij_windows(spark: SparkSession) -> DataFrame:
+    """The deterministic maintenance-window relation (b_id, b_s, b_e)."""
+    return spark.range(IJ_N_WINDOWS).select(
+        F.col("id").alias("b_id"),
+        (F.lit(IJ_EPOCH0_US) + F.col("id") * F.lit(IJ_CELL_US)).alias("b_s"),
+        (F.lit(IJ_EPOCH0_US) + F.col("id") * F.lit(IJ_CELL_US)
+         + (F.lit(300) + (F.col("id") * F.col("id")) % 3600)
+         * F.lit(1_000_000)).alias("b_e"))
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range (interval overlap) join — the operator Spark lacks
     natively: each event's activity interval [tm, tm + dur) against a
@@ -2493,17 +2514,9 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL SQL ORACLE (_sql_interval_join): the unpruned theta join over
     the same integer intervals."""
     from proj_spark.temporal import interval_join
-    ev = _events_micros(spark, sf_dir)
-    a = ev.select(F.col("event_id").alias("a_id"),
-                  F.col("tm").alias("a_s"),
-                  (F.col("tm") + (F.lit(1) + F.col("event_id") % 900)
-                   * F.lit(1_000_000)).alias("a_e"))
-    w = spark.range(IJ_N_WINDOWS).select(
-        F.col("id").alias("b_id"),
-        (F.lit(IJ_EPOCH0_US) + F.col("id") * F.lit(IJ_CELL_US)).alias("b_s"),
-        (F.lit(IJ_EPOCH0_US) + F.col("id") * F.lit(IJ_CELL_US)
-         + (F.lit(300) + (F.col("id") * F.col("id")) % 3600)
-         * F.lit(1_000_000)).alias("b_e"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = _event_intervals(ev)
+    w = _ij_windows(spark)
     out = interval_join(a, w, IJ_CELL_US)
     return out.select(F.col("a_id").alias("event_id"),
                       F.col("b_id").alias("win_id"), "ovl_us")
@@ -2950,20 +2963,28 @@ def q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e8-node co-partitioned variant).
     """
     from proj_spark.graph import pagerank
+    edges = (_domain_links(spark, sf_dir)
+             .groupBy("src", "dst").agg(F.count("*").alias("w")))
+    nodes = spark.range(N_DOMAINS).select(F.col("id").alias("node"))
+    pr = pagerank(edges, nodes, iters=PR_ITERS)
+    return (pr.select(F.col("node").alias("domain"), "score")
+            .orderBy(F.col("score").desc(), "domain").limit(PR_TOPK))
+
+
+def _domain_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw directed domain link edges (src, dst) — the ONE Spark-side
+    definition of "the link graph" shared by pagerank/BFS/triangles
+    (page i on domain d links to (h//131)%N and (h//17)%N with h the
+    synthesis hash; the SQL oracles re-derive it independently)."""
     pts = _points(spark, sf_dir)
     raw = pts.select(
         F.col("domain").cast("long").alias("src"),
         ((F.regexp_extract("url", r"page/(\d+)", 1).cast("long")
           * F.lit(2654435761)) % F.lit(2147483648)).alias("h"))
-    edges = (raw.select("src", F.explode(F.array(
+    return (raw.select("src", F.explode(F.array(
         F.expr(f"(h div 131) % {N_DOMAINS}"),
         F.expr(f"(h div 17) % {N_DOMAINS}"))).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst").agg(F.count("*").alias("w")))
-    nodes = spark.range(N_DOMAINS).select(F.col("id").alias("node"))
-    pr = pagerank(edges, nodes, iters=PR_ITERS)
-    return (pr.select(F.col("node").alias("domain"), "score")
-            .orderBy(F.col("score").desc(), "domain").limit(PR_TOPK))
+        .where(F.col("src") != F.col("dst")))
 
 
 BFS_SEED_MOD = 97    # seeds: domains divisible by 97 (11 of 1000)
@@ -2980,15 +3001,7 @@ def q_domain_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup on (node, hops) pairs and a MIN(h) rollup — a different
     evaluation strategy over the same deterministic edge set."""
     from proj_spark.graph import bfs_hops
-    pts = _points(spark, sf_dir)
-    raw = pts.select(
-        F.col("domain").cast("long").alias("src"),
-        ((F.regexp_extract("url", r"page/(\d+)", 1).cast("long")
-          * F.lit(2654435761)) % F.lit(2147483648)).alias("h"))
-    edges = (raw.select("src", F.explode(F.array(
-        F.expr(f"(h div 131) % {N_DOMAINS}"),
-        F.expr(f"(h div 17) % {N_DOMAINS}"))).alias("dst"))
-        .where(F.col("src") != F.col("dst")))
+    edges = _domain_links(spark, sf_dir)
     seeds = (spark.range(N_DOMAINS).select(F.col("id").alias("node"))
              .where(F.col("node") % BFS_SEED_MOD == 0))
     out = bfs_hops(edges, seeds, BFS_DEPTH)
@@ -3040,15 +3053,8 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge set, so agreement proves the orientation scheme counts every
     triangle exactly once."""
     from proj_spark.graph import triangle_counts
-    pts = _points(spark, sf_dir)
-    raw = pts.select(
-        F.col("domain").cast("long").alias("src"),
-        ((F.regexp_extract("url", r"page/(\d+)", 1).cast("long")
-          * F.lit(2654435761)) % F.lit(2147483648)).alias("h"))
-    edges = (raw.select("src", F.explode(F.array(
-        F.expr(f"(h div 131) % {N_DOMAINS}"),
-        F.expr(f"(h div 17) % {N_DOMAINS}"))).alias("dst")))
-    out = triangle_counts(edges, sample_mod=TRI_SAMPLE_MOD)
+    out = triangle_counts(_domain_links(spark, sf_dir),
+                          sample_mod=TRI_SAMPLE_MOD)
     return out.select(F.col("node").alias("domain"),
                       F.col("n_tri").cast("long").alias("n_tri"))
 
@@ -4664,6 +4670,17 @@ FROM ({inner})"""
 HULL_Z = 5           # hull groups: z5 webmerc tiles (11.25 deg)
 
 
+def _hull_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tile_x, tile_y, x, y): page points as exact µdeg ints grouped
+    by z5 tile — shared by the convex_hull and hull_diameter queries."""
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        cells.tile_x(F.col("lon"), HULL_Z).alias("tile_x"),
+        cells.tile_y(F.col("lat"), HULL_Z).alias("tile_y"),
+        F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
+        F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT convex hull per z5 tile over µdeg-integer page points:
     vertex count + exact 2x shoelace area.  The hull is computed as a
@@ -4679,13 +4696,7 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is the identical n_hull (strict integer cross tests both
     sides: extreme vertices only, no float epsilon)."""
     from proj_spark.spatial.hull import hull_stats
-    pts = _points(spark, sf_dir)
-    t = pts.select(
-        cells.tile_x(F.col("lon"), HULL_Z).alias("tile_x"),
-        cells.tile_y(F.col("lat"), HULL_Z).alias("tile_y"),
-        F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
-        F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
-    return hull_stats(t, ["tile_x", "tile_y"])
+    return hull_stats(_hull_points(spark, sf_dir), ["tile_x", "tile_y"])
 
 
 def _quickhull_cte(n: int) -> str:
@@ -4775,13 +4786,8 @@ def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL SQL ORACLE (_sql_hull_diameter): quickhull vertices via the
     shared recursive CTE, then the exact max over vertex pairs."""
     from proj_spark.spatial.hull import hull_stats
-    pts = _points(spark, sf_dir)
-    t = pts.select(
-        cells.tile_x(F.col("lon"), HULL_Z).alias("tile_x"),
-        cells.tile_y(F.col("lat"), HULL_Z).alias("tile_y"),
-        F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
-        F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
-    out = hull_stats(t, ["tile_x", "tile_y"], with_diameter=True)
+    out = hull_stats(_hull_points(spark, sf_dir), ["tile_x", "tile_y"],
+                     with_diameter=True)
     return out.select("tile_x", "tile_y", "n_hull", "diam2")
 
 

@@ -123,22 +123,23 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
     visited = seeds.select(F.col("node"),
                            F.lit(0).cast("long").alias("hops")).persist()
     frontier = visited.select("node")
-    rounds = [visited]
+    interm = [visited]        # every persisted round artifact but the result
     for h in range(1, max_depth + 1):
         nxt = (frontier.join(e, frontier["node"] == e["src"])
                .select(F.col("dst").alias("node")).distinct()
                .join(visited.select("node"), "node", "left_anti")
                .select("node", F.lit(h).cast("long").alias("hops"))
                .persist())
+        interm.append(nxt)
         if nxt.limit(1).count() == 0:
-            nxt.unpersist()
             break
         visited = visited.union(nxt).persist()
-        rounds.append(visited)
+        interm.append(visited)
         frontier = nxt.select("node")
     visited.count()
-    for df in rounds[:-1]:
-        df.unpersist()
+    for df in interm:
+        if df is not visited:
+            df.unpersist()
     e.unpersist()
     return visited
 

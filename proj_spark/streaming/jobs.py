@@ -599,31 +599,25 @@ def stream_corridor_counts(spark: SparkSession, pages_dir: str,
                  F.round(F.min("dist_m") / 1000.0, 3).alias("min_km")))
 
 
-def stream_interval_join(spark: SparkSession, events_dir: str,
-                         windows: DataFrame,
-                         max_files_per_trigger: int | None = None
+def stream_interval_join(intervals: DataFrame, windows: DataFrame
                          ) -> DataFrame:
-    """Streaming time-range join: each arriving event's activity
-    interval [tm, tm + dur) matched against a STATIC window relation
-    (maintenance calendars, outage schedules) with the exact overlap.
+    """Streaming time-range join: each arriving interval [a_s, a_e)
+    matched against a STATIC window relation (maintenance calendars,
+    outage schedules) with the exact overlap.
 
     Stream-static broadcast join — stateless, append-mode, no
     watermark needed (the static side never changes, so every match is
-    final the moment the event arrives).  Interval times are integer
+    final the moment the row arrives).  Interval times are integer
     epoch-µs end to end: identical results under any session timezone,
-    and row-for-row equal to the batch interval_join on the same files
-    (tests/test_streaming.py).  The static side must expose
+    and row-for-row equal to the batch interval_join on the same rows
+    (tests/test_streaming.py).  `intervals` is a STREAMING relation
+    with (event_id long, a_s long, a_e long) — callers project their
+    event stream into intervals (e.g. `_streaming_reader(...)` +
+    `temporal.epoch_micros`); `windows` is static with
     (win_id long, b_s long, b_e long)."""
-    ev = _streaming_reader(spark, events_dir, max_files_per_trigger)
-    from proj_spark import temporal
-    a = ev.select(F.col("event_id"),
-                  temporal.epoch_micros(ev, "ts").alias("a_s"),
-                  (temporal.epoch_micros(ev, "ts")
-                   + (F.lit(1) + F.col("event_id") % 900)
-                   * F.lit(1_000_000)).alias("a_e"))
-    return (a.join(F.broadcast(windows),
-                   (F.col("a_s") < F.col("b_e"))
-                   & (F.col("b_s") < F.col("a_e")))
+    return (intervals.join(F.broadcast(windows),
+                           (F.col("a_s") < F.col("b_e"))
+                           & (F.col("b_s") < F.col("a_e")))
             .select("event_id", "win_id",
                     (F.least("a_e", "b_e")
                      - F.greatest("a_s", "b_s")).alias("ovl_us")))

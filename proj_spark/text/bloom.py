@@ -62,16 +62,19 @@ def build_bloom_bits(bench: DataFrame, text_col: str = "text",
     collect only the DISTINCT BIT POSITIONS (<= m of them, independent
     of benchmark size), set bits driver-side.  Returns uint64 words."""
     @F.pandas_udf("array<long>")
-    def grams(texts: pd.Series) -> pd.Series:
-        return pd.Series([g.astype(np.int64)
-                          for g in _doc_gram_hashes(texts, width)])
+    def positions(texts: pd.Series) -> pd.Series:
+        out = []
+        for g in _doc_gram_hashes(texts, width):
+            out.append(np.unique(gram_positions(g.astype(np.int64),
+                                                m, k).ravel())
+                       if len(g) else np.zeros(0, dtype=np.int64))
+        return pd.Series(out)
 
-    pos_df = (bench.select(F.explode(grams(F.col(text_col))).alias("hv"))
-              .distinct())
-    hv = np.array([r.hv for r in pos_df.collect()], dtype=np.int64)
+    pos_df = (bench.select(F.explode(positions(F.col(text_col)))
+                           .alias("bp")).distinct())
+    p = np.array([r.bp for r in pos_df.collect()], dtype=np.int64)
     words = np.zeros(m // 64, dtype=np.uint64)
-    if len(hv):
-        p = np.unique(gram_positions(hv, m, k).ravel())
+    if len(p):
         np.bitwise_or.at(words, p >> 6,
                          np.uint64(1) << (p & 63).astype(np.uint64))
     return words
@@ -107,7 +110,12 @@ def bloom_stats(docs: DataFrame, words: np.ndarray,
                 "n_hits": hits,
             })
             out = out[out.n_grams > 0]
-            out["hit_frac"] = (out.n_hits / out.n_grams).round(6)
+            # HALF-AWAY rounding (floor(v*1e6 + 0.5) for v >= 0) to
+            # match DuckDB ROUND and Spark F.round — pandas .round()
+            # is half-to-even and diverges on exact 6-dp ties
+            # (e.g. 1/128 -> 0.007812 vs 0.007813)
+            v = out.n_hits / out.n_grams
+            out["hit_frac"] = np.floor(v * 1e6 + 0.5) / 1e6
             yield out
 
     return docs.select(id_col, text_col).mapInPandas(

@@ -119,5 +119,15 @@ def test_map_match_plan_broadcast_no_preshuffle(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    pre, _, _ = plan.partition("Join")
-    assert "Exchange hashpartitioning" not in pre
+    # In the formatted TREE (root-first; details follow after a blank
+    # line as "(N) NodeName" blocks), every line after the join line is
+    # inside the join's subtrees.  A "Exchange (N)" tree node there
+    # would be a pre-join shuffle of the points relation; the argmin
+    # window's own exchange sits above the join and is expected.
+    import re
+    tree = plan.split("\n\n")[0].splitlines()
+    join_at = next(i for i, ln in enumerate(tree) if "Join" in ln)
+    below = tree[join_at + 1:]
+    assert below, plan  # the scan children must be in the tree
+    assert not any(re.search(r"\bExchange \(\d+\)", ln) for ln in below), \
+        plan

@@ -549,29 +549,22 @@ def test_stream_corridor_matches_batch(spark, pages_dir):
 def test_stream_interval_join_matches_batch(spark, events_dir):
     """Stream-static range join == the batch 1-D PBSM interval join on
     the same files (append mode, stateless)."""
-    from proj_spark.streaming.jobs import stream_interval_join
-    from proj_spark.temporal import interval_join, epoch_micros
+    import __spark_entry__ as entry
+    from proj_spark.streaming.jobs import (_streaming_reader,
+                                           stream_interval_join)
+    from proj_spark.temporal import interval_join
 
-    CELL = 7_200_000_000
-    EPOCH0 = 1_704_067_200_000_000
-    wins = spark.range(400).select(
-        F.col("id").alias("win_id"),
-        (F.lit(EPOCH0) + F.col("id") * F.lit(CELL)).alias("b_s"),
-        (F.lit(EPOCH0) + F.col("id") * F.lit(CELL)
-         + (F.lit(300) + (F.col("id") * F.col("id")) % 3600)
-         * F.lit(1_000_000)).alias("b_e"))
-    run_to_memory(stream_interval_join(spark, events_dir, wins),
+    wins = entry._ij_windows(spark).withColumnRenamed("b_id", "win_id")
+    ev_stream = _streaming_reader(spark, events_dir)
+    intervals = (entry._event_intervals(ev_stream)
+                 .withColumnRenamed("a_id", "event_id"))
+    run_to_memory(stream_interval_join(intervals, wins),
                   "ij_stream", mode="append")
     got = sorted((r["event_id"], r["win_id"], r["ovl_us"])
                  for r in spark.table("ij_stream").collect())
 
-    ev = spark.read.parquet(events_dir)
-    a = ev.select(F.col("event_id").alias("a_id"),
-                  epoch_micros(ev, "ts").alias("a_s"),
-                  (epoch_micros(ev, "ts")
-                   + (F.lit(1) + F.col("event_id") % 900)
-                   * F.lit(1_000_000)).alias("a_e"))
-    b = wins.select(F.col("win_id").alias("b_id"), "b_s", "b_e")
+    a = entry._event_intervals(spark.read.parquet(events_dir))
+    b = entry._ij_windows(spark)
     want = sorted((r["a_id"], r["b_id"], r["ovl_us"])
-                  for r in interval_join(a, b, CELL).collect())
+                  for r in interval_join(a, b, entry.IJ_CELL_US).collect())
     assert got == want and len(got) > 50
