@@ -4667,6 +4667,80 @@ SELECT id_a, id_b, grp_a AS domain_a, grp_b AS domain_b
 FROM ({inner})"""
 
 
+KNOX_S_UDEG = 200_000     # spatial box half-width: 0.2 deg in µdeg
+KNOX_T_S = 900            # temporal window: 15 min of crawl time
+
+
+def q_knox_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox-style SPATIOTEMPORAL proximity join: page pairs close in
+    BOTH space (Chebyshev µdeg box <= {KNOX_S_UDEG}) and time
+    (|Δwarc_ts| <= {KNOX_T_S} s) — the space-time interaction
+    primitive (epidemiology's Knox test; burst/event detection in web
+    crawls).  All predicates are exact integers: µdeg coords and the
+    page's crawl second.
+
+    Plan: 3-D grid binning (x cell, y cell, time bucket), the LEFT
+    side exploded to its 3x3x3 neighbor cells, equi-join on the cell
+    triple, exact predicate + id_a < id_b.  Each pair shares exactly
+    ONE (neighbor-of-a = home-of-b) cell, so there is no duplicate to
+    dedup — no distinct shuffle.  At 10^12 rows, explode the SMALLER
+    epoch partition of a time-bucketed layout instead of the whole
+    relation; the join stays the same.
+
+    FULL SQL ORACLE (_sql_knox_pairs): the unpruned theta join."""
+    pts = _points(spark, sf_dir)
+    seq = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    t = pts.select(
+        seq.alias("pid"),
+        F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
+        F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
+    S, T = KNOX_S_UDEG, KNOX_T_S
+    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                             F.lit(dt).alias("dt"))
+                    for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                    for dt in (-1, 0, 1)])
+    a = (t.withColumn("_o", F.explode(off))
+         .select(F.col("pid").alias("a_pid"), F.col("x").alias("a_x"),
+                 F.col("y").alias("a_y"),
+                 (F.floor(F.col("x") / F.lit(float(S)))
+                  + F.col("_o.dx")).alias("cx"),
+                 (F.floor(F.col("y") / F.lit(float(S)))
+                  + F.col("_o.dy")).alias("cy"),
+                 (F.floor(F.col("pid") / F.lit(float(T)))
+                  + F.col("_o.dt")).alias("ct")))
+    b = t.select(F.col("pid").alias("b_pid"), F.col("x").alias("b_x"),
+                 F.col("y").alias("b_y"),
+                 F.floor(F.col("x") / F.lit(float(S))).alias("cx"),
+                 F.floor(F.col("y") / F.lit(float(S))).alias("cy"),
+                 F.floor(F.col("pid") / F.lit(float(T))).alias("ct"))
+    return (a.join(b, ["cx", "cy", "ct"])
+            .where((F.col("a_pid") < F.col("b_pid"))
+                   & (F.abs(F.col("a_x") - F.col("b_x")) <= S)
+                   & (F.abs(F.col("a_y") - F.col("b_y")) <= S)
+                   & (F.col("b_pid") - F.col("a_pid") <= T))
+            .select(F.col("a_pid").alias("pid_a"),
+                    F.col("b_pid").alias("pid_b"),
+                    (F.col("b_x") - F.col("a_x")).alias("dx_udeg"),
+                    (F.col("b_y") - F.col("a_y")).alias("dy_udeg"),
+                    (F.col("b_pid") - F.col("a_pid")).alias("dt_s")))
+
+
+def _sql_knox_pairs(n: int) -> str:
+    S, T = KNOX_S_UDEG, KNOX_T_S
+    return f"""WITH {_pages_cte(n)},
+t AS (SELECT i AS pid,
+             CAST(ROUND(lon * 1e6, 0) AS BIGINT) AS x,
+             CAST(ROUND(lat * 1e6, 0) AS BIGINT) AS y
+      FROM pages)
+SELECT a.pid AS pid_a, b.pid AS pid_b,
+       b.x - a.x AS dx_udeg, b.y - a.y AS dy_udeg,
+       b.pid - a.pid AS dt_s
+FROM t a JOIN t b
+  ON a.pid < b.pid
+ AND ABS(a.x - b.x) <= {S} AND ABS(a.y - b.y) <= {S}
+ AND b.pid - a.pid <= {T}"""
+
+
 HULL_Z = 5           # hull groups: z5 webmerc tiles (11.25 deg)
 
 
@@ -4976,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "knox_pairs": q_knox_pairs,
         "sessionize": q_sessionize,
         "crs_dispatch": q_crs_dispatch,
         "gridshift_file": q_gridshift_file,
@@ -5061,6 +5136,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _sql_events_hourly(),
         "asof_join": _sql_asof_join(),
         "interval_join": _sql_interval_join(),
+        "knox_pairs": _sql_knox_pairs(n),
         "sessionize": _sql_sessionize(),
         "utm_project": _sql_utm_project(),
         "ann_pairs": _sql_ann_pairs(),

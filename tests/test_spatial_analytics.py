@@ -420,3 +420,26 @@ def test_gearys_c_uniform_is_degenerate(spark):
         [(0, 0, 7), (1, 0, 7)], "tx long, ty long, x long")
     r = gearys_c(counts).collect()[0]
     assert r.gearys_c is None  # zero variance -> NULL, not a crash
+
+
+def test_knox_pairs_cross_cell_cover(spark, monkeypatch, tmp_path):
+    """A pair straddling cell borders in x, y, AND t at once must be
+    found exactly once by the 3x3x3 neighbor join."""
+    import __spark_entry__ as entry
+    rows = [
+        # pids 1 s apart across a time-bucket border; coords across
+        # both spatial cell borders, within the box on both axes
+        ("https://site1.example/page/899", -100.0, 10.0, 0.15, 0.15),
+        ("https://site2.example/page/900", -100.0, 10.0, -0.04, -0.04),
+        # a third point far away: no pair
+        ("https://site3.example/page/901", 100.0, -10.0, 0.0, 0.0),
+    ]
+    pts = spark.createDataFrame(
+        [(u, "d", "en", cy + jy, cx + jx)
+         for (u, cx, cy, jx, jy) in rows],
+        "url string, domain string, lang string, lat double, lon double")
+    monkeypatch.setattr(entry, "_points", lambda s, d: pts)
+    got = entry.q_knox_pairs(spark, "unused").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.pid_a, r.pid_b, r.dt_s) == (899, 900, 1)
