@@ -58,6 +58,17 @@ def geo_queries(z_knn: int):
         "idw_interp": entry.q_idw_interp,
         "domain_drift": entry.q_domain_drift,
         f"knn_join_z{z_knn}": knn_join_at,
+        # session-11 overlay/layout/spatiotemporal layer.  Deliberately
+        # EXCLUDED: seg_intersect (true intersections grow ~quadratic
+        # in areal density — output-bound, not a plan flaw) and
+        # triangles (the synthetic domain graph saturates toward
+        # completeness, so edge count stops growing with n).
+        "map_match": entry.q_map_match,
+        "hilbert_rollup": entry.q_hilbert_rollup,
+        "convex_hull": entry.q_convex_hull,
+        "od_flows": entry.q_od_flows,
+        "domain_gyration": entry.q_domain_gyration,
+        "knox_pairs": entry.q_knox_pairs,
     }
 
 
