@@ -4741,6 +4741,70 @@ FROM t a JOIN t b
  AND b.pid - a.pid <= {T}"""
 
 
+RIPLEY_SCALES = (25_000, 50_000, 100_000)   # µdeg box half-widths
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-scale pair counts (Ripley-K-style): how many page pairs
+    lie within a Chebyshev µdeg box of half-width S, for three nested
+    scales — the multi-distance clustering signature spatial
+    statisticians read K(r) from.  ONE pass: pairs found once at the
+    LARGEST scale by the 2-D grid neighbor join (same
+    one-cell-per-pair property as knox_pairs), then each pair's
+    max(|dx|, |dy|) is bucketed into every scale it fits — exact
+    integer counts, no per-scale re-scan.
+
+    FULL SQL ORACLE (_sql_ripley_k): the unpruned theta join with the
+    same CASE bucketing."""
+    pts = _points(spark, sf_dir)
+    seq = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    t = pts.select(
+        seq.alias("pid"),
+        F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
+        F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
+    S = RIPLEY_SCALES[-1]
+    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    a = (t.withColumn("_o", F.explode(off))
+         .select(F.col("pid").alias("a_pid"), F.col("x").alias("a_x"),
+                 F.col("y").alias("a_y"),
+                 (F.floor(F.col("x") / F.lit(float(S)))
+                  + F.col("_o.dx")).alias("cx"),
+                 (F.floor(F.col("y") / F.lit(float(S)))
+                  + F.col("_o.dy")).alias("cy")))
+    b = t.select(F.col("pid").alias("b_pid"), F.col("x").alias("b_x"),
+                 F.col("y").alias("b_y"),
+                 F.floor(F.col("x") / F.lit(float(S))).alias("cx"),
+                 F.floor(F.col("y") / F.lit(float(S))).alias("cy"))
+    d = F.greatest(F.abs(F.col("a_x") - F.col("b_x")),
+                   F.abs(F.col("a_y") - F.col("b_y")))
+    pairs = (a.join(b, ["cx", "cy"])
+             .where((F.col("a_pid") < F.col("b_pid")) & (d <= S))
+             .select(d.alias("d")))
+    scale = F.explode(F.array(*[F.lit(s) for s in RIPLEY_SCALES]))
+    return (pairs.select("d", scale.alias("scale_udeg"))
+            .where(F.col("d") <= F.col("scale_udeg"))
+            .groupBy("scale_udeg")
+            .agg(F.count("*").alias("n_pairs")))
+
+
+def _sql_ripley_k(n: int) -> str:
+    S = RIPLEY_SCALES[-1]
+    scales = ", ".join(f"({s})" for s in RIPLEY_SCALES)
+    return f"""WITH {_pages_cte(n)},
+t AS (SELECT i AS pid,
+             CAST(ROUND(lon * 1e6, 0) AS BIGINT) AS x,
+             CAST(ROUND(lat * 1e6, 0) AS BIGINT) AS y
+      FROM pages),
+p AS (SELECT GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS d
+      FROM t a JOIN t b
+        ON a.pid < b.pid
+       AND ABS(a.x - b.x) <= {S} AND ABS(a.y - b.y) <= {S})
+SELECT s.s AS scale_udeg, COUNT(*) AS n_pairs
+FROM p JOIN (VALUES {scales}) s(s) ON p.d <= s.s
+GROUP BY 1"""
+
+
 HULL_Z = 5           # hull groups: z5 webmerc tiles (11.25 deg)
 
 
@@ -5051,6 +5115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "knox_pairs": q_knox_pairs,
+        "ripley_k": q_ripley_k,
         "sessionize": q_sessionize,
         "crs_dispatch": q_crs_dispatch,
         "gridshift_file": q_gridshift_file,
@@ -5137,6 +5202,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _sql_asof_join(),
         "interval_join": _sql_interval_join(),
         "knox_pairs": _sql_knox_pairs(n),
+        "ripley_k": _sql_ripley_k(n),
         "sessionize": _sql_sessionize(),
         "utm_project": _sql_utm_project(),
         "ann_pairs": _sql_ann_pairs(),

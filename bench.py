@@ -47,7 +47,7 @@ HEADLINE = [
     "map_match", "hilbert_rollup", "seg_intersect", "bloom_decontam",
     "convex_hull", "skyline", "hull_diameter",
     "domain_hops", "triangles", "interval_join", "domain_gyration",
-    "od_flows", "knox_pairs",
+    "od_flows", "knox_pairs", "ripley_k",
 ]
 
 
