@@ -5047,6 +5047,338 @@ FROM np_ JOIN nk ON np_.domain = nk.domain"""
 
 
 # ---------------------------------------------------------------------------
+# queries — OLAP rollup, mergeable KMV sketch, spatiotemporal trend
+# ---------------------------------------------------------------------------
+
+CUBE_Z = 5
+
+
+def q_tile_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity OLAP CUBE over (z{CUBE_Z} tile, lang): page and
+    distinct-domain counts at every grouping-set granularity — per
+    (tile, lang), per tile, per lang, and the grand total — in ONE pass
+    (Spark expands the cube map-side; each grouping set still benefits
+    from partial aggregation, so the big side is scanned once, not four
+    times).  The grouping id disambiguates the rolled-up rows; NULL keys
+    are COALESCEd to sentinels (-1 / 'ALL') so the result is
+    engine-portable (no NULL-vs-NaN ambiguity in the compare).
+
+    FULL SQL ORACLE (_sql_tile_cube): GROUP BY CUBE with the same
+    GROUPING() arithmetic."""
+    pts = _points(spark, sf_dir)
+    mult = 1 << CUBE_Z
+    t = pts.select(
+        (cells.tile_x(F.col("lon"), CUBE_Z) * mult
+         + cells.tile_y(F.col("lat"), CUBE_Z)).alias("tile"),
+        "lang", "domain")
+    return (t.cube("tile", "lang")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("domain").alias("n_domains"),
+                 (F.grouping("tile") * 2 + F.grouping("lang")).alias("gid"))
+            .select(F.coalesce(F.col("tile"), F.lit(-1)).alias("tile"),
+                    F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+                    "gid", "n_pages", "n_domains"))
+
+
+def _sql_tile_cube(n: int) -> str:
+    mult = 1 << CUBE_Z
+    tx = cells.tile_x_sql("lon", CUBE_Z)
+    ty = cells.tile_y_sql("lat", CUBE_Z)
+    return f"""WITH {_pages_cte(n)},
+t AS (SELECT {tx} * {mult} + {ty} AS tile, lang, domain FROM pages)
+SELECT COALESCE(tile, -1) AS tile, COALESCE(lang, 'ALL') AS lang,
+       GROUPING(tile) * 2 + GROUPING(lang) AS gid,
+       COUNT(*) AS n_pages, COUNT(DISTINCT domain) AS n_domains
+FROM t GROUP BY CUBE(tile, lang)"""
+
+
+KMV_K = 32                 # bottom-k sketch size
+KMV_RANGE = 1 << 31        # hash31 codomain
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per z6 cell: the
+    K={KMV_K} smallest hash31 values of the cell's domains, the kth
+    smallest h_k, and the Beyer et al. estimator (K-1)*2^31 div h_k —
+    EXACT integer division, so the estimate is oracle-replayable to the
+    unit (unlike approx_count_distinct's engine-private HLL++).  Cells
+    holding fewer than K distinct hashes fall back to the exact count.
+
+    Bottom-k sets merge by union-then-bottom-k (mergeable under any
+    partial-agg reorder), the same property the engine's HLL and CMS
+    sketches have; at 10^12 rows the per-cell window is bounded by the
+    cell's DISTINCT domain count, never its row count, because the
+    distinct() runs first.
+
+    FULL SQL ORACLE (_sql_kmv_distinct): same hash, same window, same
+    integer division in DuckDB."""
+    from proj_spark.text.curation import hash31
+    pts = _points(spark, sf_dir)
+    d = (pts.select(
+            cells.cell_id(F.col("lon"), F.col("lat"), 6).alias("cell6"),
+            F.col("domain").cast("long").alias("dom"))
+         .distinct())
+    hs = d.select("cell6", hash31(F.col("dom")).alias("h")).distinct()
+    w = Window.partitionBy("cell6").orderBy("h")
+    sk = (hs.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") <= KMV_K)
+          .groupBy("cell6")
+          .agg(F.max("h").alias("h_k"), F.count("*").alias("k_used")))
+    exact = d.groupBy("cell6").agg(F.countDistinct("dom").alias("n_exact"))
+    est = F.when(F.col("k_used") < KMV_K, F.col("k_used")).otherwise(
+        F.expr(f"({KMV_K - 1} * {KMV_RANGE}) div h_k"))
+    return (sk.join(exact, "cell6")
+            .select("cell6", "n_exact", "k_used", "h_k", est.alias("est")))
+
+
+def _sql_kmv_distinct(n: int) -> str:
+    from proj_spark.text.curation import hash31_sql
+    cid = cells.cell_id_sql("lon", "lat", 6)
+    return f"""WITH {_pages_cte(n)},
+d AS (SELECT DISTINCT {cid} AS cell6, CAST(domain AS BIGINT) AS dom
+      FROM pages),
+hs AS (SELECT DISTINCT cell6, {hash31_sql('dom')} AS h FROM d),
+r AS (SELECT cell6, h,
+             ROW_NUMBER() OVER (PARTITION BY cell6 ORDER BY h) AS rn
+      FROM hs),
+sk AS (SELECT cell6, MAX(h) AS h_k, COUNT(*) AS k_used
+       FROM r WHERE rn <= {KMV_K} GROUP BY cell6),
+ex AS (SELECT cell6, COUNT(DISTINCT dom) AS n_exact FROM d GROUP BY cell6)
+SELECT sk.cell6 AS cell6, n_exact, k_used, h_k,
+       CASE WHEN k_used < {KMV_K} THEN k_used
+            ELSE ({KMV_K - 1} * {KMV_RANGE}) // h_k END AS est
+FROM sk JOIN ex ON sk.cell6 = ex.cell6"""
+
+
+MK_BUCKETS = 8          # Mann-Kendall time buckets
+MK_Z = 5                # trend tiles: z5
+MK_THRESH = 10          # |S| >= 10 of max 28 -> trend call
+
+
+def q_hotspot_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot trend per z{MK_Z} tile: the Mann-Kendall S
+    statistic over the tile's page counts in {MK_BUCKETS} equal crawl-
+    time buckets — S = sum over bucket pairs i<j of sign(c_j - c_i), an
+    EXACT integer (the nonparametric trend test ArcGIS's emerging-
+    hotspot analysis runs per space-time-cube bin).  Missing buckets
+    count as 0, so the series is densified (tile x bucket grid) before
+    the pair scan; the pair self-join is over the {MK_BUCKETS}-row
+    per-tile series — bounded by buckets², never by rows.
+
+    FULL SQL ORACLE (_sql_hotspot_trend): same densify + sign-pair
+    arithmetic."""
+    pts = _points(spark, sf_dir)
+    n = _n_pages(sf_dir)
+    seq = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    # floor((seq*B)/n) on doubles is exact here: seq*B < 2^53 and a
+    # non-integer quotient sits >= 1/n from the next integer, far above
+    # double rounding error — so it equals the oracle's integer // .
+    ev = pts.select(
+        cells.tile_x(F.col("lon"), MK_Z).alias("tx"),
+        cells.tile_y(F.col("lat"), MK_Z).alias("ty"),
+        F.floor((seq * MK_BUCKETS) / F.lit(float(n))).cast("long")
+        .alias("bucket"))
+    counts = ev.groupBy("tx", "ty", "bucket").agg(F.count("*").alias("c"))
+    tiles = counts.select("tx", "ty").distinct()
+    buckets = spark.range(MK_BUCKETS).select(F.col("id").alias("bucket"))
+    dense = (tiles.crossJoin(F.broadcast(buckets))
+             .join(counts, ["tx", "ty", "bucket"], "left")
+             .select("tx", "ty", "bucket",
+                     F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    a = dense.select("tx", "ty", F.col("bucket").alias("b1"),
+                     F.col("c").alias("c1"))
+    b = dense.select("tx", "ty", F.col("bucket").alias("b2"),
+                     F.col("c").alias("c2"))
+    sgn = (F.when(F.col("c2") > F.col("c1"), 1)
+           .when(F.col("c2") < F.col("c1"), -1).otherwise(0))
+    s = (a.join(b, ["tx", "ty"]).where(F.col("b1") < F.col("b2"))
+         .groupBy("tx", "ty")
+         .agg(F.sum(sgn).alias("s_stat")))
+    tot = counts.groupBy("tx", "ty").agg(F.sum("c").alias("n_total"))
+    trend = (F.when(F.col("s_stat") >= MK_THRESH, "rising")
+             .when(F.col("s_stat") <= -MK_THRESH, "falling")
+             .otherwise("flat"))
+    return (s.join(tot, ["tx", "ty"])
+            .select("tx", "ty", "n_total", "s_stat", trend.alias("trend")))
+
+
+def _sql_hotspot_trend(n: int) -> str:
+    tx = cells.tile_x_sql("lon", MK_Z)
+    ty = cells.tile_y_sql("lat", MK_Z)
+    return f"""WITH {_pages_cte(n)},
+ev AS (SELECT {tx} AS tx, {ty} AS ty,
+              (i * {MK_BUCKETS}) // {n} AS bucket
+       FROM pages),
+counts AS (SELECT tx, ty, bucket, COUNT(*) AS c FROM ev GROUP BY 1, 2, 3),
+tiles AS (SELECT DISTINCT tx, ty FROM counts),
+dense AS (SELECT t.tx, t.ty, b.range AS bucket, COALESCE(c.c, 0) AS c
+          FROM tiles t CROSS JOIN range(0, {MK_BUCKETS}) b
+          LEFT JOIN counts c
+            ON c.tx = t.tx AND c.ty = t.ty AND c.bucket = b.range),
+s AS (SELECT a.tx, a.ty,
+             SUM(CASE WHEN b.c > a.c THEN 1
+                      WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat
+      FROM dense a JOIN dense b
+        ON a.tx = b.tx AND a.ty = b.ty AND a.bucket < b.bucket
+      GROUP BY 1, 2),
+tot AS (SELECT tx, ty, SUM(c) AS n_total FROM counts GROUP BY 1, 2)
+SELECT s.tx AS tx, s.ty AS ty, CAST(n_total AS BIGINT) AS n_total,
+       CAST(s_stat AS BIGINT) AS s_stat,
+       CASE WHEN s_stat >= {MK_THRESH} THEN 'rising'
+            WHEN s_stat <= -{MK_THRESH} THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM s JOIN tot ON s.tx = tot.tx AND s.ty = tot.ty"""
+
+
+# ---------------------------------------------------------------------------
+# queries — relational layer over the driver's TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+# l_shipdate <= 1998-09-02  ==  epoch micros < 1998-09-03T00:00Z
+_Q1_CUTOFF_US = 904_694_400 * 1_000_000
+# o_orderdate in [1996-01-01, 1997-01-01)
+_Q5_LO_US = 820_454_400 * 1_000_000
+_Q5_HI_US = 852_076_800 * 1_000_000
+
+
+def _money_cents(col: F.Column) -> F.Column:
+    """Deterministic cents quantization: round(x*100) as BIGINT.  The
+    double multiply and the positive-value half-away round are bit-
+    identical across Spark and DuckDB, so every downstream sum is an
+    EXACT integer — order-independent under any partial-agg reorder."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over the driver's REAL lineitem
+    parquet: per (returnflag, linestatus) exact integer sums of
+    quantity, base price cents, discounted price (cents x100) and
+    charge (cents x10^4), plus exact-rational milli-averages — no float
+    accumulation anywhere, so the result is independent of partial-agg
+    order (the classic Q1 double-SUM is NOT).  The shipdate gate
+    compares stored epoch micros (temporal.epoch_micros), immune to the
+    harness session's timezone and timestamp read mode.
+
+    Plan: one scan, map-side partial agg into 4 groups — ReadSchema
+    prunes to the 7 referenced columns.
+
+    FULL SQL ORACLE (_sql_pricing_summary): same integer arithmetic on
+    the same parquet file."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t = li.where(temporal.epoch_micros(li, "l_shipdate") < _Q1_CUTOFF_US)
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    price_c = _money_cents(F.col("l_extendedprice"))
+    disc_c = _money_cents(F.col("l_discount"))
+    tax_c = _money_cents(F.col("l_tax"))
+    g = (t.groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum(qty).alias("sum_qty"),
+              F.sum(price_c).alias("sum_base_c"),
+              F.sum(price_c * (100 - disc_c)).alias("sum_disc_c2"),
+              F.sum(price_c * (100 - disc_c) * (100 + tax_c))
+              .alias("sum_charge_c4"),
+              F.count("*").alias("count_order")))
+    return g.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_c",
+        "sum_disc_c2", "sum_charge_c4", "count_order",
+        F.expr("(sum_qty * 1000) div count_order").alias("avg_qty_milli"),
+        F.expr("(sum_base_c * 1000) div count_order").alias("avg_price_c_milli"))
+
+
+def _sql_pricing_summary() -> str:
+    return f"""WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc_c,
+         CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS tax_c
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) < {_Q1_CUTOFF_US}
+),
+g AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(qty) AS BIGINT) AS sum_qty,
+         CAST(SUM(price_c) AS BIGINT) AS sum_base_c,
+         CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_c2,
+         CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT)
+           AS sum_charge_c4,
+         COUNT(*) AS count_order
+  FROM t GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_c, sum_disc_c2,
+       sum_charge_c4, count_order,
+       (sum_qty * 1000) // count_order AS avg_qty_milli,
+       (sum_base_c * 1000) // count_order AS avg_price_c_milli
+FROM g"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue by nation: lineitem joined
+    through orders->customer and to supplier, keeping only rows where
+    the customer's and supplier's nation agree, nations restricted to
+    one region, orders to one year.  Revenue is the exact integer
+    Σ price_c * (100 - disc_c).
+
+    Plan shape for 10^12 rows: region+nation collapse to a broadcast
+    dim; supplier x dim broadcasts onto lineitem (suppkey) so the fact
+    table reaches the orderkey shuffle pre-filtered to ASIA suppliers;
+    the only big exchanges are lineitem⋈orders (orderkey) and
+    ⋈customer (custkey).  The date filter pushes into the orders scan.
+
+    FULL SQL ORACLE (_sql_nation_revenue): the same join graph in
+    DuckDB."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    dim = (nation.join(
+        F.broadcast(region.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    s2 = (supp.join(F.broadcast(dim),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "n_name",
+                  F.col("s_nationkey").alias("sn")))
+    om = temporal.epoch_micros(orders, "o_orderdate")
+    o2 = (orders.where((om >= _Q5_LO_US) & (om < _Q5_HI_US))
+          .select("o_orderkey", "o_custkey"))
+    c2 = cust.select("c_custkey", F.col("c_nationkey").alias("cn"))
+    rev = _money_cents(F.col("l_extendedprice")) * \
+        (100 - _money_cents(F.col("l_discount")))
+    return (li.select("l_orderkey", "l_suppkey", rev.alias("rev_c2"))
+            .join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c2, F.col("o_custkey") == F.col("c_custkey"))
+            .where(F.col("cn") == F.col("sn"))
+            .groupBy("n_name")
+            .agg(F.sum("rev_c2").alias("revenue_c2"),
+                 F.count("*").alias("n_items"))
+            .select(F.col("n_name").alias("nation"), "revenue_c2",
+                    "n_items"))
+
+
+def _sql_nation_revenue() -> str:
+    return f"""SELECT n.n_name AS nation,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_c2,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND epoch_us(o.o_orderdate) >= {_Q5_LO_US}
+  AND epoch_us(o.o_orderdate) < {_Q5_HI_US}
+GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -5145,6 +5477,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "hull_diameter": q_hull_diameter,
         "traj_simplify": q_traj_simplify,
+        "tile_cube": q_tile_cube,
+        "kmv_distinct": q_kmv_distinct,
+        "hotspot_trend": q_hotspot_trend,
+        "pricing_summary": q_pricing_summary,
+        "nation_revenue": q_nation_revenue,
     }
 
 
@@ -5239,4 +5576,9 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull": _sql_convex_hull(n),
         "hull_diameter": _sql_hull_diameter(n),
         "traj_simplify": _sql_traj_simplify(n),
+        "tile_cube": _sql_tile_cube(n),
+        "kmv_distinct": _sql_kmv_distinct(n),
+        "hotspot_trend": _sql_hotspot_trend(n),
+        "pricing_summary": _sql_pricing_summary(),
+        "nation_revenue": _sql_nation_revenue(),
     }
