@@ -5379,6 +5379,241 @@ GROUP BY 1"""
 
 
 # ---------------------------------------------------------------------------
+# session 13: weighted shortest paths, semivariogram, edit-distance join
+# ---------------------------------------------------------------------------
+
+SP_ROUNDS = 4        # shortest_paths: path length bound (edges)
+SP_WMOD = 9          # edge weight = 1 + (src*31 + dst*17) % SP_WMOD
+
+
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source-set shortest paths over the domain link
+    graph: exact minimum COST (not hop count) from the seed set, over
+    paths of <= SP_ROUNDS edges — bounded Bellman-Ford / infinite-delta
+    delta-stepping (proj_spark/graph.py weighted_hops).  Edge weights
+    are derived deterministically from the endpoint ids
+    (1 + (src*31 + dst*17) % 9), so the whole computation is exact
+    integer arithmetic, reproducible under any partial-agg reorder.
+
+    Scale plan: each round joins only the IMPROVED frontier against the
+    persisted edge relation and merges labels with ONE groupBy-min; the
+    frontier shrinks as labels converge and the loop early-stops, so
+    work per round is O(|frontier| x avg-degree) — the same
+    level-synchronous discipline as BFS/pagerank, generalized to
+    weighted label correction.
+
+    FULL SQL ORACLE (_sql_shortest_paths): a recursive CTE carrying
+    (node, dist, hops) triples with UNION dedup and a MIN(dist) rollup
+    — a different evaluation strategy over the same edge set."""
+    from proj_spark.graph import weighted_hops
+    e0 = _domain_links(spark, sf_dir).distinct()
+    edges = e0.select(
+        "src", "dst",
+        (F.lit(1) + (F.col("src") * 31 + F.col("dst") * 17) % SP_WMOD)
+        .cast("long").alias("w"))
+    seeds = (spark.range(N_DOMAINS).select(F.col("id").alias("node"))
+             .where(F.col("node") % BFS_SEED_MOD == 0))
+    out = weighted_hops(edges, seeds, rounds=SP_ROUNDS)
+    return out.select(F.col("node").alias("domain"),
+                      F.col("dist").cast("long").alias("dist"))
+
+
+def _sql_shortest_paths(n: int) -> str:
+    return f"""WITH RECURSIVE {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+e0 AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+         UNION ALL
+         SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+       WHERE src != dst),
+e AS (SELECT src, dst, 1 + (src * 31 + dst * 17) % {SP_WMOD} AS w FROM e0),
+reach(node, d, hp) AS (
+  SELECT i AS node, 0 AS d, 0 AS hp
+  FROM range(0, {N_DOMAINS}) t(i) WHERE i % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, r.d + e.w, r.hp + 1 FROM reach r JOIN e ON e.src = r.node
+  WHERE r.hp < {SP_ROUNDS}
+)
+SELECT CAST(node AS BIGINT) AS domain, CAST(MIN(d) AS BIGINT) AS dist
+FROM reach GROUP BY 1"""
+
+
+SEMIVAR_LAGS = (25_000, 50_000, 100_000)   # Chebyshev µdeg lag bins
+SEMIVAR_ZCELL = 50_000                     # z field smoothness scale (µdeg)
+
+
+def _semivar_z(x, y):
+    """Deterministic integer field value at (x, y) µdeg: a smooth
+    lattice gradient (steps every SEMIVAR_ZCELL µdeg), so the variogram
+    rises with lag like a real regionalized variable.  Coords shifted
+    non-negative BEFORE integer division: Spark `div` truncates toward
+    zero while DuckDB `//` floors, and they agree only on non-negative
+    operands (same portability rule as domain_gyration)."""
+    return ((x + F.lit(180_000_000)) / F.lit(SEMIVAR_ZCELL)).cast("long") * 3 \
+        + ((y + F.lit(90_000_000)) / F.lit(SEMIVAR_ZCELL)).cast("long") * 5
+
+
+def q_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram — the kriging-calibration primitive:
+    gamma(h) = (1 / 2N(h)) * SUM (z_i - z_j)^2 over point pairs whose
+    Chebyshev µdeg separation falls in lag bin h, for 3 nested lags.
+    The field z is a deterministic integer lattice gradient of the
+    coordinates, so every sufficient statistic (pair count, summed
+    squared difference) is exact BIGINT; gamma is ONE float division
+    at the end, mirrored by the oracle.
+
+    Scale plan: pairs are found ONCE at the LARGEST lag by the 2-D
+    grid neighbor join (cell width = max lag, 3x3 neighbor explode on
+    one side — every qualifying pair shares exactly one cell pair, so
+    no dedup shuffle; same one-pass property as knox_pairs/ripley_k),
+    then bucketed into disjoint lag rings by a CASE.  No per-lag
+    re-scan, no theta join.
+
+    FULL SQL ORACLE (_sql_semivariogram): the unpruned theta join with
+    the same CASE bucketing and integer statistics."""
+    pts = _points(spark, sf_dir)
+    seq = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    t = pts.select(
+        seq.alias("pid"),
+        F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
+        F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
+    t = t.withColumn("z", _semivar_z(F.col("x"), F.col("y")))
+    S = SEMIVAR_LAGS[-1]
+    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    a = (t.withColumn("_o", F.explode(off))
+         .select(F.col("pid").alias("a_pid"), F.col("x").alias("a_x"),
+                 F.col("y").alias("a_y"), F.col("z").alias("a_z"),
+                 (F.floor(F.col("x") / F.lit(float(S)))
+                  + F.col("_o.dx")).alias("cx"),
+                 (F.floor(F.col("y") / F.lit(float(S)))
+                  + F.col("_o.dy")).alias("cy")))
+    b = t.select(F.col("pid").alias("b_pid"), F.col("x").alias("b_x"),
+                 F.col("y").alias("b_y"), F.col("z").alias("b_z"),
+                 F.floor(F.col("x") / F.lit(float(S))).alias("cx"),
+                 F.floor(F.col("y") / F.lit(float(S))).alias("cy"))
+    d = F.greatest(F.abs(F.col("a_x") - F.col("b_x")),
+                   F.abs(F.col("a_y") - F.col("b_y")))
+    lag = (F.when(d <= SEMIVAR_LAGS[0], F.lit(SEMIVAR_LAGS[0]))
+           .when(d <= SEMIVAR_LAGS[1], F.lit(SEMIVAR_LAGS[1]))
+           .otherwise(F.lit(SEMIVAR_LAGS[2])))
+    sq = (F.col("a_z") - F.col("b_z")) * (F.col("a_z") - F.col("b_z"))
+    return (a.join(b, ["cx", "cy"])
+            .where((F.col("a_pid") < F.col("b_pid")) & (d <= S))
+            .select(lag.cast("long").alias("lag_udeg"), sq.alias("sq"))
+            .groupBy("lag_udeg")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum("sq").alias("sum_sqdiff"))
+            .withColumn("gamma",
+                        F.round(F.col("sum_sqdiff")
+                                / (2.0 * F.col("n_pairs")), 6)))
+
+
+def _sql_semivariogram(n: int) -> str:
+    S = SEMIVAR_LAGS[-1]
+    return f"""WITH {_pages_cte(n)},
+t AS (SELECT i AS pid,
+             CAST(ROUND(lon * 1e6, 0) AS BIGINT) AS x,
+             CAST(ROUND(lat * 1e6, 0) AS BIGINT) AS y
+      FROM pages),
+tz AS (SELECT pid, x, y,
+              ((x + 180000000) // {SEMIVAR_ZCELL}) * 3
+              + ((y + 90000000) // {SEMIVAR_ZCELL}) * 5 AS z
+       FROM t),
+p AS (SELECT GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS d,
+             (a.z - b.z) * (a.z - b.z) AS sq
+      FROM tz a JOIN tz b
+        ON a.pid < b.pid
+       AND ABS(a.x - b.x) <= {S} AND ABS(a.y - b.y) <= {S})
+SELECT CAST(CASE WHEN d <= {SEMIVAR_LAGS[0]} THEN {SEMIVAR_LAGS[0]}
+                 WHEN d <= {SEMIVAR_LAGS[1]} THEN {SEMIVAR_LAGS[1]}
+                 ELSE {SEMIVAR_LAGS[2]} END AS BIGINT) AS lag_udeg,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(sq) AS BIGINT) AS sum_sqdiff,
+       ROUND(SUM(sq) / (2.0 * COUNT(*)), 6) AS gamma
+FROM p GROUP BY 1"""
+
+
+EDIT_SIG_DFCAP = 50   # signatures in more docs than this are dropped
+
+
+def q_url_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join: all url pairs within Levenshtein
+    distance 1, by SymSpell deletion-neighborhood signatures (Garbe's
+    symmetric-delete scheme): sigs(s) = {s} U {s minus one char}, and
+    any two strings within distance 1 share a signature — substitution
+    pairs meet at a common 1-deletion, insertion/deletion pairs at the
+    shorter string itself.  Candidates therefore come from ONE
+    shuffle-on-signature equi-join (|s|+1 signatures per row — linear,
+    never the O(n^2) cross join), capped at EDIT_SIG_DFCAP docs per
+    signature exactly like ngram_pairs' shingle cap; the exact verify
+    is Spark's built-in JVM `levenshtein` — this whole query runs with
+    ZERO Python UDFs.
+
+    The Spark side joins on xxhash64(sig) to keep the shuffle key
+    narrow; hash collisions can only ADD candidates, which the exact
+    verify removes, so the result equals the oracle's raw-string join.
+    The df-cap itself is computed on raw signature strings in BOTH
+    engines, so the surviving-signature set is identical.
+
+    FULL SQL ORACLE (_sql_url_edit_pairs): the same deletion expansion
+    via range+substr in DuckDB, raw-string join, DuckDB levenshtein."""
+    pts = _points(spark, sf_dir)
+    seq = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    u = pts.select(seq.alias("pid"),
+                   F.expr("substring(url, 9)").alias("s"))
+    sig = (u.select("pid", "s", F.explode(F.concat(
+        F.array(F.col("s")),
+        F.expr("transform(sequence(1, length(s)), "
+               "i -> concat(substring(s, 1, i-1), substring(s, i+1)))")))
+        .alias("sig")))
+    hot = (sig.groupBy("sig").agg(F.count("*").alias("df"))
+           .where(F.col("df") > EDIT_SIG_DFCAP).select("sig"))
+    sig = (sig.join(F.broadcast(hot), "sig", "left_anti")
+           .select("pid", "s", F.xxhash64("sig").alias("k")))
+    a = sig.select(F.col("pid").alias("id_a"), F.col("s").alias("s_a"),
+                   "k")
+    b = sig.select(F.col("pid").alias("id_b"), F.col("s").alias("s_b"),
+                   "k")
+    cand = (a.join(b, "k")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "s_a", "s_b").agg(F.lit(1)))
+    return (cand
+            .withColumn("edit_dist",
+                        F.levenshtein(F.col("s_a"), F.col("s_b"))
+                        .cast("long"))
+            .where(F.col("edit_dist") <= 1)
+            .select("id_a", "id_b", "edit_dist"))
+
+
+def _sql_url_edit_pairs(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+u AS (SELECT i AS pid, substr(url, 9) AS s FROM pages),
+sigs AS (
+  SELECT pid, s, s AS sig FROM u
+  UNION ALL
+  SELECT u.pid, u.s,
+         concat(substr(u.s, 1, CAST(t.i AS INT) - 1),
+                substr(u.s, CAST(t.i AS INT) + 1)) AS sig
+  FROM u, range(1, 256) t(i)
+  WHERE t.i <= length(u.s)
+),
+hot AS (SELECT sig FROM sigs GROUP BY sig
+        HAVING COUNT(*) > {EDIT_SIG_DFCAP}),
+kept AS (SELECT * FROM sigs WHERE sig NOT IN (SELECT sig FROM hot)),
+cand AS (
+  SELECT DISTINCT a.pid AS id_a, b.pid AS id_b, a.s AS s_a, b.s AS s_b
+  FROM kept a JOIN kept b ON a.sig = b.sig AND a.pid < b.pid)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(levenshtein(s_a, s_b) AS BIGINT) AS edit_dist
+FROM cand
+WHERE levenshtein(s_a, s_b) <= 1"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -5482,6 +5717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_trend": q_hotspot_trend,
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
+        "shortest_paths": q_shortest_paths,
+        "semivariogram": q_semivariogram,
+        "url_edit_pairs": q_url_edit_pairs,
     }
 
 
@@ -5581,4 +5819,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_trend": _sql_hotspot_trend(n),
         "pricing_summary": _sql_pricing_summary(),
         "nation_revenue": _sql_nation_revenue(),
+        "shortest_paths": _sql_shortest_paths(n),
+        "semivariogram": _sql_semivariogram(n),
+        "url_edit_pairs": _sql_url_edit_pairs(n),
     }

@@ -203,3 +203,63 @@ def triangle_counts(edges: DataFrame,
             .union(tris.select("x"))
             .union(tris.select("y"))
             .groupBy("node").agg(F.count("*").alias("n_tri")))
+
+
+def weighted_hops(edges: DataFrame, seeds: DataFrame,
+                  rounds: int = 4) -> DataFrame:
+    """Exact minimum-COST distance from a seed set over integer-weighted
+    edges, bounded to paths of <= `rounds` edges (bounded Bellman-Ford,
+    i.e. delta-stepping with delta = infinity).
+
+    edges: (src long, dst long, w long >= 0) — direction respected;
+    parallel edges collapse to their minimum weight.  seeds: (node).
+    Returns (node, dist) = min total weight over any path of <= rounds
+    edges from a seed; exact integers, so the result is reproducible
+    under any partial-agg reorder and by an independent SQL engine.
+
+    Scale plan: level-synchronous label correction — each round joins
+    only the IMPROVED frontier (nodes whose best label changed last
+    round) against the edge relation, takes a per-node MIN of the
+    candidate labels, and merges with the running best via one
+    groupBy-min.  The frontier shrinks as labels converge, the edge
+    relation is persisted once (on a cluster, pre-partitioned by src so
+    the frontier join co-locates), per-round artifacts are persisted
+    and unpersisted so lineage stays truncated, and the loop early-
+    stops on an empty frontier — the same discipline as bfs_hops().
+    Work per round is O(|frontier| x avg-degree), never |V| x |E|.
+    """
+    e = (edges.groupBy("src", "dst").agg(F.min("w").alias("w"))
+         .persist())
+    best = seeds.select(F.col("node"),
+                        F.lit(0).cast("long").alias("dist")).persist()
+    frontier = best
+    interm = [best]
+    for _ in range(rounds):
+        # alias both sides: `frontier` descends from `e` after round 1
+        # (improved <- cand <- e), so unqualified refs are ambiguous
+        f = frontier.select(F.col("node").alias("f_node"),
+                            F.col("dist").alias("f_dist"))
+        cand = (f.join(e, F.col("f_node") == F.col("src"))
+                .select(F.col("dst").alias("node"),
+                        (F.col("f_dist") + F.col("w")).alias("d"))
+                .groupBy("node").agg(F.min("d").alias("d")))
+        old = best.select(F.col("node"), F.col("dist").alias("old"))
+        improved = (cand.join(old, "node", "left")
+                    .where(F.col("old").isNull()
+                           | (F.col("d") < F.col("old")))
+                    .select("node", F.col("d").alias("dist"))
+                    .persist())
+        interm.append(improved)
+        if improved.limit(1).count() == 0:
+            break
+        best = (best.union(improved)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .persist())
+        interm.append(best)
+        frontier = improved
+    best.count()
+    for df in interm:
+        if df is not best:
+            df.unpersist()
+    e.unpersist()
+    return best
