@@ -5614,6 +5614,255 @@ WHERE levenshtein(s_a, s_b) <= 1"""
 
 
 # ---------------------------------------------------------------------------
+# session 14: k-core peel, co-citation, bigram lift, phrase index probe
+# ---------------------------------------------------------------------------
+
+KCORE_SAMPLE_MOD = 4   # DOULION edge sampling, as in q_triangles
+KCORE_ROUNDS = 4       # peel rounds (converged at sf0.01: E3 == E4)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core extraction: `KCORE_ROUNDS` rounds of k-core peeling
+    over the sampled undirected domain link graph, with k derived from
+    the data itself (mean degree + 1, exact integer division — both
+    engines compute the identical k).  Peeling a node drags neighbors
+    below k, so the filter iterates; the fixed round bound keeps the
+    result deterministic and SQL-unrollable, exactly like pagerank's
+    fixed iters (at sf0.01 the peel converges: round 3 == round 4).
+
+    Scale plan (proj_spark/graph.py kcore_peel): each round is one
+    map-side-combined degree agg + two broadcast semi joins against
+    the shrinking survivor set; k travels as a one-row relation, so
+    no scalar ever crosses to the driver.
+
+    FULL SQL ORACLE (_sql_kcore): the peel unrolled as 4 CTE pairs
+    (degree -> survivor -> restricted edges)."""
+    from proj_spark.graph import kcore_peel
+    und = (_domain_links(spark, sf_dir)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .where((F.col("a") * 1000003 + F.col("b"))
+                  % KCORE_SAMPLE_MOD == 0))
+    k = (und.select(F.explode(F.array("a", "b")).alias("u"))
+         .agg(F.expr("count(*) div count(distinct u) + 1")
+              .cast("long").alias("kval")))
+    out = kcore_peel(und, k, rounds=KCORE_ROUNDS)
+    return out.select(F.col("node").alias("domain"),
+                      F.col("deg").cast("long").alias("deg"))
+
+
+def _sql_kcore(n: int) -> str:
+    rounds = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""d{r} AS (SELECT u, COUNT(*) AS c FROM e{r-1} GROUP BY 1),
+v{r} AS (SELECT u FROM d{r}, kv WHERE c >= kval),
+e{r} AS (SELECT e.u, e.v FROM e{r-1} e
+         JOIN v{r} x ON e.u = x.u JOIN v{r} y ON e.v = y.u)""")
+    chain = ",\n".join(rounds)
+    return f"""WITH {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+und AS (SELECT a, b FROM (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM (
+            SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+            UNION ALL
+            SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+          WHERE src != dst)
+        WHERE (a * 1000003 + b) % {KCORE_SAMPLE_MOD} = 0),
+e0 AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+kv AS (SELECT COUNT(*) // COUNT(DISTINCT u) + 1 AS kval FROM e0),
+{chain}
+SELECT CAST(u AS BIGINT) AS domain, CAST(COUNT(*) AS BIGINT) AS deg
+FROM e{KCORE_ROUNDS} GROUP BY 1"""
+
+
+COCITE_SAMPLE_MOD = 4   # directed-edge sampling
+COCITE_OUTDEG_CAP = 64  # hub srcs dropped before the pair explode
+COCITE_MIN = 3          # min common sources
+COCITE_TOPK = 100
+
+
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation similarity (Small 1973): domain pairs ranked by how
+    many distinct source domains link to BOTH — the classic web-graph
+    relatedness signal next to pagerank's authority.
+
+    Scale plan: the pair explode is the quadratic hazard (a hub src
+    with out-degree d contributes d^2/2 pairs), so srcs above
+    COCITE_OUTDEG_CAP distinct out-links are dropped BEFORE the
+    self-join — the same df-cap discipline as ngram_pairs' shingle cap
+    — and the edge set is hash-sampled like q_triangles.  What remains
+    is one self-equi-join on src + one hash agg on the pair key; the
+    out-degree relation (one row per domain) broadcasts.
+
+    FULL SQL ORACLE (_sql_cocitation): identical cap + join + HAVING
+    over the independently re-derived edge set."""
+    e = (_domain_links(spark, sf_dir).distinct()
+         .where((F.col("src") * 1000003 + F.col("dst"))
+                % COCITE_SAMPLE_MOD == 0))
+    odeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    kept = e.join(
+        F.broadcast(odeg.where(F.col("od") <= COCITE_OUTDEG_CAP)
+                    .select("src")), "src")
+    a = kept.select("src", F.col("dst").alias("d1"))
+    b = kept.select("src", F.col("dst").alias("d2"))
+    pairs = (a.join(b, "src").where(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2").agg(F.count("*").alias("n_common")))
+    return (pairs.where(F.col("n_common") >= COCITE_MIN)
+            .orderBy(F.col("n_common").desc(), "d1", "d2")
+            .limit(COCITE_TOPK))
+
+
+def _sql_cocitation(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+ed AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+         UNION ALL
+         SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+       WHERE src != dst),
+es AS (SELECT src, dst FROM ed
+       WHERE (src * 1000003 + dst) % {COCITE_SAMPLE_MOD} = 0),
+odeg AS (SELECT src, COUNT(*) AS od FROM es GROUP BY 1),
+kept AS (SELECT es.src, es.dst FROM es JOIN odeg USING (src)
+         WHERE od <= {COCITE_OUTDEG_CAP}),
+pairs AS (SELECT a.dst AS d1, b.dst AS d2, COUNT(*) AS n_common
+          FROM kept a JOIN kept b ON a.src = b.src AND a.dst < b.dst
+          GROUP BY 1, 2)
+SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       CAST(n_common AS BIGINT) AS n_common
+FROM pairs WHERE n_common >= {COCITE_MIN}
+ORDER BY n_common DESC, d1, d2 LIMIT {COCITE_TOPK}"""
+
+
+PMI_MIN = 30    # min bigram count (phrase-mining support threshold)
+PMI_TOPK = 50
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram association mining: adjacent-token pairs ranked by LIFT
+    = P(x,y) / (P(x)P(y)) — the monotone core of PMI without the log,
+    so every input to the ONE float expression is an exact BIGINT and
+    the rounded double is bit-identical across engines (IEEE mul/div
+    are exactly rounded; only transcendentals drift).
+
+    Scale plan: two exploded hash aggs (unigrams, bigrams) — both
+    map-side combinable — plus broadcast joins of the tiny vocabulary
+    relation; corpus totals travel as one-row relations.  No UDF, no
+    window, nothing driver-side.
+
+    FULL SQL ORACLE (_sql_token_pmi): identical counts and the
+    identical float expression tree."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(analysis.tokens(F.lower(F.col("text"))).alias("a"))
+    uni = t.select(F.explode("a").alias("tok"))
+    cx = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.count("*").alias("n_tok"))
+    big = (t.where(F.size("a") >= 2)
+           .select(F.explode(F.expr(
+               "transform(sequence(0, size(a)-2), "
+               "i -> struct(a[i] as x, a[i+1] as y))")).alias("s"))
+           .select("s.x", "s.y"))
+    btot = big.agg(F.count("*").alias("n_big"))
+    cxy = big.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    j = (cxy.where(F.col("c_xy") >= PMI_MIN)
+         .join(F.broadcast(cx.select(F.col("tok").alias("x"),
+                                     F.col("c").alias("c_x"))), "x")
+         .join(F.broadcast(cx.select(F.col("tok").alias("y"),
+                                     F.col("c").alias("c_y"))), "y")
+         .crossJoin(F.broadcast(tot))
+         .crossJoin(F.broadcast(btot)))
+    lift = F.round(F.col("c_xy").cast("double") * F.col("n_tok")
+                   * F.col("n_tok")
+                   / (F.col("n_big").cast("double") * F.col("c_x")
+                      * F.col("c_y")), 6)
+    return (j.select("x", "y", "c_xy", "c_x", "c_y",
+                     lift.alias("lift"))
+            .orderBy(F.col("lift").desc(), "x", "y").limit(PMI_TOPK))
+
+
+_SQL_TOKS = ("list_filter(regexp_split_to_array(trim(lower(text)), "
+             "'\\s+'), x -> x != '')")
+
+
+def _sql_token_pmi() -> str:
+    return f"""WITH t AS (SELECT {_SQL_TOKS} AS a FROM documents),
+uni AS (SELECT unnest(a) AS tok FROM t),
+cx AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_tok FROM uni),
+big AS (SELECT s.x AS x, s.y AS y FROM (
+          SELECT unnest([{{'x': a[i], 'y': a[i+1]}}
+                         for i in generate_series(1, len(a)-1)]) AS s
+          FROM t WHERE len(a) >= 2)),
+btot AS (SELECT COUNT(*) AS n_big FROM big),
+cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM big GROUP BY 1, 2)
+SELECT p.x, p.y, CAST(p.c_xy AS BIGINT) AS c_xy,
+       CAST(a.c AS BIGINT) AS c_x, CAST(b.c AS BIGINT) AS c_y,
+       ROUND(CAST(p.c_xy AS DOUBLE) * t2.n_tok * t2.n_tok
+             / (CAST(bt.n_big AS DOUBLE) * a.c * b.c), 6) AS lift
+FROM cxy p JOIN cx a ON a.tok = p.x JOIN cx b ON b.tok = p.y,
+     tot t2, btot bt
+WHERE p.c_xy >= {PMI_MIN}
+ORDER BY lift DESC, p.x, p.y LIMIT {PMI_TOPK}"""
+
+
+def q_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase probe: mine the corpus's single most
+    frequent trigram (deterministic tie-break), then return EVERY
+    (doc_id, pos) occurrence — the two phases of a search engine
+    (index build, phrase lookup) in one plan.  `pos` is the 1-based
+    token position of the phrase start.
+
+    Scale plan: trigram postings are built once by an array transform
+    (no UDF, no per-row Python); the top-1 phrase is a one-row
+    relation broadcast back into the postings — the probe never
+    collects, so at 10^12 docs this is index-scan + broadcast
+    semi-probe.  (A production index would materialize the postings
+    bucketed by phrase hash; here both phases share one derivation.)
+
+    FULL SQL ORACLE (_sql_phrase_hits): identical trigram expansion,
+    top-1 selection, and probe."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id",
+                    analysis.tokens(F.lower(F.col("text"))).alias("a"))
+    tri = (t.where(F.size("a") >= 3)
+           .select("doc_id", F.explode(F.expr(
+               "transform(sequence(0, size(a)-3), "
+               "i -> struct(i + 1 as pos, "
+               "concat(a[i], ' ', a[i+1], ' ', a[i+2]) as ph))"))
+               .alias("s"))
+           .select("doc_id", "s.pos", "s.ph"))
+    top = (tri.groupBy("ph").agg(F.count("*").alias("c"))
+           .orderBy(F.col("c").desc(), "ph").limit(1).select("ph"))
+    return (tri.join(F.broadcast(top), "ph")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("pos").cast("long").alias("pos"),
+                    F.col("ph").alias("phrase")))
+
+
+def _sql_phrase_hits() -> str:
+    return f"""WITH t AS (SELECT doc_id, {_SQL_TOKS} AS a FROM documents),
+tri AS (SELECT doc_id, s.pos AS pos, s.ph AS ph FROM (
+          SELECT doc_id,
+                 unnest([{{'pos': i,
+                           'ph': a[i] || ' ' || a[i+1] || ' ' || a[i+2]}}
+                         for i in generate_series(1, len(a)-2)]) AS s
+          FROM t WHERE len(a) >= 3)),
+top AS (SELECT ph FROM tri GROUP BY ph
+        ORDER BY COUNT(*) DESC, ph LIMIT 1)
+SELECT CAST(tri.doc_id AS BIGINT) AS doc_id,
+       CAST(tri.pos AS BIGINT) AS pos, tri.ph AS phrase
+FROM tri JOIN top USING (ph)"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -5720,6 +5969,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": q_shortest_paths,
         "semivariogram": q_semivariogram,
         "url_edit_pairs": q_url_edit_pairs,
+        "kcore": q_kcore,
+        "cocitation": q_cocitation,
+        "token_pmi": q_token_pmi,
+        "phrase_hits": q_phrase_hits,
     }
 
 
@@ -5822,4 +6075,8 @@ def oracle_sql() -> dict[str, str]:
         "shortest_paths": _sql_shortest_paths(n),
         "semivariogram": _sql_semivariogram(n),
         "url_edit_pairs": _sql_url_edit_pairs(n),
+        "kcore": _sql_kcore(n),
+        "cocitation": _sql_cocitation(n),
+        "token_pmi": _sql_token_pmi(),
+        "phrase_hits": _sql_phrase_hits(),
     }

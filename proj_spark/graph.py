@@ -263,3 +263,57 @@ def weighted_hops(edges: DataFrame, seeds: DataFrame,
             df.unpersist()
     e.unpersist()
     return best
+
+
+def kcore_peel(und: DataFrame, k: DataFrame, rounds: int = 4) -> DataFrame:
+    """Bounded k-core peeling of an undirected simple graph.
+
+    und: canonical distinct edges (a long, b long) with a < b.
+    k: a ONE-ROW DataFrame (kval long) — the degree threshold, kept as
+    a relation (broadcast into the degree filter) so no scalar ever
+    crosses to the driver.  Returns (node, deg): the nodes surviving
+    `rounds` peel rounds with their degree in the surviving subgraph.
+
+    Semantics (exactly what the unrolled SQL oracle replays): with
+    E_0 the input edges, round r computes deg_r over E_{r-1}, keeps
+    V_r = {u : deg_r(u) >= k}, and E_r = E_{r-1} restricted to V_r x
+    V_r; the output is every endpoint of E_r with its E_r degree.
+    Peeling a node can drag neighbors below k, which is why the filter
+    iterates; after enough rounds this converges to the true k-core,
+    and a fixed bound keeps the result deterministic and SQL-unrollable
+    (same discipline as pagerank's fixed iters).
+
+    Scale plan: each round is ONE map-side-combined degree aggregation
+    plus two semi joins of the (shrinking) edge relation against the
+    (small) survivor set — broadcast while survivors fit, never a
+    shuffle of anything larger than the live edge set.  Rounds persist
+    and early-stop when the edge count stops falling (E_{r+1} = E_r
+    implies every later round is identical, so stopping is lossless).
+    """
+    sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .union(und.select(F.col("b").alias("u"),
+                             F.col("a").alias("v"))))
+    alive = sym.persist()
+    interm = [alive]
+    n_prev = alive.count()
+    for _ in range(rounds):
+        deg = alive.groupBy("u").agg(F.count("*").alias("deg"))
+        keep = (deg.crossJoin(F.broadcast(k))
+                .where(F.col("deg") >= F.col("kval"))
+                .select("u"))
+        nxt = (alive.join(F.broadcast(keep), "u", "semi")
+               .join(F.broadcast(keep.select(F.col("u").alias("v"))),
+                     "v", "semi")
+               .persist())
+        interm.append(nxt)
+        n_now = nxt.count()
+        alive = nxt
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    out = alive.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("deg"))
+    out = out.localCheckpoint(eager=True)
+    for df in interm:
+        df.unpersist()
+    return out
