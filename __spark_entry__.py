@@ -5863,6 +5863,323 @@ FROM tri JOIN top USING (ph)"""
 
 
 # ---------------------------------------------------------------------------
+# session 15: BM25 retrieval, HITS, RA link prediction, stay points
+# ---------------------------------------------------------------------------
+
+BM25_QK = 6        # query terms mined from the corpus (top df, len>=6)
+BM25_MINLEN = 6    # min term length for the mined query set
+BM25_TOPK = 50
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document retrieval (Robertson-Sparck Jones), exact-integer
+    variant: the corpus's BM25_QK highest-df long tokens become the
+    query; every doc is scored by a RATIONAL BM25 with k1=2, b=3/4 —
+    chosen so idf and the tf-saturation term are each ONE floored
+    integer division (no log, no float sum):
+
+        idf_micro = 1e6*(2N - 2df + 1) div (2df + 1)         (log-free
+            monotone idf surrogate — same ranking family)
+        tfp_micro = 1e6 * 6*tf*S div (2*tf*S + S + 3*dl*N)
+            (= tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+             avgdl = S/N cleared of fractions)
+        score    = Σ_terms (idf_micro * tfp_micro) div 1e6   (BIGINT
+            sum — order-independent under any partial-agg schedule)
+
+    Scale plan: the (doc, tok, tf) relation IS the inverted index —
+    one shuffle on the explode, map-side combinable; df and the mined
+    query relation are TakeOrdered over the tiny vocabulary and
+    broadcast back; dl joins tf co-partitioned on doc_id; final top-k
+    is a TakeOrdered, no global sort.
+
+    FULL SQL ORACLE (_sql_bm25_topk): identical counts + divisions."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id",
+                    analysis.tokens(F.lower(F.col("text"))).alias("a"))
+    tf = (t.select("doc_id", F.explode("a").alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    tf = tf.persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tot = dl.agg(F.count("*").alias("nn"), F.sum("dl").alias("s"))
+    dfr = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    q = (dfr.where(F.length("tok") >= BM25_MINLEN)
+         .orderBy(F.col("df").desc(), "tok").limit(BM25_QK))
+    m = (tf.join(F.broadcast(q), "tok")
+         .join(dl, "doc_id")
+         .crossJoin(F.broadcast(tot)))
+    sm = F.expr(
+        "((1000000 * (2*nn - 2*df + 1)) div (2*df + 1))"
+        " * ((1000000 * 6 * tf * s) div (2*tf*s + s + 3*dl*nn))"
+        " div 1000000")
+    out = (m.select("doc_id", sm.alias("sm"))
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_terms"),
+                F.sum("sm").alias("score_micro"))
+           .orderBy(F.col("score_micro").desc(), "doc_id")
+           .limit(BM25_TOPK))
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("n_terms").cast("long").alias("n_terms"),
+                      F.col("score_micro").cast("long")
+                      .alias("score_micro"))
+
+
+def _sql_bm25_topk() -> str:
+    return f"""WITH t AS (SELECT doc_id, {_SQL_TOKS} AS a FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+         SELECT doc_id, unnest(a) AS tok FROM t) GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+               CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+q AS (SELECT tok, df FROM dfr WHERE length(tok) >= {BM25_MINLEN}
+      ORDER BY df DESC, tok LIMIT {BM25_QK}),
+sc AS (SELECT tf.doc_id,
+              ((1000000 * (2*nn - 2*df + 1)) // (2*df + 1))
+              * ((1000000 * 6 * tf * s) // (2*tf*s + s + 3*dl*nn))
+              // 1000000 AS sm
+       FROM tf JOIN q USING (tok) JOIN dl USING (doc_id), tot)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(sm) AS BIGINT) AS score_micro
+FROM sc GROUP BY 1
+ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOPK}"""
+
+
+HITS_TOPK = 100
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the domain link
+    graph, UNNORMALIZED two-sweep variant: with A the 0/1 adjacency,
+    h1 = A·1 (out-degree), a2 = Aᵀh1, h3 = A·a2, a4 = Aᵀh3 — the
+    power iteration's normalization only rescales, so the raw integer
+    iterates preserve the exact HITS ranking while staying oracle-
+    replayable (every score is a BIGINT sum of BIGINT products).
+
+    Scale plan: each sweep is one broadcast join of the tiny per-node
+    score relation into the edge list + one map-side-combined sum —
+    the edge relation (the big side) is scanned, never shuffled on a
+    new key; at web scale this is textbook distributed SpMV.
+
+    FULL SQL ORACLE (_sql_hits_scores): the same four sweeps as CTEs
+    over the independently re-derived edge set."""
+    e = _domain_links(spark, sf_dir).distinct().persist()
+    h1 = e.groupBy("src").agg(F.count("*").alias("h1"))
+    a2 = (e.join(F.broadcast(h1), "src")
+          .groupBy("dst").agg(F.sum("h1").alias("a2")))
+    h3 = (e.join(F.broadcast(a2), "dst")
+          .groupBy("src").agg(F.sum("a2").alias("h3")))
+    a4 = (e.join(F.broadcast(h3), "src")
+          .groupBy("dst").agg(F.sum("h3").alias("a4")))
+    out = (a4.join(h3.withColumnRenamed("src", "dst"), "dst", "full")
+           .select(F.col("dst").alias("domain"),
+                   F.coalesce("a4", F.lit(0)).alias("auth"),
+                   F.coalesce("h3", F.lit(0)).alias("hub"))
+           .orderBy(F.col("auth").desc(), "domain").limit(HITS_TOPK))
+    return out.select(F.col("domain").cast("long").alias("domain"),
+                      F.col("auth").cast("long").alias("auth"),
+                      F.col("hub").cast("long").alias("hub"))
+
+
+def _sql_hits_scores(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+ed AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+         UNION ALL
+         SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+       WHERE src != dst),
+h1 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS h1 FROM ed GROUP BY 1),
+a2 AS (SELECT dst, CAST(SUM(h1) AS BIGINT) AS a2
+       FROM ed JOIN h1 USING (src) GROUP BY 1),
+h3 AS (SELECT src, CAST(SUM(a2) AS BIGINT) AS h3
+       FROM ed JOIN a2 USING (dst) GROUP BY 1),
+a4 AS (SELECT dst, CAST(SUM(h3) AS BIGINT) AS a4
+       FROM ed JOIN h3 USING (src) GROUP BY 1)
+SELECT CAST(COALESCE(a4.dst, h3.src) AS BIGINT) AS domain,
+       CAST(COALESCE(a4, 0) AS BIGINT) AS auth,
+       CAST(COALESCE(h3, 0) AS BIGINT) AS hub
+FROM a4 FULL JOIN h3 ON a4.dst = h3.src
+ORDER BY auth DESC, domain LIMIT {HITS_TOPK}"""
+
+
+LP_SAMPLE_MOD = 32   # undirected-edge hash sampling (degree control)
+LP_DEG_CAP = 64      # wedge centers above this degree are dropped
+LP_MIN_COMMON = 1
+LP_TOPK = 100
+
+
+def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by the resource-allocation index (Zhou, Lu &
+    Zhang 2009): for each NON-adjacent pair (x, y), score
+    Σ_{z ∈ N(x)∩N(y)} 1/deg(z) — like Adamic-Adar but with a rational
+    weight, so each contribution is the exact integer 1e6 div deg(z)
+    and the per-pair BIGINT sum is order-independent.
+
+    Scale plan: wedges materialize at their center z (one self-equi-
+    join on z), and the quadratic hazard is killed the same two ways
+    as cocitation — hash-sampled edges + a hard degree cap on wedge
+    centers BEFORE the join; existing edges leave via one broadcast
+    anti join.  Work is Σ_z deg(z)², bounded by CAP·|E|, never n².
+
+    FULL SQL ORACLE (_sql_link_pred): identical sample, cap, wedge
+    join, and division."""
+    und = (_domain_links(spark, sf_dir)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .where((F.col("a") * 1000003 + F.col("b"))
+                  % LP_SAMPLE_MOD == 0)
+           .persist())
+    sym = (und.select(F.col("a").alias("z"), F.col("b").alias("nbr"))
+           .union(und.select(F.col("b").alias("z"),
+                             F.col("a").alias("nbr"))))
+    deg = sym.groupBy("z").agg(F.count("*").alias("deg"))
+    capped = (sym.join(F.broadcast(
+        deg.where(F.col("deg") <= LP_DEG_CAP)), "z")
+        .select("z", "nbr", "deg"))
+    wl = capped.select("z", F.col("nbr").alias("x"), "deg")
+    wr = capped.select("z", F.col("nbr").alias("y"))
+    pairs = (wl.join(wr, "z").where(F.col("x") < F.col("y"))
+             .groupBy("x", "y")
+             .agg(F.count("*").alias("n_common"),
+                  F.sum(F.expr("1000000 div deg")).alias("ra_micro")))
+    new = pairs.join(
+        F.broadcast(und.select(F.col("a").alias("x"),
+                               F.col("b").alias("y"))),
+        ["x", "y"], "anti")
+    out = (new.where(F.col("n_common") >= LP_MIN_COMMON)
+           .orderBy(F.col("ra_micro").desc(),
+                    F.col("n_common").desc(), "x", "y")
+           .limit(LP_TOPK))
+    return out.select(F.col("x").cast("long").alias("x"),
+                      F.col("y").cast("long").alias("y"),
+                      F.col("n_common").cast("long").alias("n_common"),
+                      F.col("ra_micro").cast("long").alias("ra_micro"))
+
+
+def _sql_link_pred(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+und AS (SELECT a, b FROM (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM (
+            SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+            UNION ALL
+            SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+          WHERE src != dst)
+        WHERE (a * 1000003 + b) % {LP_SAMPLE_MOD} = 0),
+sym AS (SELECT a AS z, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und),
+deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+capped AS (SELECT sym.z, sym.nbr, deg FROM sym JOIN deg USING (z)
+           WHERE deg <= {LP_DEG_CAP}),
+pairs AS (SELECT l.nbr AS x, r.nbr AS y,
+                 CAST(COUNT(*) AS BIGINT) AS n_common,
+                 CAST(SUM(1000000 // l.deg) AS BIGINT) AS ra_micro
+          FROM capped l JOIN capped r
+               ON l.z = r.z AND l.nbr < r.nbr
+          GROUP BY 1, 2)
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       n_common, ra_micro
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = p.x AND e.b = p.y)
+  AND n_common >= {LP_MIN_COMMON}
+ORDER BY ra_micro DESC, n_common DESC, x, y LIMIT {LP_TOPK}"""
+
+
+SP_JUMP_UDEG = 4_000_000   # Chebyshev break threshold (4 deg, µdeg)
+SP_MIN_PTS = 2
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point / dwell detection over each domain's crawl path: the
+    seq-ordered point stream splits into segments wherever the
+    Chebyshev µdeg jump between CONSECUTIVE points exceeds
+    SP_JUMP_UDEG; segments with >= SP_MIN_PTS points are emitted with
+    their exact integer centroid and seq span — the classic mobility
+    stay-point primitive (Li et al. 2008) in its consecutive-pair
+    form, which is window-expressible (the anchored form needs a scan
+    loop).
+
+    Exactness: coords shift to non-negative µdeg before the floored
+    centroid division (Spark `div` truncates, DuckDB `//` floors —
+    equal on non-negative operands); all predicates are integer.
+
+    Scale plan: ONE shuffle on domain feeds both windows (LAG for the
+    break flag, running SUM for the segment id — same partition+order,
+    one sort) and the segment agg is map-side combinable after it.
+
+    FULL SQL ORACLE (_sql_stay_points): identical windows + agg."""
+    pts = _points(spark, sf_dir)
+    seq = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    t = pts.select(
+        "domain", seq.alias("seq"),
+        (F.round(F.col("lon") * 1e6, 0).cast("long")
+         + F.lit(180_000_000)).alias("x"),
+        (F.round(F.col("lat") * 1e6, 0).cast("long")
+         + F.lit(90_000_000)).alias("y"))
+    w = Window.partitionBy("domain").orderBy("seq")
+    brk = F.when(F.lag("x").over(w).isNull(), F.lit(0)).when(
+        F.greatest(F.abs(F.col("x") - F.lag("x").over(w)),
+                   F.abs(F.col("y") - F.lag("y").over(w)))
+        > SP_JUMP_UDEG, F.lit(1)).otherwise(F.lit(0))
+    seg = (t.withColumn("brk", brk)
+           .withColumn("seg", F.sum("brk").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    out = (seg.groupBy("domain", "seg")
+           .agg(F.count("*").alias("n_pts"),
+                F.min("seq").alias("seq_start"),
+                F.max("seq").alias("seq_end"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"))
+           .where(F.col("n_pts") >= SP_MIN_PTS))
+    return out.select(
+        "domain", F.col("seg").cast("long").alias("seg"),
+        F.col("n_pts").cast("long").alias("n_pts"),
+        "seq_start", "seq_end",
+        (F.expr("sx div n_pts") - 180_000_000).alias("cx_udeg"),
+        (F.expr("sy div n_pts") - 90_000_000).alias("cy_udeg"))
+
+
+def _sql_stay_points(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+t AS (SELECT domain, i AS seq,
+             CAST(ROUND(lon * 1e6, 0) AS BIGINT) + 180000000 AS x,
+             CAST(ROUND(lat * 1e6, 0) AS BIGINT) + 90000000 AS y
+      FROM pages),
+l AS (SELECT domain, seq, x, y,
+             LAG(x) OVER (PARTITION BY domain ORDER BY seq) AS px,
+             LAG(y) OVER (PARTITION BY domain ORDER BY seq) AS py
+      FROM t),
+b AS (SELECT domain, seq, x, y,
+             CASE WHEN px IS NULL THEN 0
+                  WHEN GREATEST(ABS(x - px), ABS(y - py))
+                       > {SP_JUMP_UDEG} THEN 1 ELSE 0 END AS brk
+      FROM l),
+s AS (SELECT domain, seq, x, y,
+             SUM(brk) OVER (PARTITION BY domain ORDER BY seq
+                            ROWS UNBOUNDED PRECEDING) AS seg
+      FROM b),
+g AS (SELECT domain, seg, COUNT(*) AS n_pts,
+             MIN(seq) AS seq_start, MAX(seq) AS seq_end,
+             SUM(x) AS sx, SUM(y) AS sy
+      FROM s GROUP BY 1, 2)
+SELECT domain, CAST(seg AS BIGINT) AS seg,
+       CAST(n_pts AS BIGINT) AS n_pts,
+       CAST(seq_start AS BIGINT) AS seq_start,
+       CAST(seq_end AS BIGINT) AS seq_end,
+       CAST(sx // n_pts AS BIGINT) - 180000000 AS cx_udeg,
+       CAST(sy // n_pts AS BIGINT) - 90000000 AS cy_udeg
+FROM g WHERE n_pts >= {SP_MIN_PTS}"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -5973,6 +6290,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "token_pmi": q_token_pmi,
         "phrase_hits": q_phrase_hits,
+        "bm25_topk": q_bm25_topk,
+        "hits_scores": q_hits_scores,
+        "link_pred": q_link_pred,
+        "stay_points": q_stay_points,
     }
 
 
@@ -6079,4 +6400,8 @@ def oracle_sql() -> dict[str, str]:
         "cocitation": _sql_cocitation(n),
         "token_pmi": _sql_token_pmi(),
         "phrase_hits": _sql_phrase_hits(),
+        "bm25_topk": _sql_bm25_topk(),
+        "hits_scores": _sql_hits_scores(n),
+        "link_pred": _sql_link_pred(n),
+        "stay_points": _sql_stay_points(n),
     }
