@@ -6180,6 +6180,271 @@ FROM g WHERE n_pts >= {SP_MIN_PTS}"""
 
 
 # ---------------------------------------------------------------------------
+# session 16: funnel conversion, retention cohorts, label propagation,
+#             robust MAD outliers
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+DAY_US = 86_400_000_000
+
+
+def q_funnel_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion over the event stream: per user, the
+    first 'view', the first 'click' STRICTLY AFTER it, and the first
+    'purchase' strictly after that — the sequential-pattern semantics
+    (not mere set membership), with per-stage user counts and the
+    exact summed inter-stage delay in micros.
+
+    All times are canonical epoch micros (_events_micros), so the
+    result is session-timezone independent; every stat is a BIGINT.
+
+    Scale plan: three per-user conditional-min aggregations chained by
+    equi-joins on user_id — every shuffle is on the same key, so AQE
+    coalesces them into co-partitioned exchanges; no window over the
+    raw stream, no driver logic.  At web scale this is the standard
+    funnel shape (shuffle ~ |users|, not |events|).
+
+    FULL SQL ORACLE (_sql_funnel_conv): identical conditional mins."""
+    ev = _events_micros(spark, sf_dir)
+    v = (ev.where(F.col("event_type") == FUNNEL_STAGES[0])
+         .groupBy("user_id").agg(F.min("tm").alias("t1")))
+    c = (ev.where(F.col("event_type") == FUNNEL_STAGES[1])
+         .join(v, "user_id").where(F.col("tm") > F.col("t1"))
+         .groupBy("user_id", "t1").agg(F.min("tm").alias("t2")))
+    p = (ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+         .join(c, "user_id").where(F.col("tm") > F.col("t2"))
+         .groupBy("user_id", "t2").agg(F.min("tm").alias("t3")))
+    s1 = v.agg(F.lit(1).cast("long").alias("stage"),
+               F.count("*").alias("n_users"),
+               F.lit(0).cast("long").alias("sum_delay_us"))
+    s2 = c.agg(F.lit(2).cast("long").alias("stage"),
+               F.count("*").alias("n_users"),
+               F.sum(F.col("t2") - F.col("t1")).alias("sum_delay_us"))
+    s3 = p.agg(F.lit(3).cast("long").alias("stage"),
+               F.count("*").alias("n_users"),
+               F.sum(F.col("t3") - F.col("t2")).alias("sum_delay_us"))
+    return (s1.union(s2).union(s3)
+            .select("stage", F.col("n_users").cast("long").alias("n_users"),
+                    F.coalesce(F.col("sum_delay_us"), F.lit(0))
+                    .cast("long").alias("sum_delay_us")))
+
+
+def _sql_funnel_conv() -> str:
+    a, b, cst = FUNNEL_STAGES
+    return f"""WITH ev AS (SELECT user_id, event_type,
+                   epoch_us(ts) AS tm FROM events),
+v AS (SELECT user_id, MIN(tm) AS t1 FROM ev
+      WHERE event_type = '{a}' GROUP BY 1),
+c AS (SELECT ev.user_id, t1, MIN(tm) AS t2 FROM ev JOIN v USING (user_id)
+      WHERE event_type = '{b}' AND tm > t1 GROUP BY 1, 2),
+p AS (SELECT ev.user_id, t2, MIN(tm) AS t3 FROM ev JOIN c USING (user_id)
+      WHERE event_type = '{cst}' AND tm > t2 GROUP BY 1, 2)
+SELECT CAST(1 AS BIGINT) AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(0 AS BIGINT) AS sum_delay_us FROM v
+UNION ALL
+SELECT 2, COUNT(*), CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM c
+UNION ALL
+SELECT 3, COUNT(*), CAST(COALESCE(SUM(t3 - t2), 0) AS BIGINT) FROM p"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by their FIRST active
+    absolute day (the cohort), then counted distinct on each later
+    day-offset — the standard growth-analytics rollup.  Days are
+    floored epoch-micros divisions (micros are non-negative), so both
+    engines bucket identically under any session timezone.
+
+    Scale plan: one shuffle on user_id for the cohort min, one
+    broadcast-sized join back (cohort relation is |users| rows — at
+    web scale co-partitioned on user_id, here broadcast), one hash agg
+    on (cohort_day, offset) with countDistinct handled by Spark's
+    two-phase expand — bounded by users x days, not events.
+
+    FULL SQL ORACLE (_sql_retention_cohorts): identical arithmetic."""
+    ev = _events_micros(spark, sf_dir).select(
+        "user_id", F.expr(f"tm div {DAY_US}").alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (ev.join(first, "user_id")
+            .groupBy("cohort_day",
+                     (F.col("day") - F.col("cohort_day")).alias("offset"))
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .select(F.col("cohort_day").cast("long").alias("cohort_day"),
+                    F.col("offset").cast("long").alias("offset"),
+                    F.col("n_users").cast("long").alias("n_users")))
+
+
+def _sql_retention_cohorts() -> str:
+    return f"""WITH ev AS (SELECT user_id,
+                   epoch_us(ts) // {DAY_US} AS day FROM events),
+fst AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(day - cohort_day AS BIGINT) AS offset,
+       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+FROM ev JOIN fst USING (user_id)
+GROUP BY 1, 2"""
+
+
+LPA_SAMPLE_MOD = 4   # same sampled undirected graph as kcore
+LPA_ROUNDS = 2
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) with a DETERMINISTIC tie-break: labels start as node
+    ids; each round every node adopts its neighbors' most frequent
+    label, ties to the SMALLEST label — so the fixed-round result is
+    engine-independent and SQL-unrollable (the classic async LPA is
+    order-dependent by design; the synchronous min-tie variant is the
+    reproducible one).  Output: surviving community label -> size.
+
+    Scale plan: each round is one edge-list join against the per-node
+    label relation (broadcast here; co-partitioned at web scale), one
+    (node, label) count agg, and one partition-local row_number pick —
+    all map-side combinable, edges never reshuffled on a new key.
+
+    FULL SQL ORACLE (_sql_label_prop): the same rounds as CTE pairs."""
+    und = (_domain_links(spark, sf_dir)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .where((F.col("a") * 1000003 + F.col("b"))
+                  % LPA_SAMPLE_MOD == 0))
+    sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .union(und.select(F.col("b").alias("u"),
+                             F.col("a").alias("v")))).persist()
+    lab = sym.select("u").distinct().select(
+        "u", F.col("u").alias("lab"))
+    for _ in range(LPA_ROUNDS):
+        cnt = (sym.join(F.broadcast(
+            lab.select(F.col("u").alias("v"), "lab")), "v")
+            .groupBy("u", "lab").agg(F.count("*").alias("c")))
+        w = Window.partitionBy("u").orderBy(F.col("c").desc(), "lab")
+        lab = (cnt.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1).select("u", "lab"))
+    out = (lab.groupBy("lab").agg(F.count("*").alias("n_nodes"))
+           .select(F.col("lab").cast("long").alias("community"),
+                   F.col("n_nodes").cast("long").alias("n_nodes")))
+    sym.unpersist()
+    return out
+
+
+def _sql_label_prop(n: int) -> str:
+    rounds = []
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""cnt{r} AS (SELECT e.u, l.lab, COUNT(*) AS c
+         FROM sym e JOIN lab{r-1} l ON e.v = l.u GROUP BY 1, 2),
+lab{r} AS (SELECT u, lab FROM (
+          SELECT u, lab, ROW_NUMBER() OVER (
+            PARTITION BY u ORDER BY c DESC, lab) AS rn FROM cnt{r})
+        WHERE rn = 1)""")
+    chain = ",\n".join(rounds)
+    return f"""WITH {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+und AS (SELECT a, b FROM (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM (
+            SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+            UNION ALL
+            SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+          WHERE src != dst)
+        WHERE (a * 1000003 + b) % {LPA_SAMPLE_MOD} = 0),
+sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+lab0 AS (SELECT DISTINCT u, u AS lab FROM sym),
+{chain}
+SELECT CAST(lab AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM lab{LPA_ROUNDS} GROUP BY 1"""
+
+
+MAD_K = 3   # outlier threshold: |x - med| > MAD_K * mad
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: lower-median and MAD
+    (median absolute deviation) of the cents value by the same exact
+    cumulative-histogram quantile definition as token_quantiles
+    ('smallest v with cum >= (n+1) div 2' — no engine-private
+    percentile sketch), then the exact count of rows beyond
+    MAD_K * mad.  Everything is BIGINT comparisons — no float ever.
+
+    Scale plan: value HISTOGRAMS shuffle, not rows — each pass is one
+    hash agg on (type, value) + a partition-local cumsum window over
+    the tiny histogram; the raw relation is scanned twice map-side
+    with the per-type med/mad relations broadcast in.
+
+    FULL SQL ORACLE (_sql_mad_outliers): identical two-pass medians."""
+    ev = _events_micros(spark, sf_dir).select("event_type", "cents")
+    cw = (Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    nw = Window.partitionBy("event_type")
+
+    def lower_median(rel: DataFrame) -> DataFrame:
+        hist = rel.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+        cum = (hist.withColumn("cum", F.sum("c").over(cw))
+               .withColumn("n", F.sum("c").over(nw)))
+        return (cum.groupBy("event_type")
+                .agg(F.max("n").alias("n"),
+                     F.min(F.when(
+                         F.col("cum") >= F.expr("(n + 1) div 2"),
+                         F.col("v"))).alias("med")))
+
+    med = lower_median(ev.select("event_type",
+                                 F.col("cents").alias("v")))
+    dev = (ev.join(F.broadcast(med.select("event_type", "med")),
+                   "event_type")
+           .select("event_type",
+                   F.abs(F.col("cents") - F.col("med")).alias("v")))
+    mad = lower_median(dev).select(
+        "event_type", F.col("med").alias("mad"))
+    outl = (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.sum(F.when(F.col("v") > MAD_K * F.col("mad"), 1)
+                       .otherwise(0)).alias("n_outliers")))
+    return (med.join(mad, "event_type").join(outl, "event_type")
+            .select("event_type", F.col("n").cast("long").alias("n"),
+                    F.col("med").cast("long").alias("med_cents"),
+                    F.col("mad").cast("long").alias("mad_cents"),
+                    F.col("n_outliers").cast("long").alias("n_outliers")))
+
+
+def _sql_mad_outliers() -> str:
+    return f"""WITH ev AS (SELECT event_type,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+h1 AS (SELECT event_type, cents AS v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+c1 AS (SELECT event_type, v,
+              SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+              SUM(c) OVER (PARTITION BY event_type) AS n
+       FROM h1),
+med AS (SELECT event_type, MAX(n) AS n,
+               MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med
+        FROM c1 GROUP BY 1),
+dev AS (SELECT ev.event_type, ABS(cents - med) AS v
+        FROM ev JOIN med USING (event_type)),
+h2 AS (SELECT event_type, v, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+c2 AS (SELECT event_type, v,
+              SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+              SUM(c) OVER (PARTITION BY event_type) AS n
+       FROM h2),
+mad AS (SELECT event_type,
+               MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS mad
+        FROM c2 GROUP BY 1),
+outl AS (SELECT dev.event_type,
+                SUM(CASE WHEN v > {MAD_K} * mad THEN 1 ELSE 0 END) AS n_outliers
+         FROM dev JOIN mad USING (event_type) GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(med AS BIGINT) AS med_cents,
+       CAST(mad AS BIGINT) AS mad_cents,
+       CAST(n_outliers AS BIGINT) AS n_outliers
+FROM med JOIN mad USING (event_type) JOIN outl USING (event_type)"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -6294,6 +6559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "link_pred": q_link_pred,
         "stay_points": q_stay_points,
+        "funnel_conv": q_funnel_conv,
+        "retention_cohorts": q_retention_cohorts,
+        "label_prop": q_label_prop,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -6404,4 +6673,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _sql_hits_scores(n),
         "link_pred": _sql_link_pred(n),
         "stay_points": _sql_stay_points(n),
+        "funnel_conv": _sql_funnel_conv(),
+        "retention_cohorts": _sql_retention_cohorts(),
+        "label_prop": _sql_label_prop(n),
+        "mad_outliers": _sql_mad_outliers(),
     }

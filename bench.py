@@ -52,6 +52,7 @@ HEADLINE = [
     "nation_revenue", "shortest_paths", "semivariogram", "url_edit_pairs",
     "kcore", "cocitation", "token_pmi", "phrase_hits",
     "bm25_topk", "hits_scores", "link_pred", "stay_points",
+    "funnel_conv", "retention_cohorts", "label_prop", "mad_outliers",
 ]
 
 
