@@ -623,6 +623,64 @@ def stream_interval_join(intervals: DataFrame, windows: DataFrame
                      - F.greatest("a_s", "b_s")).alias("ovl_us")))
 
 
+_FUNNEL_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("stage", IntegerType()),
+    StructField("tm", LongType()),
+    StructField("delay_us", LongType()),
+])
+_FUNNEL_STATE = StructType([StructField("stage", IntegerType()),
+                            StructField("t", LongType())])
+
+
+def stream_funnel(spark: SparkSession, events_dir: str,
+                  stages: tuple[str, ...] = ("view", "click", "purchase"),
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming funnel tracker (applyInPandasWithState): a per-user
+    state machine advancing through `stages` — each user's state is
+    (completed stage count, time of the last completed stage), and a
+    row is emitted at every transition with the exact inter-stage
+    delay in micros.
+
+    Semantics match the batch `q_funnel_conv` conditional-min chain
+    whenever events arrive in event-time order (the crawl-log case):
+    the greedy first-match scan and the min-time chain provably pick
+    the same events then (asserted against the batch query in
+    tests/test_streaming.py).  Out-of-order arrivals degrade greedily
+    — a late earlier 'view' cannot retro-open a funnel, which is the
+    standard at-ingest tradeoff for O(1) state per user.
+
+    State is 2 ints per user — bounded by |users|, not stream length;
+    no watermark needed since the machine only moves forward."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _streaming_reader(spark, events_dir, max_files_per_trigger)
+    ev = ev.select("user_id", "event_type",
+                   F.unix_micros(F.col("ts").cast("timestamp")).alias("tm"))
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            stage, t = state.get
+        else:
+            stage, t = 0, -1
+        rows = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("tm", kind="mergesort")
+        for et, tm in zip(pdf["event_type"], pdf["tm"]):
+            if stage < len(stages) and et == stages[stage] and tm > t:
+                delay = 0 if stage == 0 else int(tm) - int(t)
+                stage += 1
+                rows.append((int(key[0]), stage, int(tm), delay))
+                t = int(tm)
+        state.update((stage, t))
+        yield pd.DataFrame(rows, columns=["user_id", "stage", "tm",
+                                          "delay_us"])
+
+    return (ev.groupBy("user_id")
+            .applyInPandasWithState(update, _FUNNEL_OUT, _FUNNEL_STATE,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str = "complete") -> None:
     """Drain a streaming DataFrame into an in-memory table (tests /

@@ -568,3 +568,43 @@ def test_stream_interval_join_matches_batch(spark, events_dir):
     want = sorted((r["a_id"], r["b_id"], r["ovl_us"])
                   for r in interval_join(a, b, entry.IJ_CELL_US).collect())
     assert got == want and len(got) > 50
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel: per-user state machine == batch conditional-min chain
+# ---------------------------------------------------------------------------
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """Split the event log into three TIME-ORDERED files and replay one
+    file per micro-batch: the stateful greedy scan must reproduce the
+    batch q_funnel_conv per-stage user counts and exact delay sums
+    (in-order arrival makes greedy == conditional-min provably)."""
+    import __spark_entry__ as entry
+    from proj_spark.streaming.jobs import stream_funnel, run_to_memory
+
+    ev = spark.read.parquet(EVENTS_SRC).orderBy("ts").collect()
+    d = tmp_path / "funnel_stream"
+    d.mkdir()
+    k = len(ev) // 3
+    for i, chunk in enumerate([ev[:k], ev[k:2 * k], ev[2 * k:]]):
+        spark.createDataFrame(chunk, spark.read.parquet(EVENTS_SRC).schema) \
+            .coalesce(1).write.parquet(str(d / f"b{i}"))
+        import shutil, glob
+        part = glob.glob(str(d / f"b{i}" / "part-*.parquet"))[0]
+        shutil.move(part, str(d / f"part-{i:03d}.parquet"))
+        shutil.rmtree(str(d / f"b{i}"))
+
+    run_to_memory(stream_funnel(spark, str(d), max_files_per_trigger=1),
+                  "funnel_stream_out", mode="append")
+    got_rows = spark.table("funnel_stream_out").collect()
+    got = {}
+    for s in (1, 2, 3):
+        rows = [r for r in got_rows if r.stage == s]
+        got[s] = (len(rows), sum(r.delay_us for r in rows))
+    want = {r.stage: (r.n_users, r.sum_delay_us) for r in
+            entry.q_funnel_conv(spark, "/root/testdata/sf0.001").collect()}
+    assert got == want
+    assert got[1][0] > 0
+    # every user advances monotonically: at most one row per (user, stage)
+    seen = [(r.user_id, r.stage) for r in got_rows]
+    assert len(seen) == len(set(seen))
