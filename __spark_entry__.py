@@ -6445,6 +6445,95 @@ FROM med JOIN mad USING (event_type) JOIN outl USING (event_type)"""
 
 
 # ---------------------------------------------------------------------------
+# session 17: rolling-window stats, Markov event transitions
+# ---------------------------------------------------------------------------
+
+ROLL_WIN_US = DAY_US   # trailing 24 h
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h per-user rolling stats: for every event, the count
+    and exact cents sum of that user's events in the preceding day —
+    the standard feature-engineering window (rate limiting, velocity
+    features) as a RANGE frame over canonical epoch micros, so both
+    engines bound the frame by VALUE, not row position, and tie rows
+    (peers) are included identically.
+
+    Scale plan: ONE shuffle on user_id + a partition-local sort; the
+    range frame is computed in a single pass per partition (Spark's
+    sliding window accumulates/retracts — no per-row rescan); output
+    is row-parallel with the input, never collected.
+
+    FULL SQL ORACLE (_sql_rolling_stats): identical RANGE frame."""
+    ev = _events_micros(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("tm")
+         .rangeBetween(-ROLL_WIN_US, 0))
+    return (ev.select("event_id", "user_id", "tm",
+                      F.count("*").over(w).alias("n_24h"),
+                      F.sum("cents").over(w).alias("cents_24h"))
+            .select("event_id", "user_id", "tm",
+                    F.col("n_24h").cast("long").alias("n_24h"),
+                    F.col("cents_24h").cast("long").alias("cents_24h")))
+
+
+def _sql_rolling_stats() -> str:
+    return f"""WITH ev AS (SELECT event_id, user_id,
+                   epoch_us(ts) AS tm,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events)
+SELECT event_id, user_id, tm,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+       CAST(SUM(cents) OVER w AS BIGINT) AS cents_24h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY tm
+             RANGE BETWEEN {ROLL_WIN_US} PRECEDING AND CURRENT ROW)"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: per
+    user, consecutive event-type pairs (LEAD over canonical micros),
+    rolled up to (from_type, to_type) counts with the empirical
+    transition probability as an exact micro-quantized integer
+    (1e6 * n div row_total — one floored division, no float sum).
+
+    Scale plan: one shuffle on user_id for the LEAD window, one hash
+    agg on the 5x5 pair key, and the per-from totals come from a
+    window over the TINY aggregated matrix — nothing quadratic, no
+    second scan of the raw stream.
+
+    FULL SQL ORACLE (_sql_event_transitions): identical windows."""
+    ev = _events_micros(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tm", "event_id")
+    pairs = (ev.select("user_id", "event_type", "tm", "event_id",
+                       F.lead("event_type").over(w).alias("nxt"))
+             .where(F.col("nxt").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"),
+                      F.col("nxt").alias("to_type"))
+             .agg(F.count("*").alias("n")))
+    tot = Window.partitionBy("from_type")
+    return (pairs.withColumn("row_total", F.sum("n").over(tot))
+            .select("from_type", "to_type",
+                    F.col("n").cast("long").alias("n"),
+                    F.expr("(1000000 * n) div row_total")
+                    .cast("long").alias("p_micro")))
+
+
+def _sql_event_transitions() -> str:
+    return """WITH ev AS (SELECT user_id, event_type, event_id,
+                   epoch_us(ts) AS tm FROM events),
+pairs AS (SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY tm, event_id) AS to_type
+          FROM ev),
+m AS (SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST((1000000 * n) // SUM(n) OVER (PARTITION BY from_type)
+            AS BIGINT) AS p_micro
+FROM m"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -6563,6 +6652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "label_prop": q_label_prop,
         "mad_outliers": q_mad_outliers,
+        "rolling_stats": q_rolling_stats,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -6677,4 +6768,6 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": _sql_retention_cohorts(),
         "label_prop": _sql_label_prop(n),
         "mad_outliers": _sql_mad_outliers(),
+        "rolling_stats": _sql_rolling_stats(),
+        "event_transitions": _sql_event_transitions(),
     }
