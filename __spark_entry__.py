@@ -5557,7 +5557,17 @@ def q_url_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow; hash collisions can only ADD candidates, which the exact
     verify removes, so the result equals the oracle's raw-string join.
     The df-cap itself is computed on raw signature strings in BOTH
-    engines, so the surviving-signature set is identical.
+    engines (the anti join is broadcast, so the strings never cross an
+    exchange), so the surviving-signature set is identical.
+
+    Shuffle slimming: only (pid, k) — 16 bytes/row — enters the
+    signature self-join; the URL strings are fetched AFTER the
+    candidate dedup by joining the deduped (id_a, id_b) pairs back to
+    the url relation (AQE broadcasts it when it fits).  At sf0.1 the
+    fat and slim plans time within co-tenant noise of each other
+    (~5-7 s), but at 100 TB the strings are long and the |s|+1-way
+    explode makes the string-carrying shuffle the clear bottleneck —
+    the slim plan ships 16 B/row regardless of URL length.
 
     FULL SQL ORACLE (_sql_url_edit_pairs): the same deletion expansion
     via range+substr in DuckDB, raw-string join, DuckDB levenshtein."""
@@ -5573,15 +5583,17 @@ def q_url_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = (sig.groupBy("sig").agg(F.count("*").alias("df"))
            .where(F.col("df") > EDIT_SIG_DFCAP).select("sig"))
     sig = (sig.join(F.broadcast(hot), "sig", "left_anti")
-           .select("pid", "s", F.xxhash64("sig").alias("k")))
-    a = sig.select(F.col("pid").alias("id_a"), F.col("s").alias("s_a"),
-                   "k")
-    b = sig.select(F.col("pid").alias("id_b"), F.col("s").alias("s_b"),
-                   "k")
+           .select("pid", F.xxhash64("sig").alias("k")))
+    a = sig.select(F.col("pid").alias("id_a"), "k")
+    b = sig.select(F.col("pid").alias("id_b"), "k")
     cand = (a.join(b, "k")
             .where(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b", "s_a", "s_b").agg(F.lit(1)))
+            .groupBy("id_a", "id_b").agg(F.lit(1)))
     return (cand
+            .join(u.select(F.col("pid").alias("id_a"),
+                           F.col("s").alias("s_a")), "id_a")
+            .join(u.select(F.col("pid").alias("id_b"),
+                           F.col("s").alias("s_b")), "id_b")
             .withColumn("edit_dist",
                         F.levenshtein(F.col("s_a"), F.col("s_b"))
                         .cast("long"))
