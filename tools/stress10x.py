@@ -69,6 +69,13 @@ def geo_queries(z_knn: int):
         "od_flows": entry.q_od_flows,
         "domain_gyration": entry.q_domain_gyration,
         "knox_pairs": entry.q_knox_pairs,
+        # session 15-17 row-scaling queries.  The domain-GRAPH queries
+        # (kcore/cocitation/hits/link_pred, like triangles before them)
+        # are excluded: the synthetic 1000-node link graph saturates
+        # toward completeness as pages grow, so their input stops
+        # growing with n — a property of the data, not the plans.
+        "stay_points": entry.q_stay_points,
+        "url_edit_pairs": entry.q_url_edit_pairs,
     }
 
 
@@ -76,6 +83,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", type=int, default=600_000)
     ap.add_argument("--big", type=int, default=6_000_000)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run only these query names")
     args = ap.parse_args()
 
     spark = get_spark()
@@ -97,6 +106,9 @@ def main() -> None:
             qs["knn_join_z13_fixed"] = geo_queries(13)[
                 "knn_join_z13"] if z_knn != 13 else None
             qs = {k: v for k, v in qs.items() if v is not None}
+        if args.only:
+            qs = {k: v for k, v in qs.items()
+                  if any(k.startswith(o) for o in args.only)}
         for name, q in qs.items():
             try:
                 # steady-state: second run after a first paying codegen
