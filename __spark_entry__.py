@@ -6555,6 +6555,121 @@ FROM m"""
 
 
 # ---------------------------------------------------------------------------
+# session 18: TPC-H Q3/Q6 analogues over the real relational tables
+# ---------------------------------------------------------------------------
+
+_Q3_CUT_US = 865_123_200 * 1_000_000     # 1997-06-01T00:00:00Z
+_Q3_SEGMENT = "BUILDING"
+_Q3_TOPK = 10
+_Q6_LO_US = 852_076_800 * 1_000_000      # 1997-01-01
+_Q6_HI_US = 883_612_800 * 1_000_000      # 1998-01-01
+
+
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: unshipped revenue per order
+    for one market segment — orders placed before the cutoff whose
+    lineitems ship after it, revenue as the exact integer
+    Σ price_c * (100 - disc_c) (cents x100), top orders by revenue.
+
+    All date gates compare stored epoch micros — session-timezone
+    independent; all money is integer cents, so the revenue ranking
+    has no float-accumulation ambiguity.
+
+    Plan: customer (segment-filtered) broadcasts into orders; the
+    orders->lineitem join shuffles on orderkey (both sides pre-filtered
+    — predicate pushdown confirmed in ReadSchema/PushedFilters); final
+    top-k is a TakeOrdered.
+
+    FULL SQL ORACLE (_sql_ship_priority): identical gates+arithmetic."""
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .where(F.col("c_mktsegment") == _Q3_SEGMENT)
+            .select("c_custkey"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = (o.where(temporal.epoch_micros(o, "o_orderdate")
+                      < _Q3_CUT_US)
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey",
+                      temporal.epoch_micros(o, "o_orderdate")
+                      .alias("o_date_us"),
+                      "o_orderpriority"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    items = (li.where(temporal.epoch_micros(li, "l_shipdate")
+                      > _Q3_CUT_US)
+             .select("l_orderkey",
+                     (_money_cents(F.col("l_extendedprice"))
+                      * (100 - _money_cents(F.col("l_discount"))))
+                     .alias("rev_c2")))
+    return (items.join(orders,
+                       F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_orderkey", "o_date_us", "o_orderpriority")
+            .agg(F.sum("rev_c2").alias("revenue_c2"))
+            .orderBy(F.col("revenue_c2").desc(), "l_orderkey")
+            .limit(_Q3_TOPK)
+            .select(F.col("l_orderkey").cast("long").alias("l_orderkey"),
+                    F.col("o_date_us").cast("long").alias("o_date_us"),
+                    "o_orderpriority",
+                    F.col("revenue_c2").cast("long").alias("revenue_c2")))
+
+
+def _sql_ship_priority() -> str:
+    return f"""WITH cust AS (SELECT c_custkey FROM customer
+          WHERE c_mktsegment = '{_Q3_SEGMENT}'),
+o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_us,
+             o_orderpriority
+      FROM orders JOIN cust ON o_custkey = c_custkey
+      WHERE epoch_us(o_orderdate) < {_Q3_CUT_US}),
+it AS (SELECT l_orderkey,
+              CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+              AS rev_c2
+       FROM lineitem WHERE epoch_us(l_shipdate) > {_Q3_CUT_US})
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(o_date_us AS BIGINT) AS o_date_us, o_orderpriority,
+       CAST(SUM(rev_c2) AS BIGINT) AS revenue_c2
+FROM it JOIN o ON l_orderkey = o_orderkey
+GROUP BY 1, 2, 3
+ORDER BY revenue_c2 DESC, l_orderkey LIMIT {_Q3_TOPK}"""
+
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style revenue-change forecast: the exact integer
+    Σ price_c * disc_c (cents x100) over one ship year for discounts
+    in the 5-7 cent band and quantity < 24 — the canonical
+    scan-filter-aggregate: ONE map-side stage, single-row result.
+    The gates here are expressions (epoch micros, cents rounding) so
+    they filter in the scan stage but are not parquet row-group
+    predicates; a production layout partitions by ship date so this
+    query prunes files instead (cf. plans/checkpoint.py's
+    dynamic-partition layout).
+
+    FULL SQL ORACLE (_sql_revenue_forecast): identical gates."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_c = _money_cents(F.col("l_discount"))
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    t = (li.where((temporal.epoch_micros(li, "l_shipdate") >= _Q6_LO_US)
+                  & (temporal.epoch_micros(li, "l_shipdate") < _Q6_HI_US))
+         .where(disc_c.between(5, 7) & (qty < 24)))
+    return (t.agg(F.sum(_money_cents(F.col("l_extendedprice"))
+                        * disc_c).alias("revenue_c2"),
+                  F.count("*").alias("n_items"))
+            .select(F.col("revenue_c2").cast("long").alias("revenue_c2"),
+                    F.col("n_items").cast("long").alias("n_items")))
+
+
+def _sql_revenue_forecast() -> str:
+    return f"""SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_c2,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= {_Q6_LO_US}
+  AND epoch_us(l_shipdate) < {_Q6_HI_US}
+  AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(ROUND(l_quantity, 0) AS BIGINT) < 24"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -6675,6 +6790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "rolling_stats": q_rolling_stats,
         "event_transitions": q_event_transitions,
+        "ship_priority": q_ship_priority,
+        "revenue_forecast": q_revenue_forecast,
     }
 
 
@@ -6791,4 +6908,6 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _sql_mad_outliers(),
         "rolling_stats": _sql_rolling_stats(),
         "event_transitions": _sql_event_transitions(),
+        "ship_priority": _sql_ship_priority(),
+        "revenue_forecast": _sql_revenue_forecast(),
     }

@@ -53,7 +53,7 @@ HEADLINE = [
     "kcore", "cocitation", "token_pmi", "phrase_hits",
     "bm25_topk", "hits_scores", "link_pred", "stay_points",
     "funnel_conv", "retention_cohorts", "label_prop", "mad_outliers",
-    "rolling_stats", "event_transitions",
+    "rolling_stats", "event_transitions", "ship_priority", "revenue_forecast",
 ]
 
 
