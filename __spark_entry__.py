@@ -3346,22 +3346,29 @@ def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance tie picks the lower id deterministically in both engines.
     Distance sums are per-point meter-rounded BIGINTs (exact, order-
     independent).
+
+    Transcendental-count optimization: the argmin runs on the haversine
+    KERNEL h = sin²(Δφ/2) + cosφ·cosφ_c·sin²(Δλ/2), which is strictly
+    monotone in the distance d = 2R·asin(√h) — so the winner (and the
+    (d, city_id) tie-break) is identical, but asin/√ run ONCE per point
+    instead of once per candidate (40× fewer).  The oracle keeps the
+    full-distance form; equality is via the green value hash.
     """
     pts = _points(spark, sf_dir)
     cand = F.array(*[
         F.struct(
-            (F.lit(2.0 * EARTH_R) * F.asin(F.sqrt(
-                F.pow(F.sin((F.radians(F.lit(cy)) - F.radians(F.col("lat"))) / 2), 2)
-                + F.cos(F.radians(F.col("lat"))) * F.cos(F.radians(F.lit(cy)))
-                * F.pow(F.sin((F.radians(F.lit(cx)) - F.radians(F.col("lon"))) / 2), 2)
-            ))).alias("d"),
+            (F.pow(F.sin((F.radians(F.lit(cy)) - F.radians(F.col("lat"))) / 2), 2)
+             + F.cos(F.radians(F.col("lat"))) * F.cos(F.radians(F.lit(cy)))
+             * F.pow(F.sin((F.radians(F.lit(cx)) - F.radians(F.col("lon"))) / 2), 2)
+             ).alias("h"),
             F.lit(i).alias("city_id"))
         for i, (cx, cy) in enumerate(CITY_CENTERS)])
     best = F.array_min(cand)
+    d = F.lit(2.0 * EARTH_R) * F.asin(F.sqrt(best["h"]))
     lab = pts.select(
         "domain",
         best["city_id"].alias("city_id"),
-        F.round(best["d"], 0).cast("long").alias("d_m"))
+        F.round(d, 0).cast("long").alias("d_m"))
     return (lab.groupBy("city_id").agg(
         F.count("*").alias("n_pages"),
         F.countDistinct("domain").alias("n_domains"),
