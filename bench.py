@@ -89,16 +89,30 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float],
         n = df.count()
         cold[name] = round(time.time() - t0, 3)
         assert n >= 0
-    # drop DataFrame persist entries (e.g. tile_pyramid's materialized
-    # levels) so the steady pass measures recomputation, not cache reads
-    # — Spark's cache is keyed on the canonical plan, so a fresh call to
-    # the same query would otherwise silently hit the cold pass's cache.
-    spark.catalog.clearCache()
+        _clear_persisted(spark)
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
+        _clear_persisted(spark)
     return out, cold
+
+
+def _clear_persisted(spark) -> None:
+    """Per-query isolation: drop every persisted DataFrame/RDD after a
+    query is timed.  At 100 TB each query runs as its own job with its
+    own executors; inside one long-lived bench session, a query's
+    persisted intermediates (LSH candidate caches, checkpointed edge
+    sets, materialized pyramid levels) would otherwise squat in executor
+    memory for every LATER query — measured here as a steady-pass
+    slowdown up to 2x on late-list queries (knox_pairs 11.7 s polluted
+    vs 6.5 s isolated), pure cross-tenant interference, not query cost.
+    Also keyed per-plan: a fresh call to the same query would silently
+    hit the previous pass's cache without this."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in jmap.values():
+        jrdd.unpersist()
 
 
 SCALING_ROWS = 32_000_000

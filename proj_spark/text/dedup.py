@@ -26,7 +26,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, LongType
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StructField,
+                               StructType)
 
 MERSENNE61 = (1 << 61) - 1
 
@@ -145,72 +146,102 @@ def _shingle_hashes(texts: pd.Series, width: int) -> list[np.ndarray]:
             for d in range(len(texts))]
 
 
-def minhash_udf(num_hashes: int = 64, shingle: int = 5):
-    """pandas UDF: text -> array<long> of minhash signatures.
-
-    Hash family: h_j(x) = (a_j x + b_j) mod M61 with fixed odd constants
-    derived from j (deterministic, no RNG).  One vectorized uint64 pass
-    per hash function over the whole Arrow batch; per-document minima via
-    segmented np.minimum.reduceat (duplicate shingles cannot change a
-    min, so no per-doc unique pass is needed).
-    """
+@lru_cache(maxsize=8)
+def _affine_consts(num_hashes: int):
+    """Fixed odd affine constants of the minhash family h_j(x) =
+    (a_j x + b_j) mod M61, plus 31-bit splits (a_hi2 = 2*a_hi folds the
+    2^62 === 2 Mersenne identity into the constant)."""
     a = np.array([(2 * j + 1) * 2654435761 % MERSENNE61 for j in range(num_hashes)],
                  dtype=np.uint64)
     b = np.array([(j * 40503 + 2654435769) % MERSENNE61 for j in range(num_hashes)],
                  dtype=np.uint64)
+    return a >> np.uint64(31), (a >> np.uint64(31)) * np.uint64(2), a & _MASK31, b
 
-    # scalar 31-bit splits of a_j, precomputed once (a_hi2 = 2*a_hi folds
-    # the 2^62 === 2 Mersenne identity into the constant)
-    a_hi2 = (a >> np.uint64(31)) * np.uint64(2)
-    a_hi = a >> np.uint64(31)
-    a_lo = a & _MASK31
+
+def _minhash_matrix(H: np.ndarray, starts: np.ndarray, n: int,
+                    num_hashes: int) -> np.ndarray:
+    """(n, num_hashes) int64 minhash signatures from the concatenated
+    window hashes.  One vectorized uint64 pass per hash function over
+    the whole Arrow batch; per-document minima via segmented
+    np.minimum.reduceat (duplicate shingles cannot change a min, so no
+    per-doc unique pass is needed)."""
+    a_hi, a_hi2, a_lo, b = _affine_consts(num_hashes)
+    out = np.zeros((n, num_hashes), dtype=np.int64)
+    nwin = np.diff(starts)
+    if H.size:
+        # doc-aligned chunks keep all per-j temporaries cache-resident
+        doc_nz = np.flatnonzero(nwin)
+        c0 = 0
+        while c0 < len(doc_nz):
+            c1 = int(np.searchsorted(
+                starts[doc_nz], starts[doc_nz[c0]] + (1 << 18), "left"))
+            c1 = max(c1, c0 + 1)
+            docs_c = doc_nz[c0:c1]
+            lo, hi = starts[docs_c[0]], starts[docs_c[-1] + 1]
+            Hc = H[lo:hi]
+            idx = starts[docs_c] - lo
+            # hoisted 31-bit split of the shingle hashes
+            x_hi = Hc >> np.uint64(31)
+            x_lo = Hc & _MASK31
+            w1 = np.empty(len(Hc), dtype=np.uint64)
+            w2 = np.empty(len(Hc), dtype=np.uint64)
+            for j in range(num_hashes):
+                # fused (a*x + b) mod 2^61-1 with reused workspaces:
+                # all partial terms < 2^63, one final fold suffices
+                # (see the _modmul61 derivation)
+                np.multiply(x_lo, a_hi[j], out=w1)
+                np.multiply(x_hi, a_lo[j], out=w2)
+                w1 += w2                       # mid = a_hi*x_lo + a_lo*x_hi
+                np.right_shift(w1, np.uint64(30), out=w2)   # m_hi
+                w1 &= _MASK30
+                w1 <<= np.uint64(31)           # m_lo * 2^31
+                w1 += w2
+                np.multiply(x_hi, a_hi2[j], out=w2)
+                w1 += w2                       # + a_hi*x_hi*2 (2^62 === 2)
+                np.multiply(x_lo, a_lo[j], out=w2)
+                w1 += w2                       # + a_lo*x_lo
+                w1 += b[j]
+                np.right_shift(w1, np.uint64(61), out=w2)
+                w1 &= _M61
+                w1 += w2                       # fold 2^61 === 1
+                np.subtract(w1, _M61, out=w1, where=w1 >= _M61)
+                out[docs_c, j] = np.minimum.reduceat(w1, idx).astype(np.int64)
+            c0 = c1
+    return out
+
+
+def minhash_udf(num_hashes: int = 64, shingle: int = 5):
+    """pandas UDF: text -> array<long> of minhash signatures (one
+    _batch_shingles pass + the shared _minhash_matrix kernel)."""
 
     @pandas_udf(ArrayType(LongType()))
     def _f(text: pd.Series) -> pd.Series:
         H, starts = _batch_shingles(text, shingle)
-        n = len(text)
-        out = np.zeros((n, num_hashes), dtype=np.int64)
-        nwin = np.diff(starts)
-        if H.size:
-            # doc-aligned chunks keep all per-j temporaries cache-resident
-            doc_nz = np.flatnonzero(nwin)
-            c0 = 0
-            while c0 < len(doc_nz):
-                c1 = int(np.searchsorted(
-                    starts[doc_nz], starts[doc_nz[c0]] + (1 << 18), "left"))
-                c1 = max(c1, c0 + 1)
-                docs_c = doc_nz[c0:c1]
-                lo, hi = starts[docs_c[0]], starts[docs_c[-1] + 1]
-                Hc = H[lo:hi]
-                idx = starts[docs_c] - lo
-                # hoisted 31-bit split of the shingle hashes
-                x_hi = Hc >> np.uint64(31)
-                x_lo = Hc & _MASK31
-                w1 = np.empty(len(Hc), dtype=np.uint64)
-                w2 = np.empty(len(Hc), dtype=np.uint64)
-                for j in range(num_hashes):
-                    # fused (a*x + b) mod 2^61-1 with reused workspaces:
-                    # all partial terms < 2^63, one final fold suffices
-                    # (see the _modmul61 derivation)
-                    np.multiply(x_lo, a_hi[j], out=w1)
-                    np.multiply(x_hi, a_lo[j], out=w2)
-                    w1 += w2                       # mid = a_hi*x_lo + a_lo*x_hi
-                    np.right_shift(w1, np.uint64(30), out=w2)   # m_hi
-                    w1 &= _MASK30
-                    w1 <<= np.uint64(31)           # m_lo * 2^31
-                    w1 += w2
-                    np.multiply(x_hi, a_hi2[j], out=w2)
-                    w1 += w2                       # + a_hi*x_hi*2 (2^62 === 2)
-                    np.multiply(x_lo, a_lo[j], out=w2)
-                    w1 += w2                       # + a_lo*x_lo
-                    w1 += b[j]
-                    np.right_shift(w1, np.uint64(61), out=w2)
-                    w1 &= _M61
-                    w1 += w2                       # fold 2^61 === 1
-                    np.subtract(w1, _M61, out=w1, where=w1 >= _M61)
-                    out[docs_c, j] = np.minimum.reduceat(w1, idx).astype(np.int64)
-                c0 = c1
-        return pd.Series(list(out))
+        return pd.Series(list(_minhash_matrix(H, starts, len(text), num_hashes)))
+
+    return _f
+
+
+def minhash_sig_set_udf(num_hashes: int = 64, shingle: int = 5):
+    """pandas UDF: text -> struct(sig: array<long>, sh: array<long>).
+
+    ONE text scan yields both the minhash signature (for LSH banding)
+    and the sorted-unique shingle set (for the exact-Jaccard verify) —
+    the shingle windows are hashed once (_batch_shingles) and consumed
+    twice.  This halves the Python stages of a near-dup pipeline and,
+    paired with a JVM-side array_intersect verify, removes the need to
+    collect per-document sets to the driver (the O(corpus)-driver-memory
+    anti-pattern) — every stage stays distributed."""
+    fields = StructType([StructField("sig", ArrayType(LongType())),
+                         StructField("sh", ArrayType(LongType()))])
+
+    @pandas_udf(fields)
+    def _f(text: pd.Series) -> pd.DataFrame:
+        H, starts = _batch_shingles(text, shingle)
+        sig = _minhash_matrix(H, starts, len(text), num_hashes)
+        sets = [np.unique(H[starts[d]:starts[d + 1]].astype(np.int64))
+                for d in range(len(text))]
+        return pd.DataFrame({"sig": list(sig), "sh": sets})
 
     return _f
 
