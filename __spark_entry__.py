@@ -4710,12 +4710,19 @@ def q_knox_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     page's crawl second.
 
     Plan: 3-D grid binning (x cell, y cell, time bucket), the LEFT
-    side exploded to its 3x3x3 neighbor cells, equi-join on the cell
-    triple, exact predicate + id_a < id_b.  Each pair shares exactly
-    ONE (neighbor-of-a = home-of-b) cell, so there is no duplicate to
-    dedup — no distinct shuffle.  At 10^12 rows, explode the SMALLER
-    epoch partition of a time-bucketed layout instead of the whole
-    relation; the join stays the same.
+    side exploded to a HALF-neighborhood, equi-join on the cell
+    triple, exact predicate.  Each unordered pair is generated exactly
+    once, so there is no duplicate to dedup — no distinct shuffle, and
+    (unlike the full 3x3x3 explode with an id_a < id_b filter) no
+    mirror candidate built only to be discarded.  Offsets: b_pid >
+    a_pid forces floor(b/T) - floor(a/T) into {0, 1}, so dt = -1 can
+    never match (drops 9 of 27); for dt = 0 the pair's cell difference
+    is symmetric, so only the 5 lexicographically non-negative spatial
+    offsets are needed (the member of {v, -v} that is "upper" explodes
+    toward the other's home cell) — 14 offsets total, and candidate
+    join volume halves.  At 10^12 rows, explode the SMALLER epoch
+    partition of a time-bucketed layout instead of the whole relation;
+    the join stays the same.
 
     FULL SQL ORACLE (_sql_knox_pairs): the unpruned theta join."""
     pts = _points(spark, sf_dir)
@@ -4725,13 +4732,17 @@ def q_knox_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
         F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
     S, T = KNOX_S_UDEG, KNOX_T_S
+    offs = ([(dx, dy, 1) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+            + [(dx, dy, 0) for (dx, dy) in
+               ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))])
     off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
-                             F.lit(dt).alias("dt"))
-                    for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-                    for dt in (-1, 0, 1)])
+                             F.lit(dt).alias("dt"),
+                             F.lit(dx == 0 and dy == 0 and dt == 0)
+                             .alias("home"))
+                    for dx, dy, dt in offs])
     a = (t.withColumn("_o", F.explode(off))
          .select(F.col("pid").alias("a_pid"), F.col("x").alias("a_x"),
-                 F.col("y").alias("a_y"),
+                 F.col("y").alias("a_y"), F.col("_o.home").alias("home"),
                  (F.floor(F.col("x") / F.lit(float(S)))
                   + F.col("_o.dx")).alias("cx"),
                  (F.floor(F.col("y") / F.lit(float(S)))
@@ -4743,16 +4754,26 @@ def q_knox_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.floor(F.col("x") / F.lit(float(S))).alias("cx"),
                  F.floor(F.col("y") / F.lit(float(S))).alias("cy"),
                  F.floor(F.col("pid") / F.lit(float(T))).alias("ct"))
+    # dt=0 directional candidates arrive in arbitrary pid order (the
+    # spatially-lower point explodes, which may be the later page):
+    # emit time-ordered (earlier = pid_a), deltas signed later-earlier.
+    swap = F.col("a_pid") > F.col("b_pid")
+    lo = F.least("a_pid", "b_pid")
+    hi = F.greatest("a_pid", "b_pid")
     return (a.join(b, ["cx", "cy", "ct"])
-            .where((F.col("a_pid") < F.col("b_pid"))
-                   & (F.abs(F.col("a_x") - F.col("b_x")) <= S)
+            .where((F.abs(F.col("a_x") - F.col("b_x")) <= S)
                    & (F.abs(F.col("a_y") - F.col("b_y")) <= S)
-                   & (F.col("b_pid") - F.col("a_pid") <= T))
-            .select(F.col("a_pid").alias("pid_a"),
-                    F.col("b_pid").alias("pid_b"),
-                    (F.col("b_x") - F.col("a_x")).alias("dx_udeg"),
-                    (F.col("b_y") - F.col("a_y")).alias("dy_udeg"),
-                    (F.col("b_pid") - F.col("a_pid")).alias("dt_s")))
+                   & (F.col("a_pid") != F.col("b_pid"))
+                   & (hi - lo <= T)
+                   & (~F.col("home") | (F.col("a_pid") < F.col("b_pid"))))
+            .select(lo.alias("pid_a"), hi.alias("pid_b"),
+                    F.when(swap, F.col("a_x") - F.col("b_x"))
+                    .otherwise(F.col("b_x") - F.col("a_x"))
+                    .alias("dx_udeg"),
+                    F.when(swap, F.col("a_y") - F.col("b_y"))
+                    .otherwise(F.col("b_y") - F.col("a_y"))
+                    .alias("dy_udeg"),
+                    (hi - lo).alias("dt_s")))
 
 
 def _sql_knox_pairs(n: int) -> str:
@@ -4779,10 +4800,12 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     lie within a Chebyshev µdeg box of half-width S, for three nested
     scales — the multi-distance clustering signature spatial
     statisticians read K(r) from.  ONE pass: pairs found once at the
-    LARGEST scale by the 2-D grid neighbor join (same
-    one-cell-per-pair property as knox_pairs), then each pair's
-    max(|dx|, |dy|) is bucketed into every scale it fits — exact
-    integer counts, no per-scale re-scan.
+    LARGEST scale by the 2-D grid HALF-neighborhood join — only the 5
+    lexicographically non-negative offsets explode, so each unordered
+    pair is generated exactly once instead of twice-then-filtered
+    (same trick as knox_pairs; the home cell keeps the pid tiebreak) —
+    then each pair's max(|dx|, |dy|) is bucketed into every scale it
+    fits: exact integer counts, no per-scale re-scan.
 
     FULL SQL ORACLE (_sql_ripley_k): the unpruned theta join with the
     same CASE bucketing."""
@@ -4793,11 +4816,13 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
         F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
     S = RIPLEY_SCALES[-1]
-    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                    for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                             F.lit(dx == 0 and dy == 0).alias("home"))
+                    for dx, dy in
+                    ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))])
     a = (t.withColumn("_o", F.explode(off))
          .select(F.col("pid").alias("a_pid"), F.col("x").alias("a_x"),
-                 F.col("y").alias("a_y"),
+                 F.col("y").alias("a_y"), F.col("_o.home").alias("home"),
                  (F.floor(F.col("x") / F.lit(float(S)))
                   + F.col("_o.dx")).alias("cx"),
                  (F.floor(F.col("y") / F.lit(float(S)))
@@ -4809,7 +4834,8 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.greatest(F.abs(F.col("a_x") - F.col("b_x")),
                    F.abs(F.col("a_y") - F.col("b_y")))
     pairs = (a.join(b, ["cx", "cy"])
-             .where((F.col("a_pid") < F.col("b_pid")) & (d <= S))
+             .where((d <= S)
+                    & (~F.col("home") | (F.col("a_pid") < F.col("b_pid"))))
              .select(d.alias("d")))
     scale = F.explode(F.array(*[F.lit(s) for s in RIPLEY_SCALES]))
     return (pairs.select("d", scale.alias("scale_udeg"))
@@ -5496,11 +5522,13 @@ def q_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the end, mirrored by the oracle.
 
     Scale plan: pairs are found ONCE at the LARGEST lag by the 2-D
-    grid neighbor join (cell width = max lag, 3x3 neighbor explode on
-    one side — every qualifying pair shares exactly one cell pair, so
-    no dedup shuffle; same one-pass property as knox_pairs/ripley_k),
+    grid HALF-neighborhood join (cell width = max lag; only the 5
+    lexicographically non-negative offsets explode, so every
+    qualifying pair is generated exactly once — no dedup shuffle, no
+    discarded mirror candidates; same trick as knox_pairs/ripley_k),
     then bucketed into disjoint lag rings by a CASE.  No per-lag
-    re-scan, no theta join.
+    re-scan, no theta join.  The squared z-difference is symmetric, so
+    candidate pair order is irrelevant.
 
     FULL SQL ORACLE (_sql_semivariogram): the unpruned theta join with
     the same CASE bucketing and integer statistics."""
@@ -5512,11 +5540,14 @@ def q_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
     t = t.withColumn("z", _semivar_z(F.col("x"), F.col("y")))
     S = SEMIVAR_LAGS[-1]
-    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                    for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                             F.lit(dx == 0 and dy == 0).alias("home"))
+                    for dx, dy in
+                    ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))])
     a = (t.withColumn("_o", F.explode(off))
          .select(F.col("pid").alias("a_pid"), F.col("x").alias("a_x"),
                  F.col("y").alias("a_y"), F.col("z").alias("a_z"),
+                 F.col("_o.home").alias("home"),
                  (F.floor(F.col("x") / F.lit(float(S)))
                   + F.col("_o.dx")).alias("cx"),
                  (F.floor(F.col("y") / F.lit(float(S)))
@@ -5532,7 +5563,8 @@ def q_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            .otherwise(F.lit(SEMIVAR_LAGS[2])))
     sq = (F.col("a_z") - F.col("b_z")) * (F.col("a_z") - F.col("b_z"))
     return (a.join(b, ["cx", "cy"])
-            .where((F.col("a_pid") < F.col("b_pid")) & (d <= S))
+            .where((d <= S)
+                   & (~F.col("home") | (F.col("a_pid") < F.col("b_pid"))))
             .select(lag.cast("long").alias("lag_udeg"), sq.alias("sq"))
             .groupBy("lag_udeg")
             .agg(F.count("*").alias("n_pairs"),

@@ -109,6 +109,39 @@ def neighbor_cells(cell: Column, ring: int = 1) -> Column:
     ))
 
 
+def half_neighbor_cells(cell: Column) -> Column:
+    """Array of struct(cell, home) over the lexicographic HALF
+    neighborhood {(0,0), (0,1), (1,-1), (1,0), (1,1)}.
+
+    For a symmetric pair join (distance/radius self-join), exploding one
+    side over this half set generates each unordered pair of ring-1
+    cells exactly ONCE — for any cell difference v != 0 exactly one of
+    {v, -v} is in the set — instead of the full-3x3-then-`id_a < id_b`
+    plan that builds every candidate twice and discards half.  The home
+    entry (flag true) still needs the id tiebreak for same-cell pairs.
+
+    Out-of-world offsets are DROPPED, not clamped: a clamped offset can
+    collapse onto a real neighbor's cell and would double-generate edge
+    pairs under the half-set argument (clamping is only safe with the
+    full ring + global id filter, as in :func:`neighbor_cells`).
+    """
+    z = cell_z(cell)
+    n = F.pow(F.lit(2.0), z).cast("long")
+    x = cell_x(cell)
+    y = cell_y(cell)
+    entries = []
+    for dx, dy in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1)):
+        nx = x + F.lit(dx).cast("long")
+        ny = y + F.lit(dy).cast("long")
+        packed = (z * F.lit(1 << Z_SHIFT).cast("long")
+                  + nx * F.lit(1 << X_SHIFT).cast("long") + ny)
+        valid = ((nx >= 0) & (nx < n) & (ny >= 0) & (ny < n))
+        entries.append(F.when(valid, F.struct(
+            packed.alias("cell"),
+            F.lit(dx == 0 and dy == 0).alias("home"))))
+    return F.filter(F.array(*entries), lambda e: e.isNotNull())
+
+
 # --- SQL string builders (for oracle parity, ANSI/DuckDB dialect) --------
 
 def tile_x_sql(lon_expr: str, z: int) -> str:

@@ -307,7 +307,8 @@ def radius_join(pts: DataFrame, radius_m: float, z: int = 13,
     under-reporting pairs.
 
     Scale shape: one shuffle on the cell key (dense cells AQE-split),
-    candidate fan-out bounded by cell occupancy x 9, work sum(cell^2),
+    candidate fan-out bounded by cell occupancy x 5 (half-neighborhood:
+    each unordered pair generated once, not twice), work sum(cell^2),
     never n^2 — the standard DISTANCE-join grid plan (reference
     analogue: grid bbox containment dispatch, src/apply_gridshift.cpp).
     """
@@ -325,18 +326,24 @@ def radius_join(pts: DataFrame, radius_m: float, z: int = 13,
     base = pts.select(
         F.col(id_col), F.col(lon_col), F.col(lat_col),
         cells.cell_id(F.col(lon_col), F.col(lat_col), z).alias("cell"))
-    left = base.select(
-        id_col, lon_col, lat_col,
-        F.explode(cells.neighbor_cells(F.col("cell"), 1)).alias("cell"))
+    # HALF-neighborhood explode: each unordered pair of distinct cells
+    # is generated exactly once (see cells.half_neighbor_cells), so only
+    # same-cell (home) candidates need the id tiebreak; the full-3x3
+    # plan built every candidate twice and filtered half away.
+    left = (base.withColumn(
+        "_nb", F.explode(cells.half_neighbor_cells(F.col("cell"))))
+        .select(id_col, lon_col, lat_col,
+                F.col("_nb.cell").alias("cell"),
+                F.col("_nb.home").alias("_home")))
     right = base.select(F.col(id_col).alias("_rid"),
                         F.col(lon_col).alias("_rlon"),
                         F.col(lat_col).alias("_rlat"), "cell")
-    # ring membership is Chebyshev-symmetric and the right side carries ONE
-    # cell per point, so id_a < id_b keeps each pair exactly once
     cand = (left.join(right, "cell")
-            .where(F.col(id_col) < F.col("_rid")))
+            .where(~F.col("_home") | (F.col(id_col) < F.col("_rid"))))
+    # directional candidates arrive in arbitrary id order: emit sorted
     return (cand.select(
-        F.col(id_col).alias("id_a"), F.col("_rid").alias("id_b"),
+        F.least(F.col(id_col), F.col("_rid")).alias("id_a"),
+        F.greatest(F.col(id_col), F.col("_rid")).alias("id_b"),
         haversine_expr(F.col(lon_col), F.col(lat_col),
                        F.col("_rlon"), F.col("_rlat")).alias("dist_m"))
         .where(F.col("dist_m") <= F.lit(float(radius_m))))
