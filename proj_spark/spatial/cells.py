@@ -109,14 +109,16 @@ def neighbor_cells(cell: Column, ring: int = 1) -> Column:
     ))
 
 
-def half_neighbor_cells(cell: Column) -> Column:
+def half_neighbor_cells(cell: Column, ring: int = 1) -> Column:
     """Array of struct(cell, home) over the lexicographic HALF
-    neighborhood {(0,0), (0,1), (1,-1), (1,0), (1,1)}.
+    neighborhood: (0,0) plus every offset with (dx > 0) or (dx == 0 and
+    dy > 0), Chebyshev distance <= ring (for ring=1:
+    {(0,0), (0,1), (1,-1), (1,0), (1,1)}).
 
     For a symmetric pair join (distance/radius self-join), exploding one
-    side over this half set generates each unordered pair of ring-1
+    side over this half set generates each unordered pair of in-ring
     cells exactly ONCE — for any cell difference v != 0 exactly one of
-    {v, -v} is in the set — instead of the full-3x3-then-`id_a < id_b`
+    {v, -v} is in the set — instead of the full-ring-then-`id_a < id_b`
     plan that builds every candidate twice and discards half.  The home
     entry (flag true) still needs the id tiebreak for same-cell pairs.
 
@@ -129,8 +131,12 @@ def half_neighbor_cells(cell: Column) -> Column:
     n = F.pow(F.lit(2.0), z).cast("long")
     x = cell_x(cell)
     y = cell_y(cell)
+    half = [(0, 0)] + [(dx, dy)
+                       for dx in range(0, ring + 1)
+                       for dy in range(-ring, ring + 1)
+                       if (dx > 0) or (dx == 0 and dy > 0)]
     entries = []
-    for dx, dy in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1)):
+    for dx, dy in half:
         nx = x + F.lit(dx).cast("long")
         ny = y + F.lit(dy).cast("long")
         packed = (z * F.lit(1 << Z_SHIFT).cast("long")

@@ -365,28 +365,39 @@ def knn_self_join(pts: DataFrame, k: int = 3, z: int = 10, ring: int = 1,
     cross join.  For guaranteed-complete small query sets use `knn_join`.
 
     Scale shape: one shuffle on the cell key for the equi-join (skewed
-    dense cells are AQE-split; candidate fan-out is (2*ring+1)^2 x the
-    cell occupancy, bounded by choosing z so cells hold O(10) points),
-    one shuffle on the point id for the window.  Work is sum(cell^2),
-    never n^2.
+    dense cells are AQE-split; candidate fan-out is the HALF
+    neighborhood — (2*ring+1)^2 / 2 x the cell occupancy, each
+    unordered pair joined and haversine'd ONCE, then mirrored into both
+    orientations by a cheap explode of the slim (id, id, dist) rows —
+    bounded by choosing z so cells hold O(10) points), one shuffle on
+    the point id for the window.  Work is sum(cell^2)/2, never n^2.
     """
     base = pts.select(
         F.col(id_col), F.col(lon_col), F.col(lat_col),
         cells.cell_id(F.col(lon_col), F.col(lat_col), z).alias("cell"))
-    left = base.select(
-        id_col, lon_col, lat_col,
-        F.explode(cells.neighbor_cells(F.col("cell"), ring)).alias("cell"))
+    left = (base.withColumn(
+        "_nb", F.explode(cells.half_neighbor_cells(F.col("cell"), ring)))
+        .select(id_col, lon_col, lat_col,
+                F.col("_nb.cell").alias("cell"),
+                F.col("_nb.home").alias("_home")))
     right = base.select(F.col(id_col).alias("nbr_id"),
                         F.col(lon_col).alias("nbr_lon"),
                         F.col(lat_col).alias("nbr_lat"), "cell")
-    # each (point, neighbor) pair matches exactly once: the right side
-    # carries ONE cell per point and the exploded ring is array_distinct
+    # each unordered pair matches exactly once (half set; home pairs
+    # tie-broken by id), so the distance is computed once per pair
     cand = (left.join(right, "cell")
-            .where(F.col(id_col) != F.col("nbr_id")))
-    scored = cand.select(
-        id_col, "nbr_id",
+            .where(~F.col("_home") | (F.col(id_col) < F.col("nbr_id"))))
+    pair = cand.select(
+        F.col(id_col).alias("_ida"), F.col("nbr_id").alias("_idb"),
         haversine_expr(F.col(lon_col), F.col(lat_col),
                        F.col("nbr_lon"), F.col("nbr_lat")).alias("dist_m"))
+    # kNN is per-point: mirror each pair into both orientations
+    both = F.explode(F.array(
+        F.struct(F.col("_ida").alias(id_col), F.col("_idb").alias("nbr_id")),
+        F.struct(F.col("_idb").alias(id_col), F.col("_ida").alias("nbr_id"))))
+    scored = (pair.select(both.alias("_p"), "dist_m")
+              .select(F.col(f"_p.{id_col}").alias(id_col),
+                      F.col("_p.nbr_id").alias("nbr_id"), "dist_m"))
     w = Window.partitionBy(id_col).orderBy("dist_m", "nbr_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
