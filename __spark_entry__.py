@@ -4174,6 +4174,78 @@ FROM t JOIN c USING (domain)
 GROUP BY 1, 2, 3, 4"""
 
 
+HAUS_DOM_LO, HAUS_DOM_HI = 500, 507   # 8 mid-size domains (~400 pts each
+                                      # at sf0.1 under the skewed dom law)
+
+
+def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete HAUSDORFF distance between domain page-location
+    footprints: for every pair of selected domains, H(A, B) =
+    max(h(A->B), h(B->A)) with h(A->B) = max over a in A of
+    min over b in B of d(a, b) — the classic set/trajectory similarity
+    measure (how far do two crawls' geographic footprints diverge).
+
+    Exact integer core: squared µdeg distances (BIGINT, max ~1.3e17,
+    ANSI-safe — only min/max, never summed); ONE double sqrt of the
+    same exact integer at the end, so cross-engine parity is exact.
+
+    Plan: each point of domain i explodes one row per partner domain j
+    (|D|-1 = 7 rows), equi-joined on the partner key against the
+    points relation — a hash join, never a nested-loop — then
+    min per (i, j, source point) with map-side partial agg, max per
+    (i, j), and the two directed values fold into the symmetric H by a
+    least/greatest regroup.  This is the exact small-|D| all-pairs
+    baseline (contract like embed_allpairs): work is |D| * sum |dom|^2,
+    bounded by the domain selection, and the scale path for large |D|
+    is grid pruning with ring-expansion lower bounds (spatial/knn.py
+    machinery).
+
+    FULL SQL ORACLE (_sql_hausdorff_pairs): the unexploded theta join
+    with identical integer arithmetic."""
+    pts = _points(spark, sf_dir)
+    dom = F.col("domain").cast("long")
+    t = (pts.select(dom.alias("dom"),
+                    F.regexp_extract("url", r"/page/(\d+)$", 1)
+                    .cast("long").alias("pid"),
+                    F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
+                    F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
+         .where((F.col("dom") >= HAUS_DOM_LO) & (F.col("dom") <= HAUS_DOM_HI)))
+    partner = F.explode(F.array(*[
+        F.lit(j).cast("long") for j in range(HAUS_DOM_LO, HAUS_DOM_HI + 1)]))
+    left = (t.withColumn("partner", partner)
+            .where(F.col("partner") != F.col("dom")))
+    right = t.select(F.col("dom").alias("partner"),
+                     F.col("x").alias("bx"), F.col("y").alias("by"))
+    d2 = ((F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+          + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by")))
+    mind = (left.join(right, "partner")
+            .groupBy("dom", "partner", "pid")
+            .agg(F.min(d2).alias("mind2")))
+    h = mind.groupBy("dom", "partner").agg(F.max("mind2").alias("h2"))
+    return (h.select(F.least("dom", "partner").alias("dom_a"),
+                     F.greatest("dom", "partner").alias("dom_b"), "h2")
+            .groupBy("dom_a", "dom_b")
+            .agg(F.round(F.sqrt(F.max("h2")), 3).alias("hausdorff_udeg")))
+
+
+def _sql_hausdorff_pairs(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+t AS (SELECT CAST(domain AS BIGINT) AS dom, i AS pid,
+             CAST(ROUND(lon * 1e6, 0) AS BIGINT) AS x,
+             CAST(ROUND(lat * 1e6, 0) AS BIGINT) AS y
+      FROM pages
+      WHERE CAST(domain AS BIGINT) BETWEEN {HAUS_DOM_LO} AND {HAUS_DOM_HI}),
+m AS (SELECT a.dom, b.dom AS partner, a.pid,
+             MIN((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)) AS mind2
+      FROM t a JOIN t b ON a.dom <> b.dom
+      GROUP BY 1, 2, 3),
+h AS (SELECT dom, partner, MAX(mind2) AS h2 FROM m GROUP BY 1, 2)
+SELECT LEAST(dom, partner) AS dom_a, GREATEST(dom, partner) AS dom_b,
+       ROUND(SQRT(MAX(h2)), 3) AS hausdorff_udeg
+FROM h GROUP BY 1, 2"""
+
+
 def q_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supercluster-style marker placement: per z6 cell, the page count
     and the exact centroid of its points — the primitive map renderers
@@ -6816,6 +6888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "cluster_centroids": q_cluster_centroids,
         "domain_gyration": q_domain_gyration,
+        "hausdorff_pairs": q_hausdorff_pairs,
         "token_quantiles": q_token_quantiles,
         "adaptive_tiles": q_adaptive_tiles,
         "decontaminate": q_decontaminate,
@@ -6934,6 +7007,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _sql_dup_spans(),
         "cluster_centroids": _sql_cluster_centroids(n),
         "domain_gyration": _sql_domain_gyration(n),
+        "hausdorff_pairs": _sql_hausdorff_pairs(n),
         "token_quantiles": _sql_token_quantiles(),
         "adaptive_tiles": _sql_adaptive_tiles(n),
         "decontaminate": _sql_decontaminate(),
