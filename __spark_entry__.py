@@ -4773,6 +4773,114 @@ KNOX_S_UDEG = 200_000     # spatial box half-width: 0.2 deg in µdeg
 KNOX_T_S = 900            # temporal window: 15 min of crawl time
 
 
+JC_S_UDEG = 50_000    # join-count neighbor radius (Chebyshev µdeg box)
+
+
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-COUNT statistics — spatial autocorrelation for a
+    CATEGORICAL attribute (page language), the nominal-data sibling of
+    Moran's I / Geary's C (which cover numeric fields): for every
+    unordered language pair, the OBSERVED number of neighboring page
+    pairs (Chebyshev µdeg box <= {JC_S_UDEG}) vs the count EXPECTED
+    under random labeling, E[l,m] = W * 2 n_l n_m / (n (n-1)) (and
+    W * n_l (n_l - 1) / (n (n-1)) for l = m).  Observed >> expected on
+    the diagonal means same-language pages cluster spatially.
+
+    Exactness: observed counts, W, n and the per-language totals are
+    exact BIGINTs; `expected` is ONE float expression of those exact
+    integers, rounded — bit-identical in both engines.
+
+    Plan: neighbor pairs via the 2-D grid HALF-neighborhood join (cell
+    width = radius; each unordered pair generated once — same primitive
+    as knox/ripley/semivariogram), one hash agg to 21 language-pair
+    rows, then the tiny totals relation (6 rows + the scalar W) joins
+    back broadcast.  The corpus is scanned once however large it is.
+
+    FULL SQL ORACLE (_sql_join_counts): the unpruned theta join with
+    identical integer statistics."""
+    pts = _points(spark, sf_dir)
+    t = pts.select(
+        F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long").alias("pid"),
+        "lang",
+        F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
+        F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
+    S = JC_S_UDEG
+    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                             F.lit(dx == 0 and dy == 0).alias("home"))
+                    for dx, dy in
+                    ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))])
+    a = (t.withColumn("_o", F.explode(off))
+         .select(F.col("pid").alias("a_pid"), F.col("lang").alias("a_lang"),
+                 F.col("x").alias("a_x"), F.col("y").alias("a_y"),
+                 F.col("_o.home").alias("home"),
+                 (F.floor(F.col("x") / F.lit(float(S)))
+                  + F.col("_o.dx")).alias("cx"),
+                 (F.floor(F.col("y") / F.lit(float(S)))
+                  + F.col("_o.dy")).alias("cy")))
+    b = t.select(F.col("pid").alias("b_pid"), F.col("lang").alias("b_lang"),
+                 F.col("x").alias("b_x"), F.col("y").alias("b_y"),
+                 F.floor(F.col("x") / F.lit(float(S))).alias("cx"),
+                 F.floor(F.col("y") / F.lit(float(S))).alias("cy"))
+    d = F.greatest(F.abs(F.col("a_x") - F.col("b_x")),
+                   F.abs(F.col("a_y") - F.col("b_y")))
+    obs = (a.join(b, ["cx", "cy"])
+           .where((d <= S)
+                  & (~F.col("home") | (F.col("a_pid") < F.col("b_pid"))))
+           .select(F.least("a_lang", "b_lang").alias("lang_a"),
+                   F.greatest("a_lang", "b_lang").alias("lang_b"))
+           .groupBy("lang_a", "lang_b")
+           .agg(F.count("*").alias("n_pairs")))
+    tot = t.groupBy("lang").agg(F.count("*").alias("n_l"))
+    n = t.agg(F.count("*").alias("n"))
+    w = obs.agg(F.sum("n_pairs").alias("w"))
+    # multiply in double from the start: w * n_l^2 overflows BIGINT at
+    # sf >= 1; every operand is an exact integer < 2^53, so the double
+    # product is bit-identical across engines
+    wd = F.col("w").cast("double")
+    exp_same = (wd * F.col("la.n_l") * (F.col("la.n_l") - 1))
+    exp_diff = (wd * 2 * F.col("la.n_l") * F.col("lb.n_l"))
+    expected = (F.when(F.col("lang_a") == F.col("lang_b"), exp_same)
+                .otherwise(exp_diff)
+                / (F.col("n").cast("double") * (F.col("n") - 1)))
+    return (obs
+            .join(F.broadcast(tot.alias("la")),
+                  F.col("lang_a") == F.col("la.lang"))
+            .join(F.broadcast(tot.alias("lb")),
+                  F.col("lang_b") == F.col("lb.lang"))
+            .crossJoin(F.broadcast(n)).crossJoin(F.broadcast(w))
+            .select("lang_a", "lang_b", "n_pairs",
+                    F.round(expected, 3).alias("expected")))
+
+
+def _sql_join_counts(n: int) -> str:
+    S = JC_S_UDEG
+    return f"""WITH {_pages_cte(n)},
+t AS (SELECT i AS pid, lang,
+             CAST(ROUND(lon * 1e6, 0) AS BIGINT) AS x,
+             CAST(ROUND(lat * 1e6, 0) AS BIGINT) AS y
+      FROM pages),
+obs AS (
+  SELECT LEAST(a.lang, b.lang) AS lang_a,
+         GREATEST(a.lang, b.lang) AS lang_b,
+         COUNT(*) AS n_pairs
+  FROM t a JOIN t b
+    ON a.pid < b.pid
+   AND ABS(a.x - b.x) <= {S} AND ABS(a.y - b.y) <= {S}
+  GROUP BY 1, 2),
+tot AS (SELECT lang, COUNT(*) AS n_l FROM t GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM t),
+ww AS (SELECT SUM(n_pairs) AS w FROM obs)
+SELECT o.lang_a, o.lang_b, o.n_pairs,
+       ROUND(CASE WHEN o.lang_a = o.lang_b
+                  THEN CAST(w AS DOUBLE) * la.n_l * (la.n_l - 1)
+                  ELSE CAST(w AS DOUBLE) * 2 * la.n_l * lb.n_l END
+             / (CAST(n AS DOUBLE) * (n - 1)), 3) AS expected
+FROM obs o
+JOIN tot la ON o.lang_a = la.lang
+JOIN tot lb ON o.lang_b = lb.lang
+CROSS JOIN nn CROSS JOIN ww"""
+
+
 def q_knox_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Knox-style SPATIOTEMPORAL proximity join: page pairs close in
     BOTH space (Chebyshev µdeg box <= {KNOX_S_UDEG}) and time
@@ -6889,6 +6997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_centroids": q_cluster_centroids,
         "domain_gyration": q_domain_gyration,
         "hausdorff_pairs": q_hausdorff_pairs,
+        "join_counts": q_join_counts,
         "token_quantiles": q_token_quantiles,
         "adaptive_tiles": q_adaptive_tiles,
         "decontaminate": q_decontaminate,
@@ -7008,6 +7117,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_centroids": _sql_cluster_centroids(n),
         "domain_gyration": _sql_domain_gyration(n),
         "hausdorff_pairs": _sql_hausdorff_pairs(n),
+        "join_counts": _sql_join_counts(n),
         "token_quantiles": _sql_token_quantiles(),
         "adaptive_tiles": _sql_adaptive_tiles(n),
         "decontaminate": _sql_decontaminate(),

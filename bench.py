@@ -47,7 +47,7 @@ HEADLINE = [
     "map_match", "hilbert_rollup", "seg_intersect", "bloom_decontam",
     "convex_hull", "skyline", "hull_diameter",
     "domain_hops", "triangles", "interval_join", "domain_gyration",
-    "hausdorff_pairs", "od_flows", "knox_pairs", "ripley_k",
+    "hausdorff_pairs", "join_counts", "od_flows", "knox_pairs", "ripley_k",
     "tile_cube", "kmv_distinct", "hotspot_trend", "pricing_summary",
     "nation_revenue", "shortest_paths", "semivariogram", "url_edit_pairs",
     "kcore", "cocitation", "token_pmi", "phrase_hits",
