@@ -2699,6 +2699,58 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_stats.morans_i(spatial_stats.cell_counts(pts, MORANS_Z))
 
 
+def q_lisa_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISA / Moran-scatterplot quadrants over the occupied z6 cell
+    lattice: every cell classified HH / HL / LH / LL (or ISO when it
+    has no occupied rook neighbor) by whether its page count and its
+    neighbor-lag MEAN sit above the global mean — Anselin's local
+    companion to the global morans_i / gearys_c queries (HH/LL =
+    spatial clusters, HL/LH = spatial outliers), aggregated to
+    per-quadrant totals.
+
+    Exactness: the classification is pure integer cross-multiplication
+    (x*N vs T; lag*N vs T*k) — zero float math anywhere, see
+    spatial/stats.py lisa_quadrants.
+
+    FULL SQL ORACLE (_sql_lisa_quadrants): identical arithmetic."""
+    from proj_spark.spatial import stats as spatial_stats
+    pts = _points(spark, sf_dir)
+    return spatial_stats.lisa_quadrants(
+        spatial_stats.cell_counts(pts, MORANS_Z))
+
+
+def _sql_lisa_quadrants(n: int) -> str:
+    z = MORANS_Z
+    return f"""WITH {_pages_cte(n)},
+cl AS (SELECT {cells.tile_x_sql('lon', z)} AS tx,
+              {cells.tile_y_sql('lat', z)} AS ty, COUNT(*) AS x
+       FROM pages GROUP BY 1, 2),
+lg AS (SELECT a.tx, a.ty,
+              CAST(SUM(b.x) AS BIGINT) AS lag, COUNT(*) AS k
+       FROM cl a JOIN cl b
+         ON (b.tx = a.tx + 1 AND b.ty = a.ty)
+         OR (b.tx = a.tx - 1 AND b.ty = a.ty)
+         OR (b.tx = a.tx AND b.ty = a.ty + 1)
+         OR (b.tx = a.tx AND b.ty = a.ty - 1)
+       GROUP BY 1, 2),
+node AS (SELECT COUNT(*) AS n_cells, CAST(SUM(x) AS BIGINT) AS t_sum
+         FROM cl),
+per AS (SELECT cl.x, COALESCE(lg.lag, 0) AS lag, COALESCE(lg.k, 0) AS k,
+               node.n_cells, node.t_sum
+        FROM cl LEFT JOIN lg USING (tx, ty) CROSS JOIN node)
+SELECT CASE WHEN k = 0 THEN 'ISO'
+            WHEN x * n_cells > t_sum AND lag * n_cells > t_sum * k
+                 THEN 'HH'
+            WHEN x * n_cells > t_sum THEN 'HL'
+            WHEN lag * n_cells > t_sum * k THEN 'LH'
+            ELSE 'LL' END AS quadrant,
+       COUNT(*) AS n_cells,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(lag) AS BIGINT) AS sum_lag,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM per GROUP BY 1"""
+
+
 OD_Z = 4             # OD matrix resolution: z4 tiles
 
 
@@ -6998,6 +7050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_gyration": q_domain_gyration,
         "hausdorff_pairs": q_hausdorff_pairs,
         "join_counts": q_join_counts,
+        "lisa_quadrants": q_lisa_quadrants,
         "token_quantiles": q_token_quantiles,
         "adaptive_tiles": q_adaptive_tiles,
         "decontaminate": q_decontaminate,
@@ -7118,6 +7171,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_gyration": _sql_domain_gyration(n),
         "hausdorff_pairs": _sql_hausdorff_pairs(n),
         "join_counts": _sql_join_counts(n),
+        "lisa_quadrants": _sql_lisa_quadrants(n),
         "token_quantiles": _sql_token_quantiles(),
         "adaptive_tiles": _sql_adaptive_tiles(n),
         "decontaminate": _sql_decontaminate(),

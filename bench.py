@@ -29,7 +29,8 @@ HEADLINE = [
     "webmerc_bbox", "utm_project", "datum_shift", "factors", "geod_pairs",
     "dggs_rollup", "geod_area", "asof_join", "sessionize", "radius_join",
     "zorder_bbox", "geohash_rollup", "admin_raster",
-    "tile_pyramid", "morans_i", "gearys_c", "viewport_topk", "idw_interp", "domain_drift",
+    "tile_pyramid", "morans_i", "gearys_c", "lisa_quadrants",
+    "viewport_topk", "idw_interp", "domain_drift",
     "reverse_geocode", "heatmap", "getis_hotspots", "dense_clusters",
     "hex_density", "pagerank_domains", "rect_join",
     "doc_stats", "exact_dedup", "curation_funnel", "chunk_dedup",

@@ -143,6 +143,61 @@ def gearys_c(counts: DataFrame) -> DataFrame:
 
 # 3x3 binomial (Gaussian-approximating) kernel — INTEGER weights so the
 # convolution is an exact BIGINT sum any engine reproduces bit-for-bit
+def lisa_quadrants(counts: DataFrame) -> DataFrame:
+    """Moran-scatterplot (LISA) quadrant classification per occupied
+    cell, aggregated: each cell is HH / HL / LH / LL by whether its own
+    count and its rook-neighbor lag MEAN sit above the global mean
+    (Anselin 1995's local-Moran quadrants — HH/LL are spatial clusters,
+    HL/LH spatial outliers); isolated cells (no occupied rook
+    neighbor) are ISO.
+
+    Exactness: both comparisons are integer CROSS-MULTIPLICATIONS —
+    x_i > x̄ = T/N  ⇔  x_i * N > T, and lag_i / k_i > T / N  ⇔
+    lag_i * N > T * k_i — so the classification involves no float at
+    all and any engine reproduces it bit-for-bit (ties land on the
+    "not greater" = L side deterministically).  Magnitudes: lag * N <=
+    corpus * cells, far under 2^63 at any realistic zoom.
+
+    Scale shape: same as morans_i — one points->cells shuffle, a
+    4-offset explode join of the CELL table (rows = 4x occupied cells,
+    never points), one broadcast of the single-row totals, one final
+    5-row hash agg.
+    """
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+    ])
+    left = (counts
+            .withColumn("_o", F.explode(offsets))
+            .select((F.col("tx") + F.col("_o.dx")).alias("ntx"),
+                    (F.col("ty") + F.col("_o.dy")).alias("nty"),
+                    F.col("tx"), F.col("ty")))
+    right = counts.select(F.col("tx").alias("ntx"), F.col("ty").alias("nty"),
+                          F.col("x").alias("xj"))
+    lag = (left.join(right, ["ntx", "nty"])
+           .groupBy("tx", "ty")
+           .agg(F.sum("xj").alias("lag"), F.count("*").alias("k")))
+    node = counts.agg(F.count("*").alias("n_cells"),
+                      F.sum("x").alias("t_sum"))
+    per = (counts.join(lag, ["tx", "ty"], "left")
+           .select("x", F.coalesce("lag", F.lit(0)).alias("lag"),
+                   F.coalesce("k", F.lit(0)).alias("k"))
+           .crossJoin(F.broadcast(node)))
+    hi_x = F.col("x") * F.col("n_cells") > F.col("t_sum")
+    hi_lag = F.col("lag") * F.col("n_cells") > F.col("t_sum") * F.col("k")
+    quad = (F.when(F.col("k") == 0, F.lit("ISO"))
+            .when(hi_x & hi_lag, F.lit("HH"))
+            .when(hi_x & ~hi_lag, F.lit("HL"))
+            .when(~hi_x & hi_lag, F.lit("LH"))
+            .otherwise(F.lit("LL")))
+    return (per.select(quad.alias("quadrant"), "x", "lag", "k")
+            .groupBy("quadrant")
+            .agg(F.count("*").alias("n_cells"),
+                 F.sum("x").alias("sum_x"),
+                 F.sum("lag").alias("sum_lag"),
+                 F.sum("k").alias("sum_k")))
+
+
 KERNEL_3X3 = [(dx, dy, (2 - abs(dx)) * (2 - abs(dy)))
               for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
