@@ -2751,6 +2751,159 @@ SELECT CASE WHEN k = 0 THEN 'ISO'
 FROM per GROUP BY 1"""
 
 
+def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard deviational ellipse per domain (directional
+    distribution, Lefever 1926): mean center, orientation, and
+    major/minor standard deviations of each domain's geographic
+    scatter — the anisotropic companion to domain_gyration's scalar
+    radius (a N-S coastal domain and a circular-blob domain can share
+    a radius of gyration but have opposite ellipses).
+
+    Exactness: exact-integer µdeg sufficient statistics with
+    non-negative-shifted deviations and per-row div-quantization (see
+    spatial/stats.py std_ellipse); the only float math is the final
+    per-domain assembly with one fixed parenthesization.
+
+    FULL SQL ORACLE (_sql_std_ellipse): identical arithmetic."""
+    from proj_spark.spatial import stats as spatial_stats
+    pts = _points(spark, sf_dir)
+    return spatial_stats.std_ellipse(pts, id_col="domain")
+
+
+def _sql_std_ellipse(n: int) -> str:
+    from proj_spark.spatial.stats import _RAD2DEG, _SDE_USHIFT, _SDE_VSHIFT
+    return f"""WITH {_pages_cte(n)},
+t AS (SELECT domain,
+             CAST(ROUND(lon * 1e6, 0) AS BIGINT) + 180000000 AS x,
+             CAST(ROUND(lat * 1e6, 0) AS BIGINT) + 90000000 AS y
+      FROM pages),
+c AS (SELECT domain, COUNT(*) AS n_pages,
+             SUM(x) // COUNT(*) AS cx, SUM(y) // COUNT(*) AS cy
+      FROM t GROUP BY 1),
+j AS (SELECT t.domain, n_pages, cx, cy,
+             x - cx + {_SDE_USHIFT} AS u, y - cy + {_SDE_VSHIFT} AS v
+      FROM t JOIN c USING (domain)),
+a AS (SELECT domain, n_pages, cx, cy,
+             CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM((u * u) // 1000000) AS BIGINT) AS suuq,
+             CAST(SUM((v * v) // 1000000) AS BIGINT) AS svvq,
+             CAST(SUM((u * v) // 1000000) AS BIGINT) AS suvq
+      FROM j GROUP BY 1, 2, 3, 4),
+fin AS (SELECT domain, n_pages, cx, cy, suuq, svvq, suvq,
+               su / CAST(n_pages AS DOUBLE) AS mu,
+               sv / CAST(n_pages AS DOUBLE) AS mv,
+               suuq / CAST(n_pages AS DOUBLE) * 1e6 AS ruu,
+               svvq / CAST(n_pages AS DOUBLE) * 1e6 AS rvv,
+               suvq / CAST(n_pages AS DOUBLE) * 1e6 AS ruv
+        FROM a),
+cov AS (SELECT domain, n_pages, cx, cy, suuq, svvq, suvq,
+               ruu - mu * mu AS cxx, rvv - mv * mv AS cyy,
+               ruv - mu * mv AS cxy
+        FROM fin),
+eig AS (SELECT *,
+               SQRT((cxx - cyy) * (cxx - cyy) + 4.0 * cxy * cxy) AS disc
+        FROM cov)
+SELECT domain, n_pages,
+       CAST(cx - 180000000 AS BIGINT) AS cx_udeg,
+       CAST(cy - 90000000 AS BIGINT) AS cy_udeg,
+       suuq, svvq, suvq,
+       ROUND(ATAN2(2.0 * cxy, cxx - cyy) / 2.0 * {_RAD2DEG!r}, 4)
+         AS theta_deg,
+       ROUND(SQRT(GREATEST((cxx + cyy + disc) / 2.0, 0.0)), 2)
+         AS sig_maj_udeg,
+       ROUND(SQRT(GREATEST((cxx + cyy - disc) / 2.0, 0.0)), 2)
+         AS sig_min_udeg
+FROM eig"""
+
+
+# Clark-Evans / G-function thresholds (exact integer mm compares)
+CE_BINS_MM = (100_000, 1_000_000, 5_000_000)   # 100 m, 1 km, 5 km
+CE_AREA_M2 = 4.0 * math.pi * EARTH_R * EARTH_R  # sphere surface
+
+
+def q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor point-pattern summary: the empirical G-function
+    (share of points whose nearest neighbor lies within 100 m / 1 km /
+    5 km) plus the Clark-Evans aggregation index R = observed mean NN
+    distance / CSR-expected 0.5*sqrt(A/n) (Clark & Evans 1954), under
+    the bounded-radius contract — the NN search is the same z13 ring-1
+    half-neighborhood join as knn_join, so isolated points (no
+    neighbor within the ring box) are excluded from the mean and
+    counted in n_pts - n_nn.  R << 1 confirms the synthetic corpus is
+    strongly clustered (city-centered page mass).
+
+    Exactness: per-point NN distances quantized to integer mm (the
+    per-pair haversine double is bit-identical across engines — the
+    knn_join guarantee — so round(d*1000) matches row-for-row), then
+    only BIGINT sums/counts; the two derived doubles are one fixed
+    parenthesization each.
+
+    Plan: one cell-key shuffle for the pair join, MIN hash-agg (no
+    window — nn_dist in spatial/knn.py), then two 1-row aggregates
+    cross-joined.  FULL SQL ORACLE (_sql_clark_evans)."""
+    from proj_spark.spatial.knn import nn_dist
+    pts = _points(spark, sf_dir)
+    nn = nn_dist(pts, z=KNNJ_Z, ring=1, id_col="url")
+    mm = F.round(F.col("nn_m") * 1000, 0).cast("long")
+    b1, b2, b3 = CE_BINS_MM
+    stats = nn.select(mm.alias("mm")).agg(
+        F.count("*").alias("n_nn"),
+        F.sum("mm").alias("sum_mm"),
+        F.sum(F.when(F.col("mm") <= b1, 1).otherwise(0)).alias("n_le_100m"),
+        F.sum(F.when(F.col("mm") <= b2, 1).otherwise(0)).alias("n_le_1km"),
+        F.sum(F.when(F.col("mm") <= b3, 1).otherwise(0)).alias("n_le_5km"))
+    tot = pts.agg(F.count("*").alias("n_pts"))
+    j = stats.crossJoin(F.broadcast(tot))
+    mean_m = (F.col("sum_mm") / F.col("n_nn")) / 1000.0
+    re_m = 0.5 * F.sqrt(F.lit(CE_AREA_M2) / F.col("n_pts"))
+    return j.select(
+        "n_pts", "n_nn", "sum_mm",
+        F.col("n_le_100m").cast("long").alias("n_le_100m"),
+        F.col("n_le_1km").cast("long").alias("n_le_1km"),
+        F.col("n_le_5km").cast("long").alias("n_le_5km"),
+        F.round(mean_m, 6).alias("mean_nn_m"),
+        F.round(mean_m / re_m, 6).alias("r_index"))
+
+
+def _sql_clark_evans(n: int) -> str:
+    z, nmax = KNNJ_Z, (1 << KNNJ_Z) - 1
+    dist = haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    b1, b2, b3 = CE_BINS_MM
+    return f"""WITH {_pages_cte(n)},
+pts AS (
+  SELECT url, lon, lat,
+         {cells.tile_x_sql('lon', z)} AS cx,
+         {cells.tile_y_sql('lat', z)} AS cy
+  FROM pages
+),
+nn AS (
+  SELECT a.url, MIN({dist}) AS nn_m
+  FROM pts a
+  CROSS JOIN (VALUES (-1), (0), (1)) dxs(dx)
+  CROSS JOIN (VALUES (-1), (0), (1)) dys(dy)
+  JOIN pts b
+    ON b.cx = LEAST(GREATEST(a.cx + dx, 0), {nmax})
+   AND b.cy = LEAST(GREATEST(a.cy + dy, 0), {nmax})
+   AND b.url <> a.url
+  GROUP BY 1
+),
+q AS (SELECT CAST(ROUND(nn_m * 1000, 0) AS BIGINT) AS mm FROM nn),
+st AS (SELECT COUNT(*) AS n_nn, CAST(SUM(mm) AS BIGINT) AS sum_mm,
+              CAST(SUM(CASE WHEN mm <= {b1} THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_le_100m,
+              CAST(SUM(CASE WHEN mm <= {b2} THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_le_1km,
+              CAST(SUM(CASE WHEN mm <= {b3} THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_le_5km
+       FROM q),
+tot AS (SELECT COUNT(*) AS n_pts FROM pts)
+SELECT n_pts, n_nn, sum_mm, n_le_100m, n_le_1km, n_le_5km,
+       ROUND((sum_mm / n_nn) / 1000.0, 6) AS mean_nn_m,
+       ROUND(((sum_mm / n_nn) / 1000.0)
+             / (0.5 * SQRT({CE_AREA_M2!r} / n_pts)), 6) AS r_index
+FROM st CROSS JOIN tot"""
+
+
 OD_Z = 4             # OD matrix resolution: z4 tiles
 
 
@@ -7089,6 +7242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "ship_priority": q_ship_priority,
         "revenue_forecast": q_revenue_forecast,
+        "std_ellipse": q_std_ellipse,
+        "clark_evans": q_clark_evans,
     }
 
 
@@ -7210,4 +7365,6 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _sql_event_transitions(),
         "ship_priority": _sql_ship_priority(),
         "revenue_forecast": _sql_revenue_forecast(),
+        "std_ellipse": _sql_std_ellipse(n),
+        "clark_evans": _sql_clark_evans(n),
     }

@@ -401,3 +401,42 @@ def knn_self_join(pts: DataFrame, k: int = 3, z: int = 10, ring: int = 1,
     w = Window.partitionBy(id_col).orderBy("dist_m", "nbr_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def nn_dist(pts: DataFrame, z: int = 10, ring: int = 1,
+            id_col: str = "url", lon_col: str = "lon",
+            lat_col: str = "lat") -> DataFrame:
+    """Bounded-radius nearest-neighbor DISTANCE per point: (id, nn_m).
+
+    Same candidate generation as ``knn_self_join`` (half-neighborhood
+    cell join at zoom `z`, each unordered pair haversine'd once) but
+    the per-point reduction is a plain MIN hash-aggregate — no window,
+    no sort, partial-aggregated map-side — because only the distance is
+    needed, not the neighbor's identity.  Points with no candidate in
+    the ring box are absent from the output (the bounded-radius
+    contract; callers count them against the full point count).
+    """
+    base = pts.select(
+        F.col(id_col), F.col(lon_col), F.col(lat_col),
+        cells.cell_id(F.col(lon_col), F.col(lat_col), z).alias("cell"))
+    left = (base.withColumn(
+        "_nb", F.explode(cells.half_neighbor_cells(F.col("cell"), ring)))
+        .select(id_col, lon_col, lat_col,
+                F.col("_nb.cell").alias("cell"),
+                F.col("_nb.home").alias("_home")))
+    right = base.select(F.col(id_col).alias("nbr_id"),
+                        F.col(lon_col).alias("nbr_lon"),
+                        F.col(lat_col).alias("nbr_lat"), "cell")
+    cand = (left.join(right, "cell")
+            .where(~F.col("_home") | (F.col(id_col) < F.col("nbr_id"))))
+    pair = cand.select(
+        F.col(id_col).alias("_ida"), F.col("nbr_id").alias("_idb"),
+        haversine_expr(F.col(lon_col), F.col(lat_col),
+                       F.col("nbr_lon"), F.col("nbr_lat")).alias("dist_m"))
+    both = F.explode(F.array(
+        F.struct(F.col("_ida").alias(id_col)),
+        F.struct(F.col("_idb").alias(id_col))))
+    return (pair.select(both.alias("_p"), "dist_m")
+            .select(F.col(f"_p.{id_col}").alias(id_col), "dist_m")
+            .groupBy(id_col)
+            .agg(F.min("dist_m").alias("nn_m")))

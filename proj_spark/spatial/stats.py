@@ -284,3 +284,84 @@ def getis_gi(counts: DataFrame) -> DataFrame:
                         / (s * F.sqrt(varterm)), 6))
     return j.select("tx", "ty", F.col("x").alias("n_pages"),
                     "w_sum", "k", gi.alias("gi_star"))
+
+
+# Shifts that keep the centered deviations non-negative: |x - cx| is at
+# most the full lon/lat span in µdeg, so adding the span yields u, v in
+# [0, 2*span] — every integer division below sees non-negative operands
+# (Spark's `div` truncates toward zero, DuckDB's `//` floors; they only
+# agree on non-negative values — the domain_gyration discipline).
+_SDE_USHIFT = 360_000_000   # lon span in µdeg
+_SDE_VSHIFT = 180_000_000   # lat span in µdeg
+_RAD2DEG = 57.29577951308232
+
+
+def std_ellipse(pts: DataFrame, id_col: str = "domain",
+                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Standard deviational ellipse (directional distribution) per
+    group: mean center, orientation and the major/minor standard
+    deviations of the point scatter (Lefever 1926; the classic GIS
+    "directional distribution" tool) in µdeg planar coordinates.
+
+    Exactness contract (the morans_i/domain_gyration discipline): all
+    sufficient statistics are exact BIGINT sums of integer µdeg values
+    — coords quantized to µdeg, deviations shifted non-negative, and
+    the second-moment products div-quantized by 1e6 per row BEFORE
+    summing (bounds: (2*360e6)^2/1e6 = 5.2e11 per row, far below 2^63
+    even at 10^9 rows/group).  Only the final per-group assembly
+    touches doubles, from exactly-representable integers with one
+    fixed parenthesization, so the SQL oracle reproduces every rounded
+    output bit-for-bit.
+
+    Derivation: with centered deviations dx, dy and covariance moments
+    Cxx, Cyy, Cxy (computed from the shifted-quantized sums via the
+    same fixed expression in both engines), the ellipse rotation is
+    theta = 0.5*atan2(2*Cxy, Cxx - Cyy) and the axis variances are the
+    eigenvalues (Cxx + Cyy +/- sqrt((Cxx - Cyy)^2 + 4*Cxy^2)) / 2.
+
+    Scale shape: two shuffles on the group key (centroid, then
+    moments) + one broadcast join back — identical to the
+    radius-of-gyration plan; output is one row per group.
+    """
+    t = pts.select(
+        F.col(id_col),
+        (F.round(F.col(lon_col) * 1e6, 0).cast("long")
+         + F.lit(180_000_000)).alias("x"),
+        (F.round(F.col(lat_col) * 1e6, 0).cast("long")
+         + F.lit(90_000_000)).alias("y"))
+    c = (t.groupBy(id_col)
+         .agg(F.count("*").alias("n_pages"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"))
+         .select(id_col, "n_pages",
+                 F.expr("sx div n_pages").alias("cx"),
+                 F.expr("sy div n_pages").alias("cy")))
+    j = (t.join(F.broadcast(c), id_col)
+         .select(id_col, "n_pages", "cx", "cy",
+                 (F.col("x") - F.col("cx") + _SDE_USHIFT).alias("u"),
+                 (F.col("y") - F.col("cy") + _SDE_VSHIFT).alias("v")))
+    agg = (j.groupBy(id_col, "n_pages", "cx", "cy")
+           .agg(F.sum("u").alias("su"), F.sum("v").alias("sv"),
+                F.sum(F.expr("(u * u) div 1000000")).alias("suuq"),
+                F.sum(F.expr("(v * v) div 1000000")).alias("svvq"),
+                F.sum(F.expr("(u * v) div 1000000")).alias("suvq")))
+    # final assembly: fixed parenthesization, doubles from exact ints
+    nd = F.col("n_pages").cast("double")
+    mu = F.col("su") / nd
+    mv = F.col("sv") / nd
+    cxx = F.col("suuq") / nd * 1e6 - mu * mu
+    cyy = F.col("svvq") / nd * 1e6 - mv * mv
+    cxy = F.col("suvq") / nd * 1e6 - mu * mv
+    disc = F.sqrt((cxx - cyy) * (cxx - cyy) + 4.0 * cxy * cxy)
+    lam1 = (cxx + cyy + disc) / 2.0
+    lam2 = (cxx + cyy - disc) / 2.0
+    theta = F.atan2(2.0 * cxy, cxx - cyy) / 2.0
+    return agg.select(
+        id_col, "n_pages",
+        (F.col("cx") - 180_000_000).alias("cx_udeg"),
+        (F.col("cy") - 90_000_000).alias("cy_udeg"),
+        "suuq", "svvq", "suvq",
+        F.round(theta * _RAD2DEG, 4).alias("theta_deg"),
+        F.round(F.sqrt(F.greatest(lam1, F.lit(0.0))), 2)
+        .alias("sig_maj_udeg"),
+        F.round(F.sqrt(F.greatest(lam2, F.lit(0.0))), 2)
+        .alias("sig_min_udeg"))

@@ -1,0 +1,171 @@
+"""First-principles checks for the session-19 point-pattern layer:
+standard deviational ellipse, bounded-radius NN distance (nn_dist),
+and the Clark-Evans / G-function summary — hand cases plus pure-Python
+replays at sf0.001."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from proj_spark.pages import synth_points
+from proj_spark.spatial.knn import knn_self_join, nn_dist
+from proj_spark.spatial.stats import (_RAD2DEG, _SDE_USHIFT, _SDE_VSHIFT,
+                                      std_ellipse)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _udeg(v: float) -> int:
+    # Spark ROUND(x, 0) is HALF_UP (away from zero)
+    return int(v * 1e6 + 0.5) if v >= 0 else -int(-v * 1e6 + 0.5)
+
+
+def _replay_ellipse(rows):
+    """Pure-Python replay of std_ellipse's exact-integer statistics."""
+    by_dom: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_dom.setdefault(r.domain, []).append(
+            (_udeg(r.lon) + 180_000_000, _udeg(r.lat) + 90_000_000))
+    out = {}
+    for dom, pts in by_dom.items():
+        n = len(pts)
+        cx, cy = sum(x for x, _ in pts) // n, sum(y for _, y in pts) // n
+        su = sv = suuq = svvq = suvq = 0
+        for x, y in pts:
+            u, v = x - cx + _SDE_USHIFT, y - cy + _SDE_VSHIFT
+            su += u
+            sv += v
+            suuq += (u * u) // 1_000_000
+            svvq += (v * v) // 1_000_000
+            suvq += (u * v) // 1_000_000
+        nd = float(n)
+        mu, mv = su / nd, sv / nd
+        cxx = suuq / nd * 1e6 - mu * mu
+        cyy = svvq / nd * 1e6 - mv * mv
+        cxy = suvq / nd * 1e6 - mu * mv
+        disc = math.sqrt((cxx - cyy) * (cxx - cyy) + 4.0 * cxy * cxy)
+        out[dom] = dict(
+            n_pages=n, cx_udeg=cx - 180_000_000, cy_udeg=cy - 90_000_000,
+            suuq=suuq, svvq=svvq, suvq=suvq,
+            theta_deg=math.atan2(2.0 * cxy, cxx - cyy) / 2.0 * _RAD2DEG,
+            sig_maj=math.sqrt(max((cxx + cyy + disc) / 2.0, 0.0)),
+            sig_min=math.sqrt(max((cxx + cyy - disc) / 2.0, 0.0)))
+    return out
+
+
+def test_std_ellipse_replay_sf0001(spark):
+    pts = entry._points(spark, SF_DIR)
+    want = _replay_ellipse(pts.collect())
+    got = entry.q_std_ellipse(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        w = want[r.domain]
+        assert (r.n_pages, r.cx_udeg, r.cy_udeg) == (
+            w["n_pages"], w["cx_udeg"], w["cy_udeg"])
+        assert (r.suuq, r.svvq, r.suvq) == (w["suuq"], w["svvq"], w["suvq"])
+        # doubles: same parenthesization, compare to one rounding step
+        assert r.theta_deg == pytest.approx(w["theta_deg"], abs=2e-4)
+        assert r.sig_maj_udeg == pytest.approx(w["sig_maj"], abs=0.02)
+        assert r.sig_min_udeg == pytest.approx(w["sig_min"], abs=0.02)
+
+
+def _ellipse_of(spark, coords):
+    df = spark.createDataFrame([("d", lo, la) for lo, la in coords],
+                               "domain string, lon double, lat double")
+    return std_ellipse(df).collect()[0]
+
+
+def test_std_ellipse_ns_line(spark):
+    r = _ellipse_of(spark, [(10.0, la / 10.0) for la in range(11)])
+    # scatter is purely north-south: major axis along v => theta = +/-90
+    assert abs(abs(r.theta_deg) - 90.0) < 1e-3
+    assert r.sig_min_udeg < 1.0
+    assert r.sig_maj_udeg > 100_000  # ~0.316 deg std in udeg
+
+
+def test_std_ellipse_ew_line(spark):
+    r = _ellipse_of(spark, [(lo / 10.0, -5.0) for lo in range(11)])
+    assert abs(r.theta_deg) < 1e-3
+    assert r.sig_min_udeg < 1.0
+
+
+def test_std_ellipse_symmetric_cross(spark):
+    cross = [(1.0, 0.0), (-1.0, 0.0), (0.0, 1.0), (0.0, -1.0)]
+    r = _ellipse_of(spark, [(50.0 + u, 20.0 + v) for u, v in cross])
+    # cxx == cyy, cxy == 0 -> degenerate (circular) ellipse
+    assert r.sig_maj_udeg == pytest.approx(r.sig_min_udeg, abs=0.05)
+
+
+def test_std_ellipse_two_shuffles_only(spark):
+    pts = synth_points(spark, 1000)
+    plan = _plan_of(std_ellipse(pts))
+    shuffles = [ln for ln in plan.splitlines()
+                if ln.strip().startswith("(") and ln.strip().endswith(") Exchange")]
+    assert len(shuffles) <= 2  # centroid agg + moment agg
+    assert "BroadcastHashJoin" in plan
+
+
+def test_nn_dist_matches_knn_k1(spark):
+    pts = synth_points(spark, 2000).persist()
+    try:
+        nn = {r.url: r.nn_m for r in
+              nn_dist(pts, z=10, ring=1, id_col="url").collect()}
+        k1 = knn_self_join(pts, k=1, z=10, ring=1, id_col="url").collect()
+        assert set(nn) == {r.url for r in k1}
+        for r in k1:
+            assert nn[r.url] == pytest.approx(r.dist_m, rel=1e-12)
+    finally:
+        pts.unpersist()
+
+
+def test_nn_dist_plan_has_no_window(spark):
+    pts = synth_points(spark, 500)
+    plan = _plan_of(nn_dist(pts, z=10, ring=1, id_col="url"))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan  # partial+final MIN
+
+
+def test_nn_dist_isolated_point_absent(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("b", 0.01, 0.0), ("c", 90.0, 45.0)],
+        "url string, lon double, lat double")
+    rows = nn_dist(df, z=10, ring=1, id_col="url").collect()
+    assert {r.url for r in rows} == {"a", "b"}
+    d = {r.url: r.nn_m for r in rows}
+    assert d["a"] == pytest.approx(d["b"], rel=1e-12)
+    # 0.01 deg of arc on the R=6371008.8 sphere
+    assert d["a"] == pytest.approx(1111.95, rel=1e-3)
+
+
+def test_clark_evans_replay_sf0001(spark):
+    pts = entry._points(spark, SF_DIR)
+    nn = nn_dist(pts, z=entry.KNNJ_Z, ring=1, id_col="url").collect()
+    mm = [int(r.nn_m * 1000 + 0.5) for r in nn]
+    b1, b2, b3 = entry.CE_BINS_MM
+    n_pts = pts.count()
+    row = entry.q_clark_evans(spark, SF_DIR).collect()[0]
+    assert row.n_pts == n_pts
+    assert row.n_nn == len(mm)
+    assert row.sum_mm == sum(mm)
+    assert row.n_le_100m == sum(1 for v in mm if v <= b1)
+    assert row.n_le_1km == sum(1 for v in mm if v <= b2)
+    assert row.n_le_5km == sum(1 for v in mm if v <= b3)
+    mean_m = (sum(mm) / len(mm)) / 1000.0
+    re_m = 0.5 * math.sqrt(entry.CE_AREA_M2 / n_pts)
+    assert row.mean_nn_m == pytest.approx(mean_m, abs=2e-6)
+    assert row.r_index == pytest.approx(mean_m / re_m, abs=2e-6)
+    # the synthetic corpus is city-clustered: strongly aggregated
+    assert row.r_index < 1.0
