@@ -2904,6 +2904,120 @@ SELECT n_pts, n_nn, sum_mm, n_le_100m, n_le_1km, n_le_5km,
 FROM st CROSS JOIN tot"""
 
 
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate cross-K / colocation statistics: for every unordered
+    pair of distinct page languages and each Ripley scale, the number
+    of cross-language point pairs within the Chebyshev µdeg box, and
+    the colocation quotient cq = observed cross pairs / random-labeling
+    expectation (n_pairs_all * 2*n_a*n_b / (N*(N-1))) — the
+    distance-based companion to join_counts' lattice statistic and the
+    bivariate extension of ripley_k.  cq > 1 means the two languages
+    co-locate more than chance (shared city clusters), cq < 1 means
+    they segregate.
+
+    Exactness: all pair/class counts are exact BIGINTs from the same
+    one-pass half-neighborhood grid join as ripley_k (each unordered
+    pair generated exactly once, classified once at the largest scale,
+    then bucketed into every scale it fits); cq is ONE fixed-
+    parenthesization double expression over exact ints, mirrored
+    verbatim in the oracle.
+
+    Plan: one shuffle on the 2-D grid key for the pair join, hash agg
+    to <= |langs|^2 * |scales| rows, then window + two broadcast joins
+    on the TINY aggregate.  FULL SQL ORACLE (_sql_cross_k): unpruned
+    theta join, same classification and assembly."""
+    pts = _points(spark, sf_dir)
+    seq = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    t = pts.select(
+        seq.alias("pid"), F.col("lang"),
+        F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
+        F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
+    S = RIPLEY_SCALES[-1]
+    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                             F.lit(dx == 0 and dy == 0).alias("home"))
+                    for dx, dy in
+                    ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))])
+    a = (t.withColumn("_o", F.explode(off))
+         .select(F.col("pid").alias("a_pid"), F.col("lang").alias("a_lang"),
+                 F.col("x").alias("a_x"), F.col("y").alias("a_y"),
+                 F.col("_o.home").alias("home"),
+                 (F.floor(F.col("x") / F.lit(float(S)))
+                  + F.col("_o.dx")).alias("cx"),
+                 (F.floor(F.col("y") / F.lit(float(S)))
+                  + F.col("_o.dy")).alias("cy")))
+    b = t.select(F.col("pid").alias("b_pid"), F.col("lang").alias("b_lang"),
+                 F.col("x").alias("b_x"), F.col("y").alias("b_y"),
+                 F.floor(F.col("x") / F.lit(float(S))).alias("cx"),
+                 F.floor(F.col("y") / F.lit(float(S))).alias("cy"))
+    d = F.greatest(F.abs(F.col("a_x") - F.col("b_x")),
+                   F.abs(F.col("a_y") - F.col("b_y")))
+    pairs = (a.join(b, ["cx", "cy"])
+             .where((d <= S)
+                    & (~F.col("home") | (F.col("a_pid") < F.col("b_pid"))))
+             .select(d.alias("d"),
+                     F.least("a_lang", "b_lang").alias("lang_a"),
+                     F.greatest("a_lang", "b_lang").alias("lang_b")))
+    scale = F.explode(F.array(*[F.lit(s) for s in RIPLEY_SCALES]))
+    per = (pairs.select("d", "lang_a", "lang_b", scale.alias("scale_udeg"))
+           .where(F.col("d") <= F.col("scale_udeg"))
+           .groupBy("scale_udeg", "lang_a", "lang_b")
+           .agg(F.count("*").alias("n_pairs")))
+    w = Window.partitionBy("scale_udeg")
+    per = per.withColumn("n_pairs_all", F.sum("n_pairs").over(w))
+    nl = t.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = t.agg(F.count("*").alias("n_total"))
+    j = (per.where(F.col("lang_a") != F.col("lang_b"))
+         .join(F.broadcast(nl.select(F.col("lang").alias("lang_a"),
+                                     F.col("n_l").alias("n_a"))), "lang_a")
+         .join(F.broadcast(nl.select(F.col("lang").alias("lang_b"),
+                                     F.col("n_l").alias("n_b"))), "lang_b")
+         .crossJoin(F.broadcast(tot)))
+    ntd = F.col("n_total").cast("double")
+    num = F.col("n_pairs").cast("double") * (ntd * (ntd - 1.0))
+    den = (F.col("n_pairs_all").cast("double")
+           * (2.0 * F.col("n_a") * F.col("n_b")))
+    return j.select(
+        "scale_udeg", "lang_a", "lang_b",
+        F.col("n_pairs").alias("n_cross"), "n_pairs_all",
+        "n_a", "n_b", "n_total",
+        F.round(num / den, 6).alias("cq"))
+
+
+def _sql_cross_k(n: int) -> str:
+    S = RIPLEY_SCALES[-1]
+    scales = ", ".join(f"({s})" for s in RIPLEY_SCALES)
+    return f"""WITH {_pages_cte(n)},
+t AS (SELECT i AS pid, lang,
+             CAST(ROUND(lon * 1e6, 0) AS BIGINT) AS x,
+             CAST(ROUND(lat * 1e6, 0) AS BIGINT) AS y
+      FROM pages),
+p AS (SELECT GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS d,
+             LEAST(a.lang, b.lang) AS lang_a,
+             GREATEST(a.lang, b.lang) AS lang_b
+      FROM t a JOIN t b
+        ON a.pid < b.pid
+       AND ABS(a.x - b.x) <= {S} AND ABS(a.y - b.y) <= {S}),
+per AS (SELECT s.s AS scale_udeg, lang_a, lang_b, COUNT(*) AS n_pairs
+        FROM p JOIN (VALUES {scales}) s(s) ON p.d <= s.s
+        GROUP BY 1, 2, 3),
+per2 AS (SELECT *, CAST(SUM(n_pairs) OVER (PARTITION BY scale_udeg)
+                        AS BIGINT) AS n_pairs_all
+         FROM per),
+nl AS (SELECT lang, COUNT(*) AS n_l FROM t GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM t)
+SELECT scale_udeg, lang_a, lang_b, n_pairs AS n_cross, n_pairs_all,
+       na.n_l AS n_a, nb.n_l AS n_b, n_total,
+       ROUND((CAST(n_pairs AS DOUBLE)
+              * (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0)))
+             / (CAST(n_pairs_all AS DOUBLE) * (2.0 * na.n_l * nb.n_l)), 6)
+         AS cq
+FROM per2
+JOIN nl na ON na.lang = per2.lang_a
+JOIN nl nb ON nb.lang = per2.lang_b
+CROSS JOIN tot
+WHERE lang_a <> lang_b"""
+
+
 OD_Z = 4             # OD matrix resolution: z4 tiles
 
 
@@ -7244,6 +7358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_forecast": q_revenue_forecast,
         "std_ellipse": q_std_ellipse,
         "clark_evans": q_clark_evans,
+        "cross_k": q_cross_k,
     }
 
 
@@ -7367,4 +7482,5 @@ def oracle_sql() -> dict[str, str]:
         "revenue_forecast": _sql_revenue_forecast(),
         "std_ellipse": _sql_std_ellipse(n),
         "clark_evans": _sql_clark_evans(n),
+        "cross_k": _sql_cross_k(n),
     }

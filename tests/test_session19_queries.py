@@ -169,3 +169,66 @@ def test_clark_evans_replay_sf0001(spark):
     assert row.r_index == pytest.approx(mean_m / re_m, abs=2e-6)
     # the synthetic corpus is city-clustered: strongly aggregated
     assert row.r_index < 1.0
+
+
+def _udeg_xy(r):
+    return _udeg(r.lon), _udeg(r.lat)
+
+
+def test_cross_k_replay_sf0001(spark):
+    rows = entry._points(spark, SF_DIR).collect()
+    pts = [(_udeg_xy(r), r.lang) for r in rows]
+    n_tot = len(pts)
+    nl: dict[str, int] = {}
+    for _, lang in pts:
+        nl[lang] = nl.get(lang, 0) + 1
+    per: dict[tuple[int, str, str], int] = {}
+    all_s: dict[int, int] = {}
+    S = entry.RIPLEY_SCALES[-1]
+    for i in range(n_tot):
+        (xi, yi), li = pts[i]
+        for j in range(i + 1, n_tot):
+            (xj, yj), lj = pts[j]
+            d = max(abs(xi - xj), abs(yi - yj))
+            if d > S:
+                continue
+            la, lb = min(li, lj), max(li, lj)
+            for s in entry.RIPLEY_SCALES:
+                if d <= s:
+                    per[(s, la, lb)] = per.get((s, la, lb), 0) + 1
+                    all_s[s] = all_s.get(s, 0) + 1
+    got = entry.q_cross_k(spark, SF_DIR).collect()
+    seen = set()
+    for r in got:
+        key = (r.scale_udeg, r.lang_a, r.lang_b)
+        assert r.lang_a < r.lang_b
+        assert r.n_cross == per[key]
+        assert r.n_pairs_all == all_s[r.scale_udeg]
+        assert (r.n_a, r.n_b, r.n_total) == (nl[r.lang_a], nl[r.lang_b], n_tot)
+        want_cq = (r.n_cross * (float(n_tot) * (n_tot - 1.0))) / (
+            r.n_pairs_all * (2.0 * r.n_a * r.n_b))
+        assert r.cq == pytest.approx(want_cq, abs=2e-6)
+        seen.add(key)
+    # every cross-language key the replay found must be present
+    assert seen == {k for k in per if k[1] != k[2]}
+
+
+def test_cross_k_hand_case(spark):
+    # two tight clusters: en+de co-located, fr far away alone =>
+    # (de,en) colocates (cq > 1); (en,fr)/(de,fr) have no cross pairs
+    data = ([("a%d" % i, "en", 10.0 + i * 1e-4, 50.0) for i in range(5)]
+            + [("b%d" % i, "de", 10.0 + i * 1e-4, 50.001) for i in range(5)]
+            + [("c%d" % i, "fr", 120.0 + i * 1e-4, -30.0) for i in range(5)])
+    df = spark.createDataFrame(data, "url string, lang string, lon double, lat double")
+    import __spark_entry__ as e
+    import unittest.mock as mock
+    pts = df.withColumn("url", F.concat(F.lit("https://x/page/"),
+                                        F.monotonically_increasing_id()))
+    with mock.patch.object(e, "_points", lambda spark, sf_dir: pts):
+        out = {(r.scale_udeg, r.lang_a, r.lang_b): r
+               for r in e.q_cross_k(spark, "ignored").collect()}
+    big = e.RIPLEY_SCALES[-1]
+    r = out[(big, "de", "en")]
+    assert r.n_cross == 25  # every de-en pair is within 100k udeg
+    assert r.cq > 1.0
+    assert (big, "en", "fr") not in out  # no cross pairs at any scale
