@@ -3018,6 +3018,73 @@ CROSS JOIN tot
 WHERE lang_a <> lang_b"""
 
 
+SCAN_Z = 6           # scan-statistic lattice: z6 cells
+SCAN_LANG = "de"     # case class for the language scan
+SCAN_TOPK = 20
+
+
+def q_lang_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kulldorff-style spatial scan: the top-20 cell neighborhoods
+    (z6 cell + Chebyshev radius 0-2) where German-language pages are
+    most over-represented vs the all-pages baseline (Kulldorff 1997 /
+    SaTScan).  The cut and rank are EXACT integer cross-multiplied
+    comparisons (c_zone*n_tot vs c_tot*n_zone) so the top-k set is
+    engine-independent; the Poisson LLR is one fixed float expression
+    over the exact counts.
+
+    Plan: points hash-agg to occupied cells (one shuffle), 25-offset
+    explode of the AGGREGATED lattice + hash-agg on the zone center
+    (second shuffle, |cells|*25 rows only), broadcast totals,
+    TakeOrdered(20).  FULL SQL ORACLE (_sql_lang_scan)."""
+    from proj_spark.spatial import stats as spatial_stats
+    pts = _points(spark, sf_dir)
+    counts = (pts.select(
+        cells.tile_x(F.col("lon"), SCAN_Z).alias("tx"),
+        cells.tile_y(F.col("lat"), SCAN_Z).alias("ty"),
+        (F.col("lang") == SCAN_LANG).cast("long").alias("is_case"))
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n"), F.sum("is_case").alias("c")))
+    return spatial_stats.kulldorff_scan(counts, top_k=SCAN_TOPK, max_r=2)
+
+
+def _sql_lang_scan(n: int) -> str:
+    z = SCAN_Z
+    e = "((CAST(c_tot AS DOUBLE) * CAST(n_zone AS DOUBLE)) / CAST(n_tot AS DOUBLE))"
+    t1 = f"CAST(c_zone AS DOUBLE) * LN(CAST(c_zone AS DOUBLE) / {e})"
+    t2 = (f"(CAST(c_tot AS DOUBLE) - CAST(c_zone AS DOUBLE)) * "
+          f"LN((CAST(c_tot AS DOUBLE) - CAST(c_zone AS DOUBLE)) / "
+          f"(CAST(c_tot AS DOUBLE) - {e}))")
+    return f"""WITH {_pages_cte(n)},
+cl AS (SELECT {cells.tile_x_sql('lon', z)} AS tx,
+              {cells.tile_y_sql('lat', z)} AS ty,
+              COUNT(*) AS n,
+              CAST(SUM(CASE WHEN lang = '{SCAN_LANG}' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c
+       FROM pages GROUP BY 1, 2),
+offs AS (SELECT dx.dx AS dx, dy.dy AS dy,
+                GREATEST(ABS(dx.dx), ABS(dy.dy)) AS dr
+         FROM (VALUES (-2), (-1), (0), (1), (2)) dx(dx)
+         CROSS JOIN (VALUES (-2), (-1), (0), (1), (2)) dy(dy)),
+zone AS (SELECT b.tx + dx AS cx, b.ty + dy AS cy, r.r AS r,
+                CAST(SUM(n) AS BIGINT) AS n_zone,
+                CAST(SUM(c) AS BIGINT) AS c_zone
+         FROM cl b CROSS JOIN offs
+         JOIN (VALUES (0), (1), (2)) r(r) ON dr <= r.r
+         GROUP BY 1, 2, 3),
+occ AS (SELECT zone.* FROM zone
+        JOIN cl ON cl.tx = zone.cx AND cl.ty = zone.cy),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(c) AS BIGINT) AS c_tot FROM cl)
+SELECT cx, cy, r, n_zone, c_zone, n_tot, c_tot,
+       c_zone * n_tot - c_tot * n_zone AS excess,
+       ROUND(CASE WHEN c_zone = c_tot THEN {t1}
+                  ELSE {t1} + {t2} END, 4) AS llr
+FROM occ CROSS JOIN tot
+WHERE c_zone * n_tot > c_tot * n_zone AND n_zone < n_tot
+ORDER BY excess DESC, cx, cy, r
+LIMIT {SCAN_TOPK}"""
+
+
 OD_Z = 4             # OD matrix resolution: z4 tiles
 
 
@@ -7359,6 +7426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "std_ellipse": q_std_ellipse,
         "clark_evans": q_clark_evans,
         "cross_k": q_cross_k,
+        "lang_scan": q_lang_scan,
     }
 
 
@@ -7483,4 +7551,5 @@ def oracle_sql() -> dict[str, str]:
         "std_ellipse": _sql_std_ellipse(n),
         "clark_evans": _sql_clark_evans(n),
         "cross_k": _sql_cross_k(n),
+        "lang_scan": _sql_lang_scan(n),
     }

@@ -55,7 +55,7 @@ HEADLINE = [
     "bm25_topk", "hits_scores", "link_pred", "stay_points",
     "funnel_conv", "retention_cohorts", "label_prop", "mad_outliers",
     "rolling_stats", "event_transitions", "ship_priority", "revenue_forecast",
-    "std_ellipse", "clark_evans", "cross_k",
+    "std_ellipse", "clark_evans", "cross_k", "lang_scan",
 ]
 
 

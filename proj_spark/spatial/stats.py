@@ -365,3 +365,67 @@ def std_ellipse(pts: DataFrame, id_col: str = "domain",
         .alias("sig_maj_udeg"),
         F.round(F.sqrt(F.greatest(lam2, F.lit(0.0))), 2)
         .alias("sig_min_udeg"))
+
+
+def kulldorff_scan(counts: DataFrame, top_k: int = 20,
+                   max_r: int = 2) -> DataFrame:
+    """Kulldorff-style spatial scan statistic over a cell lattice:
+    find the zones (an occupied cell + its Chebyshev-radius-r
+    neighborhood, r = 0..max_r) where the case class is most
+    over-represented relative to the baseline population
+    (Kulldorff 1997, the SaTScan statistic; Poisson/binomial LLR).
+
+    Input: (tx, ty, n, c) — per occupied cell, baseline count n and
+    case count c.
+
+    Exactness contract: the candidate CUT and ORDER use only exact
+    BIGINT arithmetic — a zone qualifies iff c_zone*n_tot >
+    c_tot*n_zone (exactly "observed > expected" cross-multiplied; no
+    float ratio), and zones are ranked by the exact integer excess
+    c_zone*n_tot - c_tot*n_zone with (cx, cy, r) tie-breaks — so the
+    top-k set is engine-independent.  The LLR itself is reported as
+    ONE fixed-parenthesization double expression over the exact
+    integer counts (products bounded by count^2 < 2^63 up to ~3e9
+    rows; at larger scale widen to DECIMAL).
+
+    Scale shape: the neighborhood sums are computed by exploding each
+    AGGREGATED cell row to its (2*max_r+1)^2 neighbor centers tagged
+    with dr = Chebyshev distance, then one hash-agg per (center, r) —
+    work is |occupied cells| * 25, never |points| * 25; one shuffle on
+    the center key, TakeOrdered for the top-k.
+    """
+    offs = [(dx, dy) for dx in range(-max_r, max_r + 1)
+            for dy in range(-max_r, max_r + 1)]
+    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                             F.lit(max(abs(dx), abs(dy))).alias("dr"))
+                    for dx, dy in offs])
+    contrib = (counts.withColumn("_o", F.explode(off))
+               .select((F.col("tx") + F.col("_o.dx")).alias("cx"),
+                       (F.col("ty") + F.col("_o.dy")).alias("cy"),
+                       F.explode(F.sequence(F.col("_o.dr"),
+                                            F.lit(max_r))).alias("r"),
+                       "n", "c"))
+    zone = (contrib.groupBy("cx", "cy", "r")
+            .agg(F.sum("n").alias("n_zone"), F.sum("c").alias("c_zone")))
+    occ = zone.join(counts.select(F.col("tx").alias("cx"),
+                                  F.col("ty").alias("cy")), ["cx", "cy"])
+    tot = counts.agg(F.sum("n").alias("n_tot"), F.sum("c").alias("c_tot"))
+    j = (occ.crossJoin(F.broadcast(tot))
+         .where((F.col("c_zone") * F.col("n_tot")
+                 > F.col("c_tot") * F.col("n_zone"))
+                & (F.col("n_zone") < F.col("n_tot"))))
+    ctd = F.col("c_tot").cast("double")
+    nzd = F.col("n_zone").cast("double")
+    ntd = F.col("n_tot").cast("double")
+    czd = F.col("c_zone").cast("double")
+    e = (ctd * nzd) / ntd
+    t1 = czd * F.log(czd / e)
+    t2 = (ctd - czd) * F.log((ctd - czd) / (ctd - e))
+    llr = F.when(F.col("c_zone") == F.col("c_tot"), t1).otherwise(t1 + t2)
+    return (j.select(
+        "cx", "cy", "r", "n_zone", "c_zone", "n_tot", "c_tot",
+        (F.col("c_zone") * F.col("n_tot")
+         - F.col("c_tot") * F.col("n_zone")).alias("excess"),
+        F.round(llr, 4).alias("llr"))
+        .orderBy(F.desc("excess"), "cx", "cy", "r")
+        .limit(top_k))

@@ -232,3 +232,57 @@ def test_cross_k_hand_case(spark):
     assert r.n_cross == 25  # every de-en pair is within 100k udeg
     assert r.cq > 1.0
     assert (big, "en", "fr") not in out  # no cross pairs at any scale
+
+
+def test_kulldorff_hand_case(spark):
+    from proj_spark.spatial.stats import kulldorff_scan
+    # two far-apart cells: all 10 cases sit in cell A (n=20), cell B is
+    # case-free baseline (n=80).  Only A-centered zones can qualify.
+    counts = spark.createDataFrame(
+        [(10, 10, 20, 10), (40, 40, 80, 0)],
+        "tx long, ty long, n long, c long")
+    rows = kulldorff_scan(counts, top_k=5, max_r=2).collect()
+    assert rows, "the case-concentrated cell must qualify"
+    top = rows[0]
+    assert (top.cx, top.cy) == (10, 10)
+    assert (top.n_zone, top.c_zone, top.n_tot, top.c_tot) == (20, 10, 100, 10)
+    assert top.excess == 10 * 100 - 10 * 20  # c*N - C*n = 800
+    # c_zone == c_tot -> single-term LLR = c * ln(c/E), E = C*n/N = 2
+    want = 10 * math.log(10 / 2.0)
+    assert top.llr == pytest.approx(want, abs=2e-4)
+    # every returned zone must center on an occupied cell
+    assert {(r.cx, r.cy) for r in rows} <= {(10, 10), (40, 40)}
+
+
+def test_lang_scan_replay_sf0001(spark):
+    from proj_spark.spatial.knn import _tile_x, _tile_y
+    rows = entry._points(spark, SF_DIR).collect()
+    cl: dict[tuple[int, int], list[int]] = {}
+    for r in rows:
+        k = (_tile_x(r.lon, entry.SCAN_Z), _tile_y(r.lat, entry.SCAN_Z))
+        v = cl.setdefault(k, [0, 0])
+        v[0] += 1
+        v[1] += int(r.lang == entry.SCAN_LANG)
+    n_tot = sum(v[0] for v in cl.values())
+    c_tot = sum(v[1] for v in cl.values())
+    zones = {}
+    for (tx, ty) in cl:  # occupied centers only
+        for rr in range(3):
+            nz = cz = 0
+            for (bx, by), (bn, bc) in cl.items():
+                if max(abs(bx - tx), abs(by - ty)) <= rr:
+                    nz += bn
+                    cz += bc
+            if cz * n_tot > c_tot * nz and nz < n_tot:
+                zones[(tx, ty, rr)] = (nz, cz, cz * n_tot - c_tot * nz)
+    want = sorted(zones.items(), key=lambda kv: (-kv[1][2],) + kv[0])
+    want = want[:entry.SCAN_TOPK]
+    got = entry.q_lang_scan(spark, SF_DIR).collect()
+    assert [(r.cx, r.cy, r.r) for r in got] == [k for k, _ in want]
+    for r, (k, (nz, cz, ex)) in zip(got, want):
+        assert (r.n_zone, r.c_zone, r.excess) == (nz, cz, ex)
+        e = (c_tot * float(nz)) / n_tot
+        t1 = cz * math.log(cz / e)
+        llr = t1 if cz == c_tot else t1 + (c_tot - cz) * math.log(
+            (c_tot - cz) / (c_tot - e))
+        assert r.llr == pytest.approx(llr, abs=2e-4)
