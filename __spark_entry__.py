@@ -3085,6 +3085,117 @@ ORDER BY excess DESC, cx, cy, r
 LIMIT {SCAN_TOPK}"""
 
 
+QUADRAT_Z = 4        # quadrat lattice: z4 -> 256 world cells
+
+
+def q_quadrat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat analysis / index of dispersion: the chi-square CSR test
+    over the fixed z4 web-mercator lattice (Q = 256 quadrats).  The
+    classic identity chi2 = sum (x - N/Q)^2 / (N/Q) = (Q*Sx2 - N^2)/N
+    makes the numerator an EXACT BIGINT (empty quadrats contribute
+    x=0, which the occupied-only scan already accounts for), so the
+    statistic is two fixed float divisions over exact integers.
+    VMR = chi2/(Q-1) >> 1 certifies clustering (CSR gives VMR ~= 1).
+
+    Plan: one hash-agg to occupied cells, one single-row agg — the
+    cheapest possible CSR test at any corpus size.
+    FULL SQL ORACLE (_sql_quadrat)."""
+    q = 1 << (2 * QUADRAT_Z)
+    pts = _points(spark, sf_dir)
+    cl = (pts.select(cells.tile_x(F.col("lon"), QUADRAT_Z).alias("tx"),
+                     cells.tile_y(F.col("lat"), QUADRAT_Z).alias("ty"))
+          .groupBy("tx", "ty").agg(F.count("*").alias("x")))
+    agg = cl.agg(F.count("*").alias("n_occupied"),
+                 F.sum("x").alias("n_pts"),
+                 F.sum(F.col("x") * F.col("x")).alias("sum_sq"))
+    num = (F.lit(q) * F.col("sum_sq")
+           - F.col("n_pts") * F.col("n_pts"))
+    chi2 = num.cast("double") / F.col("n_pts").cast("double")
+    return agg.select(
+        F.lit(q).cast("long").alias("n_quadrats"),
+        "n_occupied", "n_pts", "sum_sq",
+        num.alias("chi2_num"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(chi2 / float(q - 1), 6).alias("vmr"))
+
+
+def _sql_quadrat(n: int) -> str:
+    z, q = QUADRAT_Z, 1 << (2 * QUADRAT_Z)
+    return f"""WITH {_pages_cte(n)},
+cl AS (SELECT {cells.tile_x_sql('lon', z)} AS tx,
+              {cells.tile_y_sql('lat', z)} AS ty, COUNT(*) AS x
+       FROM pages GROUP BY 1, 2),
+a AS (SELECT COUNT(*) AS n_occupied, CAST(SUM(x) AS BIGINT) AS n_pts,
+             CAST(SUM(x * x) AS BIGINT) AS sum_sq
+      FROM cl)
+SELECT CAST({q} AS BIGINT) AS n_quadrats, n_occupied, n_pts, sum_sq,
+       {q} * sum_sq - n_pts * n_pts AS chi2_num,
+       ROUND(CAST({q} * sum_sq - n_pts * n_pts AS DOUBLE)
+             / CAST(n_pts AS DOUBLE), 6) AS chi2,
+       ROUND(CAST({q} * sum_sq - n_pts * n_pts AS DOUBLE)
+             / CAST(n_pts AS DOUBLE) / {float(q - 1)!r}, 6) AS vmr
+FROM a"""
+
+
+# distance-decay annuli around the nearest city (exact meter cuts)
+DECAY_BINS_M = (1_000, 2_000, 5_000, 10_000, 20_000, 50_000,
+                100_000, 200_000, 500_000)
+
+
+def q_city_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-decay profile of the web around cities: every page is
+    assigned its nearest of the 40 city centers (the reverse_geocode
+    monotone-kernel argmin — asin/sqrt once per point, zero joins) and
+    an annulus bucket by exact integer-meter thresholds; output is
+    pages per (city, annulus) — the urban-gravity decay curve web
+    geography studies fit exponents to.
+
+    Exactness: the per-point distance is meter-rounded to BIGINT (the
+    engines' doubles are bit-identical, the reverse_geocode guarantee),
+    bucket cuts are integer compares, counts exact.
+    FULL SQL ORACLE (_sql_city_decay)."""
+    pts = _points(spark, sf_dir)
+    cand = F.array(*[
+        F.struct(
+            (F.pow(F.sin((F.radians(F.lit(cy)) - F.radians(F.col("lat"))) / 2), 2)
+             + F.cos(F.radians(F.col("lat"))) * F.cos(F.radians(F.lit(cy)))
+             * F.pow(F.sin((F.radians(F.lit(cx)) - F.radians(F.col("lon"))) / 2), 2)
+             ).alias("h"),
+            F.lit(i).alias("city_id"))
+        for i, (cx, cy) in enumerate(CITY_CENTERS)])
+    best = F.array_min(cand)
+    d_m = F.round(F.lit(2.0 * EARTH_R) * F.asin(F.sqrt(best["h"])), 0).cast("long")
+    bucket = F.lit(len(DECAY_BINS_M))
+    for i in range(len(DECAY_BINS_M) - 1, -1, -1):
+        bucket = F.when(d_m <= DECAY_BINS_M[i], F.lit(i)).otherwise(bucket)
+    lab = pts.select(best["city_id"].alias("city_id"),
+                     bucket.alias("bucket"), d_m.alias("d_m"))
+    return (lab.groupBy("city_id", "bucket")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum("d_m").alias("sum_d_m")))
+
+
+def _sql_city_decay(n: int) -> str:
+    terms = []
+    for i, (cx, cy) in enumerate(CITY_CENTERS):
+        d = (f"2.0 * {EARTH_R} * ASIN(SQRT("
+             f"POWER(SIN((RADIANS({cy!r}) - RADIANS(lat))/2), 2) + "
+             f"COS(RADIANS(lat)) * COS(RADIANS({cy!r})) * "
+             f"POWER(SIN((RADIANS({cx!r}) - RADIANS(lon))/2), 2)))")
+        terms.append(f"({d}, {i})")
+    lst = "[" + ", ".join(terms) + "]"
+    cuts = " ".join(
+        f"WHEN d_m <= {t} THEN {i}" for i, t in enumerate(DECAY_BINS_M))
+    return f"""WITH {_pages_cte(n)},
+lab AS (SELECT best[2] AS city_id,
+               CAST(ROUND(best[1], 0) AS BIGINT) AS d_m
+        FROM (SELECT list_aggregate({lst}, 'min') AS best FROM pages))
+SELECT city_id,
+       CASE {cuts} ELSE {len(DECAY_BINS_M)} END AS bucket,
+       COUNT(*) AS n_pages, CAST(SUM(d_m) AS BIGINT) AS sum_d_m
+FROM lab GROUP BY 1, 2"""
+
+
 OD_Z = 4             # OD matrix resolution: z4 tiles
 
 
@@ -7427,6 +7538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clark_evans": q_clark_evans,
         "cross_k": q_cross_k,
         "lang_scan": q_lang_scan,
+        "quadrat": q_quadrat,
+        "city_decay": q_city_decay,
     }
 
 
@@ -7552,4 +7665,6 @@ def oracle_sql() -> dict[str, str]:
         "clark_evans": _sql_clark_evans(n),
         "cross_k": _sql_cross_k(n),
         "lang_scan": _sql_lang_scan(n),
+        "quadrat": _sql_quadrat(n),
+        "city_decay": _sql_city_decay(n),
     }

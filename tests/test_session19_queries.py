@@ -286,3 +286,42 @@ def test_lang_scan_replay_sf0001(spark):
         llr = t1 if cz == c_tot else t1 + (c_tot - cz) * math.log(
             (c_tot - cz) / (c_tot - e))
         assert r.llr == pytest.approx(llr, abs=2e-4)
+
+
+def test_quadrat_replay_sf0001(spark):
+    from proj_spark.spatial.knn import _tile_x, _tile_y
+    rows = entry._points(spark, SF_DIR).collect()
+    counts: dict[tuple[int, int], int] = {}
+    for r in rows:
+        k = (_tile_x(r.lon, entry.QUADRAT_Z), _tile_y(r.lat, entry.QUADRAT_Z))
+        counts[k] = counts.get(k, 0) + 1
+    q = 1 << (2 * entry.QUADRAT_Z)
+    n = sum(counts.values())
+    ssq = sum(v * v for v in counts.values())
+    got = entry.q_quadrat(spark, SF_DIR).collect()[0]
+    assert (got.n_quadrats, got.n_occupied, got.n_pts, got.sum_sq) == (
+        q, len(counts), n, ssq)
+    assert got.chi2_num == q * ssq - n * n
+    chi2 = (q * ssq - n * n) / float(n)
+    assert got.chi2 == pytest.approx(chi2, abs=2e-6)
+    assert got.vmr == pytest.approx(chi2 / (q - 1), abs=2e-6)
+    # city-clustered corpus: far from CSR
+    assert got.vmr > 10.0
+
+
+def test_city_decay_consistency(spark):
+    # buckets must partition each city's pages and match reverse_geocode
+    decay = entry.q_city_decay(spark, SF_DIR).collect()
+    rg = {r.city_id: r.n_pages
+          for r in entry.q_reverse_geocode(spark, SF_DIR).collect()}
+    per_city: dict[int, int] = {}
+    for r in decay:
+        assert 0 <= r.bucket <= len(entry.DECAY_BINS_M)
+        per_city[r.city_id] = per_city.get(r.city_id, 0) + r.n_pages
+    assert per_city == rg
+    # ~70% of pages are city-clustered with ~1 deg jitter (~110 km),
+    # so the <=200 km annuli hold the majority of the corpus
+    inner = sum(r.n_pages for r in decay if r.bucket <= 7)
+    total = sum(r.n_pages for r in decay)
+    assert total == 6000
+    assert inner > total * 0.5
