@@ -3196,6 +3196,136 @@ SELECT city_id,
 FROM lab GROUP BY 1, 2"""
 
 
+MIX_ALPHA_NOTE = "alpha=0.5 (sqrt temperature)"
+MIX_BUDGET = 10_000  # docs per resampled epoch
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting across document sources:
+    temperature-resampling weights w_s ∝ n_s^0.5 (the multilingual /
+    multi-source sqrt-temperature scheme of mT5/XLM-R data sampling)
+    plus the integer per-epoch doc allocation for a 10k-doc budget.
+
+    Exactness: n_docs/n_tokens are exact BIGINTs; the sqrt is
+    quantized per source to integer micro-units BEFORE the cross-
+    source total (a parallel double sum would be order-dependent —
+    the same trick as the µdeg statistics), so the share division and
+    the floor-divided allocation are engine-exact.
+
+    Plan: one hash-agg to |sources| rows, broadcast total, no big-side
+    shuffle beyond the agg.  FULL SQL ORACLE (_sql_source_mix)."""
+    docs = _docs(spark, sf_dir)
+    per = (docs.select("source", analysis.token_count(F.col("text")).alias("tok"))
+           .groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("tok").alias("n_tokens")))
+    s_q = F.round(F.sqrt(F.col("n_docs").cast("double")) * 1e6, 0).cast("long")
+    per = per.withColumn("s_q", s_q)
+    tot = per.agg(F.sum("s_q").alias("s_tot"))
+    j = per.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source", "n_docs", "n_tokens", "s_q", "s_tot",
+        F.round(F.col("s_q").cast("double") / F.col("s_tot").cast("double"),
+                9).alias("w"),
+        F.expr(f"({MIX_BUDGET} * s_q) div s_tot").alias("epoch_docs"))
+
+
+def _sql_source_mix() -> str:
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "t -> t != '')")
+    return f"""WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({toks})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+q AS (SELECT *, CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)) * 1e6, 0) AS BIGINT)
+               AS s_q FROM per),
+tot AS (SELECT CAST(SUM(s_q) AS BIGINT) AS s_tot FROM q)
+SELECT source, n_docs, n_tokens, s_q, s_tot,
+       ROUND(CAST(s_q AS DOUBLE) / CAST(s_tot AS DOUBLE), 9) AS w,
+       ({MIX_BUDGET} * s_q) // s_tot AS epoch_docs
+FROM q CROSS JOIN tot"""
+
+
+SEQ_LEN = 2048       # packing window in whitespace tokens
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing audit: concat-and-split packing of each
+    source's documents (ordered by doc_id) into fixed 2048-token
+    training windows — the GPT-style "concatenate then chunk" loader —
+    reporting per source the window count, the number of documents
+    whose span crosses a window boundary (truncation victims), and the
+    fill ratio of the final epoch.
+
+    Exactness: per-doc token counts and the running prefix sum are
+    exact BIGINTs (ROWS frame, doc_id total order); boundary crossing
+    is pure floor-division arithmetic on non-negative ints; only the
+    fill ratio is one fixed float division.
+
+    Plan: ONE exchange+sort per source partition for the running sum
+    (windows parallel across sources), then a hash agg — the same
+    shape as rolling_stats/stay_points.  FULL SQL ORACLE
+    (_sql_seq_pack)."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select("source", "doc_id",
+                    analysis.token_count(F.col("text"))
+                    .cast("long").alias("tok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = t.withColumn("cum", F.sum("tok").over(w))
+    # doc spans [cum-tok, cum) in the concatenated stream; it crosses a
+    # window boundary iff its first and last token land in different
+    # SEQ_LEN windows (floor division on non-negative ints)
+    crosses = ((F.col("tok") > 0)
+               & (F.expr(f"(cum - tok) div {SEQ_LEN}")
+                  != F.expr(f"(cum - 1) div {SEQ_LEN}")))
+    per = (t.select("source", "tok", "cum", crosses.alias("crosses"))
+           .groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("tok").alias("n_tokens"),
+                F.sum(F.when(F.col("tok") == 0, 1).otherwise(0))
+                .cast("long").alias("n_empty"),
+                F.sum(F.col("crosses").cast("long")).alias("n_boundary")))
+    n_win = F.expr(f"(n_tokens + {SEQ_LEN - 1}) div {SEQ_LEN}")
+    return per.select(
+        "source", "n_docs", "n_tokens", "n_empty", "n_boundary",
+        n_win.alias("n_windows"),
+        F.round(F.col("n_tokens").cast("double")
+                / (float(SEQ_LEN) * n_win.cast("double")), 6)
+        .alias("fill_ratio"))
+
+
+def _sql_seq_pack() -> str:
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "t -> t != '')")
+    return f"""WITH t AS (
+  SELECT source, doc_id, CAST(len({toks}) AS BIGINT) AS tok
+  FROM documents),
+c AS (SELECT source, tok,
+             CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM t),
+f AS (SELECT source, tok, cum,
+             (tok > 0 AND (cum - tok) // {SEQ_LEN} <> (cum - 1) // {SEQ_LEN})
+               AS crosses
+      FROM c),
+per AS (SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN tok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_empty,
+               CAST(SUM(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_boundary
+        FROM f GROUP BY 1)
+SELECT source, n_docs, n_tokens, n_empty, n_boundary,
+       (n_tokens + {SEQ_LEN - 1}) // {SEQ_LEN} AS n_windows,
+       ROUND(CAST(n_tokens AS DOUBLE)
+             / ({float(SEQ_LEN)!r} * CAST((n_tokens + {SEQ_LEN - 1})
+                                          // {SEQ_LEN} AS DOUBLE)), 6)
+         AS fill_ratio
+FROM per"""
+
+
 OD_Z = 4             # OD matrix resolution: z4 tiles
 
 
@@ -7540,6 +7670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_scan": q_lang_scan,
         "quadrat": q_quadrat,
         "city_decay": q_city_decay,
+        "source_mix": q_source_mix,
+        "seq_pack": q_seq_pack,
     }
 
 
@@ -7667,4 +7799,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_scan": _sql_lang_scan(n),
         "quadrat": _sql_quadrat(n),
         "city_decay": _sql_city_decay(n),
+        "source_mix": _sql_source_mix(),
+        "seq_pack": _sql_seq_pack(),
     }

@@ -56,7 +56,7 @@ HEADLINE = [
     "funnel_conv", "retention_cohorts", "label_prop", "mad_outliers",
     "rolling_stats", "event_transitions", "ship_priority", "revenue_forecast",
     "std_ellipse", "clark_evans", "cross_k", "lang_scan",
-    "quadrat", "city_decay",
+    "quadrat", "city_decay", "source_mix", "seq_pack",
 ]
 
 

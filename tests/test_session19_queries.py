@@ -325,3 +325,57 @@ def test_city_decay_consistency(spark):
     total = sum(r.n_pages for r in decay)
     assert total == 6000
     assert inner > total * 0.5
+
+
+def test_source_mix_replay_sf0001(spark):
+    docs = entry._docs(spark, SF_DIR).collect()
+    per: dict[str, int] = {}
+    for d in docs:
+        per[d.source] = per.get(d.source, 0) + 1
+    sq = {s: int(math.sqrt(float(n)) * 1e6 + 0.5) for s, n in per.items()}
+    s_tot = sum(sq.values())
+    got = entry.q_source_mix(spark, SF_DIR).collect()
+    assert {r.source for r in got} == set(per)
+    for r in got:
+        assert r.n_docs == per[r.source]
+        assert r.s_q == sq[r.source]
+        assert r.s_tot == s_tot
+        assert r.w == pytest.approx(sq[r.source] / s_tot, abs=2e-9)
+        assert r.epoch_docs == (entry.MIX_BUDGET * sq[r.source]) // s_tot
+    # allocation never exceeds the budget (floor division)
+    assert sum(r.epoch_docs for r in got) <= entry.MIX_BUDGET
+    # sqrt temperature flattens: every weight strictly between the
+    # proportional share and the uniform share ordering-wise
+    tot_docs = sum(per.values())
+    for r in got:
+        prop = per[r.source] / tot_docs
+        if prop < 1.0 / len(per):
+            assert r.w > prop * 0.999  # upweighted tail
+        elif prop > 1.0 / len(per):
+            assert r.w < prop * 1.001  # downweighted head
+
+
+def test_seq_pack_replay_sf0001(spark):
+    rows = entry._docs(spark, SF_DIR).collect()
+    per: dict[str, list] = {}
+    for d in rows:
+        per.setdefault(d.source, []).append((d.doc_id, len(d.text.split())))
+    L = entry.SEQ_LEN
+    got = {r.source: r for r in entry.q_seq_pack(spark, SF_DIR).collect()}
+    assert set(got) == set(per)
+    for s, docs in per.items():
+        docs.sort()
+        cum = 0
+        nb = ne = 0
+        for _, tok in docs:
+            start, cum = cum, cum + tok
+            if tok == 0:
+                ne += 1
+            elif start // L != (cum - 1) // L:
+                nb += 1
+        r = got[s]
+        assert (r.n_docs, r.n_tokens, r.n_empty, r.n_boundary) == (
+            len(docs), cum, ne, nb)
+        nw = (cum + L - 1) // L
+        assert r.n_windows == nw
+        assert r.fill_ratio == pytest.approx(cum / (L * float(nw)), abs=2e-6)
