@@ -3326,6 +3326,114 @@ SELECT source, n_docs, n_tokens, n_empty, n_boundary,
 FROM per"""
 
 
+ENTROPY_Z = 4        # domain footprint entropy lattice
+
+
+def q_domain_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographic concentration of each domain: Shannon entropy of its
+    page distribution over z4 cells (0 nats = single-cell domain,
+    ln(n_cells) = perfectly spread) — the spatial-diversity metric
+    next to domain_gyration's metric radius.
+
+    Exactness: the order-dependent float sum Σ c·ln(c) is avoided by
+    quantizing each cell's term to integer micro-nats BEFORE the
+    per-domain BIGINT sum (the µdeg discipline applied to logs);
+    entropy is then ONE fixed float expression over exact ints,
+    H = ln(N) - (Σq/1e6)/N.  LN bit-parity across engines is the
+    lang_scan precedent.
+
+    Plan: one hash-agg to (domain, cell), one to domain — no joins.
+    FULL SQL ORACLE (_sql_domain_entropy)."""
+    pts = _points(spark, sf_dir)
+    dc = (pts.select("domain",
+                     cells.tile_x(F.col("lon"), ENTROPY_Z).alias("tx"),
+                     cells.tile_y(F.col("lat"), ENTROPY_Z).alias("ty"))
+          .groupBy("domain", "tx", "ty").agg(F.count("*").alias("c")))
+    eq = F.round(F.col("c").cast("double")
+                 * F.log(F.col("c").cast("double")) * 1e6, 0).cast("long")
+    per = (dc.select("domain", "c", eq.alias("e_q"))
+           .groupBy("domain")
+           .agg(F.count("*").alias("n_cells"),
+                F.sum("c").alias("n_pages"),
+                F.sum("e_q").alias("s_eq")))
+    h = (F.log(F.col("n_pages").cast("double"))
+         - (F.col("s_eq").cast("double") / 1e6)
+         / F.col("n_pages").cast("double"))
+    return per.select("domain", "n_cells", "n_pages", "s_eq",
+                      F.round(h, 6).alias("entropy_nats"))
+
+
+def _sql_domain_entropy(n: int) -> str:
+    z = ENTROPY_Z
+    return f"""WITH {_pages_cte(n)},
+dc AS (SELECT domain, {cells.tile_x_sql('lon', z)} AS tx,
+              {cells.tile_y_sql('lat', z)} AS ty, COUNT(*) AS c
+       FROM pages GROUP BY 1, 2, 3),
+q AS (SELECT domain, c,
+             CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)) * 1e6, 0)
+                  AS BIGINT) AS e_q
+      FROM dc),
+per AS (SELECT domain, COUNT(*) AS n_cells, CAST(SUM(c) AS BIGINT) AS n_pages,
+               CAST(SUM(e_q) AS BIGINT) AS s_eq
+        FROM q GROUP BY 1)
+SELECT domain, n_cells, n_pages, s_eq,
+       ROUND(LN(CAST(n_pages AS DOUBLE))
+             - (CAST(s_eq AS DOUBLE) / 1e6) / CAST(n_pages AS DOUBLE), 6)
+         AS entropy_nats
+FROM per"""
+
+
+GINI_Z = 6           # tile-inequality lattice
+
+
+def q_tile_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of page mass across occupied z6 tiles — the
+    standard inequality index (how concentrated is the web's geography)
+    computed by the sorted-rank identity
+    G = (2*Σ i*x_(i) - (n+1)*Σx) / (n*Σx).
+
+    Exactness: ranks come from a TOTAL order (x, tx, ty) — the i*x sum
+    is invariant under tie permutations, and the numerator/denominator
+    are exact BIGINTs; G is one float division.  The rank window runs
+    over the AGGREGATED lattice (bounded by occupied cells, not
+    corpus rows), the same justification as hotspot_trend's per-tile
+    series.  FULL SQL ORACLE (_sql_tile_gini)."""
+    pts = _points(spark, sf_dir)
+    cl = (pts.select(cells.tile_x(F.col("lon"), GINI_Z).alias("tx"),
+                     cells.tile_y(F.col("lat"), GINI_Z).alias("ty"))
+          .groupBy("tx", "ty").agg(F.count("*").alias("x")))
+    w = Window.orderBy("x", "tx", "ty")
+    r = cl.withColumn("i", F.row_number().over(w))
+    agg = r.agg(F.count("*").alias("n_cells"),
+                F.sum("x").alias("n_pages"),
+                F.sum(F.col("i") * F.col("x")).alias("s_ix"))
+    num = (F.lit(2) * F.col("s_ix")
+           - (F.col("n_cells") + 1) * F.col("n_pages"))
+    return agg.select(
+        "n_cells", "n_pages", "s_ix", num.alias("gini_num"),
+        F.round(num.cast("double")
+                / (F.col("n_cells").cast("double")
+                   * F.col("n_pages").cast("double")), 6).alias("gini"))
+
+
+def _sql_tile_gini(n: int) -> str:
+    z = GINI_Z
+    return f"""WITH {_pages_cte(n)},
+cl AS (SELECT {cells.tile_x_sql('lon', z)} AS tx,
+              {cells.tile_y_sql('lat', z)} AS ty, COUNT(*) AS x
+       FROM pages GROUP BY 1, 2),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, tx, ty) AS i FROM cl),
+a AS (SELECT COUNT(*) AS n_cells, CAST(SUM(x) AS BIGINT) AS n_pages,
+             CAST(SUM(i * x) AS BIGINT) AS s_ix
+      FROM r)
+SELECT n_cells, n_pages, s_ix,
+       2 * s_ix - (n_cells + 1) * n_pages AS gini_num,
+       ROUND(CAST(2 * s_ix - (n_cells + 1) * n_pages AS DOUBLE)
+             / (CAST(n_cells AS DOUBLE) * CAST(n_pages AS DOUBLE)), 6)
+         AS gini
+FROM a"""
+
+
 OD_Z = 4             # OD matrix resolution: z4 tiles
 
 
@@ -7672,6 +7780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "city_decay": q_city_decay,
         "source_mix": q_source_mix,
         "seq_pack": q_seq_pack,
+        "domain_entropy": q_domain_entropy,
+        "tile_gini": q_tile_gini,
     }
 
 
@@ -7801,4 +7911,6 @@ def oracle_sql() -> dict[str, str]:
         "city_decay": _sql_city_decay(n),
         "source_mix": _sql_source_mix(),
         "seq_pack": _sql_seq_pack(),
+        "domain_entropy": _sql_domain_entropy(n),
+        "tile_gini": _sql_tile_gini(n),
     }

@@ -379,3 +379,47 @@ def test_seq_pack_replay_sf0001(spark):
         nw = (cum + L - 1) // L
         assert r.n_windows == nw
         assert r.fill_ratio == pytest.approx(cum / (L * float(nw)), abs=2e-6)
+
+
+def test_domain_entropy_replay_sf0001(spark):
+    from proj_spark.spatial.knn import _tile_x, _tile_y
+    rows = entry._points(spark, SF_DIR).collect()
+    per: dict[str, dict[tuple[int, int], int]] = {}
+    for r in rows:
+        k = (_tile_x(r.lon, entry.ENTROPY_Z), _tile_y(r.lat, entry.ENTROPY_Z))
+        per.setdefault(r.domain, {})
+        per[r.domain][k] = per[r.domain].get(k, 0) + 1
+    got = entry.q_domain_entropy(spark, SF_DIR).collect()
+    assert len(got) == len(per)
+    for r in got:
+        cellmap = per[r.domain]
+        n = sum(cellmap.values())
+        s_eq = sum(int(c * math.log(c) * 1e6 + 0.5) for c in cellmap.values())
+        assert (r.n_cells, r.n_pages, r.s_eq) == (len(cellmap), n, s_eq)
+        want = math.log(float(n)) - (s_eq / 1e6) / n
+        assert r.entropy_nats == pytest.approx(want, abs=2e-6)
+        # bounds: 0 <= H <= ln(n_cells) (+ quantization slack)
+        assert -1e-6 <= r.entropy_nats <= math.log(r.n_cells) + 1e-4
+    # single-cell domains must be exactly zero entropy
+    for r in got:
+        if r.n_cells == 1:
+            assert r.entropy_nats == 0.0
+
+
+def test_tile_gini_replay_sf0001(spark):
+    from proj_spark.spatial.knn import _tile_x, _tile_y
+    rows = entry._points(spark, SF_DIR).collect()
+    counts: dict[tuple[int, int], int] = {}
+    for r in rows:
+        k = (_tile_x(r.lon, entry.GINI_Z), _tile_y(r.lat, entry.GINI_Z))
+        counts[k] = counts.get(k, 0) + 1
+    xs = sorted((x, tx, ty) for (tx, ty), x in counts.items())
+    n = len(xs)
+    tot = sum(x for x, _, _ in xs)
+    s_ix = sum((i + 1) * x for i, (x, _, _) in enumerate(xs))
+    got = entry.q_tile_gini(spark, SF_DIR).collect()[0]
+    assert (got.n_cells, got.n_pages, got.s_ix) == (n, tot, s_ix)
+    assert got.gini_num == 2 * s_ix - (n + 1) * tot
+    assert got.gini == pytest.approx(got.gini_num / (n * float(tot)), abs=2e-6)
+    # a city-clustered corpus is highly unequal across tiles
+    assert got.gini > 0.5
