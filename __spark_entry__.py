@@ -3434,6 +3434,154 @@ SELECT n_cells, n_pages, s_ix,
 FROM a"""
 
 
+ZIPF_K = 1000        # ranks fitted in the Zipf regression
+
+
+def _loglog_fit(agg: DataFrame) -> DataFrame:
+    """Least-squares slope/intercept in log-log space from the exact
+    quantized sums (n, su, sv, suuq, suvq) — micro-log units, products
+    div-quantized per row before summing (the SDE discipline applied
+    to logarithms), so the assembly is ONE fixed float expression over
+    exact BIGINTs in both engines."""
+    nd = F.col("n_pts").cast("double")
+    num = (nd * (F.col("suvq").cast("double") * 1e6)
+           - F.col("su").cast("double") * F.col("sv").cast("double"))
+    den = (nd * (F.col("suuq").cast("double") * 1e6)
+           - F.col("su").cast("double") * F.col("su").cast("double"))
+    m = num / den
+    b = ((F.col("sv").cast("double") - m * F.col("su").cast("double"))
+         / nd / 1e6)
+    return agg.select(
+        "*",
+        F.when(F.col("n_pts") > 1, F.round(m, 6)).alias("slope"),
+        F.when(F.col("n_pts") > 1, F.round(b, 6)).alias("intercept"))
+
+
+def _loglog_sums(pts: DataFrame) -> DataFrame:
+    """(u, v) integer micro-log pairs -> one row of exact fit sums."""
+    return pts.agg(
+        F.count("*").alias("n_pts"),
+        F.sum("u").alias("su"), F.sum("v").alias("sv"),
+        F.sum(F.expr("(u * u) div 1000000")).alias("suuq"),
+        F.sum(F.expr("(u * v) div 1000000")).alias("suvq"))
+
+
+_SQL_FIT = """
+       CASE WHEN n_pts > 1 THEN ROUND(
+         (CAST(n_pts AS DOUBLE) * (CAST(suvq AS DOUBLE) * 1e6)
+          - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+         / (CAST(n_pts AS DOUBLE) * (CAST(suuq AS DOUBLE) * 1e6)
+            - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)), 6) END AS slope,
+       CASE WHEN n_pts > 1 THEN ROUND(
+         (CAST(sv AS DOUBLE)
+          - ((CAST(n_pts AS DOUBLE) * (CAST(suvq AS DOUBLE) * 1e6)
+              - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+             / (CAST(n_pts AS DOUBLE) * (CAST(suuq AS DOUBLE) * 1e6)
+                - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)))
+            * CAST(su AS DOUBLE))
+         / CAST(n_pts AS DOUBLE) / 1e6, 6) END AS intercept"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency curve: regress
+    ln(frequency) on ln(rank) over the top-1000 tokens (deterministic
+    (freq desc, token) total order) — the exponent web-corpus studies
+    report (~ -1 for natural language).
+
+    Exactness: ranks and frequencies are exact; both logs are
+    quantized to integer micro-nats per row and the cross products
+    div-quantized BEFORE the BIGINT sums, so the least-squares
+    assembly (_loglog_fit) is engine-exact.  The rank window runs
+    over 1000 rows only (post-TakeOrdered).
+
+    FULL SQL ORACLE (_sql_zipf_fit)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(analysis.tokens(F.col("text"))).alias("tok"))
+    top = (toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+           .orderBy(F.col("cnt").desc(), "tok").limit(ZIPF_K))
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    r = top.withColumn("rank", F.row_number().over(w))
+    uv = r.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1e6, 0)
+        .cast("long").alias("u"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1e6, 0)
+        .cast("long").alias("v"))
+    return _loglog_fit(_loglog_sums(uv))
+
+
+def _sql_zipf_fit() -> str:
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "t -> t != '')")
+    return f"""WITH tk AS (
+  SELECT unnest({toks}) AS tok FROM documents),
+cnts AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1
+         ORDER BY cnt DESC, tok LIMIT {ZIPF_K}),
+rk AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+       FROM cnts),
+uv AS (SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS u,
+              CAST(ROUND(LN(CAST(cnt AS DOUBLE)) * 1e6, 0) AS BIGINT) AS v
+       FROM rk),
+a AS (SELECT COUNT(*) AS n_pts, CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM((u * u) // 1000000) AS BIGINT) AS suuq,
+             CAST(SUM((u * v) // 1000000) AS BIGINT) AS suvq
+      FROM uv)
+SELECT n_pts, su, sv, suuq, suvq,{_SQL_FIT}
+FROM a"""
+
+
+def q_degree_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law fit of the domain link graph's out-degree
+    distribution: regress ln(#nodes with degree d) on ln(d) over the
+    DISTINCT-edge graph — the scale-free-web exponent (Barabasi-Albert
+    style analyses report ~ -2..-3 on real webgraphs).
+
+    Same exact quantized-log least squares as zipf_fit; the degree
+    histogram is tiny (distinct degree values), everything upstream is
+    exact hash-aggs.  FULL SQL ORACLE (_sql_degree_fit)."""
+    edges = _domain_links(spark, sf_dir).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    dist = deg.groupBy("d").agg(F.count("*").alias("n_d"))
+    uv = dist.select(
+        F.round(F.log(F.col("d").cast("double")) * 1e6, 0)
+        .cast("long").alias("u"),
+        F.round(F.log(F.col("n_d").cast("double")) * 1e6, 0)
+        .cast("long").alias("v"))
+    stats = deg.agg(F.count("*").alias("n_nodes"),
+                    F.sum("d").alias("n_edges"))
+    return (_loglog_fit(_loglog_sums(uv))
+            .crossJoin(F.broadcast(stats))
+            .select("n_pts", "su", "sv", "suuq", "suvq",
+                    "n_nodes", "n_edges", "slope", "intercept"))
+
+
+def _sql_degree_fit(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+e AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+        UNION ALL
+        SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+      WHERE src != dst),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+dist AS (SELECT d, COUNT(*) AS n_d FROM deg GROUP BY 1),
+uv AS (SELECT CAST(ROUND(LN(CAST(d AS DOUBLE)) * 1e6, 0) AS BIGINT) AS u,
+              CAST(ROUND(LN(CAST(n_d AS DOUBLE)) * 1e6, 0) AS BIGINT) AS v
+       FROM dist),
+a AS (SELECT COUNT(*) AS n_pts, CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM((u * u) // 1000000) AS BIGINT) AS suuq,
+             CAST(SUM((u * v) // 1000000) AS BIGINT) AS suvq
+      FROM uv),
+st AS (SELECT COUNT(*) AS n_nodes, CAST(SUM(d) AS BIGINT) AS n_edges
+       FROM deg)
+SELECT n_pts, su, sv, suuq, suvq, n_nodes, n_edges,{_SQL_FIT}
+FROM a CROSS JOIN st"""
+
+
 OD_Z = 4             # OD matrix resolution: z4 tiles
 
 
@@ -7782,6 +7930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "domain_entropy": q_domain_entropy,
         "tile_gini": q_tile_gini,
+        "zipf_fit": q_zipf_fit,
+        "degree_fit": q_degree_fit,
     }
 
 
@@ -7913,4 +8063,6 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack": _sql_seq_pack(),
         "domain_entropy": _sql_domain_entropy(n),
         "tile_gini": _sql_tile_gini(n),
+        "zipf_fit": _sql_zipf_fit(),
+        "degree_fit": _sql_degree_fit(n),
     }

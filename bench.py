@@ -57,7 +57,7 @@ HEADLINE = [
     "rolling_stats", "event_transitions", "ship_priority", "revenue_forecast",
     "std_ellipse", "clark_evans", "cross_k", "lang_scan",
     "quadrat", "city_decay", "source_mix", "seq_pack",
-    "domain_entropy", "tile_gini",
+    "domain_entropy", "tile_gini", "zipf_fit", "degree_fit",
 ]
 
 

@@ -423,3 +423,58 @@ def test_tile_gini_replay_sf0001(spark):
     assert got.gini == pytest.approx(got.gini_num / (n * float(tot)), abs=2e-6)
     # a city-clustered corpus is highly unequal across tiles
     assert got.gini > 0.5
+
+
+def _fit_replay(uv):
+    n = len(uv)
+    su = sum(u for u, _ in uv)
+    sv = sum(v for _, v in uv)
+    suuq = sum((u * u) // 1_000_000 for u, _ in uv)
+    suvq = sum((u * v) // 1_000_000 for u, v in uv)
+    num = n * (float(suvq) * 1e6) - float(su) * float(sv)
+    den = n * (float(suuq) * 1e6) - float(su) * float(su)
+    m = num / den
+    b = (sv - m * su) / n / 1e6
+    return n, su, sv, suuq, suvq, m, b
+
+
+def _qlog(x: float) -> int:
+    return int(math.log(x) * 1e6 + 0.5)
+
+
+def test_zipf_fit_replay_sf0001(spark):
+    docs = entry._docs(spark, SF_DIR).collect()
+    counts: dict[str, int] = {}
+    for d in docs:
+        for t in d.text.split():
+            counts[t] = counts.get(t, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:entry.ZIPF_K]
+    uv = [(_qlog(i + 1), _qlog(c)) for i, (_, c) in enumerate(top)]
+    n, su, sv, suuq, suvq, m, b = _fit_replay(uv)
+    got = entry.q_zipf_fit(spark, SF_DIR).collect()[0]
+    assert (got.n_pts, got.su, got.sv, got.suuq, got.suvq) == (
+        n, su, sv, suuq, suvq)
+    assert got.slope == pytest.approx(m, abs=2e-6)
+    assert got.intercept == pytest.approx(b, abs=2e-6)
+    # the synthetic token distribution is flatter than natural text
+    # but still strictly decreasing in rank
+    assert got.slope < -0.05
+
+
+def test_degree_fit_replay_sf0001(spark):
+    edges = {(r.src, r.dst) for r in
+             entry._domain_links(spark, SF_DIR).collect()}
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    dist: dict[int, int] = {}
+    for d in deg.values():
+        dist[d] = dist.get(d, 0) + 1
+    uv = [(_qlog(d), _qlog(nd)) for d, nd in dist.items()]
+    n, su, sv, suuq, suvq, m, b = _fit_replay(uv)
+    got = entry.q_degree_fit(spark, SF_DIR).collect()[0]
+    assert (got.n_pts, got.su, got.sv, got.suuq, got.suvq) == (
+        n, su, sv, suuq, suvq)
+    assert (got.n_nodes, got.n_edges) == (len(deg), sum(deg.values()))
+    assert got.slope == pytest.approx(m, abs=2e-6)
+    assert got.intercept == pytest.approx(b, abs=2e-6)
