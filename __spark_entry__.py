@@ -3582,6 +3582,79 @@ SELECT n_pts, su, sv, suuq, suvq, n_nodes, n_edges,{_SQL_FIT}
 FROM a CROSS JOIN st"""
 
 
+PQ_M = 8             # PQ subspaces (64-dim -> 8 x 8)
+PQ_CODES = 16        # codes per subspace codebook
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k over the embeddings table —
+    the memory-compression ANN scale path (64 floats -> 8 bytes per
+    vector) next to ivf_topk's list-pruning path.  Deterministic
+    one-pass codebooks (the IVF trainer), 8dp-rounded argmin coding
+    with code-id tie-break, and an EXACT integer-quantized LUT sum so
+    the top-k cut is engine-independent.  FULL SQL ORACLE
+    (_sql_pq_topk) — see text/similarity.py pq_topk."""
+    from proj_spark.text.similarity import pq_topk
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(v) for v in qrow[0]]
+    res = pq_topk(emb, query, EMB_K, dim=64, m=PQ_M, n_codes=PQ_CODES)
+    return res.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "adc_q", "cosine")
+
+
+def _sql_pq_topk() -> str:
+    dim, m, w = 64, PQ_M, 64 // PQ_M
+    mean_terms = ",\n          ".join(
+        f"ROUND(CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(27,12))) AS DOUBLE)"
+        f" / COUNT(*), 6)" for i in range(dim))
+
+    def sqd(a: str, b: str, s: int) -> str:
+        return " + ".join(
+            f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+            for i in range(s * w + 1, s * w + w + 1))
+
+    assign = "\n  UNION ALL\n".join(
+        f"  SELECT e.vec_id, c.cell, {s} AS m,"
+        f" ROUND({sqd('e.v', 'c.c', s)}, 8) AS d"
+        f" FROM emb e CROSS JOIN cent c" for s in range(m))
+    lut = "\n  UNION ALL\n".join(
+        f"  SELECT c.cell, {s} AS m,"
+        f" CAST(ROUND(({sqd('qv', 'c.c', s)}) * 1e8, 0) AS BIGINT) AS lut_q"
+        f" FROM cent c, q" for s in range(m))
+    cos = ("ROUND(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 8)")
+    return f"""WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT vec_id % {PQ_CODES} AS cell,
+         [{mean_terms}] AS c
+  FROM emb GROUP BY 1
+), q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+assign AS (
+{assign}
+), best AS (
+  SELECT vec_id, m, cell FROM (
+    SELECT vec_id, m, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d, cell) AS rn
+    FROM assign) WHERE rn = 1
+), lut AS (
+{lut}
+), adc AS (
+  SELECT vec_id, CAST(SUM(lut_q) AS BIGINT) AS adc_q
+  FROM best JOIN lut USING (m, cell) GROUP BY 1
+), top AS (
+  SELECT vec_id, adc_q FROM adc ORDER BY adc_q, vec_id LIMIT {EMB_K}
+)
+SELECT CAST(t.vec_id AS BIGINT) AS vec_id, t.adc_q,
+       {cos.format(a='e.v', b='qv')} AS cosine
+FROM top t JOIN emb e USING (vec_id), q"""
+
+
 OD_Z = 4             # OD matrix resolution: z4 tiles
 
 
@@ -7794,6 +7867,164 @@ WHERE epoch_us(l_shipdate) >= {_Q6_LO_US}
   AND CAST(ROUND(l_quantity, 0) AS BIGINT) < 24"""
 
 
+DSIR_B = 256         # hashed-feature buckets
+DSIR_LANG = "en"     # target subcorpus for importance weighting
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. NeurIPS 2023): score every
+    document by how target-like (English subcorpus) its hashed
+    unigram+bigram bag is under add-1-smoothed bucket models.  Each
+    bucket's log-ratio is quantized ONCE to an integer, so the per-doc
+    sum logw_q is exact BIGINT — no float-sum order anywhere and the
+    resample cut is engine-independent.  FULL SQL ORACLE
+    (_sql_dsir_weights) — see text/curation.py dsir_weights."""
+    from proj_spark.text.curation import dsir_weights
+    return dsir_weights(_docs(spark, sf_dir),
+                        target=(F.col("lang") == DSIR_LANG),
+                        n_buckets=DSIR_B)
+
+
+def _sql_dsir_weights() -> str:
+    from proj_spark.text.curation import str_bucket_sql
+    b = DSIR_B
+    return f"""WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN lang = '{DSIR_LANG}' THEN 1 ELSE 0 END AS tgt,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS a
+  FROM documents
+), feat AS (
+  SELECT doc_id, tgt, unnest(a) AS f FROM tok
+  UNION ALL
+  SELECT doc_id, tgt,
+         unnest(list_transform(range(1, length(a)),
+                               i -> a[i] || ' ' || a[i + 1])) AS f
+  FROM tok
+), bk AS (
+  SELECT doc_id, tgt, {str_bucket_sql('f', b)} AS b FROM feat
+), db AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM bk GROUP BY 1, 2
+), bs AS (
+  SELECT b, COUNT(*) AS cr, CAST(SUM(tgt) AS BIGINT) AS ct
+  FROM bk GROUP BY 1
+), lr AS (
+  SELECT b, CAST(ROUND((LN(CAST(ct + 1 AS DOUBLE))
+                        - LN(CAST(cr + 1 AS DOUBLE))) * 1e6, 0)
+                 AS BIGINT) AS lrq
+  FROM bs
+), off AS (
+  SELECT CAST(ROUND((LN(CAST(COUNT(*) + {b} AS DOUBLE))
+                     - LN(CAST(SUM(tgt) + {b} AS DOUBLE))) * 1e6, 0)
+              AS BIGINT) AS offq
+  FROM bk
+), agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+         CAST(SUM(c * lrq) AS BIGINT) AS sq
+  FROM db JOIN lr USING (b) GROUP BY 1
+)
+SELECT doc_id, n_feats, sq + n_feats * offq AS logw_q,
+       ROUND(CAST(sq + n_feats * offq AS DOUBLE) / 1e6, 6) AS logw
+FROM agg CROSS JOIN off"""
+
+
+def q_emd_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 1-D Wasserstein (earth mover's) distance between every
+    two languages' spatial page distributions, compared along the
+    Hilbert-curve order of their cells (sliced-Wasserstein along the
+    locality-preserving axis, Rabin et al. 2011).  Cross-multiplied
+    CDFs keep emd_q exact BIGINT — engine-independent — and the
+    normalized emd is one float expression over exact integers.
+    FULL SQL ORACLE (_sql_emd_langs) — see spatial/stats.py emd_pairs."""
+    from proj_spark.spatial import stats as spatial_stats
+    from proj_spark.spatial.hilbert import hilbert_df
+    pts = _points(spark, sf_dir)
+    keyed = hilbert_df(pts.select("lang", "lon", "lat"), bits=HILBERT_BITS)
+    obs = keyed.groupBy("lang", "hkey").agg(F.count("*").alias("c"))
+    return spatial_stats.emd_pairs(obs, cls_col="lang", pos_col="hkey",
+                                   cnt_col="c")
+
+
+def _sql_emd_langs(n: int) -> str:
+    from proj_spark.spatial.hilbert import hilbert_cte_sql
+    chain = hilbert_cte_sql("pages", bits=HILBERT_BITS)
+    return f"""WITH {_pages_cte(n)},
+{chain},
+cnt AS (SELECT lang, hkey, CAST(COUNT(*) AS BIGINT) AS c
+        FROM hilbert GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+pairs AS (SELECT a.lang AS cls_a, b.lang AS cls_b, a.n AS n_a, b.n AS n_b
+          FROM tot a CROSS JOIN tot b WHERE a.lang < b.lang),
+pos AS (SELECT DISTINCT hkey FROM cnt),
+g AS (SELECT p.cls_a, p.cls_b, p.n_a, p.n_b, pos.hkey,
+             COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b
+      FROM pairs p CROSS JOIN pos
+      LEFT JOIN cnt ca ON ca.lang = p.cls_a AND ca.hkey = pos.hkey
+      LEFT JOIN cnt cb ON cb.lang = p.cls_b AND cb.hkey = pos.hkey),
+cm AS (SELECT cls_a, cls_b, n_a, n_b,
+              SUM(c_a) OVER (PARTITION BY cls_a, cls_b
+                             ORDER BY hkey) AS cum_a,
+              SUM(c_b) OVER (PARTITION BY cls_a, cls_b
+                             ORDER BY hkey) AS cum_b,
+              LEAD(hkey) OVER (PARTITION BY cls_a, cls_b
+                               ORDER BY hkey) - hkey AS gap
+       FROM g),
+res AS (SELECT cls_a, cls_b, n_a, n_b,
+               CAST(SUM(ABS(cum_a * n_b - cum_b * n_a) * gap) AS BIGINT)
+                 AS emd_q
+        FROM cm WHERE gap IS NOT NULL GROUP BY 1, 2, 3, 4),
+sp AS (SELECT CAST(MAX(hkey) - MIN(hkey) AS BIGINT) AS span FROM pos)
+SELECT cls_a, cls_b, emd_q,
+       ROUND(CAST(emd_q AS DOUBLE)
+             / CAST(n_a * n_b * span AS DOUBLE), 8) AS emd
+FROM res CROSS JOIN sp"""
+
+
+def q_ks_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    document-length distributions of every source pair — the standard
+    drift test a curation pipeline runs between crawl snapshots /
+    upstream sources.  ks_q = max |cum_a*n_b - cum_b*n_a| is exact
+    BIGINT (engine-independent max of integers) with the arg-max
+    length reported under an integer tie-break.  FULL SQL ORACLE
+    (_sql_ks_sources) — see spatial/stats.py ks_pairs."""
+    from proj_spark.spatial import stats as spatial_stats
+    docs = _docs(spark, sf_dir)
+    obs = docs.select(F.col("source"),
+                      F.col("n_chars").cast("long").alias("v"),
+                      F.lit(1).alias("c"))
+    return spatial_stats.ks_pairs(obs, cls_col="source", val_col="v",
+                                  cnt_col="c")
+
+
+def _sql_ks_sources() -> str:
+    return """WITH cnt AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+pairs AS (SELECT a.source AS cls_a, b.source AS cls_b,
+                 a.n AS n_a, b.n AS n_b
+          FROM tot a CROSS JOIN tot b WHERE a.source < b.source),
+vals AS (SELECT DISTINCT v FROM cnt),
+g AS (SELECT p.cls_a, p.cls_b, p.n_a, p.n_b, vals.v,
+             COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b
+      FROM pairs p CROSS JOIN vals
+      LEFT JOIN cnt ca ON ca.source = p.cls_a AND ca.v = vals.v
+      LEFT JOIN cnt cb ON cb.source = p.cls_b AND cb.v = vals.v),
+cm AS (SELECT cls_a, cls_b, n_a, n_b, v,
+              ABS(SUM(c_a) OVER (PARTITION BY cls_a, cls_b ORDER BY v)
+                    * n_b
+                  - SUM(c_b) OVER (PARTITION BY cls_a, cls_b ORDER BY v)
+                    * n_a) AS d
+       FROM g),
+mx AS (SELECT *, MAX(d) OVER (PARTITION BY cls_a, cls_b) AS m FROM cm)
+SELECT cls_a, cls_b, CAST(MAX(d) AS BIGINT) AS ks_q,
+       CAST(MIN(CASE WHEN d = m THEN v END) AS BIGINT) AS arg_v,
+       ROUND(CAST(MAX(d) AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 8) AS ks
+FROM mx GROUP BY cls_a, cls_b, n_a, n_b"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7932,6 +8163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_gini": q_tile_gini,
         "zipf_fit": q_zipf_fit,
         "degree_fit": q_degree_fit,
+        "pq_topk": q_pq_topk,
+        "dsir_weights": q_dsir_weights,
+        "emd_langs": q_emd_langs,
+        "ks_sources": q_ks_sources,
     }
 
 
@@ -8065,4 +8300,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_gini": _sql_tile_gini(n),
         "zipf_fit": _sql_zipf_fit(),
         "degree_fit": _sql_degree_fit(n),
+        "pq_topk": _sql_pq_topk(),
+        "dsir_weights": _sql_dsir_weights(),
+        "emd_langs": _sql_emd_langs(n),
+        "ks_sources": _sql_ks_sources(),
     }

@@ -58,6 +58,7 @@ HEADLINE = [
     "std_ellipse", "clark_evans", "cross_k", "lang_scan",
     "quadrat", "city_decay", "source_mix", "seq_pack",
     "domain_entropy", "tile_gini", "zipf_fit", "degree_fit",
+    "pq_topk", "dsir_weights", "emd_langs", "ks_sources",
 ]
 
 

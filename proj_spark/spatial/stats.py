@@ -33,7 +33,7 @@ carries no test data).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import cells
@@ -429,3 +429,125 @@ def kulldorff_scan(counts: DataFrame, top_k: int = 20,
         F.round(llr, 4).alias("llr"))
         .orderBy(F.desc("excess"), "cx", "cy", "r")
         .limit(top_k))
+
+
+def emd_pairs(obs: DataFrame, cls_col: str = "cls",
+              pos_col: str = "pos", cnt_col: str = "c",
+              span: int | None = None) -> DataFrame:
+    """Pairwise 1-D earth mover's (Wasserstein-1) distance between the
+    distributions of every unordered class pair along an integer
+    position axis (e.g. a Hilbert-curve key, so 2-D spatial
+    distributions compare along a locality-preserving 1-D order —
+    the sliced-Wasserstein idea, Rabin et al. 2011).
+
+    For empirical CDFs F_a, F_b over positions p_0 < ... < p_m,
+
+        W1 = sum_i |F_a(p_i) - F_b(p_i)| * (p_{i+1} - p_i)
+
+    Exactness: cross-multiplying the CDFs by the class totals keeps
+    every term integer — ``emd_q = sum |cum_a*n_b - cum_b*n_a| * gap``
+    is exact BIGINT (no float accumulation); the normalized distance
+    ``emd = emd_q / (n_a * n_b * span)`` is ONE float expression over
+    exact integers, bit-identical in any engine.
+
+    Scale shape: the corpus is touched by exactly one partial-agg
+    shuffle to (class, position); everything after runs on the
+    aggregated lattice — |classes| * |positions| rows — via a
+    positions x pairs expansion and one window cumsum per pair.
+    ``span`` defaults to max(pos) - min(pos) over the observed lattice.
+
+    Input ``obs``: one row per (class, position) with a count column.
+    Returns (cls_a, cls_b, emd_q, emd) for cls_a < cls_b.
+    """
+    cnt = (obs.groupBy(cls_col, pos_col)
+           .agg(F.sum(cnt_col).cast("long").alias("_c")))
+    tot = cnt.groupBy(cls_col).agg(F.sum("_c").alias("_n"))
+    classes = tot.select(F.col(cls_col).alias("_cls"), "_n")
+    pairs = (classes.alias("a").crossJoin(classes.alias("b"))
+             .where(F.col("a._cls") < F.col("b._cls"))
+             .select(F.col("a._cls").alias("cls_a"),
+                     F.col("b._cls").alias("cls_b"),
+                     F.col("a._n").alias("n_a"),
+                     F.col("b._n").alias("n_b")))
+    pos = cnt.select(pos_col).distinct()
+    grid = pairs.crossJoin(F.broadcast(pos))
+    ca = cnt.select(F.col(cls_col).alias("cls_a"),
+                    F.col(pos_col), F.col("_c").alias("c_a"))
+    cb = cnt.select(F.col(cls_col).alias("cls_b"),
+                    F.col(pos_col), F.col("_c").alias("c_b"))
+    g = (grid.join(ca, ["cls_a", pos_col], "left")
+         .join(cb, ["cls_b", pos_col], "left")
+         .fillna(0, subset=["c_a", "c_b"]))
+    w = Window.partitionBy("cls_a", "cls_b").orderBy(pos_col)
+    g = (g.withColumn("cum_a", F.sum("c_a").over(w))
+         .withColumn("cum_b", F.sum("c_b").over(w))
+         .withColumn("gap", F.lead(pos_col).over(w) - F.col(pos_col)))
+    term = F.abs(F.col("cum_a") * F.col("n_b")
+                 - F.col("cum_b") * F.col("n_a")) * F.col("gap")
+    res = (g.where(F.col("gap").isNotNull())
+           .groupBy("cls_a", "cls_b", "n_a", "n_b")
+           .agg(F.sum(term).cast("long").alias("emd_q")))
+    if span is None:
+        span_df = pos.agg((F.max(pos_col) - F.min(pos_col))
+                          .cast("long").alias("_span"))
+        res = res.crossJoin(F.broadcast(span_df))
+        span_col = F.col("_span")
+    else:
+        span_col = F.lit(int(span))
+    return res.select(
+        "cls_a", "cls_b", "emd_q",
+        F.round(F.col("emd_q").cast("double")
+                / (F.col("n_a") * F.col("n_b") * span_col).cast("double"),
+                8).alias("emd"))
+
+
+def ks_pairs(obs: DataFrame, cls_col: str = "cls",
+             val_col: str = "v", cnt_col: str = "c") -> DataFrame:
+    """Pairwise exact two-sample Kolmogorov-Smirnov statistic between
+    the distributions of every unordered class pair over an integer
+    value axis:  D = max_v |F_a(v) - F_b(v)|.
+
+    Same cross-multiplied-CDF exactness as :func:`emd_pairs`:
+    ``ks_q = max |cum_a*n_b - cum_b*n_a|`` is exact BIGINT (the max of
+    integers, engine-independent), and ``ks = ks_q / (n_a*n_b)`` is one
+    float expression over exact integers.  Also returns the smallest
+    value attaining the max (``arg_v``, integer tie-break) so the
+    location of the largest divergence is part of the checked result.
+
+    Scale shape: one partial-agg shuffle of the corpus to
+    (class, value); the pair expansion and window cumsums run on the
+    aggregated |classes| x |values| lattice only.
+    """
+    cnt = (obs.groupBy(cls_col, val_col)
+           .agg(F.sum(cnt_col).cast("long").alias("_c")))
+    tot = cnt.groupBy(cls_col).agg(F.sum("_c").alias("_n"))
+    classes = tot.select(F.col(cls_col).alias("_cls"), "_n")
+    pairs = (classes.alias("a").crossJoin(classes.alias("b"))
+             .where(F.col("a._cls") < F.col("b._cls"))
+             .select(F.col("a._cls").alias("cls_a"),
+                     F.col("b._cls").alias("cls_b"),
+                     F.col("a._n").alias("n_a"),
+                     F.col("b._n").alias("n_b")))
+    vals = obs.select(val_col).distinct()
+    grid = pairs.crossJoin(F.broadcast(vals))
+    ca = cnt.select(F.col(cls_col).alias("cls_a"),
+                    F.col(val_col), F.col("_c").alias("c_a"))
+    cb = cnt.select(F.col(cls_col).alias("cls_b"),
+                    F.col(val_col), F.col("_c").alias("c_b"))
+    g = (grid.join(ca, ["cls_a", val_col], "left")
+         .join(cb, ["cls_b", val_col], "left")
+         .fillna(0, subset=["c_a", "c_b"]))
+    w = Window.partitionBy("cls_a", "cls_b").orderBy(val_col)
+    g = (g.withColumn("_d", F.abs(
+        F.sum("c_a").over(w) * F.col("n_b")
+        - F.sum("c_b").over(w) * F.col("n_a")))
+        .withColumn("_mx", F.max("_d").over(
+            Window.partitionBy("cls_a", "cls_b"))))
+    return (g.groupBy("cls_a", "cls_b", "n_a", "n_b")
+            .agg(F.max("_d").cast("long").alias("ks_q"),
+                 F.min(F.when(F.col("_d") == F.col("_mx"),
+                              F.col(val_col))).cast("long").alias("arg_v"))
+            .select("cls_a", "cls_b", "ks_q", "arg_v",
+                    F.round(F.col("ks_q").cast("double")
+                            / (F.col("n_a") * F.col("n_b")).cast("double"),
+                            8).alias("ks")))

@@ -227,3 +227,107 @@ def pareto_skyline(df: DataFrame, grp: str, id_col: str,
     return (df.join(F.broadcast(mx), [grp, m1])
             .where(keep)
             .select(grp, id_col, m1, m2))
+
+
+# --- DSIR: Data Selection via Importance Resampling (Xie et al. 2023) ---
+
+_FOLD_P = 1_000_003  # polynomial string-fold modulus (31-base Horner)
+
+
+def str_fold(col: F.Column) -> F.Column:
+    """Deterministic polynomial fold of a string's Unicode code points:
+    ``h = (h * 31 + codepoint) mod 1_000_003`` — Horner's rule as a pure
+    JVM expression (``transform`` + ``aggregate``), no UDF.  ``ascii()``
+    returns the full code point in both Spark and DuckDB (verified for
+    Latin-1, CJK and currency symbols), so :func:`str_fold_sql` is
+    bit-identical on any UTF-8 token."""
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: F.pmod(a * F.lit(31) + b, F.lit(_FOLD_P)))
+
+
+def str_fold_sql(expr: str) -> str:
+    """DuckDB twin of :func:`str_fold` (same fold, same modulus)."""
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(regexp_split_to_array({expr}, ''), "
+            f"c -> CAST(ascii(c) AS BIGINT))), "
+            f"(a, b) -> (a * 31 + b) % {_FOLD_P})")
+
+
+def str_bucket(col: F.Column, n_buckets: int) -> F.Column:
+    """Hashed-feature bucket in ``[0, n_buckets)``: polynomial fold of
+    the string, then the :func:`hash31` integer mix (the fold alone is
+    too linear for power-of-two bucket counts)."""
+    return F.pmod(hash31(str_fold(col)), F.lit(n_buckets))
+
+
+def str_bucket_sql(expr: str, n_buckets: int) -> str:
+    return f"({hash31_sql(str_fold_sql(expr))}) % {n_buckets}"
+
+
+def dsir_weights(docs: DataFrame, target: F.Column, n_buckets: int = 256,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 quant: float = 1e6) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every raw
+    document by how target-like its hashed n-gram bag is,
+
+        log w(d) = sum_b c_db * [ln p_tgt(b) - ln p_raw(b)]
+
+    over unigram+bigram features hashed into ``n_buckets`` buckets, with
+    add-1 smoothing.  ``target`` is a boolean Column marking the target
+    subcorpus (rows also remain part of raw, as in the paper's
+    raw-vs-target formulation).
+
+    Exactness: each bucket's log-ratio is quantized ONCE to an integer
+    (``round(lr * quant)``, a single transcendental over exact BIGINT
+    counts — identical in any engine), so the per-document sum
+    ``logw_q = sum(c_db * lr_q) + n_d * off_q`` is exact 64-bit integer
+    arithmetic: no float-summation-order dependence anywhere, and the
+    selection cut (top-k by ``logw_q``) is engine-independent.
+
+    Scale (10^12 docs): tokenize/hash are codegen'd expressions; the
+    doc-bucket aggregate is one map-side-combinable shuffle on
+    (doc, bucket); the bucket table is ``n_buckets`` rows — broadcast;
+    the final per-doc sum reuses the same (doc, bucket) partitioning.
+    Nothing driver-side, no UDF.
+
+    Returns (doc_id, n_feats, logw_q, logw) — one row per document with
+    at least one token.
+    """
+    a = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                 lambda t: t != "")
+    base = docs.select(F.col(id_col).cast("long").alias("_id"),
+                       target.cast("long").alias("_tgt"),
+                       a.alias("_a"))
+    feats = F.concat(
+        F.col("_a"),
+        F.when(F.size("_a") >= 2, F.expr(
+            "transform(sequence(0, size(_a) - 2), "
+            "i -> concat(_a[i], ' ', _a[i + 1]))"))
+        .otherwise(F.expr("CAST(array() AS ARRAY<STRING>)")))
+    bk = (base.select("_id", "_tgt", F.explode(feats).alias("_f"))
+          .select("_id", "_tgt", str_bucket(F.col("_f"), n_buckets)
+                  .alias("_b")))
+    db = bk.groupBy("_id", "_b").agg(F.count("*").alias("_c"))
+    bs = bk.groupBy("_b").agg(F.count("*").alias("_cr"),
+                              F.sum("_tgt").alias("_ct"))
+    lr = bs.select("_b", F.round(
+        (F.log((F.col("_ct") + 1).cast("double"))
+         - F.log((F.col("_cr") + 1).cast("double"))) * F.lit(quant), 0)
+        .cast("long").alias("_lrq"))
+    tot = bk.agg(F.round(
+        (F.log((F.count("*") + n_buckets).cast("double"))
+         - F.log((F.sum("_tgt") + n_buckets).cast("double")))
+        * F.lit(quant), 0).cast("long").alias("_offq"))
+    agg = (db.join(F.broadcast(lr), "_b")
+           .groupBy("_id")
+           .agg(F.sum("_c").cast("long").alias("n_feats"),
+                F.sum(F.col("_c") * F.col("_lrq")).cast("long")
+                .alias("_sq")))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select(F.col("_id").alias("doc_id"), "n_feats",
+                    (F.col("_sq") + F.col("n_feats") * F.col("_offq"))
+                    .alias("logw_q"))
+            .withColumn("logw", F.round(F.col("logw_q") / F.lit(quant), 6)))

@@ -347,3 +347,86 @@ def _lsh_scored_pairs(embeddings: DataFrame, dim: int, vec_col: str,
 
     return cand.withColumn("cosine", F.round(_cos(F.col(id_col),
                                                   F.col("nbr_id")), 8))
+
+
+def pq_topk(embeddings: DataFrame, query: list[float], k: int,
+            dim: int = 64, m: int = 8, n_codes: int = 16,
+            vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Product-quantization ADC top-k (Jegou et al. 2011): split each
+    vector into `m` subspaces, learn a tiny per-subspace codebook, code
+    every vector as m small ints, and rank candidates by the
+    asymmetric-distance LUT sum — THE memory-compression trick that
+    makes billion-vector search fit RAM (64 floats -> m bytes here).
+
+    Deterministic-trainer discipline (the ivf_topk precedent): the
+    codebooks are the SAME one-pass random-partition + single-Lloyd-
+    half-step means as IVF (DECIMAL sums, 6 dp rounds), so every stage
+    stays SQL-expressible and the whole query gets a full value
+    oracle.  Assignment argmin uses 8 dp-rounded squared distances
+    with code-id tie-break; the ADC sum is EXACT — each LUT entry is
+    quantized to an integer 1e-8 unit before summing, so the top-k cut
+    (adc_q asc, id) is engine-independent integer ordering.
+
+    Scale shape: codebook training is one tiny shuffle; assignment
+    here is the expression form (emb x n_codes broadcast) for oracle
+    parity — the production path is the same Arrow-batched matmul as
+    ivf_topk's _assign_udf, per subspace; the ADC scan reads only the
+    (id, m-byte code) relation, never the raw vectors, and the final
+    cosine join touches k rows.
+    """
+    w = dim // m
+    spark = embeddings.sparkSession
+    emb = embeddings.select(F.col(id_col),
+                            F.col(vec_col).cast("array<double>").alias("_v"))
+    cent = ivf_centroids(embeddings, n_codes, dim, vec_col, id_col)
+
+    def sqd(vc: str, cc, sub: int):
+        terms = None
+        for i in range(sub * w + 1, sub * w + w + 1):
+            t = ((F.element_at(vc, i) - F.element_at(cc, i))
+                 * (F.element_at(vc, i) - F.element_at(cc, i)))
+            terms = t if terms is None else terms + t
+        return terms
+
+    cross = emb.crossJoin(F.broadcast(cent))
+    aggs = [F.min(F.struct(F.round(sqd("_v", "centroid", s), 8).alias("d"),
+                           F.col("cell").alias("cell"))).alias(f"_b{s}")
+            for s in range(m)]
+    codes = cross.groupBy(id_col).agg(*aggs)
+    code_long = codes.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("m"),
+                     F.col(f"_b{s}.cell").alias("cell"))
+            for s in range(m)])).alias("_c")
+    ).select(id_col, "_c.m", "_c.cell")
+
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    lut = cent.select(
+        "cell",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("m"),
+                     F.round(sqd_q(qlit, "centroid", s, w) * 1e8, 0)
+                     .cast("long").alias("lut_q"))
+            for s in range(m)])).alias("_l")
+    ).select("cell", "_l.m", "_l.lut_q")
+
+    adc = (code_long.join(F.broadcast(lut), ["m", "cell"])
+           .groupBy(id_col).agg(F.sum("lut_q").alias("adc_q")))
+    top = adc.orderBy("adc_q", id_col).limit(k)
+    return (emb.join(F.broadcast(top), id_col)
+            .select(F.col(id_col), "adc_q",
+                    F.round(cosine_expr(F.col("_v"), query), 8)
+                    .alias("cosine"))
+            .orderBy("adc_q", id_col))
+
+
+def sqd_q(qlit, cc, sub: int, w: int):
+    """Chained (q_i - c_i)^2 sum over one subspace — same left-to-right
+    + order as the oracle's textual expression."""
+    terms = None
+    for i in range(sub * w + 1, sub * w + w + 1):
+        t = ((F.element_at(qlit, i) - F.element_at(cc, i))
+             * (F.element_at(qlit, i) - F.element_at(cc, i)))
+        terms = t if terms is None else terms + t
+    return terms
