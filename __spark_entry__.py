@@ -8025,6 +8025,143 @@ SELECT cls_a, cls_b, CAST(MAX(d) AS BIGINT) AS ks_q,
 FROM mx GROUP BY cls_a, cls_b, n_a, n_b"""
 
 
+def q_gravity_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity-model distance-decay fit over the OD matrix: regress
+    ln(flow) on ln(tile distance) across all origin-destination pairs
+    (the classic spatial-interaction exponent; Zipf 1946 / Wilson
+    1971).  ln(d) enters as round(ln(d^2)*5e5) over the EXACT integer
+    squared tile distance, so both axes are exact micro-nat integers
+    and the least-squares assembly is the shared quantized-sum fit.
+    FULL SQL ORACLE (_sql_gravity_fit)."""
+    od = q_od_flows(spark, sf_dir)
+    dx = F.col("from_x") - F.col("to_x")
+    dy = F.col("from_y") - F.col("to_y")
+    d2 = (dx * dx + dy * dy).cast("long")
+    uv = od.select(
+        F.round(F.log(d2.cast("double")) * 5e5, 0).cast("long").alias("u"),
+        F.round(F.log(F.col("n_hops").cast("double")) * 1e6, 0)
+        .cast("long").alias("v"))
+    return _loglog_fit(_loglog_sums(uv))
+
+
+def _sql_gravity_fit(n: int) -> str:
+    return f"""WITH od AS ({_sql_od_flows(n)}),
+uv AS (
+  SELECT CAST(ROUND(LN(CAST((from_x - to_x) * (from_x - to_x)
+                            + (from_y - to_y) * (from_y - to_y)
+                            AS DOUBLE)) * 5e5, 0) AS BIGINT) AS u,
+         CAST(ROUND(LN(CAST(n_hops AS DOUBLE)) * 1e6, 0) AS BIGINT) AS v
+  FROM od),
+a AS (SELECT COUNT(*) AS n_pts, CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM((u * u) // 1000000) AS BIGINT) AS suuq,
+             CAST(SUM((u * v) // 1000000) AS BIGINT) AS suvq
+      FROM uv)
+SELECT n_pts, su, sv, suuq, suvq,{_SQL_FIT}
+FROM a"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of order totals — the standard
+    synthetic-vs-organic data forensics test (Benford 1938; Nigrini's
+    audit usage).  The leading digit comes from the EXACT integer cents
+    (identical decimal rendering in any engine); the expected share
+    log10(1 + 1/d) and per-digit chi-square term are one fixed float
+    expression over exact counts.  FULL SQL ORACLE (_sql_benford)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    d = (orders.where(cents > 0)
+         .select(F.substring(cents.cast("string"), 1, 1).cast("int")
+                 .alias("digit"))
+         .groupBy("digit").agg(F.count("*").alias("n_obs")))
+    tot = d.agg(F.sum("n_obs").alias("n_tot"))
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    exp = F.col("n_tot").cast("double") * p
+    dev = F.col("n_obs").cast("double") - exp
+    return (d.crossJoin(F.broadcast(tot))
+            .select("digit", "n_obs",
+                    F.round(p, 8).alias("p_benford"),
+                    F.round(dev * dev / exp, 6).alias("chi2_term")))
+
+
+def _sql_benford() -> str:
+    p = "LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE))"
+    exp = f"CAST(n_tot AS DOUBLE) * {p}"
+    return f"""WITH c AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+  WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) > 0
+), d AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM c GROUP BY 1
+), t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot FROM d)
+SELECT digit, n_obs, ROUND({p}, 8) AS p_benford,
+       ROUND((CAST(n_obs AS DOUBLE) - {exp})
+             * (CAST(n_obs AS DOUBLE) - {exp}) / ({exp}), 6) AS chi2_term
+FROM d CROSS JOIN t"""
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of hourly event volume: the median of all
+    pairwise slopes over the hourly-count series (Theil 1950 / Sen
+    1968) — the outlier-resistant alternative to least squares every
+    monitoring pipeline wants.  The series is the (epoch-hour, count)
+    AGGREGATE, so the O(m^2) pair set grows with the time range only,
+    never the corpus.  The median slope is reported as its EXACT
+    rational (med_dy, med_dx) picked by a deterministic total order
+    (double slope, then dy, dx — IEEE division is exactly rounded, so
+    the order is engine-identical); lower median at rank ceil(n/2).
+
+    The global rank runs in one partition BY CONTRACT: the pair set is
+    m(m-1)/2 for m = distinct hours in the window (720 here; bounded
+    by the monitoring horizon, never by corpus size).  For multi-year
+    horizons the production path subsamples pairs per Sen's estimator
+    before the same median machinery.  FULL SQL ORACLE
+    (_sql_theil_sen)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        # NTZ wall clock IS the stored (UTC-normalized) clock: absolute
+        # epoch hour from date arithmetic, no session-timezone reading.
+        hr = (F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+              * 24 + F.hour("ts"))
+    else:
+        hr = F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000))
+    ser = (ev.select(hr.alias("x"))
+           .groupBy("x").agg(F.count("*").alias("y")))
+    a, b = ser.alias("a"), ser.alias("b")
+    pr = (a.join(b, F.col("a.x") < F.col("b.x"))
+          .select((F.col("b.y") - F.col("a.y")).alias("dy"),
+                  (F.col("b.x") - F.col("a.x")).alias("dx")))
+    sl = pr.select("dy", "dx", (F.col("dy").cast("double")
+                                / F.col("dx").cast("double")).alias("s"))
+    w = Window.orderBy("s", "dy", "dx")
+    r = sl.withColumn("rk", F.row_number().over(w))
+    cnt = sl.agg(F.count("*").alias("n_pairs"))
+    med = (r.crossJoin(F.broadcast(cnt))
+           .where(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))
+           .select("n_pairs", F.col("dy").alias("med_dy"),
+                   F.col("dx").alias("med_dx"),
+                   F.round(F.col("s"), 8).alias("slope")))
+    return med
+
+
+def _sql_theil_sen() -> str:
+    return """WITH ser AS (
+  SELECT epoch_us(ts) // 3600000000 AS x, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), pr AS (
+  SELECT b.y - a.y AS dy, b.x - a.x AS dx
+  FROM ser a JOIN ser b ON a.x < b.x
+), sl AS (
+  SELECT dy, dx, CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS s FROM pr
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY s, dy, dx) AS rk FROM sl
+), c AS (SELECT COUNT(*) AS n_pairs FROM sl)
+SELECT n_pairs, dy AS med_dy, dx AS med_dx, ROUND(s, 8) AS slope
+FROM r CROSS JOIN c
+WHERE rk = (n_pairs + 1) // 2"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8167,6 +8304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "emd_langs": q_emd_langs,
         "ks_sources": q_ks_sources,
+        "gravity_fit": q_gravity_fit,
+        "benford": q_benford,
+        "theil_sen": q_theil_sen,
     }
 
 
@@ -8304,4 +8444,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _sql_dsir_weights(),
         "emd_langs": _sql_emd_langs(n),
         "ks_sources": _sql_ks_sources(),
+        "gravity_fit": _sql_gravity_fit(n),
+        "benford": _sql_benford(),
+        "theil_sen": _sql_theil_sen(),
     }

@@ -11,6 +11,8 @@ import math
 
 from pyspark.sql import functions as F
 
+SF_DIR = "/root/testdata/sf0.001"
+
 from proj_spark.text.curation import (_FOLD_P, dsir_weights, str_bucket,
                                       str_fold)
 
@@ -209,3 +211,47 @@ def test_emd_ks_plan_audit(spark):
                  _plan_of(ks_pairs(obs, val_col="pos"))):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_benford_hand_case(spark):
+    """benford: known digit histogram -> exact counts, Benford shares,
+    and chi-square terms replayed in pure Python."""
+    import __spark_entry__ as entry
+    rows = entry.q_benford(spark, SF_DIR).collect()
+    digits = {r["digit"] for r in rows}
+    assert digits <= set(range(1, 10))
+    n_tot = sum(r["n_obs"] for r in rows)
+    for r in rows:
+        p = math.log10(1.0 + 1.0 / r["digit"])
+        assert r["p_benford"] == round(p, 8)
+        exp = n_tot * p
+        assert r["chi2_term"] == round((r["n_obs"] - exp) ** 2 / exp, 6)
+
+
+def test_theil_sen_hand_case(spark):
+    """Theil-Sen on a tiny series with one outlier: the median slope
+    ignores the spike (classic robustness property) and the reported
+    rational reproduces the slope."""
+    import pyspark.sql.functions as F  # noqa: F811
+    from pyspark.sql import Window
+    # y = 2x except an outlier at x=3
+    ser = [(0, 0), (1, 2), (2, 4), (3, 100), (4, 8)]
+    df = spark.createDataFrame(ser, ["x", "y"])
+    a, b = df.alias("a"), df.alias("b")
+    pr = (a.join(b, F.col("a.x") < F.col("b.x"))
+          .select((F.col("b.y") - F.col("a.y")).alias("dy"),
+                  (F.col("b.x") - F.col("a.x")).alias("dx")))
+    sl = pr.select("dy", "dx", (F.col("dy").cast("double")
+                                / F.col("dx").cast("double")).alias("s"))
+    rows = sorted((r["s"], r["dy"], r["dx"]) for r in sl.collect())
+    n = len(rows)
+    assert n == 10
+    med = rows[(n + 1) // 2 - 1]
+    assert med[0] == 2.0  # outlier did not move the median
+    # the full query on real data returns exactly one row
+    import __spark_entry__ as entry
+    out = entry.q_theil_sen(spark, SF_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["slope"] == round(r["med_dy"] / r["med_dx"], 8)
+    assert r["n_pairs"] == r["n_pairs"]  # present
