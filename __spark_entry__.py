@@ -8162,6 +8162,57 @@ FROM r CROSS JOIN c
 WHERE rk = (n_pairs + 1) // 2"""
 
 
+def q_mwu_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (tie-corrected) between the document-length
+    distributions of every source pair — the rank-based location-shift
+    test next to ks_sources' shape test.  The doubled tie-averaged rank
+    sum keeps u2q = 2*U exact BIGINT; the tie-corrected z is one float
+    expression over exact integers.  FULL SQL ORACLE (_sql_mwu_sources)
+    — see spatial/stats.py mwu_pairs."""
+    from proj_spark.spatial import stats as spatial_stats
+    docs = _docs(spark, sf_dir)
+    obs = docs.select(F.col("source"),
+                      F.col("n_chars").cast("long").alias("v"),
+                      F.lit(1).alias("c"))
+    return spatial_stats.mwu_pairs(obs, cls_col="source", val_col="v",
+                                   cnt_col="c")
+
+
+def _sql_mwu_sources() -> str:
+    return """WITH cnt AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+pairs AS (SELECT a.source AS cls_a, b.source AS cls_b,
+                 a.n AS n_a, b.n AS n_b
+          FROM tot a CROSS JOIN tot b WHERE a.source < b.source),
+vals AS (SELECT DISTINCT v FROM cnt),
+g AS (SELECT p.cls_a, p.cls_b, p.n_a, p.n_b, vals.v,
+             COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b,
+             COALESCE(ca.c, 0) + COALESCE(cb.c, 0) AS ct
+      FROM pairs p CROSS JOIN vals
+      LEFT JOIN cnt ca ON ca.source = p.cls_a AND ca.v = vals.v
+      LEFT JOIN cnt cb ON cb.source = p.cls_b AND cb.v = vals.v),
+cm AS (SELECT cls_a, cls_b, n_a, n_b, c_a, ct,
+              SUM(ct) OVER (PARTITION BY cls_a, cls_b ORDER BY v) - ct
+                AS before
+       FROM g),
+agg AS (SELECT cls_a, cls_b, n_a, n_b,
+               CAST(SUM(c_a * (2 * before + ct + 1)) AS BIGINT) AS r2,
+               CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie_t
+        FROM cm GROUP BY 1, 2, 3, 4)
+SELECT cls_a, cls_b, r2 - n_a * (n_a + 1) AS u2q, tie_t,
+       ROUND((CAST(r2 - n_a * (n_a + 1) AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3.0
+                    * (CAST(n_a + n_b + 1 AS DOUBLE)
+                       - CAST(tie_t AS DOUBLE)
+                       / (CAST(n_a + n_b AS DOUBLE)
+                          * CAST(n_a + n_b - 1 AS DOUBLE)))), 6) AS z
+FROM agg"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8307,6 +8358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gravity_fit": q_gravity_fit,
         "benford": q_benford,
         "theil_sen": q_theil_sen,
+        "mwu_sources": q_mwu_sources,
     }
 
 
@@ -8447,4 +8499,5 @@ def oracle_sql() -> dict[str, str]:
         "gravity_fit": _sql_gravity_fit(n),
         "benford": _sql_benford(),
         "theil_sen": _sql_theil_sen(),
+        "mwu_sources": _sql_mwu_sources(),
     }

@@ -59,7 +59,7 @@ HEADLINE = [
     "quadrat", "city_decay", "source_mix", "seq_pack",
     "domain_entropy", "tile_gini", "zipf_fit", "degree_fit",
     "pq_topk", "dsir_weights", "emd_langs", "ks_sources",
-    "gravity_fit", "benford", "theil_sen",
+    "gravity_fit", "benford", "theil_sen", "mwu_sources",
 ]
 
 

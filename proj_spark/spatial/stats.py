@@ -551,3 +551,70 @@ def ks_pairs(obs: DataFrame, cls_col: str = "cls",
                     F.round(F.col("ks_q").cast("double")
                             / (F.col("n_a") * F.col("n_b")).cast("double"),
                             8).alias("ks")))
+
+
+def mwu_pairs(obs: DataFrame, cls_col: str = "cls",
+              val_col: str = "v", cnt_col: str = "c") -> DataFrame:
+    """Pairwise exact Mann-Whitney U (Wilcoxon rank-sum) between every
+    unordered class pair over an integer value axis — the rank-based
+    location-shift complement to :func:`ks_pairs` (KS sees any shape
+    difference; U sees stochastic dominance).
+
+    Exactness: with per-value counts c_a(v), c_b(v) and the combined
+    running count, the tie-averaged rank sum in DOUBLED units
+
+        r2 = sum_v c_a(v) * (2 * before(v) + ct(v) + 1)
+
+    is exact BIGINT (average ranks are half-integers, so 2x clears the
+    fraction), giving ``u2q = r2 - n_a*(n_a+1) = 2*U_a`` exact.  The
+    tie-corrected normal z-score
+
+        z = (2U - n_a*n_b) / (2 * sigma),
+        sigma^2 = n_a*n_b/12 * ((n+1) - T/(n*(n-1))),  T = sum(t^3 - t)
+
+    is ONE float expression over the exact integers (u2q, n_a, n_b, T).
+
+    Scale shape: identical to ks_pairs — one corpus shuffle to the
+    (class, value) lattice; pair expansion + window cumsums on the
+    aggregate only.
+    """
+    cnt = (obs.groupBy(cls_col, val_col)
+           .agg(F.sum(cnt_col).cast("long").alias("_c")))
+    tot = cnt.groupBy(cls_col).agg(F.sum("_c").alias("_n"))
+    classes = tot.select(F.col(cls_col).alias("_cls"), "_n")
+    pairs = (classes.alias("a").crossJoin(classes.alias("b"))
+             .where(F.col("a._cls") < F.col("b._cls"))
+             .select(F.col("a._cls").alias("cls_a"),
+                     F.col("b._cls").alias("cls_b"),
+                     F.col("a._n").alias("n_a"),
+                     F.col("b._n").alias("n_b")))
+    vals = obs.select(val_col).distinct()
+    grid = pairs.crossJoin(F.broadcast(vals))
+    ca = cnt.select(F.col(cls_col).alias("cls_a"),
+                    F.col(val_col), F.col("_c").alias("c_a"))
+    cb = cnt.select(F.col(cls_col).alias("cls_b"),
+                    F.col(val_col), F.col("_c").alias("c_b"))
+    g = (grid.join(ca, ["cls_a", val_col], "left")
+         .join(cb, ["cls_b", val_col], "left")
+         .fillna(0, subset=["c_a", "c_b"])
+         .withColumn("ct", F.col("c_a") + F.col("c_b")))
+    w = Window.partitionBy("cls_a", "cls_b").orderBy(val_col)
+    g = g.withColumn("before",
+                     F.sum("ct").over(w) - F.col("ct"))
+    r2 = F.sum(F.col("c_a")
+               * (2 * F.col("before") + F.col("ct") + 1)).cast("long")
+    tie = F.sum(F.col("ct") * F.col("ct") * F.col("ct")
+                - F.col("ct")).cast("long")
+    agg = (g.groupBy("cls_a", "cls_b", "n_a", "n_b")
+           .agg(r2.alias("_r2"), tie.alias("tie_t")))
+    n = F.col("n_a") + F.col("n_b")
+    u2q = F.col("_r2") - F.col("n_a") * (F.col("n_a") + 1)
+    var4 = (F.col("n_a").cast("double") * F.col("n_b").cast("double") / 3.0
+            * ((n + 1).cast("double")
+               - F.col("tie_t").cast("double")
+               / (n.cast("double") * (n - 1).cast("double"))))
+    z = ((u2q.cast("double") - F.col("n_a").cast("double")
+          * F.col("n_b").cast("double"))
+         / F.sqrt(var4))
+    return agg.select("cls_a", "cls_b", u2q.alias("u2q"), "tie_t",
+                      F.round(z, 6).alias("z"))

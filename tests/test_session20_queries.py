@@ -255,3 +255,23 @@ def test_theil_sen_hand_case(spark):
     r = out[0]
     assert r["slope"] == round(r["med_dy"] / r["med_dx"], 8)
     assert r["n_pairs"] == r["n_pairs"]  # present
+
+
+def test_mwu_pairs_hand_case(spark):
+    """Exact tie-corrected Mann-Whitney on a hand case: A={1,2,3},
+    B={2,3,4} -> tie-averaged R1=8, U1=2 (u2q=4), T=12; and identical
+    samples give u2q = n^2 (z=0)."""
+    from proj_spark.spatial.stats import mwu_pairs
+    obs = ([("A", v, 1) for v in (1, 2, 3)]
+           + [("B", v, 1) for v in (2, 3, 4)])
+    r = mwu_pairs(spark.createDataFrame(obs, ["cls", "v", "c"]),
+                  val_col="v").collect()[0]
+    assert (r["cls_a"], r["cls_b"]) == ("A", "B")
+    assert r["u2q"] == 4      # 2*U1 where U1 = R1 - n1(n1+1)/2 = 8-6
+    assert r["tie_t"] == 12   # two triple-free doubletons: 2*(2^3-2)
+    assert r["z"] < 0         # A stochastically smaller than B
+    obs2 = ([("A", v, 1) for v in (5, 6)] + [("B", v, 1) for v in (5, 6)])
+    r2 = mwu_pairs(spark.createDataFrame(obs2, ["cls", "v", "c"]),
+                   val_col="v").collect()[0]
+    assert r2["u2q"] == 4     # 2*U = n_a*n_b when distributions equal
+    assert r2["z"] == 0.0
