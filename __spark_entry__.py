@@ -8213,6 +8213,62 @@ SELECT cls_a, cls_b, r2 - n_a * (n_a + 1) AS u2q, tie_t,
 FROM agg"""
 
 
+NOV_BATCH = 50       # docs per ingest batch in the novelty curve
+
+
+def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-novelty curve across ingest batches: for each batch of
+    NOV_BATCH docs (crawl order = doc_id), the share of its distinct
+    text shingles never seen in any earlier batch — the marginal-new-
+    content metric that prices incremental crawls (diminishing novelty
+    = stop recrawling).  Exact integers: distinct presence, min-batch
+    first sighting, one float division.
+
+    Scale shape: one distinct on (batch, shingle), one agg on shingle
+    for the first sighting (both map-side combinable), then two TINY
+    batch-level aggregates joined — the vocabulary never joins back to
+    the corpus.  FULL SQL ORACLE (_sql_novelty_curve)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sh = docs.select(
+        (F.col("doc_id") / NOV_BATCH).cast("long").alias("batch"),
+        F.explode(F.expr(
+            f"array_distinct(transform("
+            f"sequence(1, greatest(length(text) - {NGRAM_W - 1}, 0)),"
+            f" i -> xxhash64(substring(text, i, {NGRAM_W}))))"))
+        .alias("s"))
+    present = sh.distinct()
+    tot = present.groupBy("batch").agg(F.count("*").alias("n_shingles"))
+    first = present.groupBy("s").agg(F.min("batch").alias("batch"))
+    new = first.groupBy("batch").agg(F.count("*").alias("n_new"))
+    return (tot.join(new, "batch", "left")
+            .fillna(0, subset=["n_new"])
+            .select("batch", "n_shingles", "n_new",
+                    F.round(F.col("n_new").cast("double")
+                            / F.col("n_shingles").cast("double"), 6)
+                    .alias("novelty")))
+
+
+def _sql_novelty_curve() -> str:
+    return f"""WITH sh AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) // {NOV_BATCH} AS batch,
+         unnest(list_distinct([substring(text, i, {NGRAM_W})
+           for i in generate_series(1,
+             greatest(len(text) - {NGRAM_W - 1}, 0))])) AS s
+  FROM documents
+), tot AS (
+  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM sh GROUP BY 1
+), first AS (
+  SELECT s, MIN(batch) AS batch FROM sh GROUP BY 1
+), nw AS (
+  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_new FROM first GROUP BY 1
+)
+SELECT t.batch, t.n_shingles, COALESCE(nw.n_new, 0) AS n_new,
+       ROUND(CAST(COALESCE(nw.n_new, 0) AS DOUBLE)
+             / CAST(t.n_shingles AS DOUBLE), 6) AS novelty
+FROM tot t LEFT JOIN nw USING (batch)"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8359,6 +8415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "theil_sen": q_theil_sen,
         "mwu_sources": q_mwu_sources,
+        "novelty_curve": q_novelty_curve,
     }
 
 
@@ -8500,4 +8557,5 @@ def oracle_sql() -> dict[str, str]:
         "benford": _sql_benford(),
         "theil_sen": _sql_theil_sen(),
         "mwu_sources": _sql_mwu_sources(),
+        "novelty_curve": _sql_novelty_curve(),
     }

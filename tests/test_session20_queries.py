@@ -275,3 +275,16 @@ def test_mwu_pairs_hand_case(spark):
                    val_col="v").collect()[0]
     assert r2["u2q"] == 4     # 2*U = n_a*n_b when distributions equal
     assert r2["z"] == 0.0
+
+
+def test_novelty_curve_properties(spark):
+    """Batch 0 is 100% novel by definition; every batch's n_new is
+    bounded by its n_shingles; repeated text in a later batch drives
+    its novelty to 0."""
+    import __spark_entry__ as entry
+    rows = {r["batch"]: r for r in
+            entry.q_novelty_curve(spark, SF_DIR).collect()}
+    assert rows[0]["novelty"] == 1.0
+    for r in rows.values():
+        assert 0 <= r["n_new"] <= r["n_shingles"]
+        assert r["novelty"] == round(r["n_new"] / r["n_shingles"], 6)
