@@ -8269,6 +8269,122 @@ SELECT t.batch, t.n_shingles, COALESCE(nw.n_new, 0) AS n_new,
 FROM tot t LEFT JOIN nw USING (batch)"""
 
 
+def q_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information + chi-square decomposition of the
+    lang x source contingency table — the dependence screen between
+    corpus dimensions (is language balanced per upstream source?).
+    Per-cell PMI is quantized ONCE to integer micro-nats (the DSIR
+    discipline), so mi_q = n_ij * round(ln(n_ij*N/(n_i*n_j))*1e6) is
+    exact BIGINT and the table's total MI is an exact integer sum; the
+    chi-square term is one float expression over exact counts.
+    FULL SQL ORACLE (_sql_lang_source_mi)."""
+    docs = _docs(spark, sf_dir)
+    cell = docs.groupBy("lang", "source").agg(F.count("*").alias("n_ij"))
+    ri = docs.groupBy("lang").agg(F.count("*").alias("n_i"))
+    cj = docs.groupBy("source").agg(F.count("*").alias("n_j"))
+    tot = docs.agg(F.count("*").alias("n_tot"))
+    g = (cell.join(F.broadcast(ri), "lang")
+         .join(F.broadcast(cj), "source")
+         .crossJoin(F.broadcast(tot)))
+    lr = F.round(F.log(F.col("n_ij").cast("double")
+                       * F.col("n_tot").cast("double")
+                       / (F.col("n_i").cast("double")
+                          * F.col("n_j").cast("double"))) * 1e6, 0)
+    e = (F.col("n_i").cast("double") * F.col("n_j").cast("double")
+         / F.col("n_tot").cast("double"))
+    dev = F.col("n_ij").cast("double") - e
+    return g.select(
+        "lang", "source", "n_ij", "n_i", "n_j",
+        (F.col("n_ij") * lr.cast("long")).alias("mi_q"),
+        F.round(dev * dev / e, 6).alias("chi2_term"))
+
+
+def _sql_lang_source_mi() -> str:
+    lr = ("ROUND(LN(CAST(n_ij AS DOUBLE) * CAST(n_tot AS DOUBLE)"
+          " / (CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE))) * 1e6, 0)")
+    e = ("(CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE)"
+         " / CAST(n_tot AS DOUBLE))")
+    return f"""WITH cell AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_ij
+  FROM documents GROUP BY 1, 2
+), ri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_i
+          FROM documents GROUP BY 1),
+cj AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_j
+       FROM documents GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents)
+SELECT lang, source, n_ij, n_i, n_j,
+       n_ij * CAST({lr} AS BIGINT) AS mi_q,
+       ROUND((CAST(n_ij AS DOUBLE) - {e}) * (CAST(n_ij AS DOUBLE) - {e})
+             / {e}, 6) AS chi2_term
+FROM cell JOIN ri USING (lang) JOIN cj USING (source) CROSS JOIN t"""
+
+
+ACF_MAX_LAG = 24     # hourly autocorrelation horizon
+
+
+def q_acf_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of hourly event volume at lags 1..24 —
+    the periodicity fingerprint (diurnal cycle) of the event stream.
+    Per lag, the Pearson correlation over overlapping (y_t, y_{t+l})
+    windows is assembled from six EXACT BIGINT sums (n, S_ab, S_a,
+    S_b, S_aa, S_bb) in one fixed float expression.  The lagged
+    self-join runs on the AGGREGATED hourly series (bounded by the
+    horizon, never the corpus).  FULL SQL ORACLE (_sql_acf_hours)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        hr = (F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+              * 24 + F.hour("ts"))
+    else:
+        hr = F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000))
+    ser = (ev.select(hr.alias("x"))
+           .groupBy("x").agg(F.count("*").alias("y")))
+    a = ser.select("x", F.col("y").alias("ya")).withColumn(
+        "lag", F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))))
+    b = ser.select(F.col("x").alias("bx"), F.col("y").alias("yb"))
+    j = a.join(b, F.col("x") + F.col("lag") == F.col("bx"))
+    agg = (j.groupBy("lag").agg(
+        F.count("*").alias("n_win"),
+        F.sum(F.col("ya") * F.col("yb")).alias("s_ab"),
+        F.sum("ya").alias("s_a"), F.sum("yb").alias("s_b"),
+        F.sum(F.col("ya") * F.col("ya")).alias("s_aa"),
+        F.sum(F.col("yb") * F.col("yb")).alias("s_bb")))
+    nd = F.col("n_win").cast("double")
+    num = nd * F.col("s_ab").cast("double") - (F.col("s_a").cast("double")
+                                               * F.col("s_b").cast("double"))
+    da = nd * F.col("s_aa").cast("double") - (F.col("s_a").cast("double")
+                                              * F.col("s_a").cast("double"))
+    db = nd * F.col("s_bb").cast("double") - (F.col("s_b").cast("double")
+                                              * F.col("s_b").cast("double"))
+    return agg.select("lag", "n_win", "s_ab", "s_a", "s_b", "s_aa", "s_bb",
+                      F.round(num / F.sqrt(da * db), 6).alias("acf"))
+
+
+def _sql_acf_hours() -> str:
+    return f"""WITH ser AS (
+  SELECT epoch_us(ts) // 3600000000 AS x, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+j AS (
+  SELECT l.lag, a.y AS ya, b.y AS yb
+  FROM ser a CROSS JOIN lags l JOIN ser b ON a.x + l.lag = b.x
+), agg AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_win,
+         CAST(SUM(ya * yb) AS BIGINT) AS s_ab,
+         CAST(SUM(ya) AS BIGINT) AS s_a, CAST(SUM(yb) AS BIGINT) AS s_b,
+         CAST(SUM(ya * ya) AS BIGINT) AS s_aa,
+         CAST(SUM(yb * yb) AS BIGINT) AS s_bb
+  FROM j GROUP BY 1)
+SELECT lag, n_win, s_ab, s_a, s_b, s_aa, s_bb,
+       ROUND((CAST(n_win AS DOUBLE) * CAST(s_ab AS DOUBLE)
+              - (CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)))
+             / SQRT((CAST(n_win AS DOUBLE) * CAST(s_aa AS DOUBLE)
+                     - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)))
+                    * (CAST(n_win AS DOUBLE) * CAST(s_bb AS DOUBLE)
+                       - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)))),
+             6) AS acf
+FROM agg"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8416,6 +8532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "mwu_sources": q_mwu_sources,
         "novelty_curve": q_novelty_curve,
+        "lang_source_mi": q_lang_source_mi,
+        "acf_hours": q_acf_hours,
     }
 
 
@@ -8558,4 +8676,6 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen": _sql_theil_sen(),
         "mwu_sources": _sql_mwu_sources(),
         "novelty_curve": _sql_novelty_curve(),
+        "lang_source_mi": _sql_lang_source_mi(),
+        "acf_hours": _sql_acf_hours(),
     }

@@ -60,7 +60,7 @@ HEADLINE = [
     "domain_entropy", "tile_gini", "zipf_fit", "degree_fit",
     "pq_topk", "dsir_weights", "emd_langs", "ks_sources",
     "gravity_fit", "benford", "theil_sen", "mwu_sources",
-    "novelty_curve",
+    "novelty_curve", "lang_source_mi", "acf_hours",
 ]
 
 

@@ -288,3 +288,51 @@ def test_novelty_curve_properties(spark):
     for r in rows.values():
         assert 0 <= r["n_new"] <= r["n_shingles"]
         assert r["novelty"] == round(r["n_new"] / r["n_shingles"], 6)
+
+
+def test_lang_source_mi_properties(spark):
+    """Independent margins: mi_q sums near 0 on a product table and the
+    chi-square terms replay exactly; the engine output matches a pure
+    replay on sf0.001 documents."""
+    import __spark_entry__ as entry
+    rows = entry.q_lang_source_mi(spark, SF_DIR).collect()
+    n_tot = sum(r["n_ij"] for r in rows)
+    for r in rows:
+        lr = math.log(r["n_ij"] * n_tot / (r["n_i"] * r["n_j"]))
+        assert r["mi_q"] == r["n_ij"] * _rhalf(lr * 1e6)
+        e = r["n_i"] * r["n_j"] / n_tot
+        assert r["chi2_term"] == round((r["n_ij"] - e) ** 2 / e, 6)
+    # margins reassemble: sum of n_ij per lang equals n_i
+    by_lang = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_ij"]
+    for r in rows:
+        assert by_lang[r["lang"]] == r["n_i"]
+
+
+def test_acf_hours_pure_replay(spark):
+    """ACF lags replay in pure Python from the hourly series: exact
+    sums and the identical rounded Pearson assembly."""
+    import __spark_entry__ as entry
+    got = {r["lag"]: r for r in entry.q_acf_hours(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    from collections import Counter
+    hrs = Counter()
+    for r in ev:
+        ts = r["ts"]
+        hrs[(ts - ts.__class__(1970, 1, 1)).total_seconds() // 3600] += 1
+    xs = sorted(hrs)
+    for lag in (1, 12, 24):
+        pairs = [(hrs[x], hrs[x + lag]) for x in xs if x + lag in hrs]
+        n = len(pairs)
+        r = got[lag]
+        assert r["n_win"] == n
+        assert r["s_ab"] == sum(a * b for a, b in pairs)
+        sa, sb = sum(a for a, _ in pairs), sum(b for _, b in pairs)
+        saa = sum(a * a for a, _ in pairs)
+        sbb = sum(b * b for _, b in pairs)
+        assert (r["s_a"], r["s_b"], r["s_aa"], r["s_bb"]) == (sa, sb, saa,
+                                                              sbb)
+        num = n * r["s_ab"] - sa * sb
+        den = math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+        assert r["acf"] == round(num / den, 6)
