@@ -8356,7 +8356,8 @@ def q_acf_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = nd * F.col("s_bb").cast("double") - (F.col("s_b").cast("double")
                                               * F.col("s_b").cast("double"))
     return agg.select("lag", "n_win", "s_ab", "s_a", "s_b", "s_aa", "s_bb",
-                      F.round(num / F.sqrt(da * db), 6).alias("acf"))
+                      F.when(da * db > 0,
+                             F.round(num / F.sqrt(da * db), 6)).alias("acf"))
 
 
 def _sql_acf_hours() -> str:
@@ -8375,13 +8376,17 @@ j AS (
          CAST(SUM(yb * yb) AS BIGINT) AS s_bb
   FROM j GROUP BY 1)
 SELECT lag, n_win, s_ab, s_a, s_b, s_aa, s_bb,
-       ROUND((CAST(n_win AS DOUBLE) * CAST(s_ab AS DOUBLE)
+       CASE WHEN (CAST(n_win AS DOUBLE) * CAST(s_aa AS DOUBLE)
+                  - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)))
+                 * (CAST(n_win AS DOUBLE) * CAST(s_bb AS DOUBLE)
+                    - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))) > 0
+       THEN ROUND((CAST(n_win AS DOUBLE) * CAST(s_ab AS DOUBLE)
               - (CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)))
              / SQRT((CAST(n_win AS DOUBLE) * CAST(s_aa AS DOUBLE)
                      - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)))
                     * (CAST(n_win AS DOUBLE) * CAST(s_bb AS DOUBLE)
                        - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)))),
-             6) AS acf
+             6) END AS acf
 FROM agg"""
 
 
