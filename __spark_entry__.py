@@ -7522,15 +7522,34 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     all map-side combinable, edges never reshuffled on a new key.
 
     FULL SQL ORACLE (_sql_label_prop): the same rounds as CTE pairs."""
-    und = (_domain_links(spark, sf_dir)
-           .select(F.least("src", "dst").alias("a"),
-                   F.greatest("src", "dst").alias("b"))
-           .distinct()
-           .where((F.col("a") * 1000003 + F.col("b"))
-                  % LPA_SAMPLE_MOD == 0))
-    sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
-           .union(und.select(F.col("b").alias("u"),
-                             F.col("a").alias("v")))).persist()
+    und = _lpa_und(spark, sf_dir)
+    sym = _lpa_sym(und)
+    lab = _lpa_labels(sym)
+    return (lab.groupBy("lab").agg(F.count("*").alias("n_nodes"))
+            .select(F.col("lab").cast("long").alias("community"),
+                    F.col("n_nodes").cast("long").alias("n_nodes")))
+
+
+def _lpa_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic hash-sampled undirected simple domain graph
+    shared by label_prop and modularity (same sample as kcore)."""
+    return (_domain_links(spark, sf_dir)
+            .select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+            .distinct()
+            .where((F.col("a") * 1000003 + F.col("b"))
+                   % LPA_SAMPLE_MOD == 0))
+
+
+def _lpa_sym(und: DataFrame) -> DataFrame:
+    return (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .union(und.select(F.col("b").alias("u"),
+                              F.col("a").alias("v"))))
+
+
+def _lpa_labels(sym: DataFrame) -> DataFrame:
+    """LPA_ROUNDS synchronous min-tie label-propagation rounds over the
+    symmetric edge relation -> final (u, lab)."""
     lab = sym.select("u").distinct().select(
         "u", F.col("u").alias("lab"))
     for _ in range(LPA_ROUNDS):
@@ -7540,14 +7559,13 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.partitionBy("u").orderBy(F.col("c").desc(), "lab")
         lab = (cnt.withColumn("rn", F.row_number().over(w))
                .where(F.col("rn") == 1).select("u", "lab"))
-    out = (lab.groupBy("lab").agg(F.count("*").alias("n_nodes"))
-           .select(F.col("lab").cast("long").alias("community"),
-                   F.col("n_nodes").cast("long").alias("n_nodes")))
-    sym.unpersist()
-    return out
+    return lab
 
 
-def _sql_label_prop(n: int) -> str:
+def _sql_lpa_chain(n: int) -> str:
+    """Shared WITH-body: sampled undirected graph + LPA_ROUNDS label
+    rounds, ending at lab{LPA_ROUNDS} — used by the label_prop and
+    modularity oracles."""
     rounds = []
     for r in range(1, LPA_ROUNDS + 1):
         rounds.append(f"""cnt{r} AS (SELECT e.u, l.lab, COUNT(*) AS c
@@ -7557,7 +7575,7 @@ lab{r} AS (SELECT u, lab FROM (
             PARTITION BY u ORDER BY c DESC, lab) AS rn FROM cnt{r})
         WHERE rn = 1)""")
     chain = ",\n".join(rounds)
-    return f"""WITH {_pages_cte(n)},
+    return f"""{_pages_cte(n)},
 raw AS (SELECT CAST(domain AS BIGINT) AS src,
                (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
                 * 2654435761) % 2147483648 AS h
@@ -7572,7 +7590,11 @@ und AS (SELECT a, b FROM (
         WHERE (a * 1000003 + b) % {LPA_SAMPLE_MOD} = 0),
 sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
 lab0 AS (SELECT DISTINCT u, u AS lab FROM sym),
-{chain}
+{chain}"""
+
+
+def _sql_label_prop(n: int) -> str:
+    return f"""WITH {_sql_lpa_chain(n)}
 SELECT CAST(lab AS BIGINT) AS community,
        CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM lab{LPA_ROUNDS} GROUP BY 1"""
@@ -8391,6 +8413,561 @@ FROM agg"""
 
 
 # ---------------------------------------------------------------------------
+# session 21: graph quality metrics + corpus-statistics + relational spine
+# ---------------------------------------------------------------------------
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition — the
+    standard "was the community detection any good" score (Q > 0.3 is
+    the folk threshold for real structure).  Runs LPA on the SAME
+    deterministic hash-sampled undirected graph as q_label_prop, then
+    scores the partition with graph.modularity: per community c,
+    q_num = 4*m*e_c - d_c^2 is an exact BIGINT and the contribution
+    Q_c = q_num / (4 m^2) one fixed float division (Newman & Girvan
+    2004).  Total Q = sum(q_part).
+
+    Scale plan: the LPA rounds are the label_prop plan; the scoring
+    adds one hash-agg for degrees, one edge join against broadcast
+    labels and tiny per-community joins — the edge list is never
+    reshuffled onto a new key.
+
+    FULL SQL ORACLE (_sql_modularity): the label rounds as CTE pairs
+    (shared with the label_prop oracle) + the same exact-integer
+    scoring."""
+    from proj_spark.graph import modularity
+    und = _lpa_und(spark, sf_dir)
+    lab = _lpa_labels(_lpa_sym(und))
+    return modularity(und, lab)
+
+
+def _sql_modularity(n: int) -> str:
+    R = LPA_ROUNDS
+    return f"""WITH {_sql_lpa_chain(n)},
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY 1),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_e FROM und),
+ein AS (SELECT la.lab AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+        FROM und
+        JOIN lab{R} la ON la.u = und.a
+        JOIN lab{R} lb ON lb.u = und.b
+        WHERE la.lab = lb.lab GROUP BY 1),
+dc AS (SELECT l.lab AS community, CAST(SUM(d.d) AS BIGINT) AS d_tot,
+              CAST(COUNT(*) AS BIGINT) AS n_nodes
+       FROM lab{R} l JOIN deg d ON d.u = l.u GROUP BY 1)
+SELECT CAST(dc.community AS BIGINT) AS community, dc.n_nodes,
+       COALESCE(ein.e_in, 0) AS e_in, dc.d_tot, m.m_e,
+       4 * m.m_e * COALESCE(ein.e_in, 0) - dc.d_tot * dc.d_tot AS q_num,
+       ROUND(CAST(4 * m.m_e * COALESCE(ein.e_in, 0)
+                  - dc.d_tot * dc.d_tot AS DOUBLE)
+             / (4.0 * CAST(m.m_e AS DOUBLE) * CAST(m.m_e AS DOUBLE)), 6)
+         AS q_part
+FROM dc LEFT JOIN ein ON ein.community = dc.community CROSS JOIN m"""
+
+
+def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per domain over the SAME
+    DOULION-sampled undirected graph as q_triangles: for each node of
+    degree >= 2, lcc = 2*tri / (deg*(deg-1)) (Watts & Strogatz 1998),
+    reported as the exact floored integer micro-ratio
+    lcc_micro = (2*tri*1e6) div (deg*(deg-1)) so the output is
+    engine-exact BIGINT — no float ever.
+
+    Scale plan: triangle counts come from the degree-oriented wedge
+    join (graph.triangle_counts — hub wedges bounded); degrees are one
+    hash-agg on the sampled edge list; the final assembly is a left
+    join on the tiny per-node relation.
+
+    FULL SQL ORACLE (_sql_clustering_coef): the canonical a<b<c
+    three-way self-join triangle count + the same degree/div
+    arithmetic — agreement re-proves the orientation scheme AND the
+    coefficient arithmetic."""
+    from proj_spark.graph import triangle_counts
+    links = _domain_links(spark, sf_dir)
+    und = (links.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).distinct()
+           .where((F.col("a") * 1000003 + F.col("b"))
+                  % TRI_SAMPLE_MOD == 0))
+    deg = (und.select(F.col("a").alias("domain"))
+           .union(und.select("b"))
+           .groupBy("domain").agg(F.count("*").alias("deg")))
+    tri = (triangle_counts(links, sample_mod=TRI_SAMPLE_MOD)
+           .select(F.col("node").alias("domain"), "n_tri"))
+    return (deg.where(F.col("deg") >= 2)
+            .join(tri, "domain", "left")
+            .fillna(0, subset=["n_tri"])
+            .select(F.col("domain").cast("long").alias("domain"),
+                    F.col("deg").cast("long").alias("deg"),
+                    F.col("n_tri").cast("long").alias("n_tri"),
+                    F.expr("(2 * n_tri * 1000000)"
+                           " div (deg * (deg - 1))").alias("lcc_micro")))
+
+
+def _sql_clustering_coef(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+und AS (SELECT a, b FROM (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM (
+            SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+            UNION ALL
+            SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+          WHERE src != dst)
+        WHERE (a * 1000003 + b) % {TRI_SAMPLE_MOD} = 0),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+       FROM (SELECT x AS node FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+       GROUP BY 1),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1)
+SELECT CAST(deg.node AS BIGINT) AS domain, deg.deg,
+       COALESCE(tc.n_tri, 0) AS n_tri,
+       (2 * COALESCE(tc.n_tri, 0) * 1000000)
+         // (deg.deg * (deg.deg - 1)) AS lcc_micro
+FROM deg LEFT JOIN tc ON tc.node = deg.node
+WHERE deg.deg >= 2"""
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the full distinct-edge domain graph:
+    the Pearson correlation of endpoint degrees over all DIRECTED edge
+    incidences (both orientations of each undirected edge — the
+    standard edge-endpoint formulation, Newman 2002).  Webgraphs are
+    typically disassortative (hubs link to leaves, r < 0).
+
+    Exactness: degrees are exact BIGINTs, so all five sufficient sums
+    (n, s_x, s_xx, s_yy, s_xy) are exact BIGINT — r is ONE fixed float
+    expression at the end.  By symmetry s_y = s_x, but both are
+    computed and emitted as independent checks.
+
+    Scale plan: the degree relation is one hash-agg (bounded by the
+    domain universe), broadcast twice into the edge incidence
+    relation; one single-row agg ends the plan — the edge list
+    shuffles zero times.
+
+    FULL SQL ORACLE (_sql_assortativity)."""
+    und = (_domain_links(spark, sf_dir)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).distinct())
+    sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .union(und.select(F.col("b").alias("u"),
+                             F.col("a").alias("v"))))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))
+    inc = sym.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    agg = inc.agg(F.count("*").alias("n_inc"),
+                  F.sum("dx").alias("s_x"), F.sum("dy").alias("s_y"),
+                  F.sum(F.col("dx") * F.col("dx")).alias("s_xx"),
+                  F.sum(F.col("dy") * F.col("dy")).alias("s_yy"),
+                  F.sum(F.col("dx") * F.col("dy")).alias("s_xy"))
+    nd = F.col("n_inc").cast("double")
+    num = nd * F.col("s_xy").cast("double") - (F.col("s_x").cast("double")
+                                               * F.col("s_y").cast("double"))
+    vx = nd * F.col("s_xx").cast("double") - (F.col("s_x").cast("double")
+                                              * F.col("s_x").cast("double"))
+    vy = nd * F.col("s_yy").cast("double") - (F.col("s_y").cast("double")
+                                              * F.col("s_y").cast("double"))
+    return agg.select("n_inc", "s_x", "s_y", "s_xx", "s_yy", "s_xy",
+                      F.when(vx * vy > 0,
+                             F.round(num / F.sqrt(vx * vy), 6))
+                      .alias("r"))
+
+
+def _sql_assortativity(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM (
+          SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+          UNION ALL
+          SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+        WHERE src != dst),
+sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+inc AS (SELECT du.d AS dx, dv.d AS dy
+        FROM sym JOIN deg du ON du.u = sym.u
+                 JOIN deg dv ON dv.u = sym.v),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inc,
+             CAST(SUM(dx) AS BIGINT) AS s_x,
+             CAST(SUM(dy) AS BIGINT) AS s_y,
+             CAST(SUM(dx * dx) AS BIGINT) AS s_xx,
+             CAST(SUM(dy * dy) AS BIGINT) AS s_yy,
+             CAST(SUM(dx * dy) AS BIGINT) AS s_xy
+      FROM inc)
+SELECT n_inc, s_x, s_y, s_xx, s_yy, s_xy,
+       CASE WHEN (CAST(n_inc AS DOUBLE) * CAST(s_xx AS DOUBLE)
+                  - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+                 * (CAST(n_inc AS DOUBLE) * CAST(s_yy AS DOUBLE)
+                    - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE)) > 0
+       THEN ROUND((CAST(n_inc AS DOUBLE) * CAST(s_xy AS DOUBLE)
+              - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
+             / SQRT((CAST(n_inc AS DOUBLE) * CAST(s_xx AS DOUBLE)
+                     - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+                    * (CAST(n_inc AS DOUBLE) * CAST(s_yy AS DOUBLE)
+                       - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))),
+             6) END AS r
+FROM a"""
+
+
+HEAPS_B = NOV_BATCH   # same ingest batches as the novelty curve
+
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ~ K * n^beta, fitted
+    as ln V vs ln n at ingest-batch boundaries (crawl order = doc_id,
+    HEAPS_B docs per batch — the novelty_curve batching).  The
+    "vocabulary" is the NGRAM_W-char shingle space — the engine's
+    dedup fingerprint unit (Heaps' law generalizes from word types to
+    n-grams; the synthetic corpus' word-type vocabulary saturates in
+    the first batch, so word types would give a degenerate zero-slope
+    fit — the shingle exponent is the one that prices fingerprint-
+    table growth with crawl size).
+
+    Exactness: cumulative shingle totals (pure length arithmetic — no
+    explode needed for the x axis) and first-sighting vocabulary
+    counts are exact BIGINT window sums over the TINY per-batch
+    relation; both logs are quantized to integer micro-nats per point
+    and the least-squares assembly is the shared _loglog_fit — engine
+    bit-exact.
+
+    Scale plan: one explode + two hash-aggs for first sightings
+    (map-side combinable), one arithmetic agg for totals; the
+    cumulative windows and the fit run over #batches rows only.  The
+    vocabulary never joins back to the corpus.
+
+    FULL SQL ORACLE (_sql_heaps_fit)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    batch = F.expr(f"CAST(doc_id AS BIGINT) div {HEAPS_B}").alias("batch")
+    tot = (docs.select(
+        batch,
+        F.greatest(F.length("text") - (NGRAM_W - 1), F.lit(0))
+        .cast("long").alias("k"))
+        .groupBy("batch").agg(F.sum("k").alias("n_tok")))
+    sh = docs.select(
+        batch,
+        F.explode(F.expr(
+            f"transform(sequence(1, greatest(length(text) - {NGRAM_W - 1},"
+            f" 0)), i -> substring(text, i, {NGRAM_W}))")).alias("tok"))
+    first = (sh.groupBy("tok").agg(F.min("batch").alias("batch"))
+             .groupBy("batch").agg(F.count("*").alias("n_new")))
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (tot.join(first, "batch", "left")
+           .fillna(0, subset=["n_new"])
+           .select("batch",
+                   F.sum("n_tok").over(w).alias("cum_tok"),
+                   F.sum("n_new").over(w).alias("cum_vocab")))
+    uv = cum.select(
+        F.round(F.log(F.col("cum_tok").cast("double")) * 1e6, 0)
+        .cast("long").alias("u"),
+        F.round(F.log(F.col("cum_vocab").cast("double")) * 1e6, 0)
+        .cast("long").alias("v"))
+    return _loglog_fit(_loglog_sums(uv))
+
+
+def _sql_heaps_fit() -> str:
+    return f"""WITH tk AS (
+  SELECT CAST(doc_id AS BIGINT) // {HEAPS_B} AS batch,
+         unnest([substring(text, i, {NGRAM_W})
+                 for i in generate_series(1,
+                   greatest(len(text) - {NGRAM_W - 1}, 0))]) AS tok
+  FROM documents),
+tot AS (SELECT CAST(doc_id AS BIGINT) // {HEAPS_B} AS batch,
+               CAST(SUM(GREATEST(len(text) - {NGRAM_W - 1}, 0))
+                    AS BIGINT) AS n_tok
+        FROM documents GROUP BY 1),
+fs AS (SELECT tok, MIN(batch) AS batch FROM tk GROUP BY 1),
+nw AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_new
+       FROM fs GROUP BY 1),
+cum AS (SELECT t.batch,
+               SUM(t.n_tok) OVER (ORDER BY t.batch
+                 ROWS UNBOUNDED PRECEDING) AS cum_tok,
+               SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY t.batch
+                 ROWS UNBOUNDED PRECEDING) AS cum_vocab
+        FROM tot t LEFT JOIN nw ON nw.batch = t.batch),
+uv AS (SELECT
+         CAST(ROUND(LN(CAST(cum_tok AS DOUBLE)) * 1e6, 0) AS BIGINT) AS u,
+         CAST(ROUND(LN(CAST(cum_vocab AS DOUBLE)) * 1e6, 0) AS BIGINT) AS v
+       FROM cum),
+a AS (SELECT COUNT(*) AS n_pts, CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM((u * u) // 1000000) AS BIGINT) AS suuq,
+             CAST(SUM((u * v) // 1000000) AS BIGINT) AS suvq
+      FROM uv)
+SELECT n_pts, su, sv, suuq, suvq,{_SQL_FIT}
+FROM a"""
+
+
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness estimators from the token frequency-of-
+    frequencies: Chao1 lower-bound species richness
+    chao1 = V + f1*(f1-1) / (2*(f2+1))  (Chao 1984, bias-corrected)
+    and the Good-Turing unseen-probability mass f1/N (Good 1953) —
+    the "how much vocabulary has this crawl NOT seen yet" estimates
+    that complement heaps_fit's growth exponent.
+
+    Exactness: V, N, f1, f2 are exact counts; both estimators are
+    emitted as floored integer micro-units (BIGINT div) so every
+    output column is engine-exact BIGINT — no float ever.
+
+    Scale plan: token hash-agg -> frequency histogram hash-agg ->
+    one single-row agg; all map-side combinable, output one row.
+
+    FULL SQL ORACLE (_sql_vocab_richness)."""
+    docs = _docs(spark, sf_dir)
+    cnts = (docs.select(F.explode(analysis.tokens(F.col("text")))
+                        .alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("c")))
+    agg = cnts.agg(
+        F.count("*").alias("v_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"))
+    return agg.select(
+        F.col("v_types").cast("long").alias("v_types"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.expr("v_types * 1000000"
+               " + (f1 * (f1 - 1) * 1000000) div (2 * (f2 + 1))")
+        .alias("chao1_micro"),
+        F.expr("(f1 * 1000000) div n_tokens").alias("gt_unseen_micro"))
+
+
+def _sql_vocab_richness() -> str:
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "t -> t != '')")
+    return f"""WITH tk AS (
+  SELECT unnest({toks}) AS tok FROM documents),
+cnts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_types,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM cnts)
+SELECT v_types, n_tokens, f1, f2,
+       v_types * 1000000
+         + (f1 * (f1 - 1) * 1000000) // (2 * (f2 + 1)) AS chao1_micro,
+       (f1 * 1000000) // n_tokens AS gt_unseen_micro
+FROM a"""
+
+
+KT_XW = 32     # kendall_tau token-count bucket width
+KT_YW = 256    # kendall_tau char-count bucket width
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between bucketed document length
+    measures (token count div 32 vs char count div 256) — the robust
+    monotone-association screen between corpus size dimensions, with
+    the tie correction that bucketing makes mandatory.
+
+    Exact pair counting on the AGGREGATED lattice: concordant C and
+    discordant D come from the lattice self-join on x1 < x2 (cell
+    count products — never a document self-join); x/y tie pair counts
+    t_x, t_y from the marginals as Σ T(T-1)/2 (exact: T(T-1) is even);
+    n0 = n(n-1)/2.  tau_b = (C-D)/sqrt((n0-t_x)(n0-t_y)) is ONE fixed
+    float expression over exact BIGINTs.  (At >1e9 docs the pair
+    counts approach BIGINT limits — promote the final sums to
+    DECIMAL(38) there; the lattice algebra is unchanged.)
+
+    Scale plan: one hash-agg to the tiny (xb, yb) lattice, broadcast
+    lattice self-join, three single-row aggs — the corpus shuffles
+    once.  FULL SQL ORACLE (_sql_kendall_tau)."""
+    docs = _docs(spark, sf_dir)
+    s = analysis.doc_stats(docs).select(
+        F.expr(f"CAST(n_tokens AS BIGINT) div {KT_XW}").alias("xb"),
+        F.expr(f"CAST(n_chars_c AS BIGINT) div {KT_YW}").alias("yb"))
+    cells = s.groupBy("xb", "yb").agg(F.count("*").alias("c"))
+    c1 = cells.select(F.col("xb").alias("x1"), F.col("yb").alias("y1"),
+                      F.col("c").alias("c1"))
+    c2 = cells.select(F.col("xb").alias("x2"), F.col("yb").alias("y2"),
+                      F.col("c").alias("c2"))
+    pairs = (c1.join(F.broadcast(c2), F.col("x1") < F.col("x2"))
+             .agg(F.sum(F.when(F.col("y1") < F.col("y2"),
+                               F.col("c1") * F.col("c2")).otherwise(0))
+                  .alias("nc"),
+                  F.sum(F.when(F.col("y1") > F.col("y2"),
+                               F.col("c1") * F.col("c2")).otherwise(0))
+                  .alias("nd")))
+    tx = (cells.groupBy("xb").agg(F.sum("c").alias("t"))
+          .agg(F.sum(F.expr("(t * (t - 1)) div 2")).alias("t_x")))
+    ty = (cells.groupBy("yb").agg(F.sum("c").alias("t"))
+          .agg(F.sum(F.expr("(t * (t - 1)) div 2")).alias("t_y")))
+    tot = cells.agg(F.sum("c").alias("n_docs"))
+    out = (pairs.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+           .crossJoin(F.broadcast(tot)))
+    n0 = F.expr("(n_docs * (n_docs - 1)) div 2")
+    den = ((n0 - F.col("t_x")).cast("double")
+           * (n0 - F.col("t_y")).cast("double"))
+    return out.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("nc").cast("long").alias("nc"),
+        F.col("nd").cast("long").alias("nd"),
+        F.col("t_x").cast("long").alias("t_x"),
+        F.col("t_y").cast("long").alias("t_y"),
+        F.when(den > 0,
+               F.round((F.col("nc") - F.col("nd")).cast("double")
+                       / F.sqrt(den), 6)).alias("tau_b"))
+
+
+def _sql_kendall_tau() -> str:
+    s = _sql_text_stats()
+    return f"""WITH st AS (
+  SELECT CAST({s['n_tok']} AS BIGINT) // {KT_XW} AS xb,
+         CAST({s['n']} AS BIGINT) // {KT_YW} AS yb
+  FROM documents),
+cells AS (SELECT xb, yb, CAST(COUNT(*) AS BIGINT) AS c
+          FROM st GROUP BY 1, 2),
+p AS (SELECT
+        CAST(SUM(CASE WHEN a.yb < b.yb THEN a.c * b.c ELSE 0 END)
+             AS BIGINT) AS nc,
+        CAST(SUM(CASE WHEN a.yb > b.yb THEN a.c * b.c ELSE 0 END)
+             AS BIGINT) AS nd
+      FROM cells a JOIN cells b ON a.xb < b.xb),
+txs AS (SELECT CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS t_x
+        FROM (SELECT SUM(c) AS t FROM cells GROUP BY xb)),
+tys AS (SELECT CAST(SUM((t * (t - 1)) // 2) AS BIGINT) AS t_y
+        FROM (SELECT SUM(c) AS t FROM cells GROUP BY yb)),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_docs FROM cells)
+SELECT n_docs, nc, nd, t_x, t_y,
+       CASE WHEN (CAST((n_docs * (n_docs - 1)) // 2 - t_x AS DOUBLE)
+                  * CAST((n_docs * (n_docs - 1)) // 2 - t_y AS DOUBLE)) > 0
+       THEN ROUND(CAST(nc - nd AS DOUBLE)
+             / SQRT(CAST((n_docs * (n_docs - 1)) // 2 - t_x AS DOUBLE)
+                    * CAST((n_docs * (n_docs - 1)) // 2 - t_y AS DOUBLE)),
+             6) END AS tau_b
+FROM p CROSS JOIN txs CROSS JOIN tys CROSS JOIN tot"""
+
+
+_Q4_LO_US = 852_076_800 * 1_000_000    # 1997-01-01T00:00:00Z
+_Q4_HI_US = 859_852_800 * 1_000_000    # 1997-04-01T00:00:00Z
+_Q4_LATE_US = 60 * 86_400 * 1_000_000  # "late": shipped >= 60 days after
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check: orders placed in one
+    quarter that had at least one LATE lineitem (shipped >= 60 days
+    after the order date — this schema has no commit/receipt dates, so
+    lateness is ship-lag), counted per priority class.
+
+    Semantics: EXISTS — implemented as a LEFT SEMI join with the
+    compound condition (key equality + the correlated lateness gate),
+    so no lineitem multiplicity ever inflates a count.  All date
+    arithmetic is stored epoch micros (session-timezone independent).
+
+    Scale plan: orders pre-filtered to the quarter (a small fraction);
+    the semi join shuffles both sides on orderkey once — lineitem is
+    projected to (orderkey, ship_us) first, so the wide columns never
+    move; output is a 5-row hash agg.
+
+    FULL SQL ORACLE (_sql_order_priority): the literal EXISTS form."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ous = temporal.epoch_micros(o, "o_orderdate")
+    orders = (o.where((ous >= _Q4_LO_US) & (ous < _Q4_HI_US))
+              .select("o_orderkey", "o_orderpriority",
+                      ous.alias("o_date_us")))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    items = li.select("l_orderkey",
+                      temporal.epoch_micros(li, "l_shipdate")
+                      .alias("l_ship_us"))
+    late = orders.join(
+        items,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_ship_us") >= F.col("o_date_us") + F.lit(_Q4_LATE_US)),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"))
+            .select("o_orderpriority",
+                    F.col("n_orders").cast("long").alias("n_orders")))
+
+
+def _sql_order_priority() -> str:
+    return f"""SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE epoch_us(o_orderdate) >= {_Q4_LO_US}
+  AND epoch_us(o_orderdate) < {_Q4_HI_US}
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND epoch_us(l.l_shipdate)
+                    >= epoch_us(o.o_orderdate) + {_Q4_LATE_US})
+GROUP BY 1"""
+
+
+_Q14_LO_US = 883_612_800 * 1_000_000   # 1998-01-01T00:00:00Z
+_Q14_HI_US = 915_148_800 * 1_000_000   # 1999-01-01T00:00:00Z
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect: the share of one ship-year's
+    revenue on PROMO-type parts.  Revenue is the exact integer
+    price_c * (100 - disc_c) (cents x100) so both sums are exact
+    BIGINTs; the percentage is one fixed float expression.
+
+    Scale plan: the part dimension (bounded) broadcasts into the
+    date-pre-filtered lineitem scan; ONE map-side stage + a single-row
+    agg — zero shuffles of the fact table.
+
+    FULL SQL ORACLE (_sql_promo_share)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lus = temporal.epoch_micros(li, "l_shipdate")
+    items = (li.where((lus >= _Q14_LO_US) & (lus < _Q14_HI_US))
+             .select("l_partkey",
+                     (_money_cents(F.col("l_extendedprice"))
+                      * (100 - _money_cents(F.col("l_discount"))))
+                     .alias("rev_c2")))
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select("p_partkey", "p_type"))
+    j = items.join(F.broadcast(part),
+                   F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c2"))
+              .otherwise(0)).alias("promo_c2"),
+        F.sum("rev_c2").alias("total_c2"))
+    return agg.select(
+        F.col("promo_c2").cast("long").alias("promo_c2"),
+        F.col("total_c2").cast("long").alias("total_c2"),
+        F.round(F.lit(100.0) * F.col("promo_c2").cast("double")
+                / F.col("total_c2").cast("double"), 6)
+        .alias("promo_pct"))
+
+
+def _sql_promo_share() -> str:
+    return f"""WITH it AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS rev_c2
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= {_Q14_LO_US}
+    AND epoch_us(l_shipdate) < {_Q14_HI_US}),
+a AS (SELECT
+        CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c2 ELSE 0 END)
+             AS BIGINT) AS promo_c2,
+        CAST(SUM(rev_c2) AS BIGINT) AS total_c2
+      FROM it JOIN part ON l_partkey = p_partkey)
+SELECT promo_c2, total_c2,
+       ROUND(100.0 * CAST(promo_c2 AS DOUBLE)
+             / CAST(total_c2 AS DOUBLE), 6) AS promo_pct
+FROM a"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -8539,6 +9116,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_curve": q_novelty_curve,
         "lang_source_mi": q_lang_source_mi,
         "acf_hours": q_acf_hours,
+        "modularity": q_modularity,
+        "clustering_coef": q_clustering_coef,
+        "assortativity": q_assortativity,
+        "heaps_fit": q_heaps_fit,
+        "vocab_richness": q_vocab_richness,
+        "kendall_tau": q_kendall_tau,
+        "order_priority": q_order_priority,
+        "promo_share": q_promo_share,
     }
 
 
@@ -8683,4 +9268,12 @@ def oracle_sql() -> dict[str, str]:
         "novelty_curve": _sql_novelty_curve(),
         "lang_source_mi": _sql_lang_source_mi(),
         "acf_hours": _sql_acf_hours(),
+        "modularity": _sql_modularity(n),
+        "clustering_coef": _sql_clustering_coef(n),
+        "assortativity": _sql_assortativity(n),
+        "heaps_fit": _sql_heaps_fit(),
+        "vocab_richness": _sql_vocab_richness(),
+        "kendall_tau": _sql_kendall_tau(),
+        "order_priority": _sql_order_priority(),
+        "promo_share": _sql_promo_share(),
     }

@@ -61,6 +61,8 @@ HEADLINE = [
     "pq_topk", "dsir_weights", "emd_langs", "ks_sources",
     "gravity_fit", "benford", "theil_sen", "mwu_sources",
     "novelty_curve", "lang_source_mi", "acf_hours",
+    "modularity", "clustering_coef", "assortativity", "heaps_fit",
+    "vocab_richness", "kendall_tau", "order_priority", "promo_share",
 ]
 
 

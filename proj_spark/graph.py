@@ -308,3 +308,56 @@ def kcore_peel(und: DataFrame, k: DataFrame, rounds: int = 4) -> DataFrame:
                        "v", "semi"))
     return alive.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("deg"))
+
+
+def modularity(und: DataFrame, lab: DataFrame) -> DataFrame:
+    """Newman modularity of a node partition over an undirected simple
+    graph — the standard quality score for community detections such as
+    label propagation (Newman & Girvan 2004).
+
+    ``und``: canonical undirected edges (a, b) with a < b, no dups.
+    ``lab``: node partition (u, lab); must cover every edge endpoint.
+
+    Exact arithmetic: with m = |edges|, e_c = in-community edges and
+    d_c = total degree of community c, each community's contribution is
+
+        Q_c = e_c/m - (d_c / 2m)^2  =  (4*m*e_c - d_c^2) / (4*m^2)
+
+    so the numerator `q_num` is an exact BIGINT per community and the
+    single float division happens once per output row with a fixed
+    parenthesization — a SQL oracle replays it bit-for-bit.
+
+    Scale plan: degrees come from one hash-agg over the symmetric edge
+    relation; e_c is one edge join against the (broadcast) label
+    relation; d_c/n_nodes one agg over labels.  The per-community
+    relation is tiny, so the final assembly (left join + one-row m
+    broadcast) never moves the corpus.
+    """
+    sym = (und.select(F.col("a").alias("u"))
+           .union(und.select(F.col("b").alias("u"))))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    m = und.agg(F.count("*").alias("m_e"))
+    la = lab.select(F.col("u").alias("a"), F.col("lab").alias("lab_a"))
+    lb = lab.select(F.col("u").alias("b"), F.col("lab").alias("lab_b"))
+    ein = (und.join(F.broadcast(la), "a").join(F.broadcast(lb), "b")
+           .where(F.col("lab_a") == F.col("lab_b"))
+           .groupBy(F.col("lab_a").alias("community"))
+           .agg(F.count("*").alias("e_in")))
+    dc = (lab.join(deg, "u")
+          .groupBy(F.col("lab").alias("community"))
+          .agg(F.sum("d").alias("d_tot"), F.count("*").alias("n_nodes")))
+    out = (dc.join(ein, "community", "left")
+           .fillna(0, subset=["e_in"])
+           .crossJoin(F.broadcast(m)))
+    qn = (F.lit(4) * F.col("m_e") * F.col("e_in")
+          - F.col("d_tot") * F.col("d_tot"))
+    md = F.col("m_e").cast("double")
+    return out.select(
+        F.col("community").cast("long").alias("community"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("e_in").cast("long").alias("e_in"),
+        F.col("d_tot").cast("long").alias("d_tot"),
+        F.col("m_e").cast("long").alias("m_e"),
+        qn.cast("long").alias("q_num"),
+        F.round(qn.cast("double") / (F.lit(4.0) * md * md), 6)
+        .alias("q_part"))
