@@ -333,6 +333,11 @@ def modularity(und: DataFrame, lab: DataFrame) -> DataFrame:
     relation is tiny, so the final assembly (left join + one-row m
     broadcast) never moves the corpus.
     """
+    # the label relation is referenced three times (two e_in sides +
+    # the d_tot/n_nodes agg); when it is itself the product of an
+    # iterative computation (LPA rounds), each reference would re-run
+    # the whole chain — persist the small (node, label) relation once.
+    lab = lab.persist()
     sym = (und.select(F.col("a").alias("u"))
            .union(und.select(F.col("b").alias("u"))))
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
