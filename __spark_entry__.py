@@ -5755,11 +5755,15 @@ def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL SQL ORACLE (_sql_join_counts): the unpruned theta join with
     identical integer statistics."""
     pts = _points(spark, sf_dir)
+    # persisted: the typed point relation feeds BOTH join sides plus
+    # the language totals and the global count — four references, each
+    # otherwise re-running the html scan + geotag regexes (9.4 s ->
+    # ~5 s at sf0.1).  Four narrow columns, plan-keyed cache.
     t = pts.select(
         F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long").alias("pid"),
         "lang",
         F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
-        F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
+        F.round(F.col("lat") * 1e6, 0).cast("long").alias("y")).persist()
     S = JC_S_UDEG
     off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
                              F.lit(dx == 0 and dy == 0).alias("home"))
@@ -6780,8 +6784,12 @@ def q_url_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sig")))
     hot = (sig.groupBy("sig").agg(F.count("*").alias("df"))
            .where(F.col("df") > EDIT_SIG_DFCAP).select("sig"))
+    # persisted: both self-join sides read the capped 16 B/row
+    # signature relation; without the barrier each side re-runs the
+    # |s|+1-way explode + anti join over the corpus.
     sig = (sig.join(F.broadcast(hot), "sig", "left_anti")
-           .select("pid", F.xxhash64("sig").alias("k")))
+           .select("pid", F.xxhash64("sig").alias("k"))
+           .persist())
     a = sig.select(F.col("pid").alias("id_a"), "k")
     b = sig.select(F.col("pid").alias("id_b"), "k")
     cand = (a.join(b, "k")
