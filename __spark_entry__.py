@@ -8561,6 +8561,21 @@ FROM deg LEFT JOIN tc ON tc.node = deg.node
 WHERE deg.deg >= 2"""
 
 
+def _full_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL (unsampled) canonical undirected simple domain graph,
+    shared by assortativity and rich_club.
+
+    Persisted: these statistics reference the edge relation many times
+    (symmetric union, degree joins); without the barrier each reference
+    re-runs the corpus synthesis (assortativity measured 28.8 s -> 3.4 s
+    at sf0.1).  Plan-keyed cache — both consumers share one copy."""
+    return (_domain_links(spark, sf_dir)
+            .select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+            .where(F.col("a") != F.col("b")).distinct()
+            .persist())
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the full distinct-edge domain graph:
     the Pearson correlation of endpoint degrees over all DIRECTED edge
@@ -8579,14 +8594,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles zero times.
 
     FULL SQL ORACLE (_sql_assortativity)."""
-    # persisted: sym + two degree joins reference the edge relation six
-    # times; without the barrier each re-runs the corpus synthesis
-    # (28.8 s -> ~4 s at sf0.1).  Plan-keyed cache, no storage leak.
-    und = (_domain_links(spark, sf_dir)
-           .select(F.least("src", "dst").alias("a"),
-                   F.greatest("src", "dst").alias("b"))
-           .where(F.col("a") != F.col("b")).distinct()
-           .persist())
+    und = _full_und(spark, sf_dir)
     sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
            .union(und.select(F.col("b").alias("u"),
                              F.col("a").alias("v"))))
@@ -8993,6 +9001,356 @@ SELECT promo_c2, total_c2,
 FROM a"""
 
 
+def q_cusum_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen over the hourly event-volume series:
+    the hour where the cumulative count deviates most from the
+    constant-rate line — with prefix sums P_i, total S and n hours,
+    D_i = n*P_i - i*S is an exact BIGINT and the changepoint is
+    argmax |D_i| (ties to the earliest hour); the normalized statistic
+    kappa = |D|/(n*S) is the Kolmogorov-style scan height.
+
+    Scale plan: the corpus aggregates to the tiny hourly series in one
+    hash-agg; the prefix/rank windows and the deterministic top-1 run
+    over #hours rows only (single-partition window over the aggregate,
+    same as tile_gini/acf_hours).
+
+    FULL SQL ORACLE (_sql_cusum_hours)."""
+    ev = _events_micros(spark, sf_dir)
+    ser = (ev.select(F.expr("tm div 3600000000").alias("x"))
+           .groupBy("x").agg(F.count("*").alias("y")))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    r = ser.select("x",
+                   F.sum("y").over(w).alias("p"),
+                   F.row_number().over(Window.orderBy("x")).alias("i"))
+    tot = ser.agg(F.count("*").alias("n_hours"),
+                  F.sum("y").alias("s_tot"))
+    d = (r.crossJoin(F.broadcast(tot))
+         .select("x", "i", "n_hours", "s_tot",
+                 (F.col("n_hours") * F.col("p")
+                  - F.col("i") * F.col("s_tot")).alias("d")))
+    top = d.orderBy(F.abs(F.col("d")).desc(), "x").limit(1)
+    return top.select(
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("s_tot").cast("long").alias("s_tot"),
+        F.col("x").cast("long").alias("cp_hour"),
+        F.col("i").cast("long").alias("cp_rank"),
+        F.col("d").cast("long").alias("d_stat"),
+        F.round(F.abs(F.col("d")).cast("double")
+                / (F.col("n_hours").cast("double")
+                   * F.col("s_tot").cast("double")), 6).alias("kappa"))
+
+
+def _sql_cusum_hours() -> str:
+    return """WITH ser AS (
+  SELECT epoch_us(ts) // 3600000000 AS x, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+r AS (SELECT x,
+             SUM(y) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS p,
+             ROW_NUMBER() OVER (ORDER BY x) AS i
+      FROM ser),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(y) AS BIGINT) AS s_tot FROM ser),
+d AS (SELECT x, i, n_hours, s_tot,
+             n_hours * p - i * s_tot AS d
+      FROM r CROSS JOIN tot)
+SELECT CAST(n_hours AS BIGINT) AS n_hours, s_tot,
+       CAST(x AS BIGINT) AS cp_hour, CAST(i AS BIGINT) AS cp_rank,
+       CAST(d AS BIGINT) AS d_stat,
+       ROUND(CAST(ABS(d) AS DOUBLE)
+             / (CAST(n_hours AS DOUBLE) * CAST(s_tot AS DOUBLE)), 6)
+         AS kappa
+FROM d ORDER BY ABS(d) DESC, x LIMIT 1"""
+
+
+def q_fano_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) of each event type's hourly
+    arrival counts over the common observed horizon — the temporal
+    twin of the quadrat CSR test: VMR = 1 under Poisson arrivals,
+    >> 1 for bursty types.  The same exact-integer identity as
+    q_quadrat makes empty hours free:
+    VMR = (Q*Σc² - N²) / (Q*N) with the numerator an exact BIGINT.
+
+    Scale plan: one (type, hour) hash-agg, one per-type agg over the
+    tiny lattice, the single-row horizon broadcast in — the corpus
+    shuffles once.  FULL SQL ORACLE (_sql_fano_hours)."""
+    ev = _events_micros(spark, sf_dir)
+    cell = (ev.select("event_type", F.expr("tm div 3600000000").alias("x"))
+            .groupBy("event_type", "x").agg(F.count("*").alias("c")))
+    q = cell.agg((F.max("x") - F.min("x") + 1).alias("q_hours"))
+    per = cell.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).alias("s_xx"))
+    out = per.crossJoin(F.broadcast(q))
+    num = (F.col("q_hours") * F.col("s_xx")
+           - F.col("n_events") * F.col("n_events"))
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("q_hours").cast("long").alias("q_hours"),
+        F.col("s_xx").cast("long").alias("s_xx"),
+        num.cast("long").alias("vmr_num"),
+        F.round(num.cast("double")
+                / (F.col("q_hours").cast("double")
+                   * F.col("n_events").cast("double")), 6).alias("vmr"))
+
+
+def _sql_fano_hours() -> str:
+    return """WITH cell AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS x,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+q AS (SELECT CAST(MAX(x) - MIN(x) + 1 AS BIGINT) AS q_hours FROM cell),
+per AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(SUM(c * c) AS BIGINT) AS s_xx
+        FROM cell GROUP BY 1)
+SELECT event_type, n_events, q_hours, s_xx,
+       q_hours * s_xx - n_events * n_events AS vmr_num,
+       ROUND(CAST(q_hours * s_xx - n_events * n_events AS DOUBLE)
+             / (CAST(q_hours AS DOUBLE) * CAST(n_events AS DOUBLE)), 6)
+         AS vmr
+FROM per CROSS JOIN q"""
+
+
+RICH_KS = (1, 2, 4, 8, 16, 32)   # rich-club degree thresholds
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the full distinct-edge domain graph:
+    for each degree threshold k, phi(k) = 2*E_k / (N_k*(N_k-1)) where
+    N_k nodes have degree > k and E_k edges join two such nodes (Zhou
+    & Mondragon 2004) — do high-degree hubs link to each other more
+    than chance?  Reported as the exact floored integer micro-ratio.
+
+    Scale plan: the shared persisted edge relation (_full_und) is
+    walked once for degrees and once (with broadcast degrees) for the
+    edge gates; the threshold explode multiplies only the tiny degree
+    and aggregated relations.  FULL SQL ORACLE (_sql_rich_club)."""
+    und = _full_und(spark, sf_dir)
+    deg = (und.select(F.col("a").alias("u"))
+           .union(und.select(F.col("b").alias("u")))
+           .groupBy("u").agg(F.count("*").alias("d")))
+    ks = F.array(*[F.lit(k) for k in RICH_KS])
+    nk = (deg.select("d", F.explode(ks).alias("k"))
+          .where(F.col("d") > F.col("k"))
+          .groupBy("k").agg(F.count("*").alias("n_nodes")))
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    ek = (und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+          .select(F.explode(ks).alias("k"), "da", "db")
+          .where((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+          .groupBy("k").agg(F.count("*").alias("n_edges")))
+    return (nk.join(ek, "k", "left")
+            .fillna(0, subset=["n_edges"])
+            .where(F.col("n_nodes") >= 2)
+            .select(F.col("k").cast("long").alias("k"),
+                    F.col("n_nodes").cast("long").alias("n_nodes"),
+                    F.col("n_edges").cast("long").alias("n_edges"),
+                    F.expr("(2 * n_edges * 1000000)"
+                           " div (n_nodes * (n_nodes - 1))")
+                    .alias("phi_micro")))
+
+
+def _sql_rich_club(n: int) -> str:
+    ks = ", ".join(str(k) for k in RICH_KS)
+    return f"""WITH {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM (
+          SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+          UNION ALL
+          SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+        WHERE src != dst),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT a AS u FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+ks AS (SELECT unnest([{ks}]) AS k),
+nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       FROM deg CROSS JOIN ks WHERE d > k GROUP BY 1),
+ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+       FROM und
+       JOIN deg da ON da.u = und.a
+       JOIN deg db ON db.u = und.b
+       CROSS JOIN ks
+       WHERE da.d > k AND db.d > k GROUP BY 1)
+SELECT CAST(nk.k AS BIGINT) AS k, nk.n_nodes,
+       COALESCE(ek.n_edges, 0) AS n_edges,
+       (2 * COALESCE(ek.n_edges, 0) * 1000000)
+         // (nk.n_nodes * (nk.n_nodes - 1)) AS phi_micro
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+WHERE nk.n_nodes >= 2"""
+
+
+def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram conditional entropy H(W2|W1) and context entropy
+    H(W1) in exact integer micro-nats — the information-rate screen
+    over the token stream (low H(W2|W1) = templated/repetitive text;
+    the spread H(W1) - H(W2|W1) is the per-token predictability gain).
+
+    Exactness: per aggregated bigram cell, the log-ratio
+    ln(c_w1/c_bg) is quantized ONCE to integer micro-nats and
+    multiplied by the exact count — so both entropy sums are exact
+    BIGINTs (the lang_source_mi discipline); each final H is one fixed
+    float division.
+
+    Scale plan: bigram instances -> one (w1, bg) hash-agg (the
+    aggregated LM relation, vocab-bounded) -> broadcast-joined context
+    counts -> single-row agg; the corpus shuffles once.
+
+    FULL SQL ORACLE (_sql_bigram_entropy)."""
+    from proj_spark.text.contamination import bigram_instances
+    bg = bigram_instances(_docs(spark, sf_dir).select("doc_id", "text"))
+    cb = bg.groupBy("w1", "bg").agg(F.count("*").alias("cb"))
+    cw = bg.groupBy("w1").agg(F.count("*").alias("cw"))
+    j = cb.join(F.broadcast(cw), "w1")
+    qc = F.round(F.log(F.col("cw").cast("double")
+                       / F.col("cb").cast("double")) * 1e6, 0).cast("long")
+    cond = j.agg(F.sum("cb").alias("n_bigrams"),
+                 F.count("*").alias("v_bigrams"),
+                 F.sum(F.col("cb") * qc).alias("s_cond_q"))
+    tot = cw.agg(F.sum("cw").alias("n_ctx"),
+                 F.count("*").alias("v_contexts"))
+    qu = F.round(F.log(F.col("n_ctx").cast("double")
+                       / F.col("cw").cast("double")) * 1e6, 0).cast("long")
+    uni = (cw.crossJoin(F.broadcast(tot))
+           .agg(F.max("v_contexts").alias("v_contexts"),
+                F.sum(F.col("cw") * qu).alias("s_uni_q")))
+    out = cond.crossJoin(F.broadcast(uni))
+    nb = F.col("n_bigrams").cast("double")
+    return out.select(
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("v_bigrams").cast("long").alias("v_bigrams"),
+        F.col("v_contexts").cast("long").alias("v_contexts"),
+        F.col("s_cond_q").cast("long").alias("s_cond_q"),
+        F.round(F.col("s_cond_q").cast("double") / nb / 1e6, 6)
+        .alias("h_cond"),
+        F.col("s_uni_q").cast("long").alias("s_uni_q"),
+        F.round(F.col("s_uni_q").cast("double") / nb / 1e6, 6)
+        .alias("h_uni"))
+
+
+def _sql_bigram_entropy() -> str:
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "x -> x != '')")
+    return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+bgl AS (
+  SELECT unnest([{{'w1': toks[i+1], 'bg': toks[i+1] || ' ' || toks[i+2]}}
+                 for i in generate_series(0, len(toks) - 2)]) AS b
+  FROM t WHERE len(toks) >= 2),
+bgf AS (SELECT b.w1 AS w1, b.bg AS bg FROM bgl),
+cb AS (SELECT w1, bg, CAST(COUNT(*) AS BIGINT) AS cb
+       FROM bgf GROUP BY 1, 2),
+cw AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cw FROM bgf GROUP BY 1),
+cond AS (SELECT CAST(SUM(cb.cb) AS BIGINT) AS n_bigrams,
+                CAST(COUNT(*) AS BIGINT) AS v_bigrams,
+                CAST(SUM(cb.cb * CAST(ROUND(LN(CAST(cw.cw AS DOUBLE)
+                      / CAST(cb.cb AS DOUBLE)) * 1e6, 0) AS BIGINT))
+                     AS BIGINT) AS s_cond_q
+         FROM cb JOIN cw USING (w1)),
+tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_ctx,
+               CAST(COUNT(*) AS BIGINT) AS v_contexts FROM cw),
+uni AS (SELECT MAX(v_contexts) AS v_contexts,
+               CAST(SUM(cw * CAST(ROUND(LN(CAST(n_ctx AS DOUBLE)
+                     / CAST(cw AS DOUBLE)) * 1e6, 0) AS BIGINT))
+                    AS BIGINT) AS s_uni_q
+        FROM cw CROSS JOIN tot)
+SELECT n_bigrams, v_bigrams, v_contexts, s_cond_q,
+       ROUND(CAST(s_cond_q AS DOUBLE)
+             / CAST(n_bigrams AS DOUBLE) / 1e6, 6) AS h_cond,
+       s_uni_q,
+       ROUND(CAST(s_uni_q AS DOUBLE)
+             / CAST(n_bigrams AS DOUBLE) / 1e6, 6) AS h_uni
+FROM cond CROSS JOIN uni"""
+
+
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier variety: distinct suppliers that can
+    supply each (p_brand, p_size) combination — with suppliers in bad
+    standing (negative account balance, the schema's stand-in for
+    Q16's complaint filter) excluded by a broadcast ANTI join.  The
+    supply relation is lineitem's observed (part, supplier) pairs.
+
+    Scale plan: one distinct on the (partkey, suppkey) pair relation
+    (map-side combinable), broadcast anti join (exclusions) +
+    broadcast dimension join, then the exact COUNT(DISTINCT) over the
+    pair-bounded relation — the fact table shuffles once.
+
+    FULL SQL ORACLE (_sql_supplier_variety)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    ok = ps.join(F.broadcast(bad),
+                 F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select("p_partkey", "p_brand", "p_size"))
+    j = ok.join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+    return (j.groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+            .select("p_brand",
+                    F.col("p_size").cast("long").alias("p_size"),
+                    F.col("n_suppliers").cast("long").alias("n_suppliers")))
+
+
+def _sql_supplier_variety() -> str:
+    return """WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (SELECT * FROM ps
+       WHERE l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM ok JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2"""
+
+
+_Q18_QTY_C = 30_000    # total order quantity >= 300 (cents x100)
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: orders whose total line
+    quantity reaches the threshold, with customer and date attached.
+    Quantities are exact integer cents so the HAVING gate has no
+    float-accumulation ambiguity.
+
+    Scale plan: lineitem aggregates to per-order totals in one
+    map-side-combinable hash agg; the tiny surviving relation
+    broadcasts into orders — the orders table never shuffles.
+
+    FULL SQL ORACLE (_sql_big_orders)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(_money_cents(F.col("l_quantity"))).alias("qty_c"),
+                F.count("*").alias("n_items"))
+           .where(F.col("qty_c") >= _Q18_QTY_C))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (o.join(F.broadcast(big),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                    F.col("o_custkey").cast("long").alias("o_custkey"),
+                    temporal.epoch_micros(o, "o_orderdate")
+                    .alias("o_date_us"),
+                    F.col("qty_c").cast("long").alias("qty_c"),
+                    F.col("n_items").cast("long").alias("n_items")))
+
+
+def _sql_big_orders() -> str:
+    return f"""WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+           AS qty_c,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) >= {_Q18_QTY_C})
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       epoch_us(o_orderdate) AS o_date_us, qty_c, n_items
+FROM orders JOIN big ON o_orderkey = l_orderkey"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9150,6 +9508,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau": q_kendall_tau,
         "order_priority": q_order_priority,
         "promo_share": q_promo_share,
+        "cusum_hours": q_cusum_hours,
+        "fano_hours": q_fano_hours,
+        "rich_club": q_rich_club,
+        "bigram_entropy": q_bigram_entropy,
+        "supplier_variety": q_supplier_variety,
+        "big_orders": q_big_orders,
     }
 
 
@@ -9302,4 +9666,10 @@ def oracle_sql() -> dict[str, str]:
         "kendall_tau": _sql_kendall_tau(),
         "order_priority": _sql_order_priority(),
         "promo_share": _sql_promo_share(),
+        "cusum_hours": _sql_cusum_hours(),
+        "fano_hours": _sql_fano_hours(),
+        "rich_club": _sql_rich_club(n),
+        "bigram_entropy": _sql_bigram_entropy(),
+        "supplier_variety": _sql_supplier_variety(),
+        "big_orders": _sql_big_orders(),
     }

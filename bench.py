@@ -63,6 +63,8 @@ HEADLINE = [
     "novelty_curve", "lang_source_mi", "acf_hours",
     "modularity", "clustering_coef", "assortativity", "heaps_fit",
     "vocab_richness", "kendall_tau", "order_priority", "promo_share",
+    "cusum_hours", "fano_hours", "rich_club", "bigram_entropy",
+    "supplier_variety", "big_orders",
 ]
 
 

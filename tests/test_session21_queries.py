@@ -323,3 +323,158 @@ def test_promo_share_plan_broadcast_no_shuffle_of_fact(spark):
     plan = _plan_of(entry.q_promo_share(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# CUSUM / Fano over the event stream
+# ---------------------------------------------------------------------------
+
+def _hourly_counts():
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["ts"])
+    return Counter(_us(t) // 3_600_000_000 for t in ev["ts"])
+
+
+def test_cusum_hours_replay_sf0001(spark):
+    hours = _hourly_counts()
+    xs = sorted(hours)
+    n, s = len(xs), sum(hours.values())
+    best = None
+    p = 0
+    for i, x in enumerate(xs, start=1):
+        p += hours[x]
+        d = n * p - i * s
+        key = (-abs(d), x)
+        if best is None or key < best[0]:
+            best = (key, x, i, d)
+    row = entry.q_cusum_hours(spark, SF_DIR).collect()[0]
+    assert (row["n_hours"], row["s_tot"]) == (n, s)
+    assert (row["cp_hour"], row["cp_rank"], row["d_stat"]) == best[1:]
+    assert row["kappa"] == round(abs(best[3]) / (n * s), 6)
+
+
+def test_fano_hours_replay_sf0001(spark):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["ts", "event_type"])
+    cell: Counter = Counter(
+        (t, _us(ts) // 3_600_000_000)
+        for t, ts in zip(ev["event_type"], ev["ts"]))
+    xs = [x for _, x in cell]
+    q = max(xs) - min(xs) + 1
+    rows = {r["event_type"]: r
+            for r in entry.q_fano_hours(spark, SF_DIR).collect()}
+    types = {t for t, _ in cell}
+    assert set(rows) == types
+    for t in types:
+        cs = [c for (tt, _), c in cell.items() if tt == t]
+        n, sxx = sum(cs), sum(c * c for c in cs)
+        r = rows[t]
+        assert (r["n_events"], r["q_hours"], r["s_xx"]) == (n, q, sxx)
+        assert r["vmr_num"] == q * sxx - n * n
+        assert r["vmr"] == round((q * sxx - n * n) / (q * n), 6)
+
+
+# ---------------------------------------------------------------------------
+# rich club
+# ---------------------------------------------------------------------------
+
+def test_rich_club_replay_sf0001(spark):
+    edges = {(r["a"], r["b"]) for r in
+             (_domain_links(spark, SF_DIR)
+              .select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+              .where(F.col("a") != F.col("b")).distinct()).collect()}
+    deg: Counter = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    got = {r["k"]: r for r in entry.q_rich_club(spark, SF_DIR).collect()}
+    for k in entry.RICH_KS:
+        nodes = {u for u, d in deg.items() if d > k}
+        if len(nodes) < 2:
+            assert k not in got
+            continue
+        e = sum(1 for a, b in edges if a in nodes and b in nodes)
+        r = got[k]
+        assert (r["n_nodes"], r["n_edges"]) == (len(nodes), e)
+        assert r["phi_micro"] == (2 * e * 1_000_000) \
+            // (len(nodes) * (len(nodes) - 1))
+
+
+# ---------------------------------------------------------------------------
+# bigram entropy
+# ---------------------------------------------------------------------------
+
+def test_bigram_entropy_replay_sf0001(spark):
+    pdf = pd.read_parquet(DOCS, columns=["text"])
+    cb: Counter = Counter()
+    cw: Counter = Counter()
+    for text in pdf["text"]:
+        toks = text.split()
+        for w1, w2 in zip(toks, toks[1:]):
+            cb[(w1, w2)] += 1
+            cw[w1] += 1
+    n = sum(cb.values())
+    s_cond = sum(c * _rhalf(math.log(cw[w1] / c) * 1e6)
+                 for (w1, _), c in cb.items())
+    n_ctx = sum(cw.values())
+    s_uni = sum(c * _rhalf(math.log(n_ctx / c) * 1e6)
+                for c in cw.values())
+    row = entry.q_bigram_entropy(spark, SF_DIR).collect()[0]
+    assert (row["n_bigrams"], row["v_bigrams"]) == (n, len(cb))
+    assert row["v_contexts"] == len(cw)
+    assert (row["s_cond_q"], row["s_uni_q"]) == (s_cond, s_uni)
+    assert row["h_cond"] == round(s_cond / n / 1e6, 6)
+    assert row["h_uni"] == round(s_uni / n / 1e6, 6)
+    assert 0.0 <= row["h_cond"] and row["h_uni"] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 / Q18 analogues
+# ---------------------------------------------------------------------------
+
+def test_supplier_variety_replay_sf0001(spark):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    sup = pd.read_parquet(f"{SF_DIR}/supplier.parquet",
+                          columns=["s_suppkey", "s_acctbal"])
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_size"])
+    bad = {int(k) for k, b in zip(sup["s_suppkey"], sup["s_acctbal"])
+           if b < 0}
+    pdim = {int(k): (b, int(s)) for k, b, s in
+            zip(part["p_partkey"], part["p_brand"], part["p_size"])}
+    combos = defaultdict(set)
+    for pk, sk in set(zip(li["l_partkey"], li["l_suppkey"])):
+        if int(sk) not in bad:
+            combos[pdim[int(pk)]].add(int(sk))
+    got = {(r["p_brand"], r["p_size"]): r["n_suppliers"]
+           for r in entry.q_supplier_variety(spark, SF_DIR).collect()}
+    assert got == {k: len(v) for k, v in combos.items()}
+
+
+def test_big_orders_replay_sf0001(spark):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    qty: Counter = Counter()
+    items: Counter = Counter()
+    for k, q in zip(li["l_orderkey"], li["l_quantity"]):
+        qty[int(k)] += _rhalf(q * 100)
+        items[int(k)] += 1
+    exp = {k for k, v in qty.items() if v >= entry._Q18_QTY_C}
+    odim = {int(r["o_orderkey"]): (int(r["o_custkey"]),
+                                   _us(r["o_orderdate"]))
+            for _, r in orders.iterrows()}
+    got = {r["o_orderkey"]: r
+           for r in entry.q_big_orders(spark, SF_DIR).collect()}
+    assert set(got) == exp
+    for k in exp:
+        r = got[k]
+        assert (r["qty_c"], r["n_items"]) == (qty[k], items[k])
+        assert (r["o_custkey"], r["o_date_us"]) == odim[k]
+
+
+def test_big_orders_plan_broadcast(spark):
+    plan = _plan_of(entry.q_big_orders(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
