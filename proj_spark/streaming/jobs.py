@@ -681,6 +681,68 @@ def stream_funnel(spark: SparkSession, events_dir: str,
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+_BIGORD_OUT = StructType([
+    StructField("l_orderkey", LongType()),
+    StructField("qty_c", LongType()),
+    StructField("n_items", LongType()),
+    StructField("tm", LongType()),
+])
+_BIGORD_STATE = StructType([
+    StructField("qty", LongType()),
+    StructField("items", LongType()),
+    StructField("fired", IntegerType()),
+])
+
+
+def stream_big_orders(spark: SparkSession, lineitem_dir: str,
+                      threshold_c: int = 30_000,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming large-volume-order detector (applyInPandasWithState):
+    the incremental counterpart of the batch q_big_orders HAVING gate.
+    Per order the state is (running quantity cents, line count, fired
+    flag); ONE row is emitted the moment the running total crosses the
+    threshold, carrying the exact prefix quantity and the crossing
+    line's ship time — the at-ingest alerting semantics a batch HAVING
+    can only deliver after the fact.
+
+    Lines are scanned in (ship time, line number) order inside each
+    micro-batch, so under in-order file arrival the crossing prefix is
+    deterministic and replayable (asserted in tests/test_streaming.py
+    against both a pure-Python prefix replay and the batch query's
+    order set).  State is 3 ints per OPEN order — bounded by live
+    orders, not stream length; no watermark needed since quantities
+    only accumulate."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    li = _streaming_reader(spark, lineitem_dir, max_files_per_trigger)
+    rows = li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("tm"))
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            qty, items, fired = state.get
+        else:
+            qty, items, fired = 0, 0, 0
+        out = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["tm", "l_linenumber"], kind="mergesort")
+        for q, tm in zip(pdf["q"], pdf["tm"]):
+            qty += int(q)
+            items += 1
+            if not fired and qty >= threshold_c:
+                fired = 1
+                out.append((int(key[0]), qty, items, int(tm)))
+        state.update((qty, items, fired))
+        yield pd.DataFrame(out, columns=["l_orderkey", "qty_c",
+                                         "n_items", "tm"])
+
+    return (rows.groupBy("l_orderkey")
+            .applyInPandasWithState(update, _BIGORD_OUT, _BIGORD_STATE,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str = "complete") -> None:
     """Drain a streaming DataFrame into an in-memory table (tests /

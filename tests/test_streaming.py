@@ -608,3 +608,63 @@ def test_stream_funnel_matches_batch(spark, tmp_path):
     # every user advances monotonically: at most one row per (user, stage)
     seen = [(r.user_id, r.stage) for r in got_rows]
     assert len(seen) == len(set(seen))
+
+
+def test_stream_big_orders_matches_batch(spark, tmp_path):
+    """Split lineitem into three SHIP-TIME-ORDERED files and replay one
+    per micro-batch: the threshold detector must fire for exactly the
+    batch q_big_orders order set, and each emitted row must equal the
+    pure-Python prefix replay (first prefix of the (tm, linenumber)
+    order reaching the threshold)."""
+    import glob
+    import shutil
+    from collections import defaultdict
+
+    import __spark_entry__ as entry
+    from proj_spark.streaming.jobs import stream_big_orders
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    li = spark.read.parquet(src).orderBy("l_shipdate", "l_orderkey",
+                                         "l_linenumber").collect()
+    d = tmp_path / "bigord_stream"
+    d.mkdir()
+    k = len(li) // 3
+    for i, chunk in enumerate([li[:k], li[k:2 * k], li[2 * k:]]):
+        spark.createDataFrame(chunk, spark.read.parquet(src).schema) \
+            .coalesce(1).write.parquet(str(d / f"b{i}"))
+        part = glob.glob(str(d / f"b{i}" / "part-*.parquet"))[0]
+        shutil.move(part, str(d / f"part-{i:03d}.parquet"))
+        shutil.rmtree(str(d / f"b{i}"))
+
+    run_to_memory(stream_big_orders(spark, str(d), max_files_per_trigger=1),
+                  "bigord_stream_out", mode="append")
+    got = {r.l_orderkey: r for r in spark.table("bigord_stream_out").collect()}
+
+    # exactly one emission per qualifying order, same set as the batch
+    want_keys = {r["o_orderkey"] for r in
+                 entry.q_big_orders(spark, "/root/testdata/sf0.001").collect()}
+    assert set(got) == want_keys and len(want_keys) > 0
+
+    # replay the crossing prefix in pure Python
+    import pandas as pd
+    pdf = pd.read_parquet(src, columns=["l_orderkey", "l_linenumber",
+                                        "l_quantity", "l_shipdate"])
+    per = defaultdict(list)
+    for _, r in pdf.iterrows():
+        tm = pd.Timestamp(r["l_shipdate"]).value // 1000
+        per[int(r["l_orderkey"])].append(
+            (tm, int(r["l_linenumber"]),
+             int(r["l_quantity"] * 100 + 0.5)))
+    for okey, rows in per.items():
+        qty = items = 0
+        fire = None
+        for tm, _, q in sorted(rows):
+            qty += q
+            items += 1
+            if fire is None and qty >= 30_000:
+                fire = (qty, items, tm)
+        if fire is None:
+            assert okey not in got
+        else:
+            r = got[okey]
+            assert (r.qty_c, r.n_items, r.tm) == fire
