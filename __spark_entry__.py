@@ -9352,6 +9352,754 @@ FROM orders JOIN big ON o_orderkey = l_orderkey"""
 
 
 # ---------------------------------------------------------------------------
+# session 22: relational spine completion (TPC-H Q7/Q8/Q9/Q10/Q12/Q13/
+# Q15/Q17/Q19/Q21/Q22 analogues over the sandbox schema)
+# ---------------------------------------------------------------------------
+
+# Year extraction from stored epoch micros: a boundary-comparison sum over
+# the data's 1995-2001 span — identical and session-timezone independent
+# in both engines (year()/EXTRACT would consult the session zone under
+# LTZ reads, the events_hourly bug class).
+_YB_US = [(1996, 820_454_400_000_000), (1997, 852_076_800_000_000),
+          (1998, 883_612_800_000_000), (1999, 915_148_800_000_000),
+          (2000, 946_684_800_000_000), (2001, 978_307_200_000_000)]
+
+
+def _year_us(col: F.Column) -> F.Column:
+    y = F.lit(1995)
+    for _, b in _YB_US:
+        y = y + F.when(col >= b, 1).otherwise(0)
+    return y.cast("long")
+
+
+def _sql_year_us(expr: str) -> str:
+    terms = " + ".join(f"(CASE WHEN {expr} >= {b} THEN 1 ELSE 0 END)"
+                       for _, b in _YB_US)
+    return f"(1995 + {terms})"
+
+
+_REV_C2 = """CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"""
+
+
+def _rev_c2() -> F.Column:
+    """Exact integer revenue price_c * (100 - disc_c), cents x100."""
+    return (_money_cents(F.col("l_extendedprice"))
+            * (100 - _money_cents(F.col("l_discount"))))
+
+
+_Q7_NAT_A = "NATION_3"
+_Q7_NAT_B = "NATION_7"
+_Q7_LO_US = 820_454_400 * 1_000_000   # 1996-01-01
+_Q7_HI_US = 883_612_800 * 1_000_000   # 1998-01-01
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping: revenue flowing between two
+    nations per ship year, keyed by (supplier nation, customer nation)
+    in both directions.  Revenue is the exact integer
+    price_c * (100 - disc_c); the ship year comes from the
+    boundary-comparison sum over stored epoch micros, so nothing in the
+    result depends on session timezone or float accumulation order.
+
+    Scale plan: supplier (bounded dimension) + its nation broadcast;
+    customers pre-filtered to the two nations (a small fraction) before
+    the orders join; lineitem pre-filtered to the two ship years and
+    projected to 4 columns before its one shuffle on orderkey.  The
+    direction filter is applied before the agg so the hash agg sees
+    only qualifying rows.
+
+    FULL SQL ORACLE (_sql_volume_shipping): identical joins+gates."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .where(F.col("n_name").isin(_Q7_NAT_A, _Q7_NAT_B))
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .where(F.col("n_name").isin(_Q7_NAT_A, _Q7_NAT_B))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = (o.select("o_orderkey", "o_custkey")
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", "cust_nation"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lus = temporal.epoch_micros(li, "l_shipdate")
+    items = (li.where((lus >= _Q7_LO_US) & (lus < _Q7_HI_US))
+             .select("l_orderkey", "l_suppkey",
+                     _year_us(lus).alias("l_year"),
+                     _rev_c2().alias("rev_c2")))
+    j = (items.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+         .where(((F.col("supp_nation") == _Q7_NAT_A)
+                 & (F.col("cust_nation") == _Q7_NAT_B))
+                | ((F.col("supp_nation") == _Q7_NAT_B)
+                   & (F.col("cust_nation") == _Q7_NAT_A))))
+    return (j.groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.sum("rev_c2").alias("revenue_c2"),
+                 F.count("*").alias("n_items"))
+            .select("supp_nation", "cust_nation", "l_year",
+                    F.col("revenue_c2").cast("long").alias("revenue_c2"),
+                    F.col("n_items").cast("long").alias("n_items")))
+
+
+def _sql_volume_shipping() -> str:
+    return f"""WITH sup AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('{_Q7_NAT_A}', '{_Q7_NAT_B}')),
+cust AS (
+  SELECT c_custkey, n_name AS cust_nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ('{_Q7_NAT_A}', '{_Q7_NAT_B}')),
+o AS (SELECT o_orderkey, cust_nation
+      FROM orders JOIN cust ON o_custkey = c_custkey),
+it AS (SELECT l_orderkey, l_suppkey,
+              {_sql_year_us('epoch_us(l_shipdate)')} AS l_year,
+              {_REV_C2} AS rev_c2
+       FROM lineitem
+       WHERE epoch_us(l_shipdate) >= {_Q7_LO_US}
+         AND epoch_us(l_shipdate) < {_Q7_HI_US})
+SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+       CAST(SUM(rev_c2) AS BIGINT) AS revenue_c2,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM it JOIN o ON l_orderkey = o_orderkey
+        JOIN sup ON l_suppkey = s_suppkey
+WHERE (supp_nation = '{_Q7_NAT_A}' AND cust_nation = '{_Q7_NAT_B}')
+   OR (supp_nation = '{_Q7_NAT_B}' AND cust_nation = '{_Q7_NAT_A}')
+GROUP BY 1, 2, 3"""
+
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_9"
+_Q8_TYPE = "ECONOMY"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: of the revenue on one part
+    type sold to customers in one region, the share supplied by one
+    nation, per order year.  Both sums are exact BIGINTs; the share is
+    ONE fixed float division (exact-int inputs, correctly-rounded IEEE
+    divide, so both engines produce the identical double) rounded to 6.
+
+    Scale plan: part (type-filtered) and supplier->nation broadcast
+    into the lineitem scan; customers pre-filtered to the region via a
+    broadcast nation-region lookup; orders project to 3 columns and
+    shuffle once on custkey, lineitem once on orderkey.
+
+    FULL SQL ORACLE (_sql_market_share)."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rnat = (nat.join(F.broadcast(reg),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+            .where(F.col("r_name") == _Q8_REGION)
+            .select("n_nationkey"))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .join(F.broadcast(rnat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = (o.select("o_orderkey", "o_custkey",
+                       _year_us(temporal.epoch_micros(o, "o_orderdate"))
+                       .alias("o_year"))
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", "o_year"))
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.col("p_type") == _Q8_TYPE).select("p_partkey"))
+    sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    items = (li.select("l_orderkey", "l_partkey", "l_suppkey",
+                       _rev_c2().alias("rev_c2"))
+             .join(F.broadcast(part),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .join(F.broadcast(sup),
+                   F.col("l_suppkey") == F.col("s_suppkey")))
+    agg = (items.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("o_year")
+           .agg(F.sum(F.when(F.col("supp_nation") == _Q8_NATION,
+                             F.col("rev_c2")).otherwise(F.lit(0)))
+                .alias("nat_c2"),
+                F.sum("rev_c2").alias("tot_c2")))
+    return agg.select(
+        "o_year",
+        F.col("nat_c2").cast("long").alias("nat_c2"),
+        F.col("tot_c2").cast("long").alias("tot_c2"),
+        F.round(F.col("nat_c2").cast("double")
+                / F.col("tot_c2").cast("double"), 6).alias("mkt_share"))
+
+
+def _sql_market_share() -> str:
+    return f"""WITH rnat AS (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{_Q8_REGION}'),
+cust AS (SELECT c_custkey
+         FROM customer JOIN rnat ON c_nationkey = n_nationkey),
+o AS (SELECT o_orderkey,
+             {_sql_year_us('epoch_us(o_orderdate)')} AS o_year
+      FROM orders JOIN cust ON o_custkey = c_custkey),
+sup AS (SELECT s_suppkey, n_name AS supp_nation
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+it AS (SELECT l_orderkey, supp_nation, {_REV_C2} AS rev_c2
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey AND p_type = '{_Q8_TYPE}'
+       JOIN sup ON l_suppkey = s_suppkey),
+a AS (SELECT o_year,
+        CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}'
+                      THEN rev_c2 ELSE 0 END) AS BIGINT) AS nat_c2,
+        CAST(SUM(rev_c2) AS BIGINT) AS tot_c2
+      FROM it JOIN o ON l_orderkey = o_orderkey
+      GROUP BY 1)
+SELECT CAST(o_year AS BIGINT) AS o_year, nat_c2, tot_c2,
+       ROUND(CAST(nat_c2 AS DOUBLE) / CAST(tot_c2 AS DOUBLE), 6)
+         AS mkt_share
+FROM a"""
+
+
+_Q9_NAME_PAT = "%rod%"
+_Q9_COST_PCT = 60   # supply cost modeled as 60% of retail price
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit: per (supplier nation, order
+    year) profit on parts whose name matches a pattern.  This schema
+    has no partsupp, so supply cost is modeled as a fixed 60% of the
+    part's retail price — profit_c2 = price_c*(100-disc_c)
+    - qty * retail_c * 60 stays an exact BIGINT (quantities are
+    integral in this corpus; ROUND(...,0) makes that explicit).
+
+    Scale plan: part (name-filtered) and supplier->nation broadcast
+    into lineitem; the only fact shuffle is lineitem->orders on
+    orderkey (orders projected to orderkey+year first); final agg is
+    |nations| x |years| rows.
+
+    FULL SQL ORACLE (_sql_product_profit)."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.col("p_name").like(_Q9_NAME_PAT))
+            .select("p_partkey",
+                    _money_cents(F.col("p_retailprice")).alias("retail_c")))
+    sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = o.select(
+        "o_orderkey",
+        _year_us(temporal.epoch_micros(o, "o_orderdate")).alias("o_year"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    items = (li.select("l_orderkey", "l_partkey", "l_suppkey",
+                       qty.alias("qty"), _rev_c2().alias("rev_c2"))
+             .join(F.broadcast(part),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .join(F.broadcast(sup),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+             .select("l_orderkey", "supp_nation",
+                     (F.col("rev_c2") - F.col("qty") * F.col("retail_c")
+                      * F.lit(_Q9_COST_PCT)).alias("profit_c2")))
+    return (items.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("supp_nation", "o_year")
+            .agg(F.sum("profit_c2").alias("profit_c2"),
+                 F.count("*").alias("n_items"))
+            .select("supp_nation", "o_year",
+                    F.col("profit_c2").cast("long").alias("profit_c2"),
+                    F.col("n_items").cast("long").alias("n_items")))
+
+
+def _sql_product_profit() -> str:
+    return f"""WITH p AS (
+  SELECT p_partkey,
+         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS retail_c
+  FROM part WHERE p_name LIKE '{_Q9_NAME_PAT}'),
+sup AS (SELECT s_suppkey, n_name AS supp_nation
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+o AS (SELECT o_orderkey,
+             {_sql_year_us('epoch_us(o_orderdate)')} AS o_year
+      FROM orders),
+it AS (SELECT l_orderkey, supp_nation,
+              {_REV_C2}
+              - CAST(ROUND(l_quantity, 0) AS BIGINT) * retail_c
+                * {_Q9_COST_PCT} AS profit_c2
+       FROM lineitem
+       JOIN p ON l_partkey = p_partkey
+       JOIN sup ON l_suppkey = s_suppkey)
+SELECT supp_nation, CAST(o_year AS BIGINT) AS o_year,
+       CAST(SUM(profit_c2) AS BIGINT) AS profit_c2,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM it JOIN o ON l_orderkey = o_orderkey
+GROUP BY 1, 2"""
+
+
+_Q10_LO_US = 883_612_800 * 1_000_000   # 1998-01-01
+_Q10_HI_US = 891_388_800 * 1_000_000   # 1998-04-01
+_Q10_TOPK = 20
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: the customers who
+    returned the most revenue in one order quarter, with nation and
+    balance attached.  Revenue is the exact integer
+    price_c*(100-disc_c), so the top-20 cut (revenue desc, custkey) is
+    engine-independent.
+
+    Scale plan: orders pre-filtered to the quarter (small) shuffle-join
+    lineitem (returnflag-filtered, 2 columns) on orderkey; per-customer
+    agg; the TakeOrdered-20 survivors broadcast back INTO customer —
+    the customer table (which scales with the corpus) never shuffles.
+
+    FULL SQL ORACLE (_sql_returned_items)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ous = temporal.epoch_micros(o, "o_orderdate")
+    orders = (o.where((ous >= _Q10_LO_US) & (ous < _Q10_HI_US))
+              .select("o_orderkey", "o_custkey"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    items = (li.where(F.col("l_returnflag") == "R")
+             .select("l_orderkey", _rev_c2().alias("rev_c2")))
+    top = (items.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("o_custkey")
+           .agg(F.sum("rev_c2").alias("revenue_c2"))
+           .orderBy(F.col("revenue_c2").desc(), "o_custkey")
+           .limit(_Q10_TOPK))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (cust.join(F.broadcast(top),
+                      F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                    "c_name",
+                    _money_cents(F.col("c_acctbal")).alias("bal_c"),
+                    F.col("n_name").alias("nation"),
+                    F.col("revenue_c2").cast("long").alias("revenue_c2")))
+
+
+def _sql_returned_items() -> str:
+    return f"""WITH o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE epoch_us(o_orderdate) >= {_Q10_LO_US}
+    AND epoch_us(o_orderdate) < {_Q10_HI_US}),
+it AS (SELECT l_orderkey, {_REV_C2} AS rev_c2
+       FROM lineitem WHERE l_returnflag = 'R'),
+top AS (SELECT o_custkey, CAST(SUM(rev_c2) AS BIGINT) AS revenue_c2
+        FROM it JOIN o ON l_orderkey = o_orderkey
+        GROUP BY 1
+        ORDER BY revenue_c2 DESC, o_custkey LIMIT {_Q10_TOPK})
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_c,
+       n_name AS nation, revenue_c2
+FROM customer JOIN top ON c_custkey = o_custkey
+              JOIN nation ON c_nationkey = n_nationkey"""
+
+
+_Q12_LO_US = 852_076_800 * 1_000_000   # 1997-01-01
+_Q12_HI_US = 883_612_800 * 1_000_000   # 1998-01-01
+_DAY_US_SPINE = 86_400 * 1_000_000
+
+
+def q_ship_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-mode priority check, adapted: this
+    schema has no l_shipmode, so the mode is the ship-lag class
+    (FAST < 30 days after the order, REG < 90, SLOW otherwise) — pure
+    epoch-micros arithmetic, timezone-free.  Counts lines per mode
+    split into high (1-URGENT / 2-HIGH) vs low priority orders.
+
+    Scale plan: lineitem pre-filtered to one ship year and projected
+    to (orderkey, ship_us); orders projected to 3 columns; ONE shuffle
+    join on orderkey; 3-row hash agg.
+
+    FULL SQL ORACLE (_sql_ship_modes)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = o.select("o_orderkey", "o_orderpriority",
+                      temporal.epoch_micros(o, "o_orderdate")
+                      .alias("o_date_us"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lus = temporal.epoch_micros(li, "l_shipdate")
+    items = (li.where((lus >= _Q12_LO_US) & (lus < _Q12_HI_US))
+             .select("l_orderkey", lus.alias("l_ship_us")))
+    lag = F.col("l_ship_us") - F.col("o_date_us")
+    mode = (F.when(lag < 30 * _DAY_US_SPINE, "FAST")
+            .when(lag < 90 * _DAY_US_SPINE, "REG")
+            .otherwise("SLOW"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (items.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(mode.alias("ship_mode"), high.alias("is_high"))
+            .groupBy("ship_mode")
+            .agg(F.sum(F.when(F.col("is_high"), 1).otherwise(0))
+                 .alias("n_high"),
+                 F.sum(F.when(F.col("is_high"), 0).otherwise(1))
+                 .alias("n_low"))
+            .select("ship_mode",
+                    F.col("n_high").cast("long").alias("n_high"),
+                    F.col("n_low").cast("long").alias("n_low")))
+
+
+def _sql_ship_modes() -> str:
+    d = _DAY_US_SPINE
+    return f"""WITH j AS (
+  SELECT CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
+                   < {30 * d} THEN 'FAST'
+              WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
+                   < {90 * d} THEN 'REG'
+              ELSE 'SLOW' END AS ship_mode,
+         (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS is_high
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE epoch_us(l_shipdate) >= {_Q12_LO_US}
+    AND epoch_us(l_shipdate) < {_Q12_HI_US})
+SELECT ship_mode,
+       CAST(SUM(CASE WHEN is_high THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN is_high THEN 0 ELSE 1 END) AS BIGINT) AS n_low
+FROM j GROUP BY 1"""
+
+
+_Q13_EXCL = "4-NOT SPECIFIED"
+
+
+def q_cust_orders_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: how many
+    customers placed exactly k qualifying orders (one priority class
+    excluded, the schema's stand-in for Q13's comment filter) —
+    INCLUDING the zero-order customers, which is the point of Q13's
+    outer join.
+
+    Scale plan: orders aggregate to per-customer counts FIRST (one
+    hash agg, map-side combinable), then LEFT-join customer keys to
+    the counts — the aggregate-before-join form of the outer join, so
+    no row fanout ever exists; the distribution is a second tiny agg.
+
+    FULL SQL ORACLE (_sql_cust_orders_dist): the same
+    aggregate-then-left-join form."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cnt = (o.where(F.col("o_orderpriority") != _Q13_EXCL)
+           .groupBy("o_custkey").agg(F.count("*").alias("k")))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey"))
+    per_cust = (cust.join(cnt, F.col("c_custkey") == F.col("o_custkey"),
+                          "left")
+                .select(F.coalesce(F.col("k"), F.lit(0)).alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .select(F.col("c_count").cast("long").alias("c_count"),
+                    F.col("custdist").cast("long").alias("custdist")))
+
+
+def _sql_cust_orders_dist() -> str:
+    return f"""WITH cnt AS (
+  SELECT o_custkey, COUNT(*) AS k FROM orders
+  WHERE o_orderpriority <> '{_Q13_EXCL}' GROUP BY 1),
+pc AS (SELECT COALESCE(k, 0) AS c_count
+       FROM customer LEFT JOIN cnt ON c_custkey = o_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM pc GROUP BY 1"""
+
+
+_Q15_LO_US = 852_076_800 * 1_000_000   # 1997-01-01
+_Q15_HI_US = 859_852_800 * 1_000_000   # 1997-04-01
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: the supplier(s) with the maximum
+    quarterly revenue.  Revenue is an exact BIGINT, so "equals the
+    max" is an exact integer comparison — ties (all maximal suppliers)
+    are returned, per Q15's view semantics, with no float ambiguity.
+
+    Scale plan: one map-side-combinable per-supplier agg over the
+    date-filtered lineitem scan (supplier count is bounded); the
+    single-row max broadcasts back as a cross join; the name lookup
+    broadcasts the supplier dimension.
+
+    FULL SQL ORACLE (_sql_top_supplier): scalar-subquery max."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lus = temporal.epoch_micros(li, "l_shipdate")
+    rev = (li.where((lus >= _Q15_LO_US) & (lus < _Q15_HI_US))
+           .select("l_suppkey", _rev_c2().alias("rev_c2"))
+           .groupBy("l_suppkey")
+           .agg(F.sum("rev_c2").alias("total_c2")))
+    mx = rev.agg(F.max("total_c2").alias("mx"))
+    sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .select("s_suppkey", "s_name"))
+    return (rev.join(F.broadcast(mx), F.col("total_c2") == F.col("mx"))
+            .join(F.broadcast(sup),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                    "s_name",
+                    F.col("total_c2").cast("long").alias("total_c2")))
+
+
+def _sql_top_supplier() -> str:
+    return f"""WITH rev AS (
+  SELECT l_suppkey, CAST(SUM({_REV_C2}) AS BIGINT) AS total_c2
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= {_Q15_LO_US}
+    AND epoch_us(l_shipdate) < {_Q15_HI_US}
+  GROUP BY 1)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_c2
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_c2 = (SELECT MAX(total_c2) FROM rev)"""
+
+
+_Q17_BRAND = "Brand#13"
+
+
+def q_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: lines on one
+    brand's parts whose quantity is below 20% of that part's average
+    line quantity.  The correlated average gate is the exact integer
+    cross-multiplication 5 * qty * n_lines < sum_qty (quantities are
+    integral), so the qualifying set is engine-independent; avg_yearly
+    is ONE fixed float expression over the exact totals.
+
+    Scale plan: the brand-filtered part list broadcasts into lineitem;
+    per-part (sum, count) is a tiny agg (parts of one brand) that
+    broadcasts back into the same filtered scan; single-row result.
+
+    FULL SQL ORACLE (_sql_small_qty)."""
+    parts = (spark.read.parquet(f"{sf_dir}/part.parquet")
+             .where(F.col("p_brand") == _Q17_BRAND).select("p_partkey"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lines = (li.select("l_partkey",
+                       F.round(F.col("l_quantity"), 0).cast("long")
+                       .alias("qty"),
+                       _money_cents(F.col("l_extendedprice"))
+                       .alias("price_c"))
+             .join(F.broadcast(parts),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .select("l_partkey", "qty", "price_c"))
+    stats = (lines.groupBy("l_partkey")
+             .agg(F.sum("qty").alias("sq"), F.count("*").alias("nq"))
+             .select(F.col("l_partkey").alias("s_partkey"), "sq", "nq"))
+    small = (lines.join(F.broadcast(stats),
+                        F.col("l_partkey") == F.col("s_partkey"))
+             .where(F.lit(5) * F.col("qty") * F.col("nq") < F.col("sq")))
+    agg = small.agg(F.sum("price_c").alias("revenue_c"),
+                    F.count("*").alias("n_lines"))
+    return agg.select(
+        F.coalesce(F.col("revenue_c"), F.lit(0)).cast("long")
+        .alias("revenue_c"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round(F.coalesce(F.col("revenue_c"), F.lit(0)).cast("double")
+                / F.lit(700.0), 6).alias("avg_yearly"))
+
+
+def _sql_small_qty() -> str:
+    return f"""WITH p AS (
+  SELECT p_partkey FROM part WHERE p_brand = '{_Q17_BRAND}'),
+ln AS (SELECT l_partkey, CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+              CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+       FROM lineitem JOIN p ON l_partkey = p_partkey),
+st AS (SELECT l_partkey AS s_partkey, CAST(SUM(qty) AS BIGINT) AS sq,
+              CAST(COUNT(*) AS BIGINT) AS nq
+       FROM ln GROUP BY 1),
+sm AS (SELECT price_c FROM ln JOIN st ON l_partkey = s_partkey
+       WHERE 5 * qty * nq < sq),
+a AS (SELECT CAST(COALESCE(SUM(price_c), 0) AS BIGINT) AS revenue_c,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM sm)
+SELECT revenue_c, n_lines,
+       ROUND(CAST(revenue_c AS DOUBLE) / 700.0, 6) AS avg_yearly
+FROM a"""
+
+
+_Q19_BUNDLES = [("Brand#13", 1, 15, 1, 11),
+                ("Brand#22", 10, 30, 10, 20),
+                ("Brand#25", 20, 50, 20, 30)]
+
+
+def q_disc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style discounted revenue: revenue from lines matching
+    any of three disjunctive (brand, size range, quantity range)
+    predicate bundles, reported per bundle.  Brands are distinct
+    across bundles so the bundles partition the matches; all gates are
+    integer comparisons and revenue is the exact BIGINT.
+
+    Scale plan: part (3 columns) broadcasts into lineitem; the
+    disjunction evaluates in the scan stage (a searched CASE) — ONE
+    map-side stage + a 3-row agg, zero fact shuffles.
+
+    FULL SQL ORACLE (_sql_disc_revenue)."""
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select("p_partkey", "p_brand", "p_size"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    j = (li.select("l_partkey", qty.alias("qty"),
+                   _rev_c2().alias("rev_c2"))
+         .join(F.broadcast(part),
+               F.col("l_partkey") == F.col("p_partkey")))
+    bundle = F.lit(None).cast("int")
+    expr = None
+    for i, (brand, s_lo, s_hi, q_lo, q_hi) in enumerate(_Q19_BUNDLES, 1):
+        cond = ((F.col("p_brand") == brand)
+                & F.col("p_size").between(s_lo, s_hi)
+                & F.col("qty").between(q_lo, q_hi))
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    bundle = expr.otherwise(F.lit(None))
+    return (j.select(bundle.alias("bundle"), "rev_c2")
+            .where(F.col("bundle").isNotNull())
+            .groupBy("bundle")
+            .agg(F.sum("rev_c2").alias("revenue_c2"),
+                 F.count("*").alias("n_lines"))
+            .select(F.col("bundle").cast("long").alias("bundle"),
+                    F.col("revenue_c2").cast("long").alias("revenue_c2"),
+                    F.col("n_lines").cast("long").alias("n_lines")))
+
+
+def _sql_disc_revenue() -> str:
+    whens = "\n".join(
+        f"       WHEN p_brand = '{b}' AND p_size BETWEEN {sl} AND {sh}"
+        f" AND CAST(ROUND(l_quantity, 0) AS BIGINT) BETWEEN {ql} AND {qh}"
+        f" THEN {i}"
+        for i, (b, sl, sh, ql, qh) in enumerate(_Q19_BUNDLES, 1))
+    return f"""WITH j AS (
+  SELECT CASE
+{whens}
+       ELSE NULL END AS bundle,
+       {_REV_C2} AS rev_c2
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT CAST(bundle AS BIGINT) AS bundle,
+       CAST(SUM(rev_c2) AS BIGINT) AS revenue_c2,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM j WHERE bundle IS NOT NULL GROUP BY 1"""
+
+
+def q_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers-who-kept-orders-waiting, adapted to
+    this schema (no commit/receipt dates): count, per supplier, the
+    lines in multi-supplier FINISHED orders that shipped strictly
+    later than every other supplier's line in the order — the supplier
+    the whole order waited on.  EXISTS (another supplier in the order)
+    is a LEFT SEMI join; NOT EXISTS (another supplier shipping at or
+    after) is a LEFT ANTI join, both literal Q21 structure.  Ties on
+    the max ship date disqualify (deterministic — no float anywhere).
+
+    Scale plan: lineitem projects to (orderkey, suppkey, ship_us)
+    once; the finished-order gate, the semi and the anti all join on
+    the SAME orderkey key, so the exchange is reused across the three
+    joins; the count is per-supplier (bounded dimension).
+
+    FULL SQL ORACLE (_sql_late_suppliers): the literal
+    EXISTS/NOT-EXISTS form."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fo = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    l1 = li.select("l_orderkey", "l_suppkey",
+                   temporal.epoch_micros(li, "l_shipdate")
+                   .alias("l_ship_us"))
+    l1f = l1.join(fo, F.col("l_orderkey") == F.col("o_orderkey"),
+                  "left_semi")
+    l2 = l1.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = l1.select(F.col("l_orderkey").alias("k3"),
+                   F.col("l_suppkey").alias("s3"),
+                   F.col("l_ship_us").alias("ship3"))
+    cand = (l1f.join(l2, (F.col("k2") == F.col("l_orderkey"))
+                     & (F.col("s2") != F.col("l_suppkey")), "left_semi")
+            .join(l3, (F.col("k3") == F.col("l_orderkey"))
+                  & (F.col("s3") != F.col("l_suppkey"))
+                  & (F.col("ship3") >= F.col("l_ship_us")), "left_anti"))
+    sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .select("s_suppkey", "s_name"))
+    return (cand.groupBy("l_suppkey")
+            .agg(F.count("*").alias("numwait"))
+            .join(F.broadcast(sup),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                    "s_name",
+                    F.col("numwait").cast("long").alias("numwait")))
+
+
+def _sql_late_suppliers() -> str:
+    return """WITH l AS (
+  SELECT l_orderkey, l_suppkey, epoch_us(l_shipdate) AS ship_us
+  FROM lineitem),
+cand AS (
+  SELECT l1.l_suppkey
+  FROM l l1
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                AND o.o_orderstatus = 'F'
+  WHERE EXISTS (SELECT 1 FROM l l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM l l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.ship_us >= l1.ship_us))
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM cand JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2"""
+
+
+_Q22_CUT_US = 915_148_800 * 1_000_000   # 1999-01-01
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style global sales opportunity: per nation, the
+    customers with an above-average positive balance who placed no
+    order after the cutoff.  The average gate is the exact integer
+    cross-multiplication bal_c * n_pos > sum_pos_c (strictly above the
+    mean of positive balances), so membership is engine-independent;
+    recency is an ANTI join against the cutoff-filtered orders.
+
+    Scale plan: the positive-balance (sum, count) is ONE single-row
+    agg that broadcasts as a literal cross join; recent orders project
+    to custkey only before the anti join's one shuffle; final agg is
+    per-nation.
+
+    FULL SQL ORACLE (_sql_idle_customers)."""
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey", "c_nationkey",
+                    _money_cents(F.col("c_acctbal")).alias("bal_c")))
+    stats = (cust.agg(
+        F.sum(F.when(F.col("bal_c") > 0, F.col("bal_c")).otherwise(0))
+        .alias("s_pos"),
+        F.sum(F.when(F.col("bal_c") > 0, 1).otherwise(0)).alias("n_pos")))
+    rich = (cust.crossJoin(F.broadcast(stats))
+            .where(F.col("bal_c") * F.col("n_pos") > F.col("s_pos")))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    recent = (o.where(temporal.epoch_micros(o, "o_orderdate")
+                      >= _Q22_CUT_US)
+              .select("o_custkey"))
+    idle = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                     "left_anti")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (idle.groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_cust"),
+                 F.sum("bal_c").alias("bal_c_sum"))
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(F.col("n_name").alias("nation"),
+                    F.col("n_cust").cast("long").alias("n_cust"),
+                    F.col("bal_c_sum").cast("long").alias("bal_c_sum")))
+
+
+def _sql_idle_customers() -> str:
+    return f"""WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+  FROM customer),
+st AS (SELECT
+         CAST(SUM(CASE WHEN bal_c > 0 THEN bal_c ELSE 0 END) AS BIGINT)
+           AS s_pos,
+         CAST(SUM(CASE WHEN bal_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos
+       FROM c),
+rich AS (SELECT c.* FROM c, st WHERE bal_c * n_pos > s_pos),
+idle AS (SELECT * FROM rich
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND epoch_us(o_orderdate) >= {_Q22_CUT_US}))
+SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(bal_c) AS BIGINT) AS bal_c_sum
+FROM idle JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -9513,6 +10261,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "bigram_entropy": q_bigram_entropy,
         "supplier_variety": q_supplier_variety,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "returned_items": q_returned_items,
+        "ship_modes": q_ship_modes,
+        "cust_orders_dist": q_cust_orders_dist,
+        "top_supplier": q_top_supplier,
+        "small_qty": q_small_qty,
+        "disc_revenue": q_disc_revenue,
+        "late_suppliers": q_late_suppliers,
+        "idle_customers": q_idle_customers,
         "big_orders": q_big_orders,
     }
 
@@ -9672,4 +10431,15 @@ def oracle_sql() -> dict[str, str]:
         "bigram_entropy": _sql_bigram_entropy(),
         "supplier_variety": _sql_supplier_variety(),
         "big_orders": _sql_big_orders(),
+        "volume_shipping": _sql_volume_shipping(),
+        "market_share": _sql_market_share(),
+        "product_profit": _sql_product_profit(),
+        "returned_items": _sql_returned_items(),
+        "ship_modes": _sql_ship_modes(),
+        "cust_orders_dist": _sql_cust_orders_dist(),
+        "top_supplier": _sql_top_supplier(),
+        "small_qty": _sql_small_qty(),
+        "disc_revenue": _sql_disc_revenue(),
+        "late_suppliers": _sql_late_suppliers(),
+        "idle_customers": _sql_idle_customers(),
     }

@@ -65,6 +65,9 @@ HEADLINE = [
     "vocab_richness", "kendall_tau", "order_priority", "promo_share",
     "cusum_hours", "fano_hours", "rich_club", "bigram_entropy",
     "supplier_variety", "big_orders",
+    "volume_shipping", "market_share", "product_profit", "returned_items",
+    "ship_modes", "cust_orders_dist", "top_supplier", "small_qty",
+    "disc_revenue", "late_suppliers", "idle_customers",
 ]
 
 
