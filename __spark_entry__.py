@@ -10100,6 +10100,391 @@ GROUP BY 1"""
 
 
 # ---------------------------------------------------------------------------
+# session 22b: bounded-round connectivity (graph + raster) and
+# distributional divergence between corpus slices
+# ---------------------------------------------------------------------------
+
+WCC_ROUNDS = 4    # hash-to-min rounds; label = min node id within <=R hops
+WCC_SAMPLE_MOD = 400   # edge sample: the full domain graph is one blob
+
+
+def _min_label_rounds(sym: DataFrame, lab: DataFrame,
+                      rounds: int) -> DataFrame:
+    """`rounds` synchronous hash-to-min label rounds: each node keeps
+    the min of its own and its neighbors' labels.  After R rounds the
+    label is the minimum node id within graph distance R — components
+    of diameter <= R are exactly labeled; at web scale you run
+    ceil(log2(diameter)) doubling rounds or large-star/small-star
+    (Kiveris et al. 2014), same per-round dataflow.
+
+    The naive round "min(own, neighbor mins)" references the label
+    relation TWICE (union + join), which doubles the LOGICAL plan per
+    round — 2^R analyzer blowup that persist() cannot truncate (27 s
+    of driver-side planning by round 6 on a 1.7k-row lattice).  The
+    self-loop trick folds 'keep own label' into the neighbor min: with
+    (u, u) loops appended to the edge relation, each round is ONE join
+    + ONE min agg referencing the previous labels exactly once, so the
+    plan grows linearly and the whole R-round labeling runs as a
+    single job."""
+    loops = lab.select("u", F.col("u").alias("v"))
+    sym2 = sym.select("u", "v").union(loops)
+    for _ in range(rounds):
+        lab = (sym2.join(F.broadcast(lab.select(F.col("u").alias("v"),
+                                                "lab")), "v")
+               .groupBy("u").agg(F.min("lab").alias("lab")))
+    return lab
+
+
+def _sql_min_label_chain(rounds: int, lab0: str = "lab0") -> str:
+    """The same rounds as chained CTEs, starting from `lab0`(u, lab)
+    over the self-loop-augmented edge relation sym2(u, v); ends at
+    lab{rounds}.  The self-loop form references each lab CTE exactly
+    once (the SQL twin of _min_label_rounds' linear plan); sym2 itself
+    is referenced every round, so callers declare it MATERIALIZED."""
+    out = []
+    for r in range(1, rounds + 1):
+        prev = lab0 if r == 1 else f"lab{r - 1}"
+        out.append(f"""lab{r} AS (
+        SELECT s.u, MIN(l.lab) AS lab FROM sym2 s
+        JOIN {prev} l ON s.v = l.u GROUP BY 1)""")
+    return ",\n".join(out)
+
+
+def q_wcc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected-component sizes of the hash-sampled distinct-
+    edge domain graph via WCC_ROUNDS synchronous hash-to-min label
+    rounds (labels start as node ids; every node takes the min over
+    itself and its neighbors).  The full domain graph is one giant
+    blob (~92k edges on 1k nodes at sf0.01), so a deterministic edge
+    sample — (a*1000003+b) % WCC_SAMPLE_MOD == 0, the kcore/LPA
+    discipline — exposes real component structure; the fixed-round
+    result is deterministic and SQL-unrollable (components of diameter
+    <= R are exactly labeled; larger ones are the defined R-round
+    statistic).
+
+    Scale plan: each round is one broadcast join of the per-node label
+    relation (bounded by the domain universe) into the edge list + one
+    min hash-agg — edges never reshuffle; same dataflow family as
+    label_prop/shortest_paths.
+
+    FULL SQL ORACLE (_sql_wcc_sizes): the same rounds as CTEs."""
+    und = (_full_und(spark, sf_dir)
+           .where((F.col("a") * 1000003 + F.col("b"))
+                  % WCC_SAMPLE_MOD == 0))
+    sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .union(und.select(F.col("b").alias("u"),
+                             F.col("a").alias("v"))))
+    lab = sym.select("u").distinct().select(
+        "u", F.col("u").alias("lab"))
+    lab = _min_label_rounds(sym, lab, WCC_ROUNDS)
+    return (lab.groupBy("lab").agg(F.count("*").alias("n_nodes"))
+            .select(F.col("lab").cast("long").alias("component"),
+                    F.col("n_nodes").cast("long").alias("n_nodes")))
+
+
+def _sql_wcc_sizes(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+und AS (SELECT a, b FROM (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM (
+            SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+            UNION ALL
+            SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+          WHERE src != dst)
+        WHERE (a * 1000003 + b) % {WCC_SAMPLE_MOD} = 0),
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+lab0 AS MATERIALIZED (SELECT DISTINCT u, u AS lab FROM sym),
+sym2 AS MATERIALIZED (
+  SELECT u, v FROM sym UNION ALL SELECT u, u AS v FROM lab0),
+{_sql_min_label_chain(WCC_ROUNDS)}
+SELECT CAST(lab AS BIGINT) AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM lab{WCC_ROUNDS} GROUP BY 1"""
+
+
+CC_Z = 6          # tile zoom for the occupied-cell lattice
+CC_ROUNDS = 6     # hash-to-min rounds over the 4-connected lattice
+
+
+def q_cell_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the OCCUPIED z6 webmerc tile lattice
+    under 4-connectivity — raster region labeling ("landmass
+    detection") by the same bounded-round hash-to-min kernel as
+    wcc_sizes, run on the aggregated cell lattice instead of the
+    domain graph.  Isolated occupied tiles are their own components.
+
+    Scale plan: the corpus aggregates to the occupied-tile relation
+    first (one hash-agg; everything after runs on |tiles| rows, never
+    points); E/S neighbor edges come from two equi-joins of that tiny
+    relation with itself; each label round broadcasts the label
+    relation.  The occupied relation is persisted — it seeds the node
+    set, both edge joins and the final page-mass join.
+
+    FULL SQL ORACLE (_sql_cell_components)."""
+    n = 1 << CC_Z
+    pts = _points(spark, sf_dir)
+    # the aggregated lattice is bounded by the z6 cell universe (4096
+    # rows max at ANY corpus size), so it lives in ONE partition from
+    # here on — per-round 32-way shuffles of a 1.6k-row relation are
+    # pure scheduler overhead
+    occ = (pts.select(cells.tile_x(F.col("lon"), CC_Z).alias("tx"),
+                      cells.tile_y(F.col("lat"), CC_Z).alias("ty"))
+           .groupBy("tx", "ty").agg(F.count("*").alias("n_pages"))
+           .withColumn("tid",
+                       (F.col("tx") * n + F.col("ty")).cast("long"))
+           .coalesce(1)
+           .persist())
+    o2 = occ.select(F.col("tx").alias("tx2"), F.col("ty").alias("ty2"),
+                    F.col("tid").alias("tid2"))
+    east = occ.join(F.broadcast(o2), (F.col("tx2") == F.col("tx") + 1)
+                    & (F.col("ty2") == F.col("ty")))
+    south = occ.join(F.broadcast(o2), (F.col("tx2") == F.col("tx"))
+                     & (F.col("ty2") == F.col("ty") + 1))
+    edges = (east.select(F.col("tid").alias("a"),
+                         F.col("tid2").alias("b"))
+             .union(south.select(F.col("tid").alias("a"),
+                                 F.col("tid2").alias("b"))))
+    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .union(edges.select(F.col("b").alias("u"),
+                               F.col("a").alias("v"))))
+    lab = occ.select(F.col("tid").alias("u"),
+                     F.col("tid").alias("lab"))
+    lab = _min_label_rounds(sym, lab, CC_ROUNDS)
+    j = lab.join(occ.select(F.col("tid").alias("u"), "n_pages"), "u")
+    return (j.groupBy("lab")
+            .agg(F.count("*").alias("n_tiles"),
+                 F.sum("n_pages").alias("n_pages"))
+            .select(F.col("lab").cast("long").alias("component"),
+                    F.col("n_tiles").cast("long").alias("n_tiles"),
+                    F.col("n_pages").cast("long").alias("n_pages")))
+
+
+def _sql_cell_components(n_pages_total: int) -> str:
+    n = 1 << CC_Z
+    return f"""WITH {_pages_cte(n_pages_total)},
+occ AS (SELECT {cells.tile_x_sql('lon', CC_Z)} AS tx,
+               {cells.tile_y_sql('lat', CC_Z)} AS ty,
+               COUNT(*) AS n_pages
+        FROM pages GROUP BY 1, 2),
+ot AS MATERIALIZED (
+  SELECT tx, ty, n_pages, CAST(tx * {n} + ty AS BIGINT) AS tid
+  FROM occ),
+edges AS (
+  SELECT o1.tid AS a, o2.tid AS b FROM ot o1 JOIN ot o2
+    ON o2.tx = o1.tx + 1 AND o2.ty = o1.ty
+  UNION ALL
+  SELECT o1.tid AS a, o2.tid AS b FROM ot o1 JOIN ot o2
+    ON o2.tx = o1.tx AND o2.ty = o1.ty + 1),
+sym AS (SELECT a AS u, b AS v FROM edges
+        UNION ALL SELECT b, a FROM edges),
+lab0 AS (SELECT tid AS u, tid AS lab FROM ot),
+sym2 AS MATERIALIZED (
+  SELECT u, v FROM sym UNION ALL SELECT tid AS u, tid AS v FROM ot),
+{_sql_min_label_chain(CC_ROUNDS)}
+SELECT CAST(lab AS BIGINT) AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(n_pages) AS BIGINT) AS n_pages
+FROM lab{CC_ROUNDS} l JOIN ot ON l.u = ot.tid
+GROUP BY 1"""
+
+
+QLN2 = 693147   # round(ln(2) * 1e6) — the exclusive-mass JSD term
+
+
+def q_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the source unigram
+    distributions — the symmetric, bounded (<= ln 2) divergence used
+    to measure corpus-slice drift.  Per shared token the log ratio
+    ln(2 c_a N_b / (c_a N_b + c_b N_a)) is quantized ONCE to integer
+    micro-nats, so each pair's shared-mass sum is an exact BIGINT; the
+    exclusive-mass remainder contributes exactly (N - shared_mass) *
+    round(ln(2)*1e6) because a token absent from the other source has
+    log ratio ln 2.  JSD itself is ONE fixed float expression over the
+    exact integer sums.  Pairs that share no token are absent (the
+    synthetic sources always overlap).
+
+    Scale plan: ONE token explode + (source, token) hash agg; the
+    pair join runs on the aggregated histogram keyed by token (per
+    token at most |sources|^2/2 pairs — sources are a bounded
+    dimension), with the 20-row totals broadcast.  The histogram is
+    persisted: it is referenced by both join sides and the totals.
+
+    FULL SQL ORACLE (_sql_jsd_sources)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source",
+                       F.explode(analysis.tokens(F.lower(F.col("text"))))
+                       .alias("token"))
+    hist = (toks.groupBy("source", "token")
+            .agg(F.count("*").alias("c")).persist())
+    tot = hist.groupBy("source").agg(F.sum("c").alias("n"))
+    h1 = hist.select(F.col("source").alias("src_a"), "token",
+                     F.col("c").alias("c_a"))
+    h2 = hist.select(F.col("source").alias("src_b"),
+                     F.col("token").alias("token_b"),
+                     F.col("c").alias("c_b"))
+    pairs = h1.join(h2, (F.col("token") == F.col("token_b"))
+                    & (F.col("src_a") < F.col("src_b")))
+    t1 = tot.select(F.col("source").alias("src_a"),
+                    F.col("n").alias("n_a"))
+    t2 = tot.select(F.col("source").alias("src_b"),
+                    F.col("n").alias("n_b"))
+    g = (pairs.join(F.broadcast(t1), "src_a")
+         .join(F.broadcast(t2), "src_b"))
+    num_a = F.col("c_a") * F.col("n_b")
+    num_b = F.col("c_b") * F.col("n_a")
+    den = (num_a + num_b).cast("double")
+    q_a = F.round(F.log(F.lit(2.0) * num_a.cast("double") / den)
+                  * 1e6, 0).cast("long")
+    q_b = F.round(F.log(F.lit(2.0) * num_b.cast("double") / den)
+                  * 1e6, 0).cast("long")
+    per = (g.groupBy("src_a", "src_b", "n_a", "n_b")
+           .agg(F.sum(F.col("c_a") * q_a).alias("sh_a_q"),
+                F.sum(F.col("c_b") * q_b).alias("sh_b_q"),
+                F.sum("c_a").alias("m_a"),
+                F.sum("c_b").alias("m_b"),
+                F.count("*").alias("n_shared")))
+    s_a = F.col("sh_a_q") + (F.col("n_a") - F.col("m_a")) * QLN2
+    s_b = F.col("sh_b_q") + (F.col("n_b") - F.col("m_b")) * QLN2
+    jsd = F.round((s_a.cast("double") / F.col("n_a").cast("double")
+                   + s_b.cast("double") / F.col("n_b").cast("double"))
+                  / F.lit(2e6), 6)
+    return per.select("src_a", "src_b",
+                      F.col("n_shared").cast("long").alias("n_shared"),
+                      s_a.cast("long").alias("s_a_q"),
+                      s_b.cast("long").alias("s_b_q"),
+                      jsd.alias("jsd"))
+
+
+def _sql_jsd_sources() -> str:
+    return f"""WITH toks AS (
+  SELECT source, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           t -> t != '')) AS token
+  FROM documents),
+hist AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+         FROM toks GROUP BY 1, 2),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+g AS (
+  SELECT h1.source AS src_a, h2.source AS src_b, h1.c AS c_a, h2.c AS c_b,
+         ta.n AS n_a, tb.n AS n_b
+  FROM hist h1 JOIN hist h2
+    ON h1.token = h2.token AND h1.source < h2.source
+  JOIN tot ta ON ta.source = h1.source
+  JOIN tot tb ON tb.source = h2.source),
+per AS (
+  SELECT src_a, src_b, n_a, n_b,
+    CAST(SUM(c_a * CAST(ROUND(LN(2.0 * CAST(c_a * n_b AS DOUBLE)
+          / CAST(c_a * n_b + c_b * n_a AS DOUBLE)) * 1e6, 0) AS BIGINT))
+      AS BIGINT) AS sh_a_q,
+    CAST(SUM(c_b * CAST(ROUND(LN(2.0 * CAST(c_b * n_a AS DOUBLE)
+          / CAST(c_a * n_b + c_b * n_a AS DOUBLE)) * 1e6, 0) AS BIGINT))
+      AS BIGINT) AS sh_b_q,
+    CAST(SUM(c_a) AS BIGINT) AS m_a,
+    CAST(SUM(c_b) AS BIGINT) AS m_b,
+    CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM g GROUP BY 1, 2, 3, 4)
+SELECT src_a, src_b, n_shared,
+       sh_a_q + (n_a - m_a) * {QLN2} AS s_a_q,
+       sh_b_q + (n_b - m_b) * {QLN2} AS s_b_q,
+       ROUND((CAST(sh_a_q + (n_a - m_a) * {QLN2} AS DOUBLE)
+                / CAST(n_a AS DOUBLE)
+              + CAST(sh_b_q + (n_b - m_b) * {QLN2} AS DOUBLE)
+                / CAST(n_b AS DOUBLE)) / 2e6, 6) AS jsd
+FROM per"""
+
+
+ODDS_LANG_A = "en"
+ODDS_LANG_B = "de"
+ODDS_TOPK = 40
+
+
+def q_odds_ratio_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-odds-ratio with an uninformative Dirichlet prior (Monroe,
+    Colaresi & Quinn 2008 "Fightin' Words") between two language
+    subcorpora: the terms most distinctive of either side.  The delta
+    is quantized ONCE to integer micro-nats, so the top-k cut
+    (|delta| desc, delta desc, token) is an exact integer ranking; the
+    z-score is one fixed float expression over exact counts, emitted
+    for reporting only.
+
+    Scale plan: ONE token explode into a per-token conditional-sum
+    hash agg (no per-lang outer join — the CASE sums make missing
+    counts exact zeros); the single-row totals broadcast as a literal
+    cross join; TakeOrdered ends the plan.
+
+    FULL SQL ORACLE (_sql_odds_ratio_terms)."""
+    docs = (_docs(spark, sf_dir)
+            .where(F.col("lang").isin(ODDS_LANG_A, ODDS_LANG_B)))
+    toks = docs.select("lang",
+                       F.explode(analysis.tokens(F.lower(F.col("text"))))
+                       .alias("token"))
+    cell = (toks.groupBy("token")
+            .agg(F.sum(F.when(F.col("lang") == ODDS_LANG_A, 1)
+                       .otherwise(0)).alias("c_a"),
+                 F.sum(F.when(F.col("lang") == ODDS_LANG_B, 1)
+                       .otherwise(0)).alias("c_b")))
+    tot = cell.agg(F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"),
+                   F.count("*").alias("v"))
+    g = cell.crossJoin(F.broadcast(tot))
+    x_a = ((F.col("c_a") + 1).cast("double")
+           / (F.col("n_a") + F.col("v") - F.col("c_a") - 1)
+           .cast("double"))
+    x_b = ((F.col("c_b") + 1).cast("double")
+           / (F.col("n_b") + F.col("v") - F.col("c_b") - 1)
+           .cast("double"))
+    dq = F.round((F.log(x_a) - F.log(x_b)) * 1e6, 0).cast("long")
+    var = (F.lit(1.0) / (F.col("c_a") + 1).cast("double")
+           + F.lit(1.0) / (F.col("c_b") + 1).cast("double"))
+    ranked = (g.select("token",
+                       F.col("c_a").cast("long").alias("c_a"),
+                       F.col("c_b").cast("long").alias("c_b"),
+                       dq.alias("delta_q"),
+                       F.round(dq.cast("double") / F.lit(1e6)
+                               / F.sqrt(var), 6).alias("z"))
+              .orderBy(F.abs(F.col("delta_q")).desc(),
+                       F.col("delta_q").desc(), "token")
+              .limit(ODDS_TOPK))
+    return ranked
+
+
+def _sql_odds_ratio_terms() -> str:
+    return f"""WITH toks AS (
+  SELECT lang, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           t -> t != '')) AS token
+  FROM documents WHERE lang IN ('{ODDS_LANG_A}', '{ODDS_LANG_B}')),
+cell AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN lang = '{ODDS_LANG_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN lang = '{ODDS_LANG_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_b
+  FROM toks GROUP BY 1),
+tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+               CAST(SUM(c_b) AS BIGINT) AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM cell),
+g AS (SELECT token, c_a, c_b,
+        CAST(ROUND((LN(CAST(c_a + 1 AS DOUBLE)
+                       / CAST(n_a + v - c_a - 1 AS DOUBLE))
+                    - LN(CAST(c_b + 1 AS DOUBLE)
+                         / CAST(n_b + v - c_b - 1 AS DOUBLE))) * 1e6, 0)
+             AS BIGINT) AS delta_q,
+        (1.0 / CAST(c_a + 1 AS DOUBLE) + 1.0 / CAST(c_b + 1 AS DOUBLE))
+          AS var
+      FROM cell CROSS JOIN tot)
+SELECT token, c_a, c_b, delta_q,
+       ROUND(CAST(delta_q AS DOUBLE) / 1e6 / SQRT(var), 6) AS z
+FROM g
+ORDER BY ABS(delta_q) DESC, delta_q DESC, token LIMIT {ODDS_TOPK}"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -10272,6 +10657,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disc_revenue": q_disc_revenue,
         "late_suppliers": q_late_suppliers,
         "idle_customers": q_idle_customers,
+        "wcc_sizes": q_wcc_sizes,
+        "cell_components": q_cell_components,
+        "jsd_sources": q_jsd_sources,
+        "odds_ratio_terms": q_odds_ratio_terms,
         "big_orders": q_big_orders,
     }
 
@@ -10442,4 +10831,8 @@ def oracle_sql() -> dict[str, str]:
         "disc_revenue": _sql_disc_revenue(),
         "late_suppliers": _sql_late_suppliers(),
         "idle_customers": _sql_idle_customers(),
+        "wcc_sizes": _sql_wcc_sizes(n),
+        "cell_components": _sql_cell_components(n),
+        "jsd_sources": _sql_jsd_sources(),
+        "odds_ratio_terms": _sql_odds_ratio_terms(),
     }

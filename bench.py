@@ -68,6 +68,7 @@ HEADLINE = [
     "volume_shipping", "market_share", "product_profit", "returned_items",
     "ship_modes", "cust_orders_dist", "top_supplier", "small_qty",
     "disc_revenue", "late_suppliers", "idle_customers",
+    "wcc_sizes", "cell_components", "jsd_sources", "odds_ratio_terms",
 ]
 
 
