@@ -10100,6 +10100,260 @@ GROUP BY 1"""
 
 
 # ---------------------------------------------------------------------------
+# session 22c: synthetic partsupp relation -> the remaining TPC-H
+# analogues (Q2 min-cost supplier, Q11 important stock, Q20 potential
+# part promotion) — completing the 22-query relational spine
+# ---------------------------------------------------------------------------
+
+# The sandbox schema has no partsupp table; the three queries that need
+# one (Q2/Q11/Q20) run over a DETERMINISTIC synthetic relation derived
+# from the existing keys by closed-form integer arithmetic — the same
+# discipline as the pages synthesis, so the DuckDB oracle regenerates
+# the identical rows.  ~4 suppliers per part (collisions dropped by
+# DISTINCT identically in both engines); cost/availqty are pure hashes
+# of (partkey, suppkey).
+
+_PS_COST_MOD = 89_899
+_PS_QTY_MOD = 9_999
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic partsupp(ps_partkey, ps_suppkey, ps_cost_c,
+    ps_availqty): per part, k=0..3 suppliers at stride 1+(p%7) around
+    the supplier ring.  Generated from the part table with a 4-way
+    explode — never a part x supplier cross join (4 rows/part at any
+    scale, like the real TPC-H layout)."""
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select(F.col("p_partkey").cast("long").alias("pk")))
+    nsup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .agg(F.count("*").alias("n_supp")))
+    ks = (part.crossJoin(F.broadcast(nsup))
+          .select("pk", "n_supp",
+                  F.explode(F.array(*[F.lit(k) for k in range(4)]))
+                  .alias("k")))
+    ps = (ks.select("pk",
+                    ((F.col("pk") + F.col("k")
+                      * (1 + F.col("pk") % 7)) % F.col("n_supp"))
+                    .alias("sk"))
+          .distinct())
+    return ps.select(
+        F.col("pk").alias("ps_partkey"),
+        F.col("sk").alias("ps_suppkey"),
+        (101 + (F.col("pk") * 31 + F.col("sk") * 17) % _PS_COST_MOD)
+        .alias("ps_cost_c"),
+        (1 + (F.col("pk") * 13 + F.col("sk") * 7) % _PS_QTY_MOD)
+        .alias("ps_availqty"))
+
+
+def _sql_partsupp() -> str:
+    """The identical relation as DuckDB CTEs ending at `ps`."""
+    return f"""ns AS (SELECT COUNT(*) AS n_supp FROM supplier),
+psk AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS pk,
+               (CAST(p_partkey AS BIGINT) + k.k
+                * (1 + CAST(p_partkey AS BIGINT) % 7)) % n_supp AS sk
+        FROM part, (SELECT UNNEST([0, 1, 2, 3]) AS k) k, ns),
+ps AS (SELECT pk AS ps_partkey, sk AS ps_suppkey,
+              101 + (pk * 31 + sk * 17) % {_PS_COST_MOD} AS ps_cost_c,
+              1 + (pk * 13 + sk * 7) % {_PS_QTY_MOD} AS ps_availqty
+       FROM psk)"""
+
+
+_Q2_REGION = "EUROPE"
+_Q2_SIZE = 15
+_Q2_TOPK = 100
+
+
+def q_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier: for each part of one
+    size, the supplier(s) in one region offering it at the minimum
+    supply cost.  Costs are exact integers, so the correlated min and
+    the tie semantics (all minimal suppliers survive, per Q2) are
+    engine-independent; the top-100 order (balance desc, nation,
+    supplier, part) is a total order.
+
+    Scale plan: the filtered part list and the region's supplier
+    dimension both broadcast into the 4-rows-per-part partsupp
+    relation; the per-part min is a tiny agg that broadcasts back.
+
+    FULL SQL ORACLE (_sql_min_cost_supp)."""
+    ps = _partsupp(spark, sf_dir)
+    parts = (spark.read.parquet(f"{sf_dir}/part.parquet")
+             .where(F.col("p_size") == _Q2_SIZE)
+             .select(F.col("p_partkey").cast("long").alias("p_partkey")))
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(reg),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .where(F.col("r_name") == _Q2_REGION)
+           .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                   "s_name", "n_name",
+                   _money_cents(F.col("s_acctbal")).alias("bal_c")))
+    offers = (ps.join(F.broadcast(parts),
+                      F.col("ps_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(sup),
+                    F.col("ps_suppkey") == F.col("s_suppkey")))
+    mn = (offers.groupBy("p_partkey")
+          .agg(F.min("ps_cost_c").alias("min_c"))
+          .select(F.col("p_partkey").alias("m_partkey"), "min_c"))
+    best = offers.join(F.broadcast(mn),
+                       (F.col("p_partkey") == F.col("m_partkey"))
+                       & (F.col("ps_cost_c") == F.col("min_c")))
+    return (best.select("bal_c", "s_name", "n_name", "p_partkey",
+                        F.col("ps_cost_c").cast("long").alias("cost_c"))
+            .orderBy(F.col("bal_c").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(_Q2_TOPK))
+
+
+def _sql_min_cost_supp() -> str:
+    return f"""WITH {_sql_partsupp()},
+pt AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey FROM part
+       WHERE p_size = {_Q2_SIZE}),
+sup AS (SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name,
+               CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS bal_c
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{_Q2_REGION}'),
+off AS (SELECT p_partkey, s_suppkey, s_name, n_name, bal_c, ps_cost_c
+        FROM ps JOIN pt ON ps_partkey = p_partkey
+                JOIN sup ON ps_suppkey = s_suppkey),
+mn AS (SELECT p_partkey AS m_partkey, MIN(ps_cost_c) AS min_c
+       FROM off GROUP BY 1)
+SELECT bal_c, s_name, n_name, p_partkey,
+       CAST(ps_cost_c AS BIGINT) AS cost_c
+FROM off JOIN mn ON p_partkey = m_partkey AND ps_cost_c = min_c
+ORDER BY bal_c DESC, n_name, s_name, p_partkey LIMIT {_Q2_TOPK}"""
+
+
+_Q11_NATION = "NATION_3"
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: parts whose inventory value at
+    one nation's suppliers exceeds twice the nation-group average part
+    value.  value_c = sum(cost_c * availqty) is exact BIGINT, and the
+    HAVING gate is the exact cross-multiplication
+    value_c * n_parts > 2 * total_c — scale-free (the TPC-H fixed
+    fraction only works at one scale factor) and engine-independent.
+
+    Scale plan: the nation's suppliers broadcast into partsupp; ONE
+    per-part hash agg; the single-row (total, count) broadcasts back
+    as a literal cross join.
+
+    FULL SQL ORACLE (_sql_important_stock)."""
+    ps = _partsupp(spark, sf_dir)
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .where(F.col("n_name") == _Q11_NATION)
+           .select(F.col("s_suppkey").cast("long").alias("s_suppkey")))
+    val = (ps.join(F.broadcast(sup),
+                   F.col("ps_suppkey") == F.col("s_suppkey"))
+           .groupBy("ps_partkey")
+           .agg(F.sum(F.col("ps_cost_c") * F.col("ps_availqty"))
+                .alias("value_c")))
+    tot = val.agg(F.sum("value_c").alias("total_c"),
+                  F.count("*").alias("n_parts"))
+    return (val.crossJoin(F.broadcast(tot))
+            .where(F.col("value_c") * F.col("n_parts")
+                   > 2 * F.col("total_c"))
+            .select(F.col("ps_partkey").cast("long").alias("ps_partkey"),
+                    F.col("value_c").cast("long").alias("value_c")))
+
+
+def _sql_important_stock() -> str:
+    return f"""WITH {_sql_partsupp()},
+sup AS (SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = '{_Q11_NATION}'),
+val AS (SELECT ps_partkey,
+               CAST(SUM(ps_cost_c * ps_availqty) AS BIGINT) AS value_c
+        FROM ps JOIN sup ON ps_suppkey = s_suppkey
+        GROUP BY 1),
+tot AS (SELECT CAST(SUM(value_c) AS BIGINT) AS total_c,
+               CAST(COUNT(*) AS BIGINT) AS n_parts FROM val)
+SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey, value_c
+FROM val CROSS JOIN tot
+WHERE value_c * n_parts > 2 * total_c"""
+
+
+_Q20_NATION = "NATION_12"
+_Q20_NAME_PAT = "cold%"
+_Q20_LO_US = 852_076_800 * 1_000_000   # 1997-01-01
+_Q20_HI_US = 883_612_800 * 1_000_000   # 1998-01-01
+
+
+def q_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style potential part promotion: suppliers in one
+    nation holding excess stock — an offer whose availqty exceeds half
+    the quantity they actually shipped of that part in one year.  The
+    half gate is the exact integer comparison
+    2 * availqty > shipped_qty (never shipped => shipped 0, gate
+    true, per Q20's semantics); membership is an EXISTS, implemented
+    as a LEFT SEMI join into the supplier dimension.
+
+    Scale plan: lineitem pre-aggregates to per-(part, supplier)
+    shipped quantities in its only shuffle; the name-filtered part
+    list broadcasts into partsupp; the surviving offer keys semi-join
+    the (bounded) supplier dimension.
+
+    FULL SQL ORACLE (_sql_promo_suppliers)."""
+    ps = _partsupp(spark, sf_dir)
+    parts = (spark.read.parquet(f"{sf_dir}/part.parquet")
+             .where(F.col("p_name").like(_Q20_NAME_PAT))
+             .select(F.col("p_partkey").cast("long").alias("p_partkey")))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lus = temporal.epoch_micros(li, "l_shipdate")
+    shipped = (li.where((lus >= _Q20_LO_US) & (lus < _Q20_HI_US))
+               .groupBy(F.col("l_partkey").cast("long").alias("sh_pk"),
+                        F.col("l_suppkey").cast("long").alias("sh_sk"))
+               .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long"))
+                    .alias("sh_qty")))
+    offers = (ps.join(F.broadcast(parts),
+                      F.col("ps_partkey") == F.col("p_partkey"))
+              .join(shipped, (F.col("ps_partkey") == F.col("sh_pk"))
+                    & (F.col("ps_suppkey") == F.col("sh_sk")), "left")
+              .where(2 * F.col("ps_availqty")
+                     > F.coalesce(F.col("sh_qty"), F.lit(0))))
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .where(F.col("n_name") == _Q20_NATION)
+           .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                   "s_name"))
+    return sup.join(offers.select(F.col("ps_suppkey").alias("o_sk")),
+                    F.col("s_suppkey") == F.col("o_sk"), "left_semi")
+
+
+def _sql_promo_suppliers() -> str:
+    return f"""WITH {_sql_partsupp()},
+pt AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey FROM part
+       WHERE p_name LIKE '{_Q20_NAME_PAT}'),
+sh AS (SELECT CAST(l_partkey AS BIGINT) AS sh_pk,
+              CAST(l_suppkey AS BIGINT) AS sh_sk,
+              CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                AS sh_qty
+       FROM lineitem
+       WHERE epoch_us(l_shipdate) >= {_Q20_LO_US}
+         AND epoch_us(l_shipdate) < {_Q20_HI_US}
+       GROUP BY 1, 2),
+off AS (SELECT ps_suppkey FROM ps
+        JOIN pt ON ps_partkey = p_partkey
+        LEFT JOIN sh ON ps_partkey = sh_pk AND ps_suppkey = sh_sk
+        WHERE 2 * ps_availqty > COALESCE(sh_qty, 0))
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{_Q20_NATION}'
+  AND s_suppkey IN (SELECT ps_suppkey FROM off)"""
+
+
+# ---------------------------------------------------------------------------
 # session 22b: bounded-round connectivity (graph + raster) and
 # distributional divergence between corpus slices
 # ---------------------------------------------------------------------------
@@ -10657,6 +10911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disc_revenue": q_disc_revenue,
         "late_suppliers": q_late_suppliers,
         "idle_customers": q_idle_customers,
+        "min_cost_supp": q_min_cost_supp,
+        "important_stock": q_important_stock,
+        "promo_suppliers": q_promo_suppliers,
         "wcc_sizes": q_wcc_sizes,
         "cell_components": q_cell_components,
         "jsd_sources": q_jsd_sources,
@@ -10831,6 +11088,9 @@ def oracle_sql() -> dict[str, str]:
         "disc_revenue": _sql_disc_revenue(),
         "late_suppliers": _sql_late_suppliers(),
         "idle_customers": _sql_idle_customers(),
+        "min_cost_supp": _sql_min_cost_supp(),
+        "important_stock": _sql_important_stock(),
+        "promo_suppliers": _sql_promo_suppliers(),
         "wcc_sizes": _sql_wcc_sizes(n),
         "cell_components": _sql_cell_components(n),
         "jsd_sources": _sql_jsd_sources(),

@@ -69,6 +69,7 @@ HEADLINE = [
     "ship_modes", "cust_orders_dist", "top_supplier", "small_qty",
     "disc_revenue", "late_suppliers", "idle_customers",
     "wcc_sizes", "cell_components", "jsd_sources", "odds_ratio_terms",
+    "min_cost_supp", "important_stock", "promo_suppliers",
 ]
 
 
