@@ -10739,6 +10739,144 @@ ORDER BY ABS(delta_q) DESC, delta_q DESC, token LIMIT {ODDS_TOPK}"""
 
 
 # ---------------------------------------------------------------------------
+# session 22d: time-series decomposition + tokenizer diagnostics
+# ---------------------------------------------------------------------------
+
+STL_SHIFT = 1_000_000_000   # makes detrended means non-negative pre-div
+
+
+def q_stl_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive time-series decomposition of the hourly event-volume
+    series (a fixed-window STL analogue): trend = centered 24-hour
+    moving sum (x24 to stay integer), detrended d24 = 24*y - trend,
+    seasonal = per hour-of-day floor-mean of d24, residual sum of
+    squares per hour-of-day.  The series is densified (missing hours
+    are exact zeros), the mean uses the shift-then-div discipline
+    (Spark `div` truncates, DuckDB `//` floors — they agree on
+    non-negatives), and every emitted value is an exact BIGINT.
+
+    Scale plan: the corpus aggregates to the hourly series in one
+    hash-agg; the spine join, window, and both per-hour-of-day aggs
+    run on the bounded horizon (at planetary horizons, partition the
+    trend window by week with 24-row overlap).  The detrended relation
+    is persisted — the seasonal agg and the residual join both
+    reference it.
+
+    FULL SQL ORACLE (_sql_stl_hours)."""
+    ev = _events_micros(spark, sf_dir)
+    cnt = (ev.select(F.floor(F.col("tm") / F.lit(3_600_000_000))
+                     .cast("long").alias("x"))
+           .groupBy("x").agg(F.count("*").alias("y")))
+    mm = cnt.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    spine = mm.select(F.explode(F.sequence(F.col("mn"), F.col("mx")))
+                      .alias("x"), "mn", "mx")
+    ser = (spine.join(cnt, "x", "left")
+           .select("x", "mn", "mx",
+                   F.coalesce(F.col("y"), F.lit(0)).alias("y")))
+    w = Window.orderBy("x").rowsBetween(-11, 12)
+    t = ser.withColumn("t24", F.sum("y").over(w))
+    d = (t.where((F.col("x") - F.col("mn") >= 11)
+                 & (F.col("mx") - F.col("x") >= 12))
+         .select((F.col("x") % 24).alias("h"),
+                 (24 * F.col("y") - F.col("t24")).alias("d24"))
+         .persist())
+    s = (d.groupBy("h")
+         .agg(F.count("*").alias("n_h"),
+              F.sum("d24").alias("s_num"),
+              F.sum(F.col("d24") + STL_SHIFT).alias("s_shift")))
+    s2 = s.select("h", "n_h", "s_num",
+                  (F.expr("s_shift div n_h") - STL_SHIFT)
+                  .alias("s_floor"))
+    r = (d.join(F.broadcast(s2.select("h", "s_floor")), "h")
+         .select("h", (F.col("d24") - F.col("s_floor")).alias("rr")))
+    rss = r.groupBy("h").agg(F.sum(F.col("rr") * F.col("rr"))
+                             .alias("rss24"))
+    return (s2.join(rss, "h")
+            .select(F.col("h").cast("long").alias("h"),
+                    F.col("n_h").cast("long").alias("n_h"),
+                    F.col("s_num").cast("long").alias("s_num"),
+                    F.col("s_floor").cast("long").alias("s_floor"),
+                    F.col("rss24").cast("long").alias("rss24")))
+
+
+def _sql_stl_hours() -> str:
+    return f"""WITH ser0 AS (
+  SELECT epoch_us(ts) // 3600000000 AS x, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM ser0),
+spine AS (SELECT unnest(generate_series(mn, mx)) AS x, mn, mx FROM mm),
+ser AS (SELECT spine.x AS x, mn, mx, COALESCE(y, 0) AS y
+        FROM spine LEFT JOIN ser0 ON spine.x = ser0.x),
+t AS (SELECT x, mn, mx, y,
+             SUM(y) OVER (ORDER BY x
+               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS t24
+      FROM ser),
+d AS MATERIALIZED (
+  SELECT x % 24 AS h, 24 * y - t24 AS d24
+  FROM t WHERE x - mn >= 11 AND mx - x >= 12),
+s2 AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_h,
+              CAST(SUM(d24) AS BIGINT) AS s_num,
+              CAST(SUM(d24 + {STL_SHIFT}) AS BIGINT) // COUNT(*)
+                - {STL_SHIFT} AS s_floor
+       FROM d GROUP BY 1),
+rss AS (SELECT d.h, CAST(SUM((d24 - s_floor) * (d24 - s_floor))
+                         AS BIGINT) AS rss24
+        FROM d JOIN s2 ON d.h = s2.h GROUP BY 1)
+SELECT CAST(s2.h AS BIGINT) AS h, n_h, s_num,
+       CAST(s_floor AS BIGINT) AS s_floor, rss24
+FROM s2 JOIN rss ON s2.h = rss.h"""
+
+
+def q_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pretokenizer units
+    per whitespace token (the multilingual-tokenizer-cost diagnostic —
+    high fertility means the tokenizer fragments that language).  Both
+    counts are exact BIGINTs; fertility is the exact floored
+    micro-ratio (1e6 * bpe_units) div ws_tokens — non-negative, so
+    truncation and floor agree across engines.
+
+    Scale plan: both tokenizations run as codegen'd size(regexp)
+    expressions inside the scan — no explode, no shuffle of token
+    rows; ONE per-lang hash agg.
+
+    FULL SQL ORACLE (_sql_tok_fertility)."""
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        "lang",
+        F.size(analysis.tokens(F.lower(F.col("text")))).cast("long")
+        .alias("n_ws"),
+        F.size(analysis.bpe_tokens(F.col("text"))).cast("long")
+        .alias("n_bpe"))
+    agg = (per.groupBy("lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_ws").alias("ws_tokens"),
+                F.sum("n_bpe").alias("bpe_units")))
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_units").cast("long").alias("bpe_units"),
+        F.expr("(1000000 * bpe_units) div ws_tokens")
+        .alias("fertility_micro"))
+
+
+def _sql_tok_fertility() -> str:
+    return f"""WITH per AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t != '')) AS n_ws,
+         len(regexp_extract_all(lower(text), '{analysis.BPE_PATTERN}'))
+           AS n_bpe
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS bpe_units,
+       (1000000 * CAST(SUM(n_bpe) AS BIGINT))
+         // CAST(SUM(n_ws) AS BIGINT) AS fertility_micro
+FROM per GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -10918,6 +11056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_components": q_cell_components,
         "jsd_sources": q_jsd_sources,
         "odds_ratio_terms": q_odds_ratio_terms,
+        "stl_hours": q_stl_hours,
+        "tok_fertility": q_tok_fertility,
         "big_orders": q_big_orders,
     }
 
@@ -11095,4 +11235,6 @@ def oracle_sql() -> dict[str, str]:
         "cell_components": _sql_cell_components(n),
         "jsd_sources": _sql_jsd_sources(),
         "odds_ratio_terms": _sql_odds_ratio_terms(),
+        "stl_hours": _sql_stl_hours(),
+        "tok_fertility": _sql_tok_fertility(),
     }

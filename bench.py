@@ -70,6 +70,7 @@ HEADLINE = [
     "disc_revenue", "late_suppliers", "idle_customers",
     "wcc_sizes", "cell_components", "jsd_sources", "odds_ratio_terms",
     "min_cost_supp", "important_stock", "promo_suppliers",
+    "stl_hours", "tok_fertility",
 ]
 
 
