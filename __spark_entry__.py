@@ -10877,6 +10877,671 @@ FROM per GROUP BY 1"""
 
 
 # ---------------------------------------------------------------------------
+# session 23 — distributed model fitting: OLS normal equations, naive
+# Bayes, TextRank, circular statistics, periodogram, Kaplan-Meier,
+# labeled-BFS closeness centrality
+# ---------------------------------------------------------------------------
+
+
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed two-feature OLS via exact normal equations: regress
+    each document's whitespace token count on its character count and
+    its long-token (>= 5 chars) count — the one-pass sufficient-
+    statistics pattern every shared-nothing regression uses (X'X and
+    X'y as map-side combinable sums; the tiny solve happens once at
+    the end).
+
+    Exactness: the 9 sufficient sums (n, Sx1, Sx2, Sy, Sx1x1, Sx1x2,
+    Sx2x2, Sx1y, Sx2y) are exact BIGINTs — per-doc features are small
+    integers, so no div-quantization is needed (documented headroom:
+    chars <= ~2e3, chars^2 <= 4e6/row, safe under ANSI to ~1e12 docs).
+    The Cramer's-rule solve over CENTERED moments is ONE fixed float
+    expression over the exact sums, mirrored token-for-token by the
+    oracle — the only doubles in the plan.
+
+    Scale plan: one map-side stage (feature expressions inside the
+    scan, no explode — token/punct counts are size(regexp) exprs) plus
+    a single-row hash agg; nothing shuffles but 9 numbers/partition.
+
+    FULL SQL ORACLE (_sql_linreg)."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    per = docs.select(
+        F.length(t).cast("long").alias("x1"),
+        F.size(F.filter(analysis.tokens(t),
+                        lambda tk: F.length(tk) >= 5)).cast("long")
+        .alias("x2"),
+        F.size(analysis.tokens(t)).cast("long").alias("y"))
+    s = per.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("x1").alias("sx1"), F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"))
+    nd = F.col("n_docs").cast("double")
+    s11 = nd * F.col("sx1x1").cast("double") \
+        - F.col("sx1").cast("double") * F.col("sx1").cast("double")
+    s12 = nd * F.col("sx1x2").cast("double") \
+        - F.col("sx1").cast("double") * F.col("sx2").cast("double")
+    s22 = nd * F.col("sx2x2").cast("double") \
+        - F.col("sx2").cast("double") * F.col("sx2").cast("double")
+    s1y = nd * F.col("sx1y").cast("double") \
+        - F.col("sx1").cast("double") * F.col("sy").cast("double")
+    s2y = nd * F.col("sx2y").cast("double") \
+        - F.col("sx2").cast("double") * F.col("sy").cast("double")
+    det = s11 * s22 - s12 * s12
+    b1 = F.when(det != 0.0, (s22 * s1y - s12 * s2y) / det)
+    b2 = F.when(det != 0.0, (s11 * s2y - s12 * s1y) / det)
+    b0 = (F.col("sy").cast("double") - b1 * F.col("sx1").cast("double")
+          - b2 * F.col("sx2").cast("double")) / nd
+    return s.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sx1").cast("long").alias("sx1"),
+        F.col("sx2").cast("long").alias("sx2"),
+        F.col("sy").cast("long").alias("sy"),
+        F.col("sx1x1").cast("long").alias("sx1x1"),
+        F.col("sx1x2").cast("long").alias("sx1x2"),
+        F.col("sx2x2").cast("long").alias("sx2x2"),
+        F.col("sx1y").cast("long").alias("sx1y"),
+        F.col("sx2y").cast("long").alias("sx2y"),
+        F.round(b1, 6).alias("beta_chars"),
+        F.round(b2, 6).alias("beta_long"),
+        F.round(b0, 6).alias("intercept"))
+
+
+def _sql_linreg() -> str:
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "t -> t != '')")
+    return f"""WITH per AS (
+  SELECT CAST(len(text) AS BIGINT) AS x1,
+         CAST(len(list_filter({toks}, t -> len(t) >= 5)) AS BIGINT) AS x2,
+         CAST(len({toks}) AS BIGINT) AS y
+  FROM documents),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(x1) AS BIGINT) AS sx1,
+             CAST(SUM(x2) AS BIGINT) AS sx2,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
+             CAST(SUM(x1 * x2) AS BIGINT) AS sx1x2,
+             CAST(SUM(x2 * x2) AS BIGINT) AS sx2x2,
+             CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+             CAST(SUM(x2 * y) AS BIGINT) AS sx2y
+      FROM per),
+m AS (SELECT *,
+        CAST(n_docs AS DOUBLE) * CAST(sx1x1 AS DOUBLE)
+          - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) AS s11,
+        CAST(n_docs AS DOUBLE) * CAST(sx1x2 AS DOUBLE)
+          - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) AS s12,
+        CAST(n_docs AS DOUBLE) * CAST(sx2x2 AS DOUBLE)
+          - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) AS s22,
+        CAST(n_docs AS DOUBLE) * CAST(sx1y AS DOUBLE)
+          - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) AS s1y,
+        CAST(n_docs AS DOUBLE) * CAST(sx2y AS DOUBLE)
+          - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE) AS s2y
+      FROM s),
+b AS (SELECT *,
+        CASE WHEN s11 * s22 - s12 * s12 <> 0 THEN
+          (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) END AS b1,
+        CASE WHEN s11 * s22 - s12 * s12 <> 0 THEN
+          (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) END AS b2
+      FROM m)
+SELECT n_docs, sx1, sx2, sy, sx1x1, sx1x2, sx2x2, sx1y, sx2y,
+       ROUND(b1, 6) AS beta_chars,
+       ROUND(b2, 6) AS beta_long,
+       ROUND((CAST(sy AS DOUBLE) - b1 * CAST(sx1 AS DOUBLE)
+              - b2 * CAST(sx2 AS DOUBLE))
+             / CAST(n_docs AS DOUBLE), 6) AS intercept
+FROM b"""
+
+
+NB_V = 300    # naive-Bayes vocabulary: top-V tokens by (count desc, tok)
+
+
+def q_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier trained AND scored
+    in one distributed pass: P(tok|lang) with add-1 smoothing over the
+    top-{NB_V} vocabulary, argmax posterior per document, emitted as
+    the (actual, predicted) confusion matrix — the train-a-model-on-
+    the-corpus pattern (fastText-style lang-ID supervision) expressed
+    as joins + aggregations.
+
+    Exactness: each model cell's log-prob ln((c_lt+1)/(c_l+V)) and
+    each prior ln(n_l/n) is quantized ONCE to integer micro-nats, so
+    every per-(doc, lang) score is an exact BIGINT sum (tf * qlp) —
+    argmax with the deterministic (score desc, lang) tie-break is
+    engine-independent.  Docs containing no vocabulary token are
+    excluded by construction (no score rows) — same rule in both
+    engines.
+
+    Scale plan: the vocabulary cut is a TakeOrdered over the token
+    aggregate; the model (V x L cells) and priors are broadcast; the
+    only corpus-sized shuffles are the (doc, tok) tf aggregation and
+    the per-(doc, lang) score aggregation.  The argmax window
+    partitions by doc_id — row-parallel.
+
+    FULL SQL ORACLE (_sql_nb_lang)."""
+    docs = _docs(spark, sf_dir)
+    tk = docs.select("doc_id", "lang",
+                     F.explode(analysis.tokens(F.col("text"))).alias("tok"))
+    vocab = (tk.groupBy("tok").agg(F.count("*").alias("cnt"))
+             .orderBy(F.col("cnt").desc(), "tok").limit(NB_V)
+             .select("tok"))
+    tkv = tk.join(F.broadcast(vocab), "tok")
+    ctl = tkv.groupBy("lang", "tok").agg(F.count("*").alias("c_lt"))
+    cl = ctl.groupBy("lang").agg(F.sum("c_lt").alias("c_l"))
+    vsz = vocab.agg(F.count("*").alias("vsz"))
+    model = (vocab.crossJoin(cl)
+             .join(ctl, ["lang", "tok"], "left")
+             .crossJoin(F.broadcast(vsz))
+             .select("lang", "tok",
+                     F.round(F.log(
+                         (F.coalesce(F.col("c_lt"), F.lit(0)) + 1)
+                         .cast("double")
+                         / (F.col("c_l") + F.col("vsz")).cast("double"))
+                         * 1e6, 0).cast("long").alias("qlp")))
+    nl = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    nt = docs.agg(F.count("*").alias("n_tot"))
+    prior = (nl.crossJoin(F.broadcast(nt))
+             .select(F.col("lang").alias("mlang"),
+                     F.round(F.log(F.col("n_l").cast("double")
+                                   / F.col("n_tot").cast("double"))
+                             * 1e6, 0).cast("long").alias("qpr")))
+    tf = tkv.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("tf"))
+    sc = (tf.join(F.broadcast(model.withColumnRenamed("lang", "mlang")),
+                  "tok")
+          .groupBy("doc_id", F.col("lang").alias("actual"), "mlang")
+          .agg(F.sum(F.col("tf") * F.col("qlp")).alias("s")))
+    scored = (sc.join(F.broadcast(prior), "mlang")
+              .select("doc_id", "actual", "mlang",
+                      (F.col("s") + F.col("qpr")).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "mlang")
+    pred = (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1))
+    return (pred.groupBy(F.col("actual").alias("actual_lang"),
+                         F.col("mlang").alias("pred_lang"))
+            .agg(F.count("*").alias("n_docs")))
+
+
+def _sql_nb_lang() -> str:
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "t -> t != '')")
+    return f"""WITH tk AS (
+  SELECT doc_id, lang, unnest({toks}) AS tok FROM documents),
+vocab AS (SELECT tok FROM (
+  SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1
+  ORDER BY cnt DESC, tok LIMIT {NB_V})),
+tkv AS (SELECT tk.* FROM tk JOIN vocab USING (tok)),
+ctl AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c_lt
+        FROM tkv GROUP BY 1, 2),
+cl AS (SELECT lang, CAST(SUM(c_lt) AS BIGINT) AS c_l FROM ctl GROUP BY 1),
+vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM vocab),
+model AS (
+  SELECT cl.lang, v.tok,
+         CAST(ROUND(LN(CAST(COALESCE(ctl.c_lt, 0) + 1 AS DOUBLE)
+                       / CAST(cl.c_l + vsz.vsz AS DOUBLE)) * 1e6, 0)
+              AS BIGINT) AS qlp
+  FROM vocab v CROSS JOIN cl
+  LEFT JOIN ctl ON ctl.lang = cl.lang AND ctl.tok = v.tok
+  CROSS JOIN vsz),
+nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+       FROM documents GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents),
+prior AS (SELECT lang AS mlang,
+                 CAST(ROUND(LN(CAST(n_l AS DOUBLE)
+                               / CAST(n_tot AS DOUBLE)) * 1e6, 0)
+                      AS BIGINT) AS qpr
+          FROM nl CROSS JOIN nt),
+tf AS (SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tkv GROUP BY 1, 2, 3),
+sc AS (SELECT tf.doc_id, tf.lang AS actual, m.lang AS mlang,
+              CAST(SUM(tf.tf * m.qlp) AS BIGINT) AS s
+       FROM tf JOIN model m ON m.tok = tf.tok
+       GROUP BY 1, 2, 3),
+scored AS (SELECT doc_id, actual, sc.mlang, s + qpr AS score
+           FROM sc JOIN prior ON prior.mlang = sc.mlang),
+pred AS (SELECT doc_id, actual, mlang,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, mlang) AS rn
+         FROM scored)
+SELECT actual AS actual_lang, mlang AS pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1 GROUP BY 1, 2"""
+
+
+TR_V = 200      # TextRank vocabulary: top-V tokens by (count desc, tok)
+TR_K = 50       # emitted keywords
+TR_ITERS = 5
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the token co-occurrence graph — vertices are the top-{TR_V}
+    corpus tokens, undirected edges weight adjacent-token
+    co-occurrence counts — emitting the top-{TR_K} keywords.
+
+    Reuses the engine's integer-quantized pagerank kernel
+    (proj_spark/graph.py), so all rank arithmetic is exact BIGINT and
+    the unrolled-CTE oracle replays it bit-exactly; the adjacency list
+    is built with the zip_with-over-slices pattern (O(tokens), no
+    per-index re-slicing).  Each unordered pair aggregates once on its
+    canonical (least, greatest) key, then mirrors into both directions
+    so the random walk is symmetric.
+
+    Scale plan: vocabulary cut = TakeOrdered over the token aggregate,
+    broadcast into the pair stream (two semi joins); the pair
+    aggregate is bounded by V^2, so the 5 pagerank rounds run over a
+    tiny relation with broadcast rank joins.
+
+    FULL SQL ORACLE (_sql_textrank)."""
+    from proj_spark.graph import pagerank
+    docs = _docs(spark, sf_dir)
+    pair_expr = (
+        "CASE WHEN size(toks) >= 2 THEN "
+        "zip_with(slice(toks, 1, size(toks) - 1), "
+        "         slice(toks, 2, size(toks) - 1), "
+        "         (a, b) -> struct(a AS a, b AS b)) "
+        "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END")
+    toks = docs.select(analysis.tokens(F.col("text")).alias("toks"))
+    pairs = (toks.select(F.explode(F.expr(pair_expr)).alias("p"))
+             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b")))
+    allt = docs.select(F.explode(analysis.tokens(F.col("text")))
+                       .alias("tok"))
+    vocab = (allt.groupBy("tok").agg(F.count("*").alias("cnt"))
+             .orderBy(F.col("cnt").desc(), "tok").limit(TR_V)
+             .select("tok"))
+    fp = (pairs
+          .join(F.broadcast(vocab.withColumnRenamed("tok", "a")), "a",
+                "left_semi")
+          .join(F.broadcast(vocab.withColumnRenamed("tok", "b")), "b",
+                "left_semi")
+          .where(F.col("a") != F.col("b"))
+          .select(F.least("a", "b").alias("x"),
+                  F.greatest("a", "b").alias("y")))
+    cw = fp.groupBy("x", "y").agg(F.count("*").alias("w"))
+    edges = (cw.select(F.col("x").alias("src"), F.col("y").alias("dst"),
+                       "w")
+             .union(cw.select(F.col("y").alias("src"),
+                              F.col("x").alias("dst"), "w")))
+    nodes = vocab.select(F.col("tok").alias("node"))
+    pr = pagerank(edges, nodes, iters=TR_ITERS)
+    return (pr.select(F.col("node").alias("token"), "score")
+            .orderBy(F.col("score").desc(), "token").limit(TR_K))
+
+
+def _sql_textrank() -> str:
+    from proj_spark.graph import pagerank_sql
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "t -> t != '')")
+    edges_cte = f"""t AS (SELECT {toks} AS toks FROM documents),
+bgl AS (
+  SELECT unnest([{{'a': toks[i+1], 'b': toks[i+2]}}
+                 for i in generate_series(0, len(toks) - 2)]) AS p
+  FROM t WHERE len(toks) >= 2),
+vocab AS (SELECT tok FROM (
+  SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(toks) AS tok FROM t)
+  GROUP BY 1 ORDER BY cnt DESC, tok LIMIT {TR_V})),
+fp AS (SELECT LEAST(p.a, p.b) AS x, GREATEST(p.a, p.b) AS y
+       FROM bgl
+       WHERE p.a IN (SELECT tok FROM vocab)
+         AND p.b IN (SELECT tok FROM vocab)
+         AND p.a <> p.b),
+cw AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS w FROM fp GROUP BY 1, 2),
+e AS (SELECT x AS src, y AS dst, w FROM cw
+      UNION ALL
+      SELECT y AS src, x AS dst, w FROM cw)"""
+    nodes_cte = "nodes AS (SELECT tok AS node FROM vocab)"
+    body = pagerank_sql(edges_cte, nodes_cte, iters=TR_ITERS)
+    return (body.replace("SELECT node, score FROM",
+                         "SELECT node AS token, score FROM")
+            + f"\nORDER BY score DESC, token LIMIT {TR_K}")
+
+
+def q_bearing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain circular statistics of consecutive crawl-hop
+    bearings: mean resultant length R (0 = uniformly scattered
+    directions, 1 = all hops point the same way) and the Rayleigh
+    statistic z = n*R^2 — directional-statistics screens for
+    systematic drift in a domain's geographic crawl path.
+
+    Exactness: no trigonometry — each hop's direction cosines are
+    dx/|d|, dy/|d| over EXACT µdeg deltas, quantized to integer
+    micro-units per hop (ONE fixed float expression incl. the sqrt,
+    LN-parity-class), so the per-domain sums sc/ss are exact BIGINTs;
+    R and z are fixed float assemblies over them.  Zero-length hops
+    (same µdeg point) are excluded in both engines.
+
+    Scale plan: one window shuffle on domain (the LEAD), then the
+    hash agg reuses the same partitioning; ~domains rows out.
+
+    FULL SQL ORACLE (_sql_bearing_stats)."""
+    pts = _points(spark, sf_dir)
+    seq = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    t = pts.select(
+        "domain", seq.alias("seq"),
+        (F.round(F.col("lon") * 1e6, 0).cast("long")
+         + F.lit(180_000_000)).alias("x"),
+        (F.round(F.col("lat") * 1e6, 0).cast("long")
+         + F.lit(90_000_000)).alias("y"))
+    w = Window.partitionBy("domain").orderBy("seq")
+    hops = (t.select("domain", "x", "y",
+                     F.lead("x").over(w).alias("x2"),
+                     F.lead("y").over(w).alias("y2"))
+            .where(F.col("x2").isNotNull()
+                   & ~((F.col("x") == F.col("x2"))
+                       & (F.col("y") == F.col("y2")))))
+    dx = (F.col("x2") - F.col("x")).cast("double")
+    dy = (F.col("y2") - F.col("y")).cast("double")
+    r = F.sqrt(dx * dx + dy * dy)
+    q = hops.select(
+        "domain",
+        F.round(dx / r * 1e6, 0).cast("long").alias("qc"),
+        F.round(dy / r * 1e6, 0).cast("long").alias("qs"))
+    agg = q.groupBy("domain").agg(
+        F.count("*").alias("n_hops"),
+        F.sum("qc").alias("sc"), F.sum("qs").alias("ss"))
+    scd = F.col("sc").cast("double")
+    ssd = F.col("ss").cast("double")
+    nd = F.col("n_hops").cast("double")
+    return agg.select(
+        "domain",
+        F.col("n_hops").cast("long").alias("n_hops"),
+        F.col("sc").cast("long").alias("sc"),
+        F.col("ss").cast("long").alias("ss"),
+        F.round(F.sqrt(scd * scd + ssd * ssd) / (nd * 1e6), 6)
+        .alias("r_mean"),
+        F.round((scd * scd + ssd * ssd) / (nd * 1e12), 6)
+        .alias("rayleigh_z"))
+
+
+def _sql_bearing_stats(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+t AS (SELECT domain, i AS seq,
+             CAST(ROUND(lon * 1e6, 0) AS BIGINT) + 180000000 AS x,
+             CAST(ROUND(lat * 1e6, 0) AS BIGINT) + 90000000 AS y
+      FROM pages),
+hops AS (SELECT domain, x, y,
+                LEAD(x) OVER (PARTITION BY domain ORDER BY seq) AS x2,
+                LEAD(y) OVER (PARTITION BY domain ORDER BY seq) AS y2
+         FROM t),
+q AS (SELECT domain,
+             CAST(ROUND(CAST(x2 - x AS DOUBLE)
+                        / SQRT(CAST(x2 - x AS DOUBLE) * CAST(x2 - x AS DOUBLE)
+                               + CAST(y2 - y AS DOUBLE) * CAST(y2 - y AS DOUBLE))
+                        * 1e6, 0) AS BIGINT) AS qc,
+             CAST(ROUND(CAST(y2 - y AS DOUBLE)
+                        / SQRT(CAST(x2 - x AS DOUBLE) * CAST(x2 - x AS DOUBLE)
+                               + CAST(y2 - y AS DOUBLE) * CAST(y2 - y AS DOUBLE))
+                        * 1e6, 0) AS BIGINT) AS qs
+      FROM hops
+      WHERE x2 IS NOT NULL AND NOT (x = x2 AND y = y2)),
+agg AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_hops,
+               CAST(SUM(qc) AS BIGINT) AS sc,
+               CAST(SUM(qs) AS BIGINT) AS ss
+        FROM q GROUP BY 1)
+SELECT domain, n_hops, sc, ss,
+       ROUND(SQRT(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                  + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+             / (CAST(n_hops AS DOUBLE) * 1e6), 6) AS r_mean,
+       ROUND((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+              + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+             / (CAST(n_hops AS DOUBLE) * 1e12), 6) AS rayleigh_z
+FROM agg"""
+
+
+def _rhalf_py(v: float) -> int:
+    """Round half away from zero — the ROUND(x, 0) of both engines."""
+    return int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+
+
+PG_PERIODS = (24, 12, 8, 6)
+# Literal phase tables: micro-quantized cos/sin of 2*pi*r/P, computed
+# ONCE here and embedded verbatim in BOTH engines' plans — no runtime
+# trigonometry anywhere, so cross-engine parity is by construction.
+PG_PHASES: list[tuple[int, int, int, int]] = [
+    (p, r,
+     _rhalf_py(math.cos(2.0 * math.pi * r / p) * 1e6),
+     _rhalf_py(math.sin(2.0 * math.pi * r / p) * 1e6))
+    for p in PG_PERIODS for r in range(p)]
+
+
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-frequency periodogram of the hourly event-volume series:
+    spectral power at the 24/12/8/6-hour harmonics (the diurnal comb)
+    via the literal quantized phase tables above — the frequency-
+    domain companion to acf_hours/stl_hours.
+
+    Exactness: C_P = sum(y * qcos), S_P = sum(y * qsin) are exact
+    BIGINTs (counts x literal integers); the relative amplitude
+    sqrt(C^2+S^2)/(s_tot*1e6) and power (C^2+S^2)/(s_tot^2*1e12) are
+    fixed float assemblies.  Hours with no events contribute exactly
+    zero, so the series needs no densification.
+
+    Scale plan: the corpus aggregates to the hourly series in one
+    hash-agg; the phase join and per-period aggs run over #hours x 4
+    rows (broadcast literal tables).
+
+    FULL SQL ORACLE (_sql_periodogram)."""
+    ev = _events_micros(spark, sf_dir)
+    ser = (ev.select(F.expr("tm div 3600000000").alias("x"))
+           .groupBy("x").agg(F.count("*").alias("y")))
+    phases = spark.createDataFrame(PG_PHASES,
+                                   "period long, r long, qc long, qs long")
+    periods = spark.createDataFrame([(p,) for p in PG_PERIODS],
+                                    "period long")
+    exp = (ser.crossJoin(F.broadcast(periods))
+           .select("period", (F.col("x") % F.col("period")).alias("r"), "y")
+           .join(F.broadcast(phases), ["period", "r"]))
+    agg = exp.groupBy("period").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("y").alias("s_tot"),
+        F.sum(F.col("y") * F.col("qc")).alias("c_sum"),
+        F.sum(F.col("y") * F.col("qs")).alias("s_sum"))
+    cd = F.col("c_sum").cast("double")
+    sd = F.col("s_sum").cast("double")
+    td = F.col("s_tot").cast("double")
+    return agg.select(
+        F.col("period").cast("long").alias("period"),
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("s_tot").cast("long").alias("s_tot"),
+        F.col("c_sum").cast("long").alias("c_sum"),
+        F.col("s_sum").cast("long").alias("s_sum"),
+        F.round(F.sqrt(cd * cd + sd * sd) / (td * 1e6), 6)
+        .alias("rel_amp"),
+        F.round((cd * cd + sd * sd) / (td * td * 1e12), 6)
+        .alias("power"))
+
+
+def _sql_periodogram() -> str:
+    rows = ", ".join(f"({p}, {r}, {qc}, {qs})"
+                     for p, r, qc, qs in PG_PHASES)
+    return f"""WITH ser AS (
+  SELECT epoch_us(ts) // 3600000000 AS x, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+ph(period, r, qc, qs) AS (VALUES {rows}),
+ex AS (SELECT ph.period, y, qc, qs
+       FROM ser JOIN ph ON ser.x % ph.period = ph.r),
+agg AS (SELECT period, CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(y) AS BIGINT) AS s_tot,
+               CAST(SUM(y * qc) AS BIGINT) AS c_sum,
+               CAST(SUM(y * qs) AS BIGINT) AS s_sum
+        FROM ex GROUP BY 1)
+SELECT CAST(period AS BIGINT) AS period, n_hours, s_tot, c_sum, s_sum,
+       ROUND(SQRT(CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE)
+                  + CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+             / (CAST(s_tot AS DOUBLE) * 1e6), 6) AS rel_amp,
+       ROUND((CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE)
+              + CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+             / (CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) * 1e12), 6)
+         AS power
+FROM agg"""
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator of the time-to-next-event
+    distribution: per-user inter-event gaps (hours), the last gap of
+    every user right-CENSORED at the stream horizon — the survival
+    curve S(t) telling a pipeline how long a user stays silent.
+
+    Exactness: the duration lattice (at-risk n_i, events d_i, censored
+    c_i per hour bucket) is exact-integer from windows; each factor
+    ln((n_i-d_i)/n_i) is quantized ONCE to integer micro-nats, so the
+    log-survival prefix sum is an exact BIGINT (the product turned
+    into the engine's quantized-log discipline); ln_surv is the one
+    fixed float division at the end.  Ordering ties broken by
+    (tm, event_id) in both engines.
+
+    Scale plan: one window shuffle on user_id for the gaps, then all
+    KM arithmetic runs on the tiny hour-bucket lattice (ordered
+    windows over #buckets rows).
+
+    FULL SQL ORACLE (_sql_kaplan_meier)."""
+    ev = _events_micros(spark, sf_dir)
+    mx = ev.agg(F.max("tm").alias("mx"))
+    w = Window.partitionBy("user_id").orderBy("tm", "event_id")
+    g = (ev.select("user_id", "tm", "event_id")
+         .withColumn("nxt", F.lead("tm").over(w))
+         .crossJoin(F.broadcast(mx))
+         .select(
+             F.expr("(coalesce(nxt, mx) - tm) div 3600000000").alias("t"),
+             F.when(F.col("nxt").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+             .alias("e")))
+    lat = g.groupBy("t").agg(
+        F.sum("e").alias("d"),
+        F.sum(F.lit(1) - F.col("e")).alias("c"))
+    ntot = g.agg(F.count("*").alias("n_tot"))
+    wp = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (lat.crossJoin(F.broadcast(ntot))
+            .withColumn("n_risk",
+                        F.col("n_tot")
+                        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wp),
+                                     F.lit(0))))
+    qln = F.when(
+        F.col("n_risk") > F.col("d"),
+        F.round(F.log((F.col("n_risk") - F.col("d")).cast("double")
+                      / F.col("n_risk").cast("double")) * 1e6, 0)
+        .cast("long"))
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = (risk.withColumn("qln", qln)
+          .withColumn("qln_cum", F.sum("qln").over(wc)))
+    return (km.where(F.col("d") > 0)
+            .select(F.col("t").cast("long").alias("t_hours"),
+                    F.col("n_risk").cast("long").alias("n_risk"),
+                    F.col("d").cast("long").alias("d_events"),
+                    F.col("c").cast("long").alias("c_censored"),
+                    F.when(F.col("n_risk") > F.col("d"),
+                           F.col("qln_cum").cast("long")).alias("qln_cum"),
+                    F.when(F.col("n_risk") > F.col("d"),
+                           F.round(F.col("qln_cum").cast("double") / 1e6, 6))
+                    .alias("ln_surv")))
+
+
+def _sql_kaplan_meier() -> str:
+    return """WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tm FROM events),
+mx AS (SELECT MAX(tm) AS mx FROM ev),
+g AS (SELECT (COALESCE(LEAD(tm) OVER (PARTITION BY user_id
+                                      ORDER BY tm, event_id), mx) - tm)
+               // 3600000000 AS t,
+             CASE WHEN LEAD(tm) OVER (PARTITION BY user_id
+                                      ORDER BY tm, event_id) IS NOT NULL
+                  THEN 1 ELSE 0 END AS e
+      FROM ev CROSS JOIN mx),
+lat AS (SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+               CAST(SUM(1 - e) AS BIGINT) AS c
+        FROM g GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM g),
+risk AS (SELECT t, d, c,
+                n_tot - COALESCE(SUM(d + c) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS n_risk
+         FROM lat CROSS JOIN nt),
+km AS (SELECT t, d, c, n_risk,
+              SUM(CASE WHEN n_risk > d THEN
+                    CAST(ROUND(LN(CAST(n_risk - d AS DOUBLE)
+                                  / CAST(n_risk AS DOUBLE)) * 1e6, 0)
+                         AS BIGINT) END)
+                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS qln_cum
+       FROM risk)
+SELECT CAST(t AS BIGINT) AS t_hours, CAST(n_risk AS BIGINT) AS n_risk,
+       d AS d_events, c AS c_censored,
+       CASE WHEN n_risk > d THEN CAST(qln_cum AS BIGINT) END AS qln_cum,
+       CASE WHEN n_risk > d
+            THEN ROUND(CAST(qln_cum AS DOUBLE) / 1e6, 6) END AS ln_surv
+FROM km WHERE d > 0"""
+
+
+CLOSE_SEED_MOD = 199    # closeness seeds: domains divisible by 199 (6)
+CLOSE_DEPTH = 4
+
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness + harmonic centrality of seed domains over the link
+    graph: labeled multi-source BFS (proj_spark/graph.py
+    multi_bfs_hops — one frontier join per round computes ALL seeds'
+    BFS trees simultaneously), then per-seed exact aggregates of the
+    hop distances — Bavelas closeness n/sum(d) and the
+    harmonic sum of 1/d as floored micro-units.
+
+    Depth-bounded at {CLOSE_DEPTH} (the graph's effective diameter is
+    tiny); unreached nodes are excluded by the bounded-reach contract,
+    the standard within-radius centrality variant.
+
+    FULL SQL ORACLE (_sql_closeness): a recursive CTE carrying the
+    seed label with a MIN(h) rollup per (seed, node) — a different
+    evaluation strategy over the same deterministic edge set."""
+    from proj_spark.graph import multi_bfs_hops
+    edges = _domain_links(spark, sf_dir)
+    seeds = (spark.range(N_DOMAINS).select(F.col("id").alias("seed"))
+             .where(F.col("seed") % CLOSE_SEED_MOD == 0))
+    out = multi_bfs_hops(edges, seeds, CLOSE_DEPTH)
+    agg = (out.where(F.col("hops") > 0)
+           .groupBy("seed")
+           .agg(F.count("*").alias("n_reached"),
+                F.sum("hops").alias("s_hops"),
+                F.sum(F.expr("1000000 div hops")).alias("harm_q")))
+    return agg.select(
+        F.col("seed").cast("long").alias("seed_domain"),
+        F.col("n_reached").cast("long").alias("n_reached"),
+        F.col("s_hops").cast("long").alias("s_hops"),
+        F.col("harm_q").cast("long").alias("harm_q"),
+        F.round(F.col("n_reached").cast("double")
+                / F.col("s_hops").cast("double"), 6).alias("closeness"))
+
+
+def _sql_closeness(n: int) -> str:
+    return f"""WITH RECURSIVE {_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+e AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+        UNION ALL
+        SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+      WHERE src != dst),
+reach(seed, node, h) AS (
+  SELECT i AS seed, i AS node, 0 AS h
+  FROM range(0, {N_DOMAINS}) t(i) WHERE i % {CLOSE_SEED_MOD} = 0
+  UNION
+  SELECT r.seed, e.dst, r.h + 1 FROM reach r JOIN e ON e.src = r.node
+  WHERE r.h < {CLOSE_DEPTH}
+),
+mh AS (SELECT seed, node, MIN(h) AS hops FROM reach GROUP BY 1, 2),
+agg AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+               CAST(SUM(hops) AS BIGINT) AS s_hops,
+               CAST(SUM(1000000 // hops) AS BIGINT) AS harm_q
+        FROM mh WHERE hops > 0 GROUP BY 1)
+SELECT CAST(seed AS BIGINT) AS seed_domain, n_reached, s_hops, harm_q,
+       ROUND(CAST(n_reached AS DOUBLE) / CAST(s_hops AS DOUBLE), 6)
+         AS closeness
+FROM agg"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -11059,6 +11724,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_hours": q_stl_hours,
         "tok_fertility": q_tok_fertility,
         "big_orders": q_big_orders,
+        "linreg": q_linreg,
+        "nb_lang": q_nb_lang,
+        "textrank": q_textrank,
+        "bearing_stats": q_bearing_stats,
+        "periodogram": q_periodogram,
+        "kaplan_meier": q_kaplan_meier,
+        "closeness": q_closeness,
     }
 
 
@@ -11237,4 +11909,11 @@ def oracle_sql() -> dict[str, str]:
         "odds_ratio_terms": _sql_odds_ratio_terms(),
         "stl_hours": _sql_stl_hours(),
         "tok_fertility": _sql_tok_fertility(),
+        "linreg": _sql_linreg(),
+        "nb_lang": _sql_nb_lang(),
+        "textrank": _sql_textrank(),
+        "bearing_stats": _sql_bearing_stats(n),
+        "periodogram": _sql_periodogram(),
+        "kaplan_meier": _sql_kaplan_meier(),
+        "closeness": _sql_closeness(n),
     }

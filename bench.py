@@ -71,6 +71,8 @@ HEADLINE = [
     "wcc_sizes", "cell_components", "jsd_sources", "odds_ratio_terms",
     "min_cost_supp", "important_stock", "promo_suppliers",
     "stl_hours", "tok_fertility",
+    "linreg", "nb_lang", "textrank", "bearing_stats", "periodogram",
+    "kaplan_meier", "closeness",
 ]
 
 

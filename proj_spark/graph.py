@@ -144,6 +144,49 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
     return visited
 
 
+def multi_bfs_hops(edges: DataFrame, seeds: DataFrame,
+                   max_depth: int = 4) -> DataFrame:
+    """Per-seed exact minimum hop counts: labeled level-synchronous BFS
+    from EVERY seed simultaneously.
+
+    edges: (src, dst) — direction respected; seeds: (seed).  Returns
+    (seed, node, hops) for every (seed, node) pair with node reachable
+    from that seed within `max_depth` (hops 0 = the seed itself).
+
+    Scale plan: identical to bfs_hops but the frontier carries the seed
+    label, so one pass computes |seeds| BFS trees — the frontier join
+    fans out each edge to at most |seeds| labeled copies (the
+    centrality use case keeps |seeds| small and the per-round distinct
+    bounds the frontier by |seeds| x |nodes|).  The edge relation is
+    persisted once; rounds persist their (seed, node) frontier and the
+    loop early-stops on an empty frontier, truncating iterative lineage
+    exactly like bfs_hops/pagerank above."""
+    e = edges.select("src", "dst").distinct().persist()
+    visited = seeds.select(F.col("seed"), F.col("seed").alias("node"),
+                           F.lit(0).cast("long").alias("hops")).persist()
+    frontier = visited.select("seed", "node")
+    interm = [visited]
+    for h in range(1, max_depth + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select("seed", F.col("dst").alias("node")).distinct()
+               .join(visited.select("seed", "node"),
+                     ["seed", "node"], "left_anti")
+               .select("seed", "node", F.lit(h).cast("long").alias("hops"))
+               .persist())
+        interm.append(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).persist()
+        interm.append(visited)
+        frontier = nxt.select("seed", "node")
+    visited.count()
+    for df in interm:
+        if df is not visited:
+            df.unpersist()
+    e.unpersist()
+    return visited
+
+
 def triangle_counts(edges: DataFrame,
                     sample_mod: int | None = None) -> DataFrame:
     """Exact per-node triangle counts of the UNDIRECTED simple graph

@@ -19,6 +19,7 @@ files", which is exactly what the tests assert.
 
 from __future__ import annotations
 
+from collections import Counter
 from typing import Iterable
 
 import pandas as pd
@@ -740,6 +741,82 @@ def stream_big_orders(spark: SparkSession, lineitem_dir: str,
 
     return (rows.groupBy("l_orderkey")
             .applyInPandasWithState(update, _BIGORD_OUT, _BIGORD_STATE,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+_CUSUM_OUT = StructType([
+    StructField("event_type", StringType()),
+    StructField("hr", LongType()),
+    StructField("y", LongType()),
+    StructField("g", LongType()),
+])
+_CUSUM_STATE = StructType([
+    StructField("cur_hour", LongType()),
+    StructField("cur_cnt", LongType()),
+    StructField("g", LongType()),
+])
+
+
+def stream_cusum(spark: SparkSession, events_dir: str,
+                 k: int = 4, thr: int = 12,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming Page's CUSUM rate-shift detector per event type: the
+    online counterpart of the batch q_cusum_hours scan.  Per type the
+    recursion g_h = max(0, g_{h-1} + (y_h - k)) accumulates excess
+    hourly volume over the allowance k; an alarm row is emitted the
+    hour g crosses `thr` (then g restarts at 0) — at-ingest rate-shift
+    alerting where the batch scan statistic only localizes the change
+    after the fact.
+
+    An hour is FINALIZED only when a later hour arrives for that type
+    (the trailing partial hour stays pending in state), and skipped
+    hours finalize as exact zeros — so under in-order arrival the
+    alarm sequence is deterministic and equals the pure-Python replay
+    asserted in tests/test_streaming.py regardless of micro-batch
+    boundaries (a batch may split an hour; the pending (hour, count)
+    pair carries across).  State is 3 ints per event type — O(#types),
+    not stream length; no watermark needed since processing is
+    strictly hour-monotone."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _streaming_reader(spark, events_dir, max_files_per_trigger)
+    rows = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        .alias("tm"))
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            cur_hour, cur_cnt, g = state.get
+        else:
+            cur_hour, cur_cnt, g = None, 0, 0
+        out = []
+
+        def finalize(h: int, y: int, g: int) -> int:
+            g = max(0, g + (y - k))
+            if g >= thr:
+                out.append((key[0], int(h), int(y), int(g)))
+                g = 0
+            return g
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        hrs = (pdf["tm"] // 3_600_000_000).astype("int64")
+        for h, y in sorted(Counter(hrs).items()):
+            h, y = int(h), int(y)
+            if cur_hour is None:
+                cur_hour, cur_cnt = h, y
+            elif h == cur_hour:
+                cur_cnt += y
+            else:
+                g = finalize(cur_hour, cur_cnt, g)
+                for empty in range(cur_hour + 1, h):
+                    g = finalize(empty, 0, g)
+                cur_hour, cur_cnt = h, y
+        state.update((cur_hour, cur_cnt, g))
+        yield pd.DataFrame(out, columns=["event_type", "hr", "y", "g"])
+
+    return (rows.groupBy("event_type")
+            .applyInPandasWithState(update, _CUSUM_OUT, _CUSUM_STATE,
                                     "append", GroupStateTimeout.NoTimeout))
 
 

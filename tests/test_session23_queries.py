@@ -1,0 +1,379 @@
+"""First-principles checks for the session-23 layer: distributed model
+fitting (normal-equations OLS, naive Bayes, TextRank), circular hop
+statistics, the fixed-frequency periodogram, Kaplan-Meier survival and
+labeled-BFS closeness — pure-Python replays at sf0.001 plus hand cases
+with closed-form answers."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from __spark_entry__ import (CLOSE_DEPTH, CLOSE_SEED_MOD, NB_V, PG_PHASES,
+                             TR_ITERS, TR_V)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _tbl(name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/{name}.parquet")
+
+
+def _rhalf(v: float) -> int:
+    return int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.strip().split() if t]
+
+
+# ---------------------------------------------------------------------------
+# linreg
+# ---------------------------------------------------------------------------
+
+def test_linreg_replay(spark):
+    docs = _tbl("documents")
+    n = len(docs)
+    sx1 = sx2 = sy = sx1x1 = sx1x2 = sx2x2 = sx1y = sx2y = 0
+    for text in docs.text:
+        tk = _toks(text)
+        x1, x2, y = len(text), sum(1 for t in tk if len(t) >= 5), len(tk)
+        sx1 += x1; sx2 += x2; sy += y
+        sx1x1 += x1 * x1; sx1x2 += x1 * x2; sx2x2 += x2 * x2
+        sx1y += x1 * y; sx2y += x2 * y
+    nd = float(n)
+    s11 = nd * float(sx1x1) - float(sx1) * float(sx1)
+    s12 = nd * float(sx1x2) - float(sx1) * float(sx2)
+    s22 = nd * float(sx2x2) - float(sx2) * float(sx2)
+    s1y = nd * float(sx1y) - float(sx1) * float(sy)
+    s2y = nd * float(sx2y) - float(sx2) * float(sy)
+    det = s11 * s22 - s12 * s12
+    b1 = (s22 * s1y - s12 * s2y) / det
+    b2 = (s11 * s2y - s12 * s1y) / det
+    b0 = (float(sy) - b1 * float(sx1) - b2 * float(sx2)) / nd
+    [r] = entry.queries()["linreg"](spark, SF_DIR).collect()
+    assert (r.n_docs, r.sx1, r.sx2, r.sy) == (n, sx1, sx2, sy)
+    assert (r.sx1x1, r.sx1x2, r.sx2x2) == (sx1x1, sx1x2, sx2x2)
+    assert (r.sx1y, r.sx2y) == (sx1y, sx2y)
+    assert abs(r.beta_chars - b1) < 1e-6
+    assert abs(r.beta_long - b2) < 1e-6
+    assert abs(r.intercept - b0) < 1e-6
+
+
+def test_linreg_exact_fit_hand_case(spark):
+    """y = 2*x1 + 3*x2 + 1 exactly -> recovered coefficients exact."""
+    rows = [(i, " ".join(["abcde"] * (i % 4))
+             + " " + " ".join(["ab"] * (i % 3)), "en", "s", 0)
+            for i in range(1, 9)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    df.createOrReplaceTempView("_lr_docs")
+    # replay the exact feature sums on this frame directly
+    pdf = df.toPandas()
+    pts = []
+    for text in pdf.text:
+        tk = _toks(text)
+        pts.append((len(text), sum(1 for t in tk if len(t) >= 5), len(tk)))
+    # the design has rank 3 -> the normal equations must reproduce any
+    # linear functional exactly; verify via numpy lstsq agreement
+    import numpy as np
+    A = np.array([[1.0, x1, x2] for x1, x2, _ in pts])
+    y = np.array([float(y) for _, _, y in pts])
+    beta = np.linalg.lstsq(A, y, rcond=None)[0]
+    n = len(pts)
+    sx1 = sum(p[0] for p in pts); sx2 = sum(p[1] for p in pts)
+    sy = sum(p[2] for p in pts)
+    s11 = n * sum(p[0] * p[0] for p in pts) - sx1 * sx1
+    s12 = n * sum(p[0] * p[1] for p in pts) - sx1 * sx2
+    s22 = n * sum(p[1] * p[1] for p in pts) - sx2 * sx2
+    s1y = n * sum(p[0] * p[2] for p in pts) - sx1 * sy
+    s2y = n * sum(p[1] * p[2] for p in pts) - sx2 * sy
+    det = s11 * s22 - s12 * s12
+    b1 = (s22 * s1y - s12 * s2y) / det
+    b2 = (s11 * s2y - s12 * s1y) / det
+    b0 = (sy - b1 * sx1 - b2 * sx2) / n
+    assert abs(b1 - beta[1]) < 1e-8
+    assert abs(b2 - beta[2]) < 1e-8
+    assert abs(b0 - beta[0]) < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# nb_lang
+# ---------------------------------------------------------------------------
+
+def _py_nb():
+    docs = _tbl("documents")
+    tok_rows = [(d, l, t) for d, l, text in
+                zip(docs.doc_id, docs.lang, docs.text)
+                for t in _toks(text)]
+    cnt = Counter(t for _, _, t in tok_rows)
+    vocab = set(t for t, _ in sorted(cnt.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:NB_V])
+    vsz = len(vocab)
+    ctl: Counter = Counter()
+    for _, l, t in tok_rows:
+        if t in vocab:
+            ctl[(l, t)] += 1
+    cl: Counter = Counter()
+    for (l, _), c in ctl.items():
+        cl[l] += c
+    langs = sorted(cl)
+    nl = Counter(docs.lang)
+    ntot = len(docs)
+    qpr = {l: _rhalf(math.log(nl[l] / ntot) * 1e6) for l in langs}
+    qlp = {(l, t): _rhalf(math.log((ctl.get((l, t), 0) + 1)
+                                   / (cl[l] + vsz)) * 1e6)
+           for l in langs for t in vocab}
+    tf: Counter = Counter()
+    actual = {}
+    for d, l, t in tok_rows:
+        if t in vocab:
+            tf[(d, t)] += 1
+            actual[d] = l
+    scores: dict[int, dict[str, int]] = defaultdict(dict)
+    for (d, t), f in tf.items():
+        for l in langs:
+            scores[d][l] = scores[d].get(l, 0) + f * qlp[(l, t)]
+    conf: Counter = Counter()
+    for d, per in scores.items():
+        tot = {l: s + qpr[l] for l, s in per.items()}
+        pred = min(tot, key=lambda l: (-tot[l], l))
+        conf[(actual[d], pred)] += 1
+    return conf
+
+
+def test_nb_lang_replay(spark):
+    exp = _py_nb()
+    got = {(r.actual_lang, r.pred_lang): r.n_docs
+           for r in entry.queries()["nb_lang"](spark, SF_DIR).collect()}
+    assert got == dict(exp)
+
+
+def test_nb_lang_counts_cover_all_docs(spark):
+    docs = _tbl("documents")
+    got = entry.queries()["nb_lang"](spark, SF_DIR).collect()
+    # every doc has >= 1 vocab token in this corpus, so the matrix
+    # partitions the whole table
+    assert sum(r.n_docs for r in got) == len(docs)
+
+
+# ---------------------------------------------------------------------------
+# textrank
+# ---------------------------------------------------------------------------
+
+def _py_textrank():
+    from proj_spark.graph import PR_DEN, PR_INIT, PR_NUM
+    docs = _tbl("documents")
+    allt = Counter()
+    pairs: Counter = Counter()
+    for text in docs.text:
+        tk = _toks(text)
+        allt.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            if a != b:
+                pairs[(min(a, b), max(a, b))] += 1
+    vocab = [t for t, _ in sorted(allt.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:TR_V]]
+    vs = set(vocab)
+    und = {(a, b): w for (a, b), w in pairs.items()
+           if a in vs and b in vs}
+    edges: Counter = Counter()
+    for (a, b), w in und.items():
+        edges[(a, b)] += w
+        edges[(b, a)] += w
+    wtot: Counter = Counter()
+    for (s, _), w in edges.items():
+        wtot[s] += w
+    base = (PR_DEN - PR_NUM) * PR_INIT // PR_DEN
+    rank = {v: PR_INIT for v in vocab}
+    for _ in range(TR_ITERS):
+        inc: Counter = Counter()
+        for (s, d), w in edges.items():
+            inc[d] += (rank[s] * w) // wtot[s]
+        rank = {v: base + (PR_NUM * inc.get(v, 0)) // PR_DEN
+                for v in vocab}
+    return rank
+
+
+def test_textrank_replay(spark):
+    rank = _py_textrank()
+    got = entry.queries()["textrank"](spark, SF_DIR).collect()
+    exp = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:len(got)]
+    assert [(r.token, r.score) for r in got] == exp
+
+
+# ---------------------------------------------------------------------------
+# bearing_stats
+# ---------------------------------------------------------------------------
+
+def test_bearing_stats_replay(spark):
+    pts = entry._points(spark, SF_DIR).toPandas()
+    pts["seq"] = pts.url.str.extract(r"/page/(\d+)$").astype(int)
+    sums: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0])
+    for dom, grp in pts.groupby("domain"):
+        g = grp.sort_values("seq")
+        xs = [(int(_rhalf(lo * 1e6)) + 180_000_000,
+               int(_rhalf(la * 1e6)) + 90_000_000)
+              for lo, la in zip(g.lon, g.lat)]
+        for (x, y), (x2, y2) in zip(xs, xs[1:]):
+            dx, dy = float(x2 - x), float(y2 - y)
+            if dx == 0 and dy == 0:
+                continue
+            r = math.sqrt(dx * dx + dy * dy)
+            s = sums[dom]
+            s[0] += 1
+            s[1] += _rhalf(dx / r * 1e6)
+            s[2] += _rhalf(dy / r * 1e6)
+    got = {r.domain: r for r in
+           entry.queries()["bearing_stats"](spark, SF_DIR).collect()}
+    assert set(got) == set(sums)
+    for dom, (n, sc, ss) in sums.items():
+        r = got[dom]
+        assert (r.n_hops, r.sc, r.ss) == (n, sc, ss)
+        assert abs(r.r_mean - math.hypot(sc, ss) / (n * 1e6)) < 1e-6
+
+
+def test_bearing_resultant_bounds(spark):
+    for r in entry.queries()["bearing_stats"](spark, SF_DIR).collect():
+        # per-hop quantization adds <= ~1.5e-6 to each direction
+        # cosine, so R can exceed 1 by at most that envelope
+        assert 0.0 <= r.r_mean <= 1.0 + 2e-6
+        assert abs(r.rayleigh_z - r.n_hops * r.r_mean ** 2) < 2e-5
+
+
+# ---------------------------------------------------------------------------
+# periodogram
+# ---------------------------------------------------------------------------
+
+def test_periodogram_replay(spark):
+    ev = _tbl("events")
+    us = ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    hours = Counter((us // 3_600_000_000).astype(int))
+    ph = {(p, r): (qc, qs) for p, r, qc, qs in PG_PHASES}
+    exp = {}
+    for p in (24, 12, 8, 6):
+        c = sum(y * ph[(p, x % p)][0] for x, y in hours.items())
+        s = sum(y * ph[(p, x % p)][1] for x, y in hours.items())
+        exp[p] = (len(hours), sum(hours.values()), c, s)
+    got = {r.period: r for r in
+           entry.queries()["periodogram"](spark, SF_DIR).collect()}
+    assert set(got) == set(exp)
+    for p, (nh, st, c, s) in exp.items():
+        r = got[p]
+        assert (r.n_hours, r.s_tot, r.c_sum, r.s_sum) == (nh, st, c, s)
+        assert 0.0 <= r.rel_amp <= 1.0 + 1e-9
+
+
+def test_periodogram_phase_table_is_unit_circle():
+    for p, r, qc, qs in PG_PHASES:
+        assert abs(math.hypot(qc, qs) - 1e6) < 2  # quantization only
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier
+# ---------------------------------------------------------------------------
+
+def _py_km():
+    ev = _tbl("events")
+    us = ev.ts.astype("datetime64[ns]").astype("int64") // 1000
+    rows = sorted(zip(ev.user_id, us, ev.event_id))
+    mx = max(us)
+    byu: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for u, t, e in rows:
+        byu[u].append((t, e))
+    lat: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for u, evs in byu.items():
+        evs.sort()
+        for (t, _), nxt in zip(evs, evs[1:] + [None]):
+            if nxt is None:
+                lat[(mx - t) // 3_600_000_000][1] += 1
+            else:
+                lat[(nxt[0] - t) // 3_600_000_000][0] += 1
+    n_tot = sum(d + c for d, c in lat.values())
+    out = {}
+    n_risk = n_tot
+    cum = 0
+    for t in sorted(lat):
+        d, c = lat[t]
+        if n_risk > d:
+            cum += _rhalf(math.log((n_risk - d) / n_risk) * 1e6)
+            qc = cum
+        else:
+            qc = None
+        if d > 0:
+            out[t] = (n_risk, d, c, qc)
+        n_risk -= d + c
+    return out
+
+
+def test_kaplan_meier_replay(spark):
+    exp = _py_km()
+    got = {r.t_hours: r for r in
+           entry.queries()["kaplan_meier"](spark, SF_DIR).collect()}
+    assert set(got) == set(exp)
+    for t, (n, d, c, qc) in exp.items():
+        r = got[t]
+        assert (r.n_risk, r.d_events, r.c_censored) == (n, d, c)
+        assert r.qln_cum == qc
+
+
+def test_kaplan_meier_monotone(spark):
+    rows = sorted(entry.queries()["kaplan_meier"](spark, SF_DIR).collect(),
+                  key=lambda r: r.t_hours)
+    last = 0.0
+    for r in rows:
+        if r.ln_surv is None:
+            continue
+        assert r.ln_surv <= last + 1e-9
+        last = r.ln_surv
+
+
+# ---------------------------------------------------------------------------
+# closeness
+# ---------------------------------------------------------------------------
+
+def test_multi_bfs_star_hand_case(spark):
+    """Star 0 -> {1,2,3}, 1 -> 4: from seed 0 hops are exact."""
+    from proj_spark.graph import multi_bfs_hops
+    e = spark.createDataFrame([(0, 1), (0, 2), (0, 3), (1, 4)],
+                              ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (4,)], ["seed"])
+    got = {(r.seed, r.node): r.hops
+           for r in multi_bfs_hops(e, seeds, 3).collect()}
+    assert got == {(0, 0): 0, (0, 1): 1, (0, 2): 1, (0, 3): 1,
+                   (0, 4): 2, (4, 4): 0}
+
+
+def test_closeness_replay(spark):
+    edges = entry._domain_links(spark, SF_DIR).distinct().toPandas()
+    adj: dict[int, set[int]] = defaultdict(set)
+    for s, d in zip(edges.src, edges.dst):
+        adj[int(s)].add(int(d))
+    exp = {}
+    for seed in range(0, entry.N_DOMAINS, CLOSE_SEED_MOD):
+        dist = {seed: 0}
+        frontier = [seed]
+        for h in range(1, CLOSE_DEPTH + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.append(v)
+            frontier = nxt
+        hops = [h for h in dist.values() if h > 0]
+        if hops:
+            exp[seed] = (len(hops), sum(hops),
+                         sum(1_000_000 // h for h in hops))
+    got = {r.seed_domain: r for r in
+           entry.queries()["closeness"](spark, SF_DIR).collect()}
+    assert set(got) == set(exp)
+    for seed, (n, s, hq) in exp.items():
+        r = got[seed]
+        assert (r.n_reached, r.s_hops, r.harm_q) == (n, s, hq)
+        assert abs(r.closeness - n / s) < 1e-6

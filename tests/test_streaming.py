@@ -668,3 +668,58 @@ def test_stream_big_orders_matches_batch(spark, tmp_path):
         else:
             r = got[okey]
             assert (r.qty_c, r.n_items, r.tm) == fire
+
+
+def test_stream_cusum_matches_replay(spark, tmp_path):
+    """Split events into three TIME-ORDERED files, one per micro-batch
+    (the middle file splits hours across batch boundaries): the alarm
+    sequence must equal the pure-Python Page-CUSUM replay over the
+    whole table, proving the pending-hour state carries correctly."""
+    import glob
+    import shutil
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from proj_spark.streaming.jobs import stream_cusum
+
+    K, THR = 1, 3
+    src = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(src).orderBy("ts", "event_id").collect()
+    d = tmp_path / "cusum_stream"
+    d.mkdir()
+    k = len(ev) // 3
+    for i, chunk in enumerate([ev[:k], ev[k:2 * k], ev[2 * k:]]):
+        spark.createDataFrame(chunk, spark.read.parquet(src).schema) \
+            .coalesce(1).write.parquet(str(d / f"b{i}"))
+        part = glob.glob(str(d / f"b{i}" / "part-*.parquet"))[0]
+        shutil.move(part, str(d / f"part-{i:03d}.parquet"))
+        shutil.rmtree(str(d / f"b{i}"))
+
+    run_to_memory(stream_cusum(spark, str(d), k=K, thr=THR,
+                               max_files_per_trigger=1),
+                  "cusum_stream_out", mode="append")
+    got = defaultdict(list)
+    for r in spark.table("cusum_stream_out").collect():
+        got[r.event_type].append((r.hr, r.y, r.g))
+    for v in got.values():
+        v.sort()
+
+    # pure-Python replay with identical finalize-pending semantics
+    pdf = pd.read_parquet(src, columns=["event_type", "ts"])
+    per_hr = defaultdict(Counter)
+    for et, ts in zip(pdf["event_type"], pdf["ts"]):
+        per_hr[et][pd.Timestamp(ts).value // 1000 // 3_600_000_000] += 1
+    exp = defaultdict(list)
+    for et, cnt in per_hr.items():
+        hours = sorted(cnt)
+        g = 0
+        # the LAST hour stays pending (never finalized), as in the stream
+        for h, nxt in zip(hours, hours[1:]):
+            for hh in range(h, nxt):
+                g = max(0, g + ((cnt[h] if hh == h else 0) - K))
+                if g >= THR:
+                    exp[et].append((hh, cnt[h] if hh == h else 0, g))
+                    g = 0
+    assert sum(len(v) for v in exp.values()) > 0
+    assert {k: sorted(v) for k, v in exp.items()} == dict(got)
