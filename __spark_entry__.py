@@ -11541,6 +11541,362 @@ SELECT CAST(seed AS BIGINT) AS seed_domain, n_reached, s_hops, harm_q,
 FROM agg"""
 
 
+KM_K = 8        # k-means clusters (seeded from the first 8 city centers)
+KM_ROUNDS = 3   # fixed Lloyd rounds — engine-independent like pagerank
+
+
+def _km_init() -> list[tuple[int, int, int]]:
+    """Deterministic seeds: the first KM_K city centers in shifted
+    non-negative µdeg — embedded as literals in BOTH engines."""
+    out = []
+    for j, (lon, lat) in enumerate(CITY_CENTERS[:KM_K]):
+        out.append((j,
+                    _rhalf_py(lon * 1e6) + 180_000_000,
+                    _rhalf_py(lat * 1e6) + 90_000_000))
+    return out
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the page points: {KM_ROUNDS}
+    fixed rounds from deterministic city-center seeds — the canonical
+    iterative-ML operator expressed Spark-first.
+
+    Exactness: the corpus first aggregates to the DISTINCT (x, y) µdeg
+    lattice with integer weights (weighted k-means — identical points
+    assign identically, so this is lossless); assignment is an exact
+    BIGINT squared-distance argmin with ties to the lowest centroid id,
+    and each new centroid is ONE floored division of exact weighted
+    sums (non-negative µdeg, so Spark `div` == DuckDB `//`).  Empty
+    clusters keep their previous centroid.  Every round is therefore
+    engine-exact, like pagerank's quantized iterates.
+
+    Scale plan: the weighted lattice is persisted once (<= distinct
+    coordinates, not pages); each round COLLECTS the k centroids (k
+    rows) and evaluates the argmin as a pure codegen'd CASE expression
+    over literals — zero joins, zero shuffles inside a round beyond
+    the k-row hash agg (the reverse_geocode monotone-kernel trick
+    applied to an iterative fit).  The oracle instead unrolls rounds
+    as cross-join + window CTEs — a different evaluation strategy
+    whose agreement proves both.
+
+    FULL SQL ORACLE (_sql_kmeans)."""
+    pts = _points(spark, sf_dir)
+    lat = (pts.select(
+        (F.round(F.col("lon") * 1e6, 0).cast("long")
+         + F.lit(180_000_000)).alias("x"),
+        (F.round(F.col("lat") * 1e6, 0).cast("long")
+         + F.lit(90_000_000)).alias("y"))
+        .groupBy("x", "y").agg(F.count("*").alias("w"))
+        .persist())
+    cents = _km_init()
+    for _ in range(KM_ROUNDS):
+        d2s = [(F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
+               + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy))
+               for _, cx, cy in cents]
+        dmin = F.least(*d2s)
+        assign = F.lit(None).cast("long")
+        for j in range(len(cents) - 1, -1, -1):
+            assign = F.when(d2s[j] == dmin, F.lit(j)).otherwise(assign)
+        agg = (lat.select(assign.alias("j"), "x", "y", "w")
+               .groupBy("j")
+               .agg(F.sum("w").alias("n"),
+                    F.sum(F.col("w") * F.col("x")).alias("sx"),
+                    F.sum(F.col("w") * F.col("y")).alias("sy"))
+               .collect())
+        got = {r["j"]: r for r in agg}
+        cents = [(j,
+                  int(got[j]["sx"]) // int(got[j]["n"]) if j in got else cx,
+                  int(got[j]["sy"]) // int(got[j]["n"]) if j in got else cy)
+                 for j, cx, cy in cents]
+    # final assignment + per-cluster stats under the converged centroids
+    d2s = [(F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
+           + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy))
+           for _, cx, cy in cents]
+    dmin = F.least(*d2s)
+    assign = F.lit(None).cast("long")
+    for j in range(len(cents) - 1, -1, -1):
+        assign = F.when(d2s[j] == dmin, F.lit(j)).otherwise(assign)
+    out = (lat.select(assign.alias("j"), "w", dmin.alias("d2"))
+           .groupBy("j")
+           .agg(F.sum("w").alias("n_points"),
+                F.sum(F.expr("w * d2 div 1000000")).alias("wcss_q"))
+           .persist())
+    out.count()     # materialize BEFORE dropping the lattice cache
+    lat.unpersist()
+    cmap = {j: (cx, cy) for j, cx, cy in cents}
+    cent_df = spark.createDataFrame(
+        [(j, cx, cy) for j, (cx, cy) in cmap.items()],
+        "j long, cx long, cy long")
+    return (out.join(F.broadcast(cent_df), "j")
+            .select(F.col("j").cast("long").alias("cluster"),
+                    F.col("n_points").cast("long").alias("n_points"),
+                    (F.col("cx") - 180_000_000).alias("cx_udeg"),
+                    (F.col("cy") - 90_000_000).alias("cy_udeg"),
+                    F.col("wcss_q").cast("long").alias("wcss_q")))
+
+
+def _sql_kmeans(n: int) -> str:
+    seeds = ", ".join(f"({j}, {cx}, {cy})" for j, cx, cy in _km_init())
+    parts = [f"""{_pages_cte(n)},
+lat AS (SELECT CAST(ROUND(lon * 1e6, 0) AS BIGINT) + 180000000 AS x,
+               CAST(ROUND(lat * 1e6, 0) AS BIGINT) + 90000000 AS y,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM pages GROUP BY 1, 2),
+c0(j, cx, cy) AS (VALUES {seeds})"""]
+    for r in range(1, KM_ROUNDS + 1):
+        parts.append(f"""a{r} AS (
+  SELECT x, y, w, j,
+         ROW_NUMBER() OVER (PARTITION BY x, y
+           ORDER BY (x - cx) * (x - cx) + (y - cy) * (y - cy), j) AS rn
+  FROM lat CROSS JOIN c{r - 1})""")
+        parts.append(f"""s{r} AS (
+  SELECT j, SUM(w) AS n, SUM(w * x) AS sx, SUM(w * y) AS sy
+  FROM a{r} WHERE rn = 1 GROUP BY 1)""")
+        parts.append(f"""c{r} AS (
+  SELECT c.j,
+         COALESCE(s.sx // s.n, c.cx) AS cx,
+         COALESCE(s.sy // s.n, c.cy) AS cy
+  FROM c{r - 1} c LEFT JOIN s{r} s ON s.j = c.j)""")
+    parts.append(f"""fin AS (
+  SELECT x, y, w, j,
+         (x - cx) * (x - cx) + (y - cy) * (y - cy) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY x, y
+           ORDER BY (x - cx) * (x - cx) + (y - cy) * (y - cy), j) AS rn
+  FROM lat CROSS JOIN c{KM_ROUNDS})""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT CAST(f.j AS BIGINT) AS cluster,
+       CAST(SUM(f.w) AS BIGINT) AS n_points,
+       CAST(MIN(c.cx) - 180000000 AS BIGINT) AS cx_udeg,
+       CAST(MIN(c.cy) - 90000000 AS BIGINT) AS cy_udeg,
+       CAST(SUM((f.w * f.d2) // 1000000) AS BIGINT) AS wcss_q
+FROM fin f JOIN c{KM_ROUNDS} c ON c.j = f.j
+WHERE f.rn = 1 GROUP BY 1""")
+
+
+def q_iso_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of the daily
+    event-volume series via the exact minimax identity
+    iso[i] = max_{{j<=i}} min_{{k>=i}} mean(y[j..k]) — the
+    order-constrained fit calibration pipelines use, computed without
+    PAVA's sequential pooling so it distributes.
+
+    Exactness: means are floored micro-means (P_k - P_{{j-1}}) * 1e6
+    div (k - j + 1) over exact prefix sums of NON-NEGATIVE counts, so
+    every candidate value is an exact BIGINT; min/max over exact ints
+    is engine-independent.  (Floored quantization before min/max
+    preserves the minimax order up to the 1e-6 grid — both engines
+    apply the identical quantization, the established µdeg-discipline
+    trade.)
+
+    Scale plan: the corpus aggregates to the bounded daily series in
+    one hash-agg; the (j <= i <= k) triple join runs over #days^3/6
+    rows of the TINY lattice (30 days -> ~5k rows) — at planetary
+    horizons, window the identity per month with boundary overlap.
+
+    FULL SQL ORACLE (_sql_iso_days)."""
+    ev = _events_micros(spark, sf_dir)
+    ser = (ev.select(F.expr("tm div 86400000000").alias("d"))
+           .groupBy("d").agg(F.count("*").alias("y")))
+    wr = Window.orderBy("d")
+    r = (ser.select("d", "y",
+                    F.row_number().over(wr).alias("i"),
+                    F.sum("y").over(
+                        wr.rowsBetween(Window.unboundedPreceding, 0))
+                    .alias("p"))
+         .persist())
+    jr = r.select(F.col("i").alias("j"),
+                  (F.col("p") - F.col("y")).alias("pj1"))
+    kr = r.select(F.col("i").alias("k"), F.col("p").alias("pk"))
+    pair = (jr.crossJoin(kr).where(F.col("k") >= F.col("j"))
+            .select("j", "k",
+                    F.expr("((pk - pj1) * 1000000) div (k - j + 1)")
+                    .alias("avg_q")))
+    ir = r.select("i", "d", "y")
+    tri = (pair.join(ir, (F.col("j") <= F.col("i"))
+                     & (F.col("k") >= F.col("i"))))
+    inner = (tri.groupBy("i", "d", "y", "j")
+             .agg(F.min("avg_q").alias("mn")))
+    out = (inner.groupBy("i", "d", "y")
+           .agg(F.max("mn").alias("iso_q")))
+    # r stays persisted for the action (3 references: jr, kr, ir);
+    # bench/driver sessions clear the cache between queries
+    return out.select(F.col("d").cast("long").alias("day"),
+                      F.col("y").cast("long").alias("y"),
+                      F.col("iso_q").cast("long").alias("iso_q"))
+
+
+def _sql_iso_days() -> str:
+    return """WITH ser AS (
+  SELECT epoch_us(ts) // 86400000000 AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+r AS (SELECT d, y,
+             ROW_NUMBER() OVER (ORDER BY d) AS i,
+             SUM(y) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS p
+      FROM ser),
+pair AS (SELECT j.i AS j, k.i AS k,
+                ((k.p - (j.p - j.y)) * 1000000) // (k.i - j.i + 1) AS avg_q
+         FROM r j CROSS JOIN r k WHERE k.i >= j.i),
+inner_mn AS (SELECT ir.i, ir.d, ir.y, pair.j, MIN(avg_q) AS mn
+             FROM pair JOIN r ir ON pair.j <= ir.i AND pair.k >= ir.i
+             GROUP BY 1, 2, 3, 4)
+SELECT CAST(d AS BIGINT) AS day, y, CAST(MAX(mn) AS BIGINT) AS iso_q
+FROM inner_mn GROUP BY 1, 2"""
+
+
+# decision-stump ensemble: (feature, threshold, weight) — feature 0 =
+# n_chars, 1 = ws tokens, 2 = long (>=5 char) tokens; vote +w above the
+# threshold, -w at-or-below.  A fixed pretrained model being SCORED at
+# corpus scale (the inference half of quality filtering).
+QF_STUMPS: list[tuple[int, int, int]] = [
+    (0, 150, 3), (0, 250, 1),
+    (1, 30, 2), (1, 50, 1),
+    (2, 10, 2), (2, 20, 1),
+]
+QF_SHIFT = 16   # >= sum of weights, keeps shifted scores non-negative
+
+
+def q_quality_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump ensemble scoring (a fixed, pretrained
+    boosted-stumps quality model applied to every document): each
+    stump votes +/- its weight on one integer feature, the per-doc
+    score is the exact signed sum, and the query emits per-source
+    score statistics — model INFERENCE as a pure codegen'd expression,
+    no UDF, no shuffle before the 20-row agg.
+
+    Exactness: features and votes are exact ints; the per-source mean
+    uses the shift-then-div discipline (scores can be negative; both
+    engines floor only non-negative operands).
+
+    FULL SQL ORACLE (_sql_quality_forest)."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    feats = [F.length(t).cast("long"),
+             F.size(analysis.tokens(t)).cast("long"),
+             F.size(F.filter(analysis.tokens(t),
+                             lambda tk: F.length(tk) >= 5)).cast("long")]
+    score = None
+    for f, thr, wgt in QF_STUMPS:
+        vote = F.when(feats[f] > thr, F.lit(wgt)).otherwise(F.lit(-wgt))
+        score = vote if score is None else score + vote
+    per = docs.select("source", score.alias("s"))
+    agg = per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("s").alias("s_score"),
+        F.min("s").alias("min_score"),
+        F.max("s").alias("max_score"),
+        F.sum(F.col("s") + F.lit(QF_SHIFT)).alias("s_shift"))
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("s_score").cast("long").alias("s_score"),
+        F.col("min_score").cast("long").alias("min_score"),
+        F.col("max_score").cast("long").alias("max_score"),
+        (F.expr("(1000000 * s_shift) div n_docs")
+         - QF_SHIFT * 1_000_000).alias("mean_micro"))
+
+
+def _sql_quality_forest() -> str:
+    toks = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "t -> t != '')")
+    fexpr = [
+        "CAST(len(text) AS BIGINT)",
+        f"CAST(len({toks}) AS BIGINT)",
+        f"CAST(len(list_filter({toks}, t -> len(t) >= 5)) AS BIGINT)",
+    ]
+    votes = " + ".join(
+        f"(CASE WHEN {fexpr[f]} > {thr} THEN {wgt} ELSE -{wgt} END)"
+        for f, thr, wgt in QF_STUMPS)
+    return f"""WITH per AS (
+  SELECT source, CAST({votes} AS BIGINT) AS s FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s) AS BIGINT) AS s_score,
+       CAST(MIN(s) AS BIGINT) AS min_score,
+       CAST(MAX(s) AS BIGINT) AS max_score,
+       (1000000 * CAST(SUM(s + {QF_SHIFT}) AS BIGINT)) // COUNT(*)
+         - {QF_SHIFT * 1_000_000} AS mean_micro
+FROM per GROUP BY 1"""
+
+
+MS_INIT = 1_000_000_000
+MS_ROUNDS = 6
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by
+    integer-quantized power iteration: pi_{r+1}[t] = sum_f pi_r[f] *
+    n(f,t) div row_total(f) over the exact transition counts of
+    q_event_transitions — the long-run behavioral mix the chain
+    converges to.
+
+    Exactness: the same discipline as graph.py pagerank — BIGINT
+    micro-unit iterates, floored per-edge contributions, so any
+    partial-agg reorder yields identical units and the unrolled-CTE
+    oracle replays every round bit-exactly (floor loss is deliberate
+    and identical in both engines).
+
+    Scale plan: ONE corpus shuffle (the per-user LEAD window) produces
+    the 5x5 aggregated matrix; all {MS_ROUNDS} rounds run over <= 25
+    rows with broadcast joins.
+
+    FULL SQL ORACLE (_sql_markov_stationary)."""
+    ev = _events_micros(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tm", "event_id")
+    mat = (ev.select("user_id", "event_type", "tm", "event_id",
+                     F.lead("event_type").over(w).alias("nxt"))
+           .where(F.col("nxt").isNotNull())
+           .groupBy(F.col("event_type").alias("f"),
+                    F.col("nxt").alias("t"))
+           .agg(F.count("*").alias("n")))
+    tot = mat.groupBy("f").agg(F.sum("n").alias("row_total"))
+    e = mat.join(F.broadcast(tot), "f").persist()
+    types = e.select(F.col("f").alias("typ")).distinct()
+    pi = types.select("typ", F.lit(MS_INIT).cast("long").alias("score"))
+    inter = []
+    for _ in range(MS_ROUNDS):
+        nxt = (e.join(F.broadcast(pi.withColumnRenamed("typ", "f")), "f")
+               .select(F.col("t").alias("typ"),
+                       F.expr("(score * n) div row_total").alias("c"))
+               .groupBy("typ").agg(F.sum("c").alias("m")))
+        pi = (types.join(nxt, "typ", "left")
+              .select("typ", F.coalesce(F.col("m"), F.lit(0))
+                      .cast("long").alias("score"))).persist()
+        inter.append(pi)
+    pi.count()
+    for df in inter[:-1]:
+        df.unpersist()
+    e.unpersist()
+    return pi.select(F.col("typ").alias("event_type"),
+                     F.col("score").cast("long").alias("stat_q"))
+
+
+def _sql_markov_stationary() -> str:
+    parts = ["""ev AS (SELECT user_id, event_type, event_id,
+             epoch_us(ts) AS tm FROM events)""",
+             """mat AS (SELECT event_type AS f,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY tm, event_id) AS t,
+               user_id, tm FROM ev)""",
+             """e0 AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+        FROM mat WHERE t IS NOT NULL GROUP BY 1, 2)""",
+             """tt AS (SELECT f, SUM(n) AS row_total FROM e0 GROUP BY 1)""",
+             """e AS (SELECT e0.f, e0.t, e0.n, tt.row_total
+      FROM e0 JOIN tt USING (f))""",
+             """types AS (SELECT DISTINCT f AS typ FROM e0)""",
+             f"""p0 AS (SELECT typ, CAST({MS_INIT} AS BIGINT) AS score
+       FROM types)"""]
+    for r in range(1, MS_ROUNDS + 1):
+        parts.append(
+            f"""m{r} AS (SELECT e.t AS typ,
+        SUM((p.score * e.n) // e.row_total) AS m
+ FROM e JOIN p{r - 1} p ON p.typ = e.f GROUP BY 1)""")
+        parts.append(
+            f"""p{r} AS (SELECT types.typ,
+        CAST(COALESCE(m.m, 0) AS BIGINT) AS score
+ FROM types LEFT JOIN m{r} m ON m.typ = types.typ)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT typ AS event_type, score AS stat_q FROM p{MS_ROUNDS}")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -11731,6 +12087,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram": q_periodogram,
         "kaplan_meier": q_kaplan_meier,
         "closeness": q_closeness,
+        "kmeans": q_kmeans,
+        "iso_days": q_iso_days,
+        "quality_forest": q_quality_forest,
+        "markov_stationary": q_markov_stationary,
     }
 
 
@@ -11916,4 +12276,8 @@ def oracle_sql() -> dict[str, str]:
         "periodogram": _sql_periodogram(),
         "kaplan_meier": _sql_kaplan_meier(),
         "closeness": _sql_closeness(n),
+        "kmeans": _sql_kmeans(n),
+        "iso_days": _sql_iso_days(),
+        "quality_forest": _sql_quality_forest(),
+        "markov_stationary": _sql_markov_stationary(),
     }

@@ -73,6 +73,7 @@ HEADLINE = [
     "stl_hours", "tok_fertility",
     "linreg", "nb_lang", "textrank", "bearing_stats", "periodogram",
     "kaplan_meier", "closeness",
+    "kmeans", "iso_days", "quality_forest", "markov_stationary",
 ]
 
 
