@@ -11898,6 +11898,395 @@ def _sql_markov_stationary() -> str:
 
 
 # ---------------------------------------------------------------------------
+# session 24: sequence alignment (DTW / discrete Fréchet), HyperANF
+# neighborhood function, dyadic-EWMA burst screen
+# ---------------------------------------------------------------------------
+
+def _sql_dp_recursive(combine: str) -> str:
+    """Recursive message-passing replay of the three-way DP (shared by
+    the DTW and Fréchet oracles; see proj_spark/seqalign.py).
+
+    Each step-s cell posts its value to (i+1, j) ('v') and (i, j+1)
+    ('h'), and forwards the value it received from ABOVE — dp(i-1,j-1)
+    from (i,j-1)'s perspective — as the diagonal message ('d'); step-s+1
+    cells reduce their inbox with MIN.  The join against `cost` bounds
+    the recursion: targets beyond a pair's (la, lb) extent match no cost
+    row and die.  `combine` is the cell rule: 'd.c + MIN(m.payload)'
+    for DTW, 'GREATEST(d.c, MIN(m.payload))' for Fréchet."""
+    return f"""dp(ta, tb, i, j, val, up, s) AS (
+  SELECT ta, tb, 0, 0, c, CAST(NULL AS BIGINT), 0
+  FROM cost WHERE i = 0 AND j = 0
+  UNION ALL
+  SELECT m.ta, m.tb, m.ti, m.tj,
+         {combine},
+         MAX(CASE WHEN m.tag = 'v' THEN m.payload END),
+         MIN(m.s) + 1
+  FROM (
+    SELECT u.ta AS ta, u.tb AS tb, u.ti AS ti, u.tj AS tj,
+           u.tag AS tag, u.payload AS payload, dp.s AS s
+    FROM dp, UNNEST([
+      {{'ta': dp.ta, 'tb': dp.tb, 'ti': dp.i + 1, 'tj': dp.j,
+        'tag': 'v', 'payload': dp.val}},
+      {{'ta': dp.ta, 'tb': dp.tb, 'ti': dp.i, 'tj': dp.j + 1,
+        'tag': 'h', 'payload': dp.val}},
+      {{'ta': dp.ta, 'tb': dp.tb, 'ti': dp.i, 'tj': dp.j + 1,
+        'tag': 'd', 'payload': dp.up}}
+    ]) AS t(u)
+    WHERE u.payload IS NOT NULL
+  ) m JOIN cost d
+      ON d.ta = m.ta AND d.tb = m.tb AND d.i = m.ti AND d.j = m.tj
+  GROUP BY m.ta, m.tb, m.ti, m.tj, d.c
+)"""
+
+
+def q_dtw_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between the DAILY volume curves of
+    every event-type pair (Sakoe & Chiba 1978) — "do purchases follow
+    the same temporal shape as views, allowing elastic day shifts?".
+    The order-aware companion of the distributional screens (ks_sources
+    compares values ignoring order; DTW compares the curves).
+
+    Exactness: costs |y_a(i) - y_b(j)| and the whole DP table are
+    BIGINT — sums and min-picks only — so the Arrow kernel and the
+    DuckDB recursive message-passing CTE agree bit-for-bit.
+
+    Plan (100 TB shape): ONE corpus shuffle builds the (type, day)
+    counts; the day spine, series arrays and all C(T,2) pairs live on
+    the aggregated relation (T*|days| rows).  The DP itself is one
+    Arrow batch whose inner loop is over the 2L-1 anti-diagonals,
+    vectorized across every pair (proj_spark/seqalign.py) — adding
+    event types widens the batch, never the loop.
+
+    FULL SQL ORACLE (_sql_dtw_days)."""
+    from proj_spark.seqalign import dtw_udf
+
+    ev = _events_micros(spark, sf_dir)
+    cnt = (ev.select("event_type", F.expr("tm div 86400000000").alias("day"))
+           .groupBy("event_type", "day").agg(F.count("*").alias("y"))
+           .persist())
+    days = cnt.select("day").distinct()
+    types = cnt.select("event_type").distinct()
+    ser = (types.crossJoin(days)
+           .join(cnt, ["event_type", "day"], "left")
+           .select("event_type", "day",
+                   F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")))
+    arr = ser.groupBy("event_type").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("day", "y"))),
+                    lambda s: s.y).alias("ys"),
+        F.count("*").alias("n_days"))
+    a, b = arr.alias("a"), arr.alias("b")
+    pairs = a.crossJoin(b).where(F.col("a.event_type") < F.col("b.event_type"))
+    out = pairs.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n_days").alias("n_days"),
+        dtw_udf(F.col("a.ys"), F.col("b.ys")).alias("dtw"))
+    cnt.unpersist()
+    return out
+
+
+def _sql_dtw_days() -> str:
+    return f"""WITH RECURSIVE
+cnt AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM cnt),
+types AS (SELECT DISTINCT event_type FROM cnt),
+ser AS (SELECT t.event_type, d.day,
+               COALESCE(c.y, 0) AS y,
+               ROW_NUMBER() OVER (PARTITION BY t.event_type
+                                  ORDER BY d.day) - 1 AS idx
+        FROM types t CROSS JOIN days d
+        LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day),
+cost AS (SELECT pa.event_type AS ta, pb.event_type AS tb,
+                sa.idx AS i, sb.idx AS j, ABS(sa.y - sb.y) AS c
+         FROM types pa JOIN types pb ON pa.event_type < pb.event_type
+         JOIN ser sa ON sa.event_type = pa.event_type
+         JOIN ser sb ON sb.event_type = pb.event_type),
+{_sql_dp_recursive('d.c + MIN(m.payload)')},
+nd AS (SELECT COUNT(*) AS n FROM days)
+SELECT dp.ta AS type_a, dp.tb AS type_b,
+       CAST(nd.n AS BIGINT) AS n_days, dp.val AS dtw
+FROM dp, nd WHERE dp.i = nd.n - 1 AND dp.j = nd.n - 1"""
+
+
+FR_DOM_LO, FR_DOM_HI = 500, 507   # same mid-size domains as hausdorff
+FR_LEN = 12                       # crawl-path cap (first pages by pid)
+
+
+def q_frechet_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete FRÉCHET distance between domain crawl paths (Eiter &
+    Mannila 1994): the min-over-couplings max-step "dog leash" length
+    between each pair of per-domain page trajectories (first {FR_LEN}
+    pages by page id, µdeg integer coordinates).  The ORDER-AWARE twin
+    of hausdorff_pairs: same squared-µdeg cost, but the coupling must
+    walk both paths monotonically, so H(A,B) <= F(A,B) always.
+
+    Exactness: costs are exact BIGINT squared µdeg distances and the
+    DP only PICKS (max/min) among them — never sums — so the chosen
+    value is engine-independent; ONE double sqrt at the end.
+
+    Plan: the 8-domain path subset is one pruned filter + one window
+    sort; pairs and the DP are a 28-row Arrow batch over the capped
+    arrays (anti-diagonal sweep, vectorized across pairs).  At corpus
+    scale the pair relation grows, the per-pair work stays L^2-capped.
+
+    FULL SQL ORACLE (_sql_frechet_paths)."""
+    from proj_spark.seqalign import frechet2_udf
+
+    pts = _points(spark, sf_dir)
+    t = (pts.select(F.col("domain").cast("long").alias("dom"),
+                    F.regexp_extract("url", r"/page/(\d+)$", 1)
+                    .cast("long").alias("pid"),
+                    F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
+                    F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
+         .where((F.col("dom") >= FR_DOM_LO) & (F.col("dom") <= FR_DOM_HI)))
+    w = Window.partitionBy("dom").orderBy("pid")
+    path = t.withColumn("rn", F.row_number().over(w)) \
+            .where(F.col("rn") <= FR_LEN)
+    srt = F.array_sort(F.collect_list(F.struct("pid", "x", "y")))
+    arr = path.groupBy("dom").agg(
+        F.transform(srt, lambda s: s.x).alias("xs"),
+        F.transform(srt, lambda s: s.y).alias("ys"),
+        F.count("*").alias("plen"))
+    a, b = arr.alias("a"), arr.alias("b")
+    pairs = a.crossJoin(b).where(F.col("a.dom") < F.col("b.dom"))
+    return pairs.select(
+        F.col("a.dom").alias("dom_a"), F.col("b.dom").alias("dom_b"),
+        F.col("a.plen").alias("len_a"), F.col("b.plen").alias("len_b"),
+        F.round(F.sqrt(frechet2_udf(
+            F.col("a.xs"), F.col("a.ys"), F.col("b.xs"), F.col("b.ys"))
+            .cast("double")), 3).alias("frechet_udeg"))
+
+
+def _sql_frechet_paths(n: int) -> str:
+    return f"""WITH RECURSIVE {_pages_cte(n)},
+t AS (SELECT CAST(domain AS BIGINT) AS dom, i AS pid,
+             CAST(ROUND(lon * 1e6, 0) AS BIGINT) AS x,
+             CAST(ROUND(lat * 1e6, 0) AS BIGINT) AS y
+      FROM pages
+      WHERE CAST(domain AS BIGINT) BETWEEN {FR_DOM_LO} AND {FR_DOM_HI}),
+path AS (SELECT dom, x, y,
+                ROW_NUMBER() OVER (PARTITION BY dom ORDER BY pid) - 1 AS idx
+         FROM t QUALIFY idx < {FR_LEN}),
+plen AS (SELECT dom, COUNT(*) AS l FROM path GROUP BY 1),
+cost AS (SELECT pa.dom AS ta, pb.dom AS tb, sa.idx AS i, sb.idx AS j,
+                (sa.x - sb.x) * (sa.x - sb.x)
+                + (sa.y - sb.y) * (sa.y - sb.y) AS c
+         FROM plen pa JOIN plen pb ON pa.dom < pb.dom
+         JOIN path sa ON sa.dom = pa.dom
+         JOIN path sb ON sb.dom = pb.dom),
+{_sql_dp_recursive('GREATEST(d.c, MIN(m.payload))')}
+SELECT dp.ta AS dom_a, dp.tb AS dom_b,
+       la.l AS len_a, lb.l AS len_b,
+       ROUND(SQRT(CAST(dp.val AS DOUBLE)), 3) AS frechet_udeg
+FROM dp JOIN plen la ON la.dom = dp.ta JOIN plen lb ON lb.dom = dp.tb
+WHERE dp.i = la.l - 1 AND dp.j = lb.l - 1"""
+
+
+ANF_P = 4                       # 16 registers per node
+ANF_M = 1 << ANF_P
+ANF_RHO_MAX = 31 - ANF_P + 1    # 28: 27 payload bits, w=0 -> 28
+ANF_ROUNDS = 4
+ANF_SEED = 77_003
+ANF_ALPHA = 0.673               # alpha_16 (Flajolet et al. 2007)
+# milli-unit estimate numerator, ONE shared literal in both engines
+ANF_NUMQ = repr(ANF_ALPHA * ANF_M * ANF_M * float(1 << ANF_RHO_MAX)
+                * 1000.0)
+
+
+def _anf_rho(h: Column) -> Column:
+    w = F.floor(h / F.lit(ANF_M)).cast("long")
+    return (F.when(w == 0, F.lit(ANF_RHO_MAX))
+            .otherwise(F.lit(ANF_RHO_MAX) - F.length(F.bin(w)))
+            .cast("long"))
+
+
+def _anf_rho_sql(h: str) -> str:
+    w = f"(({h}) // {ANF_M})"
+    return (f"(CASE WHEN {w} = 0 THEN {ANF_RHO_MAX} "
+            f"ELSE {ANF_RHO_MAX} - length(bin({w})) END)")
+
+
+def q_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF (Boldi, Rosa & Vigna, WWW 2011): the neighborhood
+    function N(r) of the domain link graph — how many (node, reachable
+    node) pairs exist within r hops — by propagating per-node HLL
+    register sets along edges with register-wise MAX merges.  THE
+    web-graph distance-distribution algorithm (it produced the
+    "four degrees of separation" Facebook result) and the sketch
+    upgrade of the exact-BFS roster (domain_hops/closeness): counters
+    become m={ANF_M} registers per node, so the per-round state is
+    O(|V| * m) regardless of reachable-set size.
+
+    Exactness: registers are exact integers under MAX-merge (any
+    partial-agg reorder yields identical registers — same argument as
+    sketches.py HLL); the per-node estimate quantizes to milli-units
+    BEFORE the global BIGINT sum, so no float accumulates.
+
+    Plan: |E| stays put; each round is one equi-join (registers onto
+    edge heads) + one (node, bucket) hash agg with map-side partial
+    MAX.  Register rows per node are capped at m — round cost is
+    O(|E| * m) worst case, independent of the true neighborhood sizes
+    (the exact-set alternative explodes quadratically on the web
+    graph).
+
+    FULL SQL ORACLE (_sql_hyperanf): unrolled rounds over the
+    identically re-derived edge set + hash31 registers."""
+    from proj_spark.text.curation import hash31
+
+    edges = (_domain_links(spark, sf_dir)
+             .groupBy("src", "dst").agg(F.lit(1)).select("src", "dst")
+             .persist())
+    nodes = spark.range(N_DOMAINS).select(F.col("id").cast("long")
+                                          .alias("node"))
+    h = hash31(F.col("node") + F.lit(ANF_SEED))
+    regs = nodes.select("node", F.pmod(h, F.lit(ANF_M)).alias("bucket"),
+                        _anf_rho(h).alias("rho")).persist()
+
+    def summary(r: DataFrame, rnd: int) -> DataFrame:
+        per = r.groupBy("node").agg(
+            F.count("*").alias("np"),
+            F.sum(F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), "
+                         f"CAST({ANF_RHO_MAX} - rho AS INT)) AS BIGINT)"))
+            .alias("sp"),
+            F.sum("rho").alias("sr"))
+        s = (F.col("sp")
+             + (F.lit(ANF_M) - F.col("np"))
+             * F.lit(1 << ANF_RHO_MAX)).cast("long")
+        est = F.floor(F.lit(float(ANF_NUMQ)) / s.cast("double")) \
+               .cast("long")
+        return per.agg(F.lit(rnd).cast("long").alias("round"),
+                       F.sum("np").alias("reg_rows"),
+                       F.sum("sr").alias("sum_rho"),
+                       F.sum(est).alias("nf_milli"))
+
+    outs = [summary(regs, 0)]
+    prev = regs
+    for rnd in range(1, ANF_ROUNDS + 1):
+        prop = (edges.join(prev.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"), "bucket", "rho"))
+        cur = (prev.unionByName(prop)
+               .groupBy("node", "bucket").agg(F.max("rho").alias("rho"))
+               .persist())
+        outs.append(summary(cur, rnd))
+        prev = cur
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _sql_hyperanf(n: int) -> str:
+    from proj_spark.text.curation import hash31_sql
+    h = hash31_sql(f"node + {ANF_SEED}")
+    parts = [f"""{_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+e AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+        UNION ALL
+        SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+      WHERE src <> dst),
+nodes AS (SELECT range AS node FROM range(0, {N_DOMAINS})),
+r0 AS (SELECT node, ({h}) % {ANF_M} AS bucket,
+              {_anf_rho_sql(h)} AS rho
+       FROM nodes)"""]
+    for r in range(1, ANF_ROUNDS + 1):
+        parts.append(f"""r{r} AS (
+  SELECT node, bucket, MAX(rho) AS rho FROM (
+    SELECT node, bucket, rho FROM r{r - 1}
+    UNION ALL
+    SELECT e.src AS node, p.bucket, p.rho
+    FROM e JOIN r{r - 1} p ON p.node = e.dst)
+  GROUP BY 1, 2)""")
+    summaries = []
+    for r in range(ANF_ROUNDS + 1):
+        summaries.append(f"""
+SELECT CAST({r} AS BIGINT) AS round,
+       CAST(SUM(np) AS BIGINT) AS reg_rows,
+       CAST(SUM(sr) AS BIGINT) AS sum_rho,
+       CAST(SUM(CAST(FLOOR({ANF_NUMQ} / CAST(sp + ({ANF_M} - np)
+                 * {1 << ANF_RHO_MAX} AS DOUBLE)) AS BIGINT)) AS BIGINT)
+       AS nf_milli
+FROM (SELECT node, COUNT(*) AS np,
+             SUM(CAST(1 AS BIGINT) << CAST({ANF_RHO_MAX} - rho AS INT))
+             AS sp,
+             SUM(rho) AS sr
+      FROM r{r} GROUP BY 1)""")
+    return ("WITH " + ",\n".join(parts)
+            + "\nUNION ALL".join(summaries))
+
+
+EWMA_K = 20                     # dyadic window: weights 2^(K-k), k=1..K
+EWMA_BURST_Q = 3_000_000        # burst = count >= 3x the EWMA baseline
+
+
+def q_ewma_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic-EWMA burst screen over hourly event volume: each hour's
+    baseline is the exponentially-weighted mean of its {EWMA_K} prior
+    hours with half-life-one weights 2^({EWMA_K}-k) (weight sum
+    2^{EWMA_K}-1 exactly), and a burst fires when the hour runs >= 3x
+    its own baseline — the online anomaly screen next to the
+    retrospective CUSUM changepoint scan.
+
+    Exactness: the truncated-EWMA numerator is an exact BIGINT
+    (counts shifted by exact powers of two; absent source hours are
+    true zeros and contribute nothing), and the reported ratio is an
+    exact floored micro-ratio y * (2^K - 1) * 1e6 div num.
+
+    Plan: ONE corpus shuffle (the hourly agg); the K-offset explode
+    multiplies only the aggregated series (|hours| * K rows), and the
+    horizon gate comes from a broadcast 1-row min/max aggregate.
+
+    FULL SQL ORACLE (_sql_ewma_hours)."""
+    ev = _events_micros(spark, sf_dir)
+    ser = (ev.select(F.expr("tm div 3600000000").alias("x"))
+           .groupBy("x").agg(F.count("*").alias("y")).persist())
+    contrib = (ser.withColumn("k", F.explode(F.sequence(
+        F.lit(1), F.lit(EWMA_K))))
+        .select((F.col("x") + F.col("k")).alias("tx"),
+                F.expr(f"CAST(shiftleft(y, CAST({EWMA_K} - k AS INT)) "
+                       f"AS BIGINT)").alias("w")))
+    base = contrib.groupBy("tx").agg(F.sum("w").alias("num"))
+    horizon = ser.agg(F.min("x").alias("x_min"), F.max("x").alias("x_max"))
+    wsum = (1 << EWMA_K) - 1
+    j = (ser.join(base, ser.x == base.tx)
+         .crossJoin(F.broadcast(horizon))
+         .where((F.col("x") >= F.col("x_min") + EWMA_K)
+                & (F.col("x") <= F.col("x_max"))))
+    ratio = F.expr(f"(y * CAST({wsum} AS BIGINT) * 1000000) div num")
+    out = j.select("x", "y", "num",
+                   F.when(F.col("num") > 0, ratio).alias("ratio_q"),
+                   ((F.col("num") > 0)
+                    & (ratio >= F.lit(EWMA_BURST_Q))).alias("burst"))
+    ser.unpersist()
+    return out
+
+
+def _sql_ewma_hours() -> str:
+    wsum = (1 << EWMA_K) - 1
+    return f"""WITH ser AS (
+  SELECT epoch_us(ts) // 3600000000 AS x, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+contrib AS (
+  SELECT s.x + k.k AS tx, s.y << CAST({EWMA_K} - k.k AS INT) AS w
+  FROM ser s CROSS JOIN (SELECT unnest(generate_series(1, {EWMA_K})) AS k) k),
+base AS (SELECT tx, CAST(SUM(w) AS BIGINT) AS num FROM contrib GROUP BY 1),
+horizon AS (SELECT MIN(x) AS x_min, MAX(x) AS x_max FROM ser)
+SELECT s.x, s.y, b.num,
+       CASE WHEN b.num > 0
+            THEN (s.y * CAST({wsum} AS BIGINT) * 1000000) // b.num
+       END AS ratio_q,
+       b.num > 0 AND (s.y * CAST({wsum} AS BIGINT) * 1000000) // b.num
+                     >= {EWMA_BURST_Q} AS burst
+FROM ser s JOIN base b ON s.x = b.tx, horizon
+WHERE s.x >= horizon.x_min + {EWMA_K} AND s.x <= horizon.x_max"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -12091,6 +12480,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iso_days": q_iso_days,
         "quality_forest": q_quality_forest,
         "markov_stationary": q_markov_stationary,
+        "dtw_days": q_dtw_days,
+        "frechet_paths": q_frechet_paths,
+        "hyperanf": q_hyperanf,
+        "ewma_hours": q_ewma_hours,
     }
 
 
@@ -12280,4 +12673,8 @@ def oracle_sql() -> dict[str, str]:
         "iso_days": _sql_iso_days(),
         "quality_forest": _sql_quality_forest(),
         "markov_stationary": _sql_markov_stationary(),
+        "dtw_days": _sql_dtw_days(),
+        "frechet_paths": _sql_frechet_paths(n),
+        "hyperanf": _sql_hyperanf(n),
+        "ewma_hours": _sql_ewma_hours(),
     }

@@ -74,6 +74,7 @@ HEADLINE = [
     "linreg", "nb_lang", "textrank", "bearing_stats", "periodogram",
     "kaplan_meier", "closeness",
     "kmeans", "iso_days", "quality_forest", "markov_stationary",
+    "dtw_days", "frechet_paths", "hyperanf", "ewma_hours",
 ]
 
 
