@@ -1402,15 +1402,13 @@ NGRAM_TOPK = 200
 NGRAM_DF_CAP = 100
 
 
-def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared exact n-gram Jaccard pipeline over the <=DF_CAP
-    vocabulary, computed distributed: explode distinct shingles -> drop
-    ubiquitous shingles (df > NGRAM_DF_CAP, broadcast anti-join) ->
-    self-equi-join on shingle -> count = |intersection| -> |union| from
-    per-doc set sizes.  This is the shuffle-on-shingle plan that scales
-    (no O(n^2) cross join, no unbounded per-key pair blowup).  Returns
-    (id_a, id_b, jaccard) with id_a < id_b, jaccard unrounded; feeds
-    both the top-k query and the dedup-group assignment."""
+def _capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped distinct-shingle relation (doc_id, shingle) shared
+    by every shingle-set operator (ngram_pairs / dedup_groups /
+    containment): explode distinct {NGRAM_W}-gram xxhash64 keys, drop
+    ubiquitous shingles (df > NGRAM_DF_CAP, broadcast anti-join),
+    persist — Spark's plan-keyed CacheManager gives all consumers ONE
+    materialized copy per (corpus, cap)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     # shingles shuffle as xxhash64 int64 keys, not 20-char strings: the
     # two shuffles (df count + self-join) move 8-byte fixed-width keys
@@ -1434,8 +1432,19 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-runs of either) share ONE materialized copy per (corpus, cap)
     # — the same amortization a production pipeline gets by computing
     # the shingle relation once per corpus snapshot.
-    sh = (sh_all.join(F.broadcast(frequent), "shingle", "left_anti")
-          .persist())
+    return (sh_all.join(F.broadcast(frequent), "shingle", "left_anti")
+            .persist())
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact n-gram Jaccard pipeline over the <=DF_CAP
+    vocabulary, computed distributed: the _capped_shingles relation ->
+    self-equi-join on shingle -> count = |intersection| -> |union| from
+    per-doc set sizes.  This is the shuffle-on-shingle plan that scales
+    (no O(n^2) cross join, no unbounded per-key pair blowup).  Returns
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard unrounded; feeds
+    both the top-k query and the dedup-group assignment."""
+    sh = _capped_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -12287,6 +12296,625 @@ WHERE s.x >= horizon.x_min + {EWMA_K} AND s.x <= horizon.x_max"""
 
 
 # ---------------------------------------------------------------------------
+# session 25 — association mining, trend forecasting, cross-correlation,
+# stylometry, weighted sampling, containment, seeded authority, trusses
+# ---------------------------------------------------------------------------
+
+CP_MIN_SUPP = 2      # minimum co-occurrence count for a reported pair
+CP_TOPK = 100
+
+
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs that co-occur in
+    orders, ranked by lift = P(ab) / (P(a)P(b)) — the a-priori
+    support/lift screen over the order-lineitem star (Agrawal-Srikant
+    VLDB 1994).
+
+    Exactness: supp/na/nb/n_orders are exact counts and lift is the
+    exact floored micro-ratio (supp * n_orders * 1e6) div (na * nb) —
+    BIGINT throughout (bound: 15k * 15k * 1e6 ~ 2e14 << 2^63).
+
+    Scale plan: the pair explode is the classic quadratic hazard, but
+    here it is STRUCTURALLY bounded — pairs materialize per basket and
+    a TPC-H order has <= 7 lines (13 in this synthesis), so one basket
+    contributes <= C(13,2) = 78 pairs regardless of corpus size; the
+    self-equi-join shuffles on orderkey (never a hot key), per-part
+    counts broadcast, and the order total travels as a one-row
+    relation.  No df-cap needed — the basket IS the cap.
+
+    FULL SQL ORACLE (_sql_copurchase)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    items = (li.select(F.col("l_orderkey").alias("o"),
+                       F.col("l_partkey").alias("p"))
+             .distinct().persist())
+    part_n = items.groupBy("p").agg(F.count("*").alias("n"))
+    tot = items.agg(F.countDistinct("o").alias("n_orders"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .groupBy(F.col("a.p").alias("p_a"), F.col("b.p").alias("p_b"))
+             .agg(F.count("*").alias("supp"))
+             .where(F.col("supp") >= CP_MIN_SUPP))
+    na = part_n.select(F.col("p").alias("p_a"), F.col("n").alias("na"))
+    nb = part_n.select(F.col("p").alias("p_b"), F.col("n").alias("nb"))
+    out = (pairs.join(F.broadcast(na), "p_a").join(F.broadcast(nb), "p_b")
+           .crossJoin(F.broadcast(tot))
+           .select(F.col("p_a").cast("long").alias("p_a"),
+                   F.col("p_b").cast("long").alias("p_b"),
+                   F.col("supp").cast("long").alias("supp"),
+                   F.col("na").cast("long").alias("na"),
+                   F.col("nb").cast("long").alias("nb"),
+                   F.expr("(supp * n_orders * 1000000) div (na * nb)")
+                   .cast("long").alias("lift_q")))
+    items.unpersist()
+    return (out.orderBy(F.col("lift_q").desc(), "p_a", "p_b")
+            .limit(CP_TOPK))
+
+
+def _sql_copurchase() -> str:
+    return f"""WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pn AS (SELECT p, COUNT(*) AS n FROM items GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
+pairs AS (
+  SELECT a.p AS p_a, b.p AS p_b, COUNT(*) AS supp
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {CP_MIN_SUPP})
+SELECT CAST(pairs.p_a AS BIGINT) AS p_a, CAST(pairs.p_b AS BIGINT) AS p_b,
+       CAST(supp AS BIGINT) AS supp,
+       CAST(na.n AS BIGINT) AS na, CAST(nb.n AS BIGINT) AS nb,
+       CAST((supp * tot.n_orders * 1000000) // (na.n * nb.n) AS BIGINT)
+         AS lift_q
+FROM pairs JOIN pn na ON na.p = pairs.p_a JOIN pn nb ON nb.p = pairs.p_b, tot
+ORDER BY lift_q DESC, p_a, p_b LIMIT {CP_TOPK}"""
+
+
+HOLT_K = 12   # dyadic window for both smoothing stages (span 2K = 24 h)
+
+
+def q_holt_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown linear-exponential-smoothing forecast of hourly event
+    volume (Brown 1959 double smoothing): S1 = EWMA(y), S2 = EWMA(S1),
+    level L = 2*S1 - S2, trend B = (alpha/(1-alpha))(S1 - S2); with
+    alpha = 1/2 the one-step forecast is F = L + B = 3*S1 - 2*S2 — the
+    trend-aware upgrade of the level-only q_ewma_hours screen.
+
+    Exactness: both smoothing stages collapse to ONE exact integer
+    convolution.  With truncated dyadic weights 2^(K-k) (sum W = 2^K-1),
+    S1num_t = sum_k 2^(K-k) y_{t-k}, and the double smoothing's
+    combined lag-j weight is 2^(2K-j) * m_j with m_j = min(K, j-1) -
+    max(1, j-K) + 1 (the k-sum telescopes: 2^(K-k) * 2^(K-(j-k)) is
+    constant in k), so S2num_t = sum_j 2^(2K-j) m_j y_{t-j} in units
+    W^2 — every number BIGINT, absent hours true zeros, and
+    fnum = 3*W*S1num - 2*S2num is engine-order-independent.
+
+    Plan: ONE corpus shuffle (the hourly agg); both convolutions are
+    explodes of the aggregated series (|hours| * K and * 2K rows), the
+    horizon gate a broadcast one-row min/max.
+
+    FULL SQL ORACLE (_sql_holt_hours)."""
+    K = HOLT_K
+    ev = _events_micros(spark, sf_dir)
+    ser = (ev.select(F.expr("tm div 3600000000").alias("x"))
+           .groupBy("x").agg(F.count("*").alias("y")).persist())
+    c1 = (ser.withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(K))))
+          .select((F.col("x") + F.col("k")).alias("tx"),
+                  F.expr(f"CAST(shiftleft(y, CAST({K} - k AS INT)) "
+                         f"AS BIGINT)").alias("w")))
+    s1 = c1.groupBy("tx").agg(F.sum("w").alias("s1num"))
+    c2 = (ser.withColumn("j", F.explode(F.sequence(F.lit(2),
+                                                   F.lit(2 * K))))
+          .select((F.col("x") + F.col("j")).alias("tx"),
+                  F.expr(f"y * shiftleft(CAST(least({K}, j - 1) "
+                         f"- greatest(1, j - {K}) + 1 AS BIGINT), "
+                         f"CAST(2 * {K} - j AS INT))").alias("w")))
+    s2 = c2.groupBy("tx").agg(F.sum("w").alias("s2num"))
+    horizon = ser.agg(F.min("x").alias("x_min"), F.max("x").alias("x_max"))
+    w = (1 << K) - 1
+    j = (ser.join(s1, ser.x == s1.tx, "left").drop("tx")
+         .join(s2, ser.x == s2.tx, "left").drop("tx")
+         .crossJoin(F.broadcast(horizon))
+         .where((F.col("x") >= F.col("x_min") + 2 * K)
+                & (F.col("x") <= F.col("x_max")))
+         .select("x", "y",
+                 F.coalesce("s1num", F.lit(0)).alias("s1num"),
+                 F.coalesce("s2num", F.lit(0)).alias("s2num")))
+    fnum = (F.lit(3 * w) * F.col("s1num") - F.lit(2) * F.col("s2num"))
+    out = j.select(
+        "x", "y", "s1num", "s2num",
+        fnum.cast("long").alias("fnum"),
+        F.expr(f"(({3 * w} * s1num - 2 * s2num) * 1000000) "
+               f"div {w * w}").cast("long").alias("forecast_q"))
+    ser.unpersist()
+    return out
+
+
+def _sql_holt_hours() -> str:
+    K = HOLT_K
+    w = (1 << K) - 1
+    return f"""WITH ser AS (
+  SELECT epoch_us(ts) // 3600000000 AS x, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+c1 AS (
+  SELECT s.x + k.k AS tx, s.y << CAST({K} - k.k AS INT) AS w
+  FROM ser s CROSS JOIN (SELECT unnest(generate_series(1, {K})) AS k) k),
+s1 AS (SELECT tx, CAST(SUM(w) AS BIGINT) AS s1num FROM c1 GROUP BY 1),
+c2 AS (
+  SELECT s.x + j.j AS tx,
+         s.y * (CAST(LEAST({K}, j.j - 1) - GREATEST(1, j.j - {K}) + 1
+                AS BIGINT) << CAST(2 * {K} - j.j AS INT)) AS w
+  FROM ser s CROSS JOIN (SELECT unnest(generate_series(2, {2 * K})) AS j) j),
+s2 AS (SELECT tx, CAST(SUM(w) AS BIGINT) AS s2num FROM c2 GROUP BY 1),
+horizon AS (SELECT MIN(x) AS x_min, MAX(x) AS x_max FROM ser)
+SELECT s.x, s.y,
+       CAST(COALESCE(s1.s1num, 0) AS BIGINT) AS s1num,
+       CAST(COALESCE(s2.s2num, 0) AS BIGINT) AS s2num,
+       CAST({3 * w} * COALESCE(s1.s1num, 0)
+            - 2 * COALESCE(s2.s2num, 0) AS BIGINT) AS fnum,
+       CAST((({3 * w} * COALESCE(s1.s1num, 0)
+              - 2 * COALESCE(s2.s2num, 0)) * 1000000) // {w * w}
+            AS BIGINT) AS forecast_q
+FROM ser s LEFT JOIN s1 ON s1.tx = s.x LEFT JOIN s2 ON s2.tx = s.x, horizon
+WHERE s.x >= horizon.x_min + {2 * K} AND s.x <= horizon.x_max"""
+
+
+CCF_MAX_LAG = 6
+
+
+def q_ccf_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the two highest-volume event
+    types' hourly series — does type A's volume lead type B's?  The
+    cross-type companion of the single-series q_acf_hours screen.
+
+    Exactness: for each lag l in 0..{CCF_MAX_LAG}, the sufficient
+    statistics (n, sxy, sx, sy, sxx, syy) over the zero-filled common
+    horizon are exact BIGINTs; Pearson r is then ONE fixed float
+    expression num / sqrt(dx * dy) from those integers (the
+    q_assortativity discipline — num^2 would overflow BIGINT at sf0.1,
+    the float form is engine-portable at 7 rows).
+
+    Plan: one corpus shuffle builds the (type, hour) counts; the type
+    ranking, hour spine (sequence + explode of a one-row min/max), the
+    zero-fill joins and the lag explode all live on the tiny aggregated
+    relation.
+
+    FULL SQL ORACLE (_sql_ccf_types)."""
+    ev = _events_micros(spark, sf_dir)
+    ser = (ev.select("event_type", F.expr("tm div 3600000000").alias("x"))
+           .groupBy("event_type", "x").agg(F.count("*").alias("y"))
+           .persist())
+    ranked = (ser.groupBy("event_type").agg(F.sum("y").alias("n_tot"))
+              .withColumn("rk", F.row_number().over(
+                  Window.orderBy(F.col("n_tot").desc(), "event_type"))))
+    ta = ranked.where(F.col("rk") == 1).select(
+        F.col("event_type").alias("type_a"))
+    tb = ranked.where(F.col("rk") == 2).select(
+        F.col("event_type").alias("type_b"))
+    pair = ser.join(F.broadcast(ta), ser.event_type == F.col("type_a"),
+                    "left").join(
+        F.broadcast(tb), ser.event_type == F.col("type_b"), "left")
+    ab = pair.where(F.col("type_a").isNotNull()
+                    | F.col("type_b").isNotNull())
+    hor = ab.agg(F.min("x").alias("x_min"), F.max("x").alias("x_max"))
+    spine = (hor.select(F.explode(F.sequence("x_min", "x_max")).alias("t"),
+                        "x_min", "x_max"))
+    sa = ab.where(F.col("type_a").isNotNull()).select("x", "y")
+    sb = ab.where(F.col("type_b").isNotNull()).select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"))
+    lag = spine.withColumn("lag", F.explode(
+        F.sequence(F.lit(0), F.lit(CCF_MAX_LAG))))
+    g = (lag.where(F.col("t") >= F.col("x_min") + F.col("lag"))
+         .join(sa, lag.t == sa.x, "left")
+         .join(sb, lag.t - F.col("lag") == sb.xb, "left")
+         .select("lag",
+                 F.coalesce("y", F.lit(0)).alias("ya"),
+                 F.coalesce("yb", F.lit(0)).alias("yb")))
+    agg = g.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("ya").alias("sx"), F.sum("yb").alias("sy"),
+        F.sum(F.col("ya") * F.col("yb")).alias("sxy"),
+        F.sum(F.col("ya") * F.col("ya")).alias("sxx"),
+        F.sum(F.col("yb") * F.col("yb")).alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    out = agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        num.cast("long").alias("num"),
+        dx.cast("long").alias("dx"),
+        dy.cast("long").alias("dy"),
+        F.when((dx > 0) & (dy > 0),
+               F.round(num.cast("double")
+                       / F.sqrt(dx.cast("double") * dy.cast("double")), 6))
+        .alias("r"))
+    ser.unpersist()
+    return out
+
+
+def _sql_ccf_types() -> str:
+    return f"""WITH ser AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, ROW_NUMBER() OVER (ORDER BY SUM(y) DESC, event_type)
+           AS rk
+  FROM ser GROUP BY event_type),
+ab AS (SELECT s.*, r.rk FROM ser s JOIN ranked r USING (event_type)
+       WHERE r.rk <= 2),
+hor AS (SELECT MIN(x) AS x_min, MAX(x) AS x_max FROM ab),
+spine AS (SELECT unnest(generate_series(x_min, x_max)) AS t, x_min
+          FROM hor),
+lagged AS (SELECT t, x_min, unnest(generate_series(0, {CCF_MAX_LAG})) AS lag
+           FROM spine),
+g AS (
+  SELECT l.lag, COALESCE(a.y, 0) AS ya, COALESCE(b.y, 0) AS yb
+  FROM lagged l
+  LEFT JOIN (SELECT x, y FROM ab WHERE rk = 1) a ON a.x = l.t
+  LEFT JOIN (SELECT x, y FROM ab WHERE rk = 2) b ON b.x = l.t - l.lag
+  WHERE l.t >= l.x_min + l.lag),
+agg AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ya) AS BIGINT) AS sx, CAST(SUM(yb) AS BIGINT) AS sy,
+         CAST(SUM(ya * yb) AS BIGINT) AS sxy,
+         CAST(SUM(ya * ya) AS BIGINT) AS sxx,
+         CAST(SUM(yb * yb) AS BIGINT) AS syy
+  FROM g GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+       CAST(n * syy - sy * sy AS BIGINT) AS dy,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS r
+FROM agg"""
+
+
+STYLO_M = 30          # function-word vocabulary: global top-M tokens
+STYLO_FSCALE = 1_000_000   # per-source relative frequency quantization
+STYLO_TSCALE = 1_000       # per-word delta term quantization
+
+
+def q_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic Burrows' Delta between sources: authorship-attribution
+    distance over function-word frequency profiles (Burrows LLC 2002;
+    the squared variant is Argamon's probabilistic reformulation, which
+    keeps the whole statistic in exact integer algebra — no sqrt).
+
+    For the global top-{STYLO_M} tokens, each source's relative
+    frequency is quantized ONCE to an exact floored micro-ratio f =
+    (cnt * 1e6) div total; the cross-source variance numerator
+    varnum_w = S * sum(f^2) - (sum f)^2 is exact BIGINT, and the pair
+    distance is delta_q = sum_w ((f_a - f_b)^2 * S * 1000) div varnum_w
+    — a sum of per-word floored integers, engine-order-independent
+    (bound: 1e12 * 20 * 1e3 = 2e16 << 2^63).
+
+    Plan: one token-explode shuffle to (source, token) counts; the
+    vocabulary (top-M), per-source totals, the S-row x M-word matrix,
+    the variance relation and the S^2/2-pair self-join all live on
+    KB-sized aggregates (at any corpus scale: sources x vocab is fixed).
+
+    FULL SQL ORACLE (_sql_stylometry)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("source", F.explode(
+        analysis.tokens(F.lower(F.col("text")))).alias("token"))
+    cnt = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    cnt = cnt.persist()
+    totals = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    vocab = (cnt.groupBy("token").agg(F.sum("c").alias("g"))
+             .orderBy(F.col("g").desc(), "token").limit(STYLO_M)
+             .select("token"))
+    ns = totals.agg(F.count("*").alias("s_cnt"))
+    cells = (totals.crossJoin(F.broadcast(vocab))
+             .join(cnt, ["source", "token"], "left")
+             .select("source", "token",
+                     F.expr(f"(coalesce(c, 0) * {STYLO_FSCALE}) div t")
+                     .alias("f")))
+    cells = cells.persist()
+    var = (cells.groupBy("token")
+           .agg(F.sum("f").alias("sf"),
+                F.sum(F.col("f") * F.col("f")).alias("sff"))
+           .crossJoin(F.broadcast(ns))
+           .select("token",
+                   (F.col("s_cnt") * F.col("sff")
+                    - F.col("sf") * F.col("sf")).alias("varnum"))
+           .where(F.col("varnum") > 0))
+    a = cells.select(F.col("source").alias("src_a"), "token",
+                     F.col("f").alias("fa"))
+    b = cells.select(F.col("source").alias("src_b"), "token",
+                     F.col("f").alias("fb"))
+    pairs = (a.join(b, "token").where(F.col("src_a") < F.col("src_b"))
+             .join(F.broadcast(var), "token")
+             .crossJoin(F.broadcast(ns)))
+    term = F.expr(
+        f"((fa - fb) * (fa - fb) * s_cnt * {STYLO_TSCALE}) div varnum")
+    out = (pairs.groupBy("src_a", "src_b")
+           .agg(F.count("*").alias("n_w"),
+                F.sum(term).alias("delta_q"))
+           .select("src_a", "src_b",
+                   F.col("n_w").cast("long").alias("n_w"),
+                   F.col("delta_q").cast("long").alias("delta_q")))
+    cnt.unpersist()
+    cells.unpersist()
+    return out
+
+
+def _sql_stylometry() -> str:
+    return f"""WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t != '')) AS token
+  FROM documents),
+cnt AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+vocab AS (SELECT token FROM cnt GROUP BY token
+          ORDER BY SUM(c) DESC, token LIMIT {STYLO_M}),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_cnt FROM totals),
+cells AS (
+  SELECT totals.source, vocab.token,
+         (COALESCE(cnt.c, 0) * {STYLO_FSCALE}) // totals.t AS f
+  FROM totals CROSS JOIN vocab
+  LEFT JOIN cnt ON cnt.source = totals.source AND cnt.token = vocab.token),
+var AS (
+  SELECT token, ns.s_cnt * SUM(f * f) - SUM(f) * SUM(f) AS varnum
+  FROM cells, ns GROUP BY token, ns.s_cnt
+  HAVING ns.s_cnt * SUM(f * f) - SUM(f) * SUM(f) > 0)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_w,
+       CAST(SUM(((a.f - b.f) * (a.f - b.f) * ns.s_cnt * {STYLO_TSCALE})
+                // var.varnum) AS BIGINT) AS delta_q
+FROM cells a
+JOIN cells b ON a.token = b.token AND a.source < b.source
+JOIN var ON var.token = a.token, ns
+GROUP BY 1, 2"""
+
+
+WS_K = 100        # sample size target
+WS_BUCKET = 128   # doc_id bucket width for the distributed prefix sum
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional systematic sample of documents
+    — the data-mixing primitive (sample K docs with probability
+    proportional to length) that LLM corpus assembly runs constantly.
+
+    Semantics: docs ordered by doc_id carry cumulative weight cum; doc
+    d is selected iff the interval ((cum-w)*K div tot, cum*K div tot]
+    contains an integer boundary — i.e. iff floor crosses.  Exactly K
+    distinct docs when no single weight exceeds tot/K (a doc spanning
+    multiple boundaries is emitted once); all arithmetic exact BIGINT,
+    so the sample is reproducible bit-for-bit across engines and runs.
+
+    Scale plan: a naive `Window.orderBy(doc_id)` prefix sum is a
+    SINGLE-TASK global sort — the classic window scale-trap.  Instead
+    the standard two-level decomposition: (1) per-bucket partial sums
+    (one map-side-combinable agg over doc_id div {WS_BUCKET}), (2) a
+    running total over the tiny bucket relation, (3) the intra-bucket
+    window PARTITIONED BY bucket + the broadcast bucket offsets.  No
+    stage ever sees more than one bucket in one task.
+
+    FULL SQL ORACLE (_sql_weighted_sample) — a plain single-window
+    cumsum; the bucket decomposition is exact so values agree."""
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id", F.col("n_chars").cast("long").alias("w"),
+                    F.expr(f"doc_id div {WS_BUCKET}").alias("bkt")))
+    b_sum = docs.groupBy("bkt").agg(F.sum("w").alias("bw"))
+    b_off = b_sum.select(
+        "bkt",
+        (F.sum("bw").over(Window.orderBy("bkt")
+                          .rowsBetween(Window.unboundedPreceding, 0))
+         - F.col("bw")).alias("off"))
+    tot = docs.agg(F.sum("w").alias("tot"))
+    intra = docs.withColumn(
+        "cum_in",
+        F.sum("w").over(Window.partitionBy("bkt").orderBy("doc_id")
+                        .rowsBetween(Window.unboundedPreceding, 0)))
+    cum = (intra.join(F.broadcast(b_off), "bkt")
+           .crossJoin(F.broadcast(tot))
+           .select("doc_id", "w", (F.col("off") + F.col("cum_in"))
+                   .alias("cum"), "tot"))
+    sel = cum.where(
+        F.expr(f"(cum * {WS_K}) div tot > ((cum - w) * {WS_K}) div tot"))
+    return sel.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("w").cast("long").alias("w"),
+        F.col("cum").cast("long").alias("cum"),
+        F.expr(f"(cum * {WS_K}) div tot").cast("long").alias("slot"))
+
+
+def _sql_weighted_sample() -> str:
+    return f"""WITH cum AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(n_chars) OVER () AS BIGINT) AS tot
+  FROM documents)
+SELECT doc_id, w, cum, CAST((cum * {WS_K}) // tot AS BIGINT) AS slot
+FROM cum
+WHERE (cum * {WS_K}) // tot > ((cum - w) * {WS_K}) // tot"""
+
+
+CONT_NUM, CONT_DEN = 3, 5   # containment gate: max-direction >= 3/5
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment: pairs where one document's
+    shingle set is largely INSIDE the other's — C(a in b) =
+    |S_a cap S_b| / |S_a| (Broder 1997's containment, the quote /
+    subset-extraction screen that symmetric Jaccard misses: a short
+    doc quoted verbatim by a long one has high containment but low
+    Jaccard).
+
+    Exactness: n_inter/na/nb are exact set counts over the df-capped
+    shingle vocabulary (shared with ngram_pairs — see _capped_shingles)
+    and both directional containments are exact floored micro-ratios;
+    the gate max(C_ab, C_ba) >= {CONT_NUM}/{CONT_DEN} is evaluated in
+    integers (n_inter * {CONT_DEN} >= {CONT_NUM} * least(na, nb)).
+
+    Plan: identical scale shape to _ngram_jaccard (shuffle-on-shingle
+    with the document-frequency cap bounding per-key pair fan-out);
+    the plan-keyed cache shares ONE materialized shingle relation with
+    ngram_pairs/dedup_groups when they run in the same session.
+
+    FULL SQL ORACLE (_sql_containment)."""
+    sh = _capped_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("n_sh").alias("nb"))
+    j = (inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+         .where(F.expr(f"n_inter * {CONT_DEN} >= "
+                       f"{CONT_NUM} * least(na, nb)")))
+    return j.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.expr("(n_inter * 1000000) div na").cast("long").alias("cont_a_q"),
+        F.expr("(n_inter * 1000000) div nb").cast("long").alias("cont_b_q"))
+
+
+def _sql_containment() -> str:
+    return f"""WITH {_ngram_cte()}
+SELECT inter.id_a, inter.id_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n_sh AS BIGINT) AS na, CAST(sb.n_sh AS BIGINT) AS nb,
+       CAST((n_inter * 1000000) // sa.n_sh AS BIGINT) AS cont_a_q,
+       CAST((n_inter * 1000000) // sb.n_sh AS BIGINT) AS cont_b_q
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.id_a
+JOIN sizes sb ON sb.doc_id = inter.id_b
+WHERE n_inter * {CONT_DEN} >= {CONT_NUM} * LEAST(sa.n_sh, sb.n_sh)"""
+
+
+PPR_TOPK = 50
+
+
+def q_ppr_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the BFS seed domains (domain % 97 ==
+    0): "domains related to THESE" rather than global authority —
+    topic-sensitive ranking (Haveliwala WWW 2002) over the same
+    deterministic link graph as q_pagerank_domains.
+
+    Exact quantized-integer mass propagation (proj_spark/graph.py ppr):
+    the rank relation stays SPARSE (seeds + reached nodes only), which
+    is the scale argument for PPR — the frontier is tiny next to a
+    10^12-page graph, and each of the {PR_ITERS} rounds is one
+    broadcast join + hash agg with the teleport as a FULL OUTER join
+    of two small relations.
+
+    FULL SQL ORACLE (_sql_ppr_domains): the identical rounds unrolled
+    as CTEs (graph.py ppr_sql)."""
+    from proj_spark.graph import ppr
+    edges = (_domain_links(spark, sf_dir)
+             .groupBy("src", "dst").agg(F.count("*").alias("w")))
+    seeds = (spark.range(N_DOMAINS).select(F.col("id").alias("node"))
+             .where(F.col("node") % BFS_SEED_MOD == 0))
+    pr = ppr(edges, seeds, iters=PR_ITERS)
+    return (pr.select(F.col("node").cast("long").alias("domain"), "score")
+            .orderBy(F.col("score").desc(), "domain").limit(PPR_TOPK))
+
+
+def _sql_ppr_domains(n: int) -> str:
+    from proj_spark.graph import ppr_sql
+    edges_cte = f"""{_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+e AS (SELECT src, dst, COUNT(*) AS w FROM (
+        SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+        UNION ALL
+        SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+      WHERE src <> dst GROUP BY 1, 2)"""
+    seeds_cte = (f"seeds AS (SELECT range AS node FROM range(0, {N_DOMAINS}) "
+                 f"WHERE range % {BFS_SEED_MOD} = 0)")
+    body = ppr_sql(edges_cte, seeds_cte, iters=PR_ITERS)
+    return (body.replace("SELECT node, score FROM",
+                         "SELECT node AS domain, score FROM")
+            + f"\nORDER BY score DESC, domain LIMIT {PPR_TOPK}")
+
+
+TRUSS_SAMPLE_MOD = 8   # heavier DOULION sample than kcore: the wedge
+TRUSS_ROUNDS = 3       # join is the quadratic hazard, not the degree agg
+
+
+def q_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truss decomposition (bounded rounds): the subgraph of domain
+    links whose every edge sits in enough triangles — the edge-centric
+    dense-community primitive one notch stronger than q_kcore (an edge
+    in a k-truss connects nodes of a (k-1)-core, never conversely).
+
+    The support threshold derives from the data (mean round-1 support
+    + 1, exact integer division) so the peel bites at every corpus
+    scale — the densifying synthetic graph makes any FIXED k trivially
+    empty at sf0.001 or trivially full at sf0.1 (same discipline as
+    kcore's data-derived k).
+
+    Scale plan (proj_spark/graph.py truss_peel): per round ONE wedge
+    self-join + hash agg + broadcast threshold filter, lazily chained
+    off a localCheckpoint; the DOULION hash-sample (mod
+    {TRUSS_SAMPLE_MOD}) bounds the wedge volume the way q_triangles'
+    sample does.
+
+    FULL SQL ORACLE (_sql_truss): the peel unrolled as CTE triples."""
+    from proj_spark.graph import truss_peel, truss_support
+    und = (_domain_links(spark, sf_dir)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .where((F.col("a") * 1000003 + F.col("b"))
+                  % TRUSS_SAMPLE_MOD == 0)
+           .persist())
+    sup1 = truss_support(und).persist()
+    k = (sup1.agg(F.expr("sum(support) div count(*) + 1")
+                  .cast("long").alias("kval"))
+         .localCheckpoint(eager=True))
+    out = truss_peel(und, k, rounds=TRUSS_ROUNDS, first_support=sup1)
+    sup1.unpersist()
+    und.unpersist()
+    return out.select(F.col("a").cast("long").alias("domain_a"),
+                      F.col("b").cast("long").alias("domain_b"),
+                      F.col("support").cast("long").alias("support"))
+
+
+def _sql_truss(n: int) -> str:
+    from proj_spark.graph import truss_sql
+    und_cte = f"""{_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+e0 AS (SELECT a, b FROM (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM (
+            SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+            UNION ALL
+            SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+          WHERE src != dst)
+        WHERE (a * 1000003 + b) % {TRUSS_SAMPLE_MOD} = 0)"""
+    kv_cte = "kv AS (SELECT SUM(support) // COUNT(*) + 1 AS kval FROM sup1)"
+    body = truss_sql(und_cte, kv_cte, rounds=TRUSS_ROUNDS)
+    return (f"SELECT CAST(a AS BIGINT) AS domain_a, "
+            f"CAST(b AS BIGINT) AS domain_b, "
+            f"CAST(support AS BIGINT) AS support FROM ({body})")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -12484,6 +13112,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet_paths": q_frechet_paths,
         "hyperanf": q_hyperanf,
         "ewma_hours": q_ewma_hours,
+        "copurchase": q_copurchase,
+        "holt_hours": q_holt_hours,
+        "ccf_types": q_ccf_types,
+        "stylometry": q_stylometry,
+        "weighted_sample": q_weighted_sample,
+        "containment": q_containment,
+        "ppr_domains": q_ppr_domains,
+        "truss": q_truss,
     }
 
 
@@ -12677,4 +13313,12 @@ def oracle_sql() -> dict[str, str]:
         "frechet_paths": _sql_frechet_paths(n),
         "hyperanf": _sql_hyperanf(n),
         "ewma_hours": _sql_ewma_hours(),
+        "copurchase": _sql_copurchase(),
+        "holt_hours": _sql_holt_hours(),
+        "ccf_types": _sql_ccf_types(),
+        "stylometry": _sql_stylometry(),
+        "weighted_sample": _sql_weighted_sample(),
+        "containment": _sql_containment(),
+        "ppr_domains": _sql_ppr_domains(n),
+        "truss": _sql_truss(n),
     }

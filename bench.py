@@ -75,6 +75,8 @@ HEADLINE = [
     "kaplan_meier", "closeness",
     "kmeans", "iso_days", "quality_forest", "markov_stationary",
     "dtw_days", "frechet_paths", "hyperanf", "ewma_hours",
+    "copurchase", "holt_hours", "ccf_types", "stylometry",
+    "weighted_sample", "containment", "ppr_domains", "truss",
 ]
 
 

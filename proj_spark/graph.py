@@ -409,3 +409,159 @@ def modularity(und: DataFrame, lab: DataFrame) -> DataFrame:
         qn.cast("long").alias("q_num"),
         F.round(qn.cast("double") / (F.lit(4.0) * md * md), 6)
         .alias("q_part"))
+
+
+def ppr(edges: DataFrame, seeds: DataFrame,
+        iters: int = 5, init: int = PR_INIT) -> DataFrame:
+    """Personalized PageRank: the teleport vector is the seed set, not
+    the uniform distribution (the "random surfer restarts at the seeds"
+    variant behind related-page / topic-sensitive ranking, Haveliwala
+    WWW 2002).  Same quantized-integer discipline as `pagerank` (the
+    reference's determinism contract: `src/pj_list.h` ops are bit-stable
+    across runs; rank arithmetic here is exact BIGINT so Spark partial
+    -agg reordering cannot perturb a unit).
+
+    edges: (src, dst, w) aggregated weights; seeds: (node) the
+    personalization set.  Returns (node, score) in
+    integer micro-units; nodes never touched by seed mass keep score 0
+    implicitly (the rank relation stays SPARSE — at web scale the
+    frontier is orders of magnitude smaller than the graph, which is
+    the point of PPR over global pagerank).
+    """
+    base = (PR_DEN - PR_NUM) * init // PR_DEN
+    w_tot = edges.groupBy("src").agg(F.sum("w").alias("w_tot"))
+    e = edges.join(w_tot, "src").persist()
+    seeds = seeds.persist()
+    rank = seeds.select("node", F.lit(init).cast("long").alias("score"))
+    inter = []
+    for _ in range(iters):
+        contrib = (e.join(F.broadcast(rank.withColumnRenamed("node", "src")),
+                          "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("(score * w) div w_tot").alias("c")))
+        incoming = contrib.groupBy("node").agg(F.sum("c").alias("m"))
+        # sparse union of (teleport at seeds) + (damped incoming): a
+        # FULL OUTER join of two small relations, never the node universe
+        nxt = (incoming.join(seeds.withColumn("is_seed", F.lit(1)),
+                             "node", "full_outer")
+               .select("node",
+                       (F.when(F.col("is_seed").isNotNull(), F.lit(base))
+                        .otherwise(F.lit(0))
+                        + F.expr(f"({PR_NUM} * coalesce(m, 0)) div {PR_DEN}")
+                        ).cast("long").alias("score"))).persist()
+        inter.append(nxt)
+        rank = nxt
+    rank.count()
+    for df in inter[:-1]:
+        df.unpersist()
+    e.unpersist()
+    return rank
+
+
+def ppr_sql(edges_cte: str, seeds_cte: str, iters: int = 5,
+            init: int = PR_INIT) -> str:
+    """DuckDB twin of `ppr`: unrolled per-iteration CTEs.
+
+    `edges_cte` must define `e(src, dst, w)`; `seeds_cte` must define
+    `seeds(node)`.  Returns `WITH ... SELECT node, score` (no ORDER BY).
+    """
+    base = (PR_DEN - PR_NUM) * init // PR_DEN
+    parts = [edges_cte, seeds_cte,
+             "wt AS (SELECT src, SUM(w) AS w_tot FROM e GROUP BY 1)",
+             "ew AS (SELECT e.src, e.dst, e.w, wt.w_tot FROM e JOIN wt USING (src))",
+             f"pr0 AS (SELECT node, CAST({init} AS BIGINT) AS score FROM seeds)"]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"in{k} AS (SELECT ew.dst AS node, "
+            f"SUM((p.score * ew.w) // ew.w_tot) AS m "
+            f"FROM ew JOIN pr{k - 1} p ON p.node = ew.src GROUP BY 1)")
+        parts.append(
+            f"pr{k} AS (SELECT COALESCE(i.node, s.node) AS node, "
+            f"CAST(CASE WHEN s.node IS NOT NULL THEN {base} ELSE 0 END + "
+            f"({PR_NUM} * COALESCE(i.m, 0)) // {PR_DEN} AS BIGINT) AS score "
+            f"FROM in{k} i FULL OUTER JOIN seeds s ON s.node = i.node)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, score FROM pr{iters}")
+
+
+def truss_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support |N(a) cap N(b)| of an undirected simple
+    graph given as canonical edges (a < b): one self-join pair — edges
+    join the symmetrized adjacency on each endpoint with a common third
+    vertex (the same wedge shape as triangle_counts)."""
+    sym = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .union(edges.select(F.col("b").alias("u"),
+                               F.col("a").alias("v"))))
+    na = sym.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    nb = sym.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    return (edges.join(na, "a").join(nb, ["b", "c"])
+            .groupBy("a", "b").agg(F.count("*").alias("support")))
+
+
+def truss_peel(und: DataFrame, k: DataFrame, rounds: int = 3,
+               first_support: DataFrame | None = None) -> DataFrame:
+    """Bounded truss peeling: keep edges whose triangle support meets a
+    threshold, iterated (removing an edge can drop a neighbor edge's
+    support below threshold), with a fixed round bound for determinism —
+    the edge-centric sibling of `kcore_peel` (Cohen 2008; trusses are
+    the standard dense-subgraph primitive one notch stronger than cores).
+
+    und: canonical distinct edges (a long, b long) with a < b.
+    k: a ONE-ROW DataFrame (kval long) — the required support, kept as
+    a relation (broadcast into each round's filter) so no scalar ever
+    crosses to the driver; callers typically derive it from the data
+    (mean round-1 support + 1) so the peel bites at every corpus scale.
+    Returns the surviving edges with a final support recount
+    (a, b, support) — i.e. E_R plus one more support pass over it.
+
+    Scale plan: each round is one wedge self-join + one hash agg +
+    one broadcast threshold filter, with the survivor set
+    localCheckpoint'ed per round — a TRUE lineage cut, same discipline
+    as bfs_hops' per-level truncation.  A merely-lazy chain recomputes
+    round r's wedge join rounds-r more times, and persist() alone
+    keeps the logical plan: the wedge shape references `alive` three
+    times, so the un-cut plan TREE doubles per round and Catalyst
+    re-analysis dominates (measured: round-3 support over 321 cached
+    rows took 115 s driver-side; with the checkpoint cut the whole
+    peel is seconds).  The survivor relations are tiny (they shrink
+    monotonically), so the checkpoint cost is noise.
+    """
+    alive = und.localCheckpoint(eager=True)
+    for i in range(rounds):
+        # callers that already materialized round-1 support (e.g. to
+        # derive k from it) pass it in so the most expensive wedge
+        # join — the one over the full input — runs once, not twice
+        sup = (first_support if i == 0 and first_support is not None
+               else truss_support(alive))
+        alive = (sup.crossJoin(F.broadcast(k))
+                 .where(F.col("support") >= F.col("kval"))
+                 .select("a", "b").localCheckpoint(eager=True))
+    return truss_support(alive)
+
+
+def truss_sql(und_cte: str, kv_cte: str, rounds: int = 3) -> str:
+    """DuckDB twin of `truss_peel`: unrolled per-round CTE triples
+    (symmetrize -> support -> survivors).  `und_cte` must define
+    `e0(a, b)` with a < b; `kv_cte` must define `kv(kval)` and may
+    reference `sup1` (the round-1 support relation).  Returns
+    `WITH ... SELECT a, b, support`."""
+    parts = [und_cte]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"s{r - 1} AS (SELECT a AS u, b AS v FROM e{r - 1} "
+            f"UNION ALL SELECT b, a FROM e{r - 1})")
+        parts.append(
+            f"sup{r} AS (SELECT e.a, e.b, COUNT(*) AS support "
+            f"FROM e{r - 1} e JOIN s{r - 1} x ON x.u = e.a "
+            f"JOIN s{r - 1} y ON y.u = e.b AND y.v = x.v GROUP BY 1, 2)")
+        if r == 1:
+            parts.append(kv_cte)
+        parts.append(
+            f"e{r} AS (SELECT a, b FROM sup{r}, kv WHERE support >= kval)")
+    parts.append(
+        f"sf AS (SELECT a AS u, b AS v FROM e{rounds} "
+        f"UNION ALL SELECT b, a FROM e{rounds})")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT e.a, e.b, COUNT(*) AS support "
+            f"FROM e{rounds} e JOIN sf x ON x.u = e.a "
+            f"JOIN sf y ON y.u = e.b AND y.v = x.v GROUP BY 1, 2")
