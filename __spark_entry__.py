@@ -12915,6 +12915,432 @@ e0 AS (SELECT a, b FROM (
 
 
 # ---------------------------------------------------------------------------
+# session 26 — bounded betweenness, sequence mining, rank fusion,
+# spatial interaction, keyphrase extraction
+# ---------------------------------------------------------------------------
+
+BC_SRC_MOD = 211   # betweenness source sample: domains % 211 == 0 (5)
+BC_DEPTH = 3
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded sampled-source betweenness centrality over the
+    directed domain link graph (Brandes 2001 forward/backward passes,
+    truncated at {BC_DEPTH} hops, sources sampled deterministically —
+    Brandes-Pich 2007): which domains sit ON the shortest paths, the
+    brokerage complement of pagerank's authority.
+
+    Exactness + scale plan in proj_spark/graph.py betweenness_bounded:
+    exact BIGINT path counts, per-edge floored dependency terms, one
+    equi-join + hash agg per level with localCheckpoint lineage cuts.
+
+    FULL SQL ORACLE (_sql_betweenness): forward/backward levels
+    unrolled as CTEs (graph.py betweenness_sql)."""
+    from proj_spark.graph import betweenness_bounded
+    edges = (_domain_links(spark, sf_dir).distinct()
+             .select(F.col("src").alias("u"), F.col("dst").alias("v")))
+    sources = (spark.range(N_DOMAINS).select(F.col("id").alias("s"))
+               .where(F.col("id") % BC_SRC_MOD == 0))
+    out = betweenness_bounded(edges, sources, depth=BC_DEPTH)
+    return out.select(F.col("node").cast("long").alias("domain"),
+                      F.col("bc_q").cast("long").alias("bc_q"))
+
+
+def _sql_betweenness(n: int) -> str:
+    from proj_spark.graph import betweenness_sql
+    edges_cte = f"""{_pages_cte(n)},
+raw AS (SELECT CAST(domain AS BIGINT) AS src,
+               (CAST(regexp_extract(url, 'page/(\\d+)', 1) AS BIGINT)
+                * 2654435761) % 2147483648 AS h
+        FROM pages),
+e AS (SELECT DISTINCT src AS u, dst AS w FROM (
+        SELECT src, (h // 131) % {N_DOMAINS} AS dst FROM raw
+        UNION ALL
+        SELECT src, (h // 17) % {N_DOMAINS} AS dst FROM raw)
+      WHERE src != dst)"""
+    sources_cte = (f"sources AS (SELECT range AS s FROM "
+                   f"range(0, {N_DOMAINS}) WHERE range % {BC_SRC_MOD} = 0)")
+    body = betweenness_sql(edges_cte, sources_cte, depth=BC_DEPTH)
+    return body.replace(
+        "SELECT v AS node, CAST(SUM(delta) AS BIGINT) AS bc_q",
+        "SELECT CAST(v AS BIGINT) AS domain, "
+        "CAST(SUM(delta) AS BIGINT) AS bc_q")
+
+
+TRI3_TOPK = 20
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: the most frequent contiguous
+    3-event-type sequences per user session stream — the "what do
+    users DO next" screen next to the 1-step event_transitions Markov
+    matrix (a length-3 special case of frequent-subsequence mining).
+
+    Exactness: ordering within a user is total ((tm, event_id)
+    tiebreak), so the lead-window triples are deterministic and the
+    counts exact.
+
+    Plan: ONE shuffle (partition by user), two lead windows inside each
+    partition, one map-side-combinable count agg, TakeOrdered top-k —
+    the window never sees more than one user's events in one task.
+
+    FULL SQL ORACLE (_sql_event_trigrams)."""
+    ev = _events_micros(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tm", "event_id")
+    tri = (ev.select(F.col("event_type").alias("t1"),
+                     F.lead("event_type", 1).over(w).alias("t2"),
+                     F.lead("event_type", 2).over(w).alias("t3"))
+           .where(F.col("t2").isNotNull() & F.col("t3").isNotNull()))
+    return (tri.groupBy("t1", "t2", "t3").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+            .limit(TRI3_TOPK))
+
+
+def _sql_event_trigrams() -> str:
+    return f"""WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tm, event_id FROM events),
+tri AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id))
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT {TRI3_TOPK}"""
+
+
+RRF_R = 100      # per-list truncation depth
+RRF_KC = 60      # the standard RRF damping constant
+RRF_TOPK = 30
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack-Clarke-Buettcher SIGIR 2009) of
+    two document rankings — BM25 relevance (the q_bm25_topk scorer)
+    fused with a length prior (n_chars desc) — the standard way
+    retrieval pipelines combine heterogeneous scorers without score
+    calibration: RRF(d) = sum_lists 1/(k + rank_d).
+
+    Exactness: each reciprocal term is the exact floored micro-ratio
+    1e6 div ({RRF_KC} + rank); a document absent from a truncated list
+    contributes 0 (the standard top-R convention).
+
+    Plan: both lists are TakeOrdered top-{RRF_R} — no global sort of
+    the corpus; the rank windows run over the tiny truncated lists,
+    and the fusion is one full-outer join of two 100-row relations.
+
+    FULL SQL ORACLE (_sql_rrf_fusion)."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id",
+                    analysis.tokens(F.lower(F.col("text"))).alias("a"))
+    tf = (t.select("doc_id", F.explode("a").alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    tf = tf.persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tot = dl.agg(F.count("*").alias("nn"), F.sum("dl").alias("s"))
+    dfr = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    q = (dfr.where(F.length("tok") >= BM25_MINLEN)
+         .orderBy(F.col("df").desc(), "tok").limit(BM25_QK))
+    m = (tf.join(F.broadcast(q), "tok").join(dl, "doc_id")
+         .crossJoin(F.broadcast(tot)))
+    sm = F.expr(
+        "((1000000 * (2*nn - 2*df + 1)) div (2*df + 1))"
+        " * ((1000000 * 6 * tf * s) div (2*tf*s + s + 3*dl*nn))"
+        " div 1000000")
+    bm = (m.select("doc_id", sm.alias("sm"))
+          .groupBy("doc_id").agg(F.sum("sm").alias("score_micro"))
+          .orderBy(F.col("score_micro").desc(), "doc_id").limit(RRF_R)
+          .withColumn("r1", F.row_number().over(
+              Window.orderBy(F.col("score_micro").desc(), "doc_id")))
+          .select("doc_id", "r1"))
+    ln = (docs.select("doc_id", "n_chars")
+          .orderBy(F.col("n_chars").desc(), "doc_id").limit(RRF_R)
+          .withColumn("r2", F.row_number().over(
+              Window.orderBy(F.col("n_chars").desc(), "doc_id")))
+          .select("doc_id", "r2"))
+    fused = (bm.join(ln, "doc_id", "full_outer")
+             .select("doc_id", "r1", "r2",
+                     (F.coalesce(F.expr(f"1000000 div ({RRF_KC} + r1)"),
+                                 F.lit(0))
+                      + F.coalesce(F.expr(f"1000000 div ({RRF_KC} + r2)"),
+                                   F.lit(0))).alias("rrf_q")))
+    out = (fused.orderBy(F.col("rrf_q").desc(), "doc_id").limit(RRF_TOPK)
+           .select(F.col("doc_id").cast("long").alias("doc_id"),
+                   F.col("r1").cast("long").alias("r1"),
+                   F.col("r2").cast("long").alias("r2"),
+                   F.col("rrf_q").cast("long").alias("rrf_q")))
+    tf.unpersist()
+    return out
+
+
+def _sql_rrf_fusion() -> str:
+    return f"""WITH t AS (SELECT doc_id, {_SQL_TOKS} AS a FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+         SELECT doc_id, unnest(a) AS tok FROM t) GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+               CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+q AS (SELECT tok, df FROM dfr WHERE length(tok) >= {BM25_MINLEN}
+      ORDER BY df DESC, tok LIMIT {BM25_QK}),
+sc AS (SELECT tf.doc_id,
+              ((1000000 * (2*nn - 2*df + 1)) // (2*df + 1))
+              * ((1000000 * 6 * tf * s) // (2*tf*s + s + 3*dl*nn))
+              // 1000000 AS sm
+       FROM tf JOIN q USING (tok) JOIN dl USING (doc_id), tot),
+bm0 AS (SELECT doc_id, SUM(sm) AS score_micro FROM sc GROUP BY 1
+        ORDER BY score_micro DESC, doc_id LIMIT {RRF_R}),
+bm AS (SELECT doc_id, ROW_NUMBER() OVER
+         (ORDER BY score_micro DESC, doc_id) AS r1 FROM bm0),
+ln0 AS (SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT {RRF_R}),
+ln AS (SELECT doc_id, ROW_NUMBER() OVER
+         (ORDER BY n_chars DESC, doc_id) AS r2 FROM ln0),
+fused AS (
+  SELECT COALESCE(bm.doc_id, ln.doc_id) AS doc_id, r1, r2,
+         COALESCE(1000000 // ({RRF_KC} + r1), 0)
+         + COALESCE(1000000 // ({RRF_KC} + r2), 0) AS rrf_q
+  FROM bm FULL OUTER JOIN ln ON bm.doc_id = ln.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(r1 AS BIGINT) AS r1,
+       CAST(r2 AS BIGINT) AS r2, CAST(rrf_q AS BIGINT) AS rrf_q
+FROM fused ORDER BY rrf_q DESC, doc_id LIMIT {RRF_TOPK}"""
+
+
+HUFF_CSCALE = 10_000         # coordinates quantized to deg * 1e4
+HUFF_MIN_D2 = 10_000         # distance floor: (1 km)^2-scale in grid units
+HUFF_WSCALE = 1_000_000_000  # gravity weight quantization
+
+
+def _huff_cities_rows() -> list[tuple[int, int, int]]:
+    """(j, cx, cy) city anchors in deg*1e4 integer units — exact in
+    both engines (CITY_CENTERS coordinates have <= 2 decimals)."""
+    return [(j, round(lon * HUFF_CSCALE), round(lat * HUFF_CSCALE))
+            for j, (lon, lat) in enumerate(CITY_CENTERS)]
+
+
+def q_huff_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huff spatial-interaction model (Huff 1964): probabilistic market
+    share of each city "facility" over the page point cloud, with
+    attractiveness derived from the data itself (the city's primary
+    catchment count) — the retail-gravity companion of gravity_fit /
+    city_decay.
+
+    Exactness: coordinates quantize once to deg*1e4 ints, d2 is exact
+    BIGINT, attractiveness a_q an exact micro-share of total pages,
+    gravity weight w = (a_q * 1e9) div max(d2, {HUFF_MIN_D2}) and
+    per-point share (w * 1e6) div sum(w) are floored integers;
+    argmin/argmax tie-break via integer key encoding (d2 * 64 + j /
+    w * 64 + 63 - j), never engine-dependent struct ordering.
+    Overflow audit: w <= 1e6*1e9/1e4 = 1e11, sum over 40 cities
+    <= 4e12, w*1e6 <= 1e17 — all < 2^63.
+
+    Plan: NO per-point shuffle at all.  The per-point Huff math (40
+    distances, weight vector, weight sum, shares, argmin/argmax) runs
+    entirely inside array expressions — stage 1 against the literal
+    city array, stage 2 against a ONE-ROW broadcast array carrying the
+    data-derived attractiveness — so the only exchanges are three
+    map-side-combinable hash aggs on the 40-row city key (each task
+    pre-reduces 24M exploded shares to <= 40 partial rows).  An
+    earlier pid-keyed formulation shuffled the x40 exploded relation
+    three times: 16 s -> ~3 s at sf0.1.
+
+    FULL SQL ORACLE (_sql_huff_shares)."""
+    pts = (_points(spark, sf_dir).select(
+        F.round(F.col("lon") * HUFF_CSCALE, 0).cast("long").alias("x"),
+        F.round(F.col("lat") * HUFF_CSCALE, 0).cast("long").alias("y"))
+        .persist())
+    d2 = ("(x - c.cx) * (x - c.cx) + (y - c.cy) * (y - c.cy)")
+    cities_lit = ("array(" + ", ".join(
+        f"struct({j}L as j, {cx}L as cx, {cy}L as cy)"
+        for j, cx, cy in _huff_cities_rows()) + ")")
+    # stage 1: nearest-city catchment counts = data-derived
+    # attractiveness (argmin over the literal array, pure expression)
+    near_j = F.expr(
+        f"array_min(transform({cities_lit}, c -> ({d2}) * 64 + c.j)) % 64")
+    att = pts.groupBy(near_j.alias("j")).agg(F.count("*").alias("a_cnt"))
+    tot = att.agg(F.sum("a_cnt").alias("n_pts"))
+    a_q = (att.crossJoin(F.broadcast(tot))
+           .select("j", F.expr("(a_cnt * 1000000) div n_pts")
+                   .alias("a_q")))
+    # stage 2: one-row broadcast array of per-city a_q (sorted by j),
+    # then the 40-element Huff algebra SCALAR-EXPANDED per point —
+    # higher-order array functions (transform/aggregate) are NOT
+    # whole-stage-codegen'd and ran ~2x slower than even the shuffling
+    # plan; element_at + flat arithmetic keeps every row inside one
+    # codegen stage
+    cities = spark.createDataFrame(_huff_cities_rows(),
+                                   "j long, cx long, cy long")
+    # keyed MAP, not a positional array: a city with an empty catchment
+    # is absent from a_q, which would shift positional indices; the map
+    # lookup defaults it to attractiveness 0 (= the oracle's absent-row
+    # semantics; a 0-weight city can never win the argmax because the
+    # largest catchment is >= 1/40 by pigeonhole, giving its w >= 1)
+    cs = (cities.join(a_q, "j")
+          .agg(F.map_from_entries(F.collect_list(
+              F.struct("j", "a_q"))).alias("cs")))
+    rows = _huff_cities_rows()
+    w_of = {j: (f"(coalesce(element_at(cs, {j}L), 0L) * {HUFF_WSCALE}) div "
+                f"greatest((x - {cx}) * (x - {cx}) "
+                f"+ (y - {cy}) * (y - {cy}), {HUFF_MIN_D2})")
+            for j, cx, cy in rows}
+    p2 = (pts.crossJoin(F.broadcast(cs))
+          .select("x", "y", "cs",
+                  *[F.expr(w_of[j]).alias(f"w{j}") for j, _, _ in rows])
+          .withColumn("ws", F.expr(
+              " + ".join(f"w{j}" for j, _, _ in rows))))
+    p2 = p2.persist()
+    shares = (p2.select(F.explode(F.array(*[
+        F.struct(F.lit(j).cast("long").alias("j"),
+                 F.expr(f"(w{j} * 1000000) div ws").alias("share_q"))
+        for j, _, _ in rows])).alias("s"))
+        .select("s.j", "s.share_q"))
+    demand = shares.groupBy("j").agg(F.sum("share_q").alias("e_demand_q"))
+    kmax = "greatest(" + ", ".join(
+        f"w{j} * 64 + {63 - j}" for j, _, _ in rows) + ")"
+    primary = (p2.select(F.expr(f"63 - ({kmax}) % 64").alias("j"))
+               .groupBy("j").agg(F.count("*").alias("n_primary")))
+    out = (a_q.join(demand, "j", "left").join(primary, "j", "left")
+           .select(F.col("j").cast("long").alias("city"),
+                   F.col("a_q").cast("long").alias("a_q"),
+                   F.coalesce("e_demand_q", F.lit(0)).cast("long")
+                   .alias("e_demand_q"),
+                   F.coalesce("n_primary", F.lit(0)).cast("long")
+                   .alias("n_primary")))
+    # pts/p2 stay persisted: demand and primary both scan p2 at collect
+    # time (unpersisting here would force two full recomputes); the
+    # plan-keyed CacheManager dedups re-runs, same as _capped_shingles
+    return out
+
+
+def _sql_huff_shares(n: int) -> str:
+    vals = ", ".join(f"({j}, {cx}, {cy})"
+                     for j, cx, cy in _huff_cities_rows())
+    return f"""WITH {_pages_cte(n)},
+cities(j, cx, cy) AS (VALUES {vals}),
+pts AS (SELECT ROW_NUMBER() OVER () AS pid,
+               CAST(ROUND(lon * {HUFF_CSCALE}) AS BIGINT) AS x,
+               CAST(ROUND(lat * {HUFF_CSCALE}) AS BIGINT) AS y
+        FROM pages),
+d AS (SELECT pid, j, (x - cx) * (x - cx) + (y - cy) * (y - cy) AS d2
+      FROM pts CROSS JOIN cities),
+near AS (SELECT pid, MIN(d2 * 64 + j) % 64 AS j FROM d GROUP BY 1),
+att AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS a_cnt FROM near GROUP BY 1),
+tot AS (SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_pts FROM att),
+aq AS (SELECT j, (a_cnt * 1000000) // n_pts AS a_q FROM att, tot),
+wts AS (SELECT pid, d.j, (a_q * {HUFF_WSCALE})
+                         // GREATEST(d2, {HUFF_MIN_D2}) AS w
+        FROM d JOIN aq ON aq.j = d.j),
+wsum AS (SELECT pid, CAST(SUM(w) AS BIGINT) AS ws FROM wts GROUP BY 1),
+shares AS (SELECT wts.pid, j, (w * 1000000) // ws AS share_q
+           FROM wts JOIN wsum ON wsum.pid = wts.pid),
+demand AS (SELECT j, CAST(SUM(share_q) AS BIGINT) AS e_demand_q
+           FROM shares GROUP BY 1),
+prim AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS n_primary FROM (
+           SELECT pid, 63 - MAX(w * 64 + 63 - j) % 64 AS j
+           FROM wts GROUP BY 1) GROUP BY 1)
+SELECT CAST(aq.j AS BIGINT) AS city, CAST(a_q AS BIGINT) AS a_q,
+       CAST(COALESCE(e_demand_q, 0) AS BIGINT) AS e_demand_q,
+       CAST(COALESCE(n_primary, 0) AS BIGINT) AS n_primary
+FROM aq LEFT JOIN demand ON demand.j = aq.j
+LEFT JOIN prim ON prim.j = aq.j"""
+
+
+RAKE_STOP = ("a", "the")   # stopword delimiters of the synthetic corpus
+RAKE_MAXLEN = 4            # phrases longer than this are dropped
+RAKE_TOPK = 50
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-delimited token runs (capped at {RAKE_MAXLEN}
+    words); each word scores deg/freq over the phrase corpus and a
+    phrase scores the sum of its members — the unsupervised keyword
+    screen next to textrank/distinctive_terms.
+
+    Exactness: deg (sum of lengths of phrases containing each word
+    occurrence) and freq are exact counts; the word score quantizes
+    ONCE to (deg * 1e6) div freq and phrase scores are BIGINT sums of
+    quantized member scores, so identical phrase texts score
+    identically and the rank is engine-independent.
+
+    Plan: phrase segmentation is the classic gaps-and-islands window
+    (running stopword count per doc — ONE shuffle on doc_id); the
+    word-score relation aggregates on tokens (map-side combinable) and
+    broadcasts back into the member join; the final per-text rollup is
+    a TakeOrdered top-k.
+
+    FULL SQL ORACLE (_sql_rake_keywords)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.posexplode(analysis.tokens(F.lower(F.col("text"))))
+        .alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    stop = F.col("tok").isin(*RAKE_STOP)
+    seg = (tok.withColumn("grp", F.sum(stop.cast("int")).over(w))
+           .where(~stop))
+    seg = seg.persist()
+    ph = (seg.groupBy("doc_id", "grp")
+          .agg(F.count("*").alias("len"),
+               F.array_join(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                   lambda s: s.tok), " ").alias("ptext"))
+          .where(F.col("len") <= RAKE_MAXLEN))
+    ph = ph.persist()
+    members = seg.join(ph.select("doc_id", "grp", "len", "ptext"),
+                       ["doc_id", "grp"])
+    wstat = (members.groupBy("tok")
+             .agg(F.count("*").alias("freq"), F.sum("len").alias("deg")))
+    wscore = wstat.select(
+        "tok", F.expr("(deg * 1000000) div freq").alias("ws"))
+    pscore = (members.join(F.broadcast(wscore), "tok")
+              .groupBy("doc_id", "grp", "ptext")
+              .agg(F.sum("ws").alias("score_q")))
+    out = (pscore.groupBy("ptext")
+           .agg(F.count("*").alias("n_occ"), F.min("score_q")
+                .alias("score_q"))
+           .orderBy(F.col("score_q").desc(), "ptext").limit(RAKE_TOPK)
+           .select("ptext", F.col("n_occ").cast("long").alias("n_occ"),
+                   F.col("score_q").cast("long").alias("score_q")))
+    seg.unpersist()
+    ph.unpersist()
+    return out
+
+
+def _sql_rake_keywords() -> str:
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOP)
+    return f"""WITH tok0 AS (
+  SELECT doc_id, s.tok AS tok, s.pos AS pos FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i, 'tok': a[i]}}
+                   for i in generate_series(1, len(a))]) AS s
+    FROM (SELECT doc_id, {_SQL_TOKS} AS a FROM documents))),
+seg AS (
+  SELECT doc_id, tok, pos,
+         SUM(CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM tok0 QUALIFY tok NOT IN ({stops})),
+ph AS (
+  SELECT doc_id, grp, COUNT(*) AS len,
+         string_agg(tok, ' ' ORDER BY pos) AS ptext
+  FROM seg GROUP BY 1, 2 HAVING COUNT(*) <= {RAKE_MAXLEN}),
+members AS (
+  SELECT seg.doc_id, seg.grp, seg.tok, ph.len, ph.ptext
+  FROM seg JOIN ph ON ph.doc_id = seg.doc_id AND ph.grp = seg.grp),
+wscore AS (
+  SELECT tok, (CAST(SUM(len) AS BIGINT) * 1000000)
+              // CAST(COUNT(*) AS BIGINT) AS ws
+  FROM members GROUP BY 1),
+pscore AS (
+  SELECT m.doc_id, m.grp, m.ptext, CAST(SUM(ws) AS BIGINT) AS score_q
+  FROM members m JOIN wscore ON wscore.tok = m.tok
+  GROUP BY 1, 2, 3)
+SELECT ptext, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(MIN(score_q) AS BIGINT) AS score_q
+FROM pscore GROUP BY 1
+ORDER BY score_q DESC, ptext LIMIT {RAKE_TOPK}"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -13120,6 +13546,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "ppr_domains": q_ppr_domains,
         "truss": q_truss,
+        "betweenness": q_betweenness,
+        "event_trigrams": q_event_trigrams,
+        "rrf_fusion": q_rrf_fusion,
+        "huff_shares": q_huff_shares,
+        "rake_keywords": q_rake_keywords,
     }
 
 
@@ -13321,4 +13752,9 @@ def oracle_sql() -> dict[str, str]:
         "containment": _sql_containment(),
         "ppr_domains": _sql_ppr_domains(n),
         "truss": _sql_truss(n),
+        "betweenness": _sql_betweenness(n),
+        "event_trigrams": _sql_event_trigrams(),
+        "rrf_fusion": _sql_rrf_fusion(),
+        "huff_shares": _sql_huff_shares(n),
+        "rake_keywords": _sql_rake_keywords(),
     }

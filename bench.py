@@ -77,6 +77,8 @@ HEADLINE = [
     "dtw_days", "frechet_paths", "hyperanf", "ewma_hours",
     "copurchase", "holt_hours", "ccf_types", "stylometry",
     "weighted_sample", "containment", "ppr_domains", "truss",
+    "betweenness", "event_trigrams", "rrf_fusion", "huff_shares",
+    "rake_keywords",
 ]
 
 

@@ -565,3 +565,113 @@ def truss_sql(und_cte: str, kv_cte: str, rounds: int = 3) -> str:
             + f"\nSELECT e.a, e.b, COUNT(*) AS support "
             f"FROM e{rounds} e JOIN sf x ON x.u = e.a "
             f"JOIN sf y ON y.u = e.b AND y.v = x.v GROUP BY 1, 2")
+
+
+def betweenness_bounded(edges: DataFrame, sources: DataFrame,
+                        depth: int = 3) -> DataFrame:
+    """Depth-bounded sampled-source betweenness centrality (Brandes
+    2001, truncated at `depth` — the k-bounded variant used when exact
+    all-pairs is infeasible; sampling sources is the standard estimator,
+    Brandes-Pich 2007).
+
+    edges: DISTINCT directed edges (u long, v long).  sources: (s long)
+    the sampled source set.  Returns (node, bc_q): every node with a
+    positive summed dependency delta, in exact micro-units.
+
+    Exactness: path counts sigma are exact BIGINTs (level-synchronous
+    sums over predecessors); the backward dependency
+    delta(v) = sum_w (sigma_v * (1e6 + delta_w)) div sigma_w over
+    successors w one level deeper is a sum of per-edge floored
+    integers — engine-order-independent, so the unrolled SQL oracle
+    (betweenness_sql) replays it bit-for-bit.
+
+    Scale plan: each forward level is one equi-join of the labeled
+    frontier into the edge list + one (s, v) hash agg + one anti-join
+    against the accumulated reach; each backward level one equi-join
+    into the edge list + one (s, w) join + hash agg.  Per-level
+    relations are localCheckpoint'ed — the same lineage-cut discipline
+    as bfs_hops/truss_peel (level plans reference each other multiply;
+    an un-cut tree grows exponentially in `depth`).
+    """
+    e = (edges.select(F.col("u"), F.col("v").alias("w"))
+         .localCheckpoint(eager=True))
+    lv = [sources.select(F.col("s"), F.col("s").alias("v"),
+                         F.lit(1).cast("long").alias("sigma"))
+          .localCheckpoint(eager=True)]
+    reach = lv[0].select("s", "v")
+    for _ in range(depth):
+        cand = (lv[-1].join(e, lv[-1].v == e.u)
+                .groupBy("s", "w").agg(F.sum("sigma").alias("sigma"))
+                .withColumnRenamed("w", "v"))
+        new = (cand.join(reach, ["s", "v"], "left_anti")
+               .localCheckpoint(eager=True))
+        lv.append(new)
+        reach = reach.union(new.select("s", "v")).localCheckpoint(eager=True)
+    delta = lv[depth].select(
+        "s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w"),
+        F.lit(0).cast("long").alias("delta_w"))
+    parts = []
+    for l in range(depth - 1, 0, -1):
+        contrib = (lv[l].join(e, lv[l].v == e.u)
+                   .join(delta, ["s", "w"])
+                   .select("s", "v",
+                           F.expr("(sigma * (1000000 + delta_w)) "
+                                  "div sigma_w").alias("term"))
+                   .groupBy("s", "v").agg(F.sum("term").alias("dsum")))
+        dl = (lv[l].join(contrib, ["s", "v"], "left")
+              .select("s", "v", "sigma",
+                      F.coalesce("dsum", F.lit(0)).cast("long")
+                      .alias("delta"))
+              .localCheckpoint(eager=True))
+        parts.append(dl.select("s", "v", "delta"))
+        delta = dl.select(
+            "s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.union(p)
+    return (allp.groupBy(F.col("v").alias("node"))
+            .agg(F.sum("delta").alias("bc_q"))
+            .where(F.col("bc_q") > 0))
+
+
+def betweenness_sql(edges_cte: str, sources_cte: str,
+                    depth: int = 3) -> str:
+    """DuckDB twin of `betweenness_bounded`: forward levels as
+    (candidate-agg -> anti-join -> reach-union) CTE triples, backward
+    dependency levels as (contrib -> coalesce) pairs.  `edges_cte` must
+    define `e(u, w)` (distinct directed edges with the head renamed to
+    w); `sources_cte` must define `sources(s)`.  Returns
+    `WITH ... SELECT node, bc_q`."""
+    parts = [edges_cte, sources_cte,
+             "lv0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma "
+             "FROM sources)",
+             "r0 AS (SELECT s, v FROM lv0)"]
+    for l in range(1, depth + 1):
+        parts.append(
+            f"c{l} AS (SELECT p.s, e.w AS v, SUM(p.sigma) AS sigma "
+            f"FROM lv{l - 1} p JOIN e ON e.u = p.v GROUP BY 1, 2)")
+        parts.append(
+            f"lv{l} AS (SELECT c.s, c.v, CAST(c.sigma AS BIGINT) AS sigma "
+            f"FROM c{l} c WHERE NOT EXISTS "
+            f"(SELECT 1 FROM r{l - 1} r WHERE r.s = c.s AND r.v = c.v))")
+        parts.append(
+            f"r{l} AS (SELECT * FROM r{l - 1} "
+            f"UNION ALL SELECT s, v FROM lv{l})")
+    parts.append(f"d{depth} AS (SELECT s, v, sigma, "
+                 f"CAST(0 AS BIGINT) AS delta FROM lv{depth})")
+    for l in range(depth - 1, 0, -1):
+        parts.append(
+            f"ct{l} AS (SELECT l.s, l.v, "
+            f"SUM((l.sigma * (1000000 + d.delta)) // d.sigma) AS dsum "
+            f"FROM lv{l} l JOIN e ON e.u = l.v "
+            f"JOIN d{l + 1} d ON d.s = l.s AND d.v = e.w GROUP BY 1, 2)")
+        parts.append(
+            f"d{l} AS (SELECT l.s, l.v, l.sigma, "
+            f"CAST(COALESCE(c.dsum, 0) AS BIGINT) AS delta "
+            f"FROM lv{l} l LEFT JOIN ct{l} c ON c.s = l.s AND c.v = l.v)")
+    un = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM d{l}" for l in range(1, depth))
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT v AS node, CAST(SUM(delta) AS BIGINT) AS bc_q "
+            f"FROM ({un}) GROUP BY 1 HAVING SUM(delta) > 0")
