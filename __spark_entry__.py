@@ -13341,6 +13341,299 @@ ORDER BY score_q DESC, ptext LIMIT {RAKE_TOPK}"""
 
 
 # ---------------------------------------------------------------------------
+# session 27 — conversion attribution, ordinal-pattern entropy,
+# long-range dependence
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_US = 24 * 3_600_000_000   # touch lookback window
+ATTR_CONV = "purchase"
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: every 'purchase' conversion
+    credits the user's touch events (any non-purchase event in the
+    24 h before it) under the three standard marketing models —
+    first-touch, last-touch, and linear — reported per channel
+    (event type).
+
+    Exactness: credits are exact integer micro-units (1e6 per
+    conversion for first/last; 1e6 div n_touches per touch for linear
+    — floored, so a conversion's linear credit can undershoot 1e6 by
+    < n_touches units, identically in both engines); first/last pick
+    by the total (tm, event_id) order, never an engine-dependent
+    argmin.
+
+    Scale plan: ONE shuffle keys both relations on user_id for the
+    range join; the per-conversion windows then run inside partitions
+    keyed by conversion (a second bounded shuffle on conv_id — pair
+    volume is touches-per-user x conversions-per-user, bounded for
+    bounded user activity; a heavy-user cap would be the df-cap
+    analogue at web scale).
+
+    FULL SQL ORACLE (_sql_attribution)."""
+    ev = _events_micros(spark, sf_dir)
+    conv = (ev.where(F.col("event_type") == ATTR_CONV)
+            .select("user_id", F.col("tm").alias("tc"),
+                    F.col("event_id").alias("conv_id")))
+    touch = (ev.where(F.col("event_type") != ATTR_CONV)
+             .select("user_id", "tm", "event_id",
+                     F.col("event_type").alias("channel")))
+    pairs = (touch.join(conv, "user_id")
+             .where((F.col("tm") < F.col("tc"))
+                    & (F.col("tm") >= F.col("tc") - ATTR_WINDOW_US)))
+    pairs = pairs.persist()
+    w_asc = Window.partitionBy("conv_id").orderBy("tm", "event_id")
+    w_desc = Window.partitionBy("conv_id").orderBy(
+        F.col("tm").desc(), F.col("event_id").desc())
+    ranked = (pairs
+              .withColumn("ra", F.row_number().over(w_asc))
+              .withColumn("rd", F.row_number().over(w_desc))
+              .withColumn("n_t", F.count("*").over(
+                  Window.partitionBy("conv_id"))))
+    first = (ranked.where(F.col("ra") == 1)
+             .groupBy("channel")
+             .agg(F.count("*").alias("n_conv"),
+                  F.sum(F.lit(1_000_000)).alias("credit_q"))
+             .select(F.lit("first").alias("model"), "channel",
+                     "n_conv", "credit_q"))
+    last = (ranked.where(F.col("rd") == 1)
+            .groupBy("channel")
+            .agg(F.count("*").alias("n_conv"),
+                 F.sum(F.lit(1_000_000)).alias("credit_q"))
+            .select(F.lit("last").alias("model"), "channel",
+                    "n_conv", "credit_q"))
+    linear = (ranked.groupBy("channel")
+              .agg(F.countDistinct("conv_id").alias("n_conv"),
+                   F.sum(F.expr("1000000 div n_t")).alias("credit_q"))
+              .select(F.lit("linear").alias("model"), "channel",
+                      "n_conv", "credit_q"))
+    out = first.union(last).union(linear)
+    return out.select("model", "channel",
+                      F.col("n_conv").cast("long").alias("n_conv"),
+                      F.col("credit_q").cast("long").alias("credit_q"))
+
+
+def _sql_attribution() -> str:
+    return f"""WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tm FROM events),
+conv AS (SELECT user_id, tm AS tc, event_id AS conv_id FROM ev
+         WHERE event_type = '{ATTR_CONV}'),
+touch AS (SELECT user_id, tm, event_id, event_type AS channel FROM ev
+          WHERE event_type != '{ATTR_CONV}'),
+pairs AS (
+  SELECT t.channel, t.tm, t.event_id, c.conv_id
+  FROM touch t JOIN conv c ON c.user_id = t.user_id
+  WHERE t.tm < c.tc AND t.tm >= c.tc - {ATTR_WINDOW_US}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id
+              ORDER BY tm, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+              ORDER BY tm DESC, event_id DESC) AS rd,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n_t
+  FROM pairs)
+SELECT 'first' AS model, channel, CAST(COUNT(*) AS BIGINT) AS n_conv,
+       CAST(SUM(1000000) AS BIGINT) AS credit_q
+FROM ranked WHERE ra = 1 GROUP BY 2
+UNION ALL
+SELECT 'last', channel, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(1000000) AS BIGINT)
+FROM ranked WHERE rd = 1 GROUP BY 2
+UNION ALL
+SELECT 'linear', channel, CAST(COUNT(DISTINCT conv_id) AS BIGINT),
+       CAST(SUM(1000000 // n_t) AS BIGINT)
+FROM ranked GROUP BY 2"""
+
+
+def q_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy of the hourly event-volume series (Bandt-
+    Pompe 2002): the distribution of order patterns of sliding length-3
+    windows over the zero-filled series — the model-free complexity /
+    determinism screen next to acf_hours (a perfectly periodic series
+    concentrates on few patterns; noise spreads over all 6).
+
+    Exactness: ranks come from integer comparisons with the standard
+    stable tiebreak (equal values ranked by position), the pattern code
+    is r0*9 + r1*3 + r2, probabilities are exact floored micro-ratios,
+    and each pattern's entropy term quantizes the log-ratio ONCE
+    (round(ln(N/n) * 1e6)) then multiplies by the exact count — the
+    lang_source_mi / bigram_entropy discipline.
+
+    Plan: one corpus shuffle (hourly agg); the spine, the three lag
+    joins and the pattern histogram all live on the aggregated
+    relation.
+
+    FULL SQL ORACLE (_sql_perm_entropy)."""
+    ev = _events_micros(spark, sf_dir)
+    ser = (ev.select(F.expr("tm div 3600000000").alias("x"))
+           .groupBy("x").agg(F.count("*").alias("y")).persist())
+    hor = ser.agg(F.min("x").alias("x_min"), F.max("x").alias("x_max"))
+    spine = hor.select(
+        F.explode(F.sequence("x_min", "x_max")).alias("t"), "x_max")
+    s0 = ser.select(F.col("x").alias("t0"), F.col("y").alias("y0"))
+    s1 = ser.select(F.col("x").alias("t1"), F.col("y").alias("y1"))
+    s2 = ser.select(F.col("x").alias("t2"), F.col("y").alias("y2"))
+    tri = (spine.where(F.col("t") + 2 <= F.col("x_max"))
+           .join(s0, F.col("t") == F.col("t0"), "left")
+           .join(s1, F.col("t") + 1 == F.col("t1"), "left")
+           .join(s2, F.col("t") + 2 == F.col("t2"), "left")
+           .select(F.coalesce("y0", F.lit(0)).alias("a"),
+                   F.coalesce("y1", F.lit(0)).alias("b"),
+                   F.coalesce("y2", F.lit(0)).alias("c")))
+    # stable ranks: strictly-smaller count + earlier-position ties
+    code = F.expr(
+        "( (CASE WHEN b < a THEN 1 ELSE 0 END)"
+        " + (CASE WHEN c < a THEN 1 ELSE 0 END) ) * 9"
+        " + ( (CASE WHEN a <= b THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN c < b THEN 1 ELSE 0 END) ) * 3"
+        " + ( (CASE WHEN a <= c THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN b <= c THEN 1 ELSE 0 END) )")
+    hist = (tri.groupBy(code.alias("pattern"))
+            .agg(F.count("*").alias("n")))
+    tot = hist.agg(F.sum("n").alias("nn"))
+    lq = F.round(F.log(F.col("nn").cast("double")
+                       / F.col("n").cast("double")) * 1e6, 0).cast("long")
+    out = (hist.crossJoin(F.broadcast(tot))
+           .select(F.col("pattern").cast("long").alias("pattern"),
+                   F.col("n").cast("long").alias("n"),
+                   F.expr("(n * 1000000) div nn").cast("long")
+                   .alias("p_q"),
+                   lq.alias("lq"),
+                   (F.col("n") * lq).cast("long").alias("term_q")))
+    ser.unpersist()
+    return out
+
+
+def _sql_perm_entropy() -> str:
+    return """WITH ser AS (
+  SELECT epoch_us(ts) // 3600000000 AS x, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+hor AS (SELECT MIN(x) AS x_min, MAX(x) AS x_max FROM ser),
+spine AS (SELECT unnest(generate_series(x_min, x_max)) AS t, x_max
+          FROM hor),
+tri AS (
+  SELECT COALESCE(s0.y, 0) AS a, COALESCE(s1.y, 0) AS b,
+         COALESCE(s2.y, 0) AS c
+  FROM spine
+  LEFT JOIN ser s0 ON s0.x = spine.t
+  LEFT JOIN ser s1 ON s1.x = spine.t + 1
+  LEFT JOIN ser s2 ON s2.x = spine.t + 2
+  WHERE spine.t + 2 <= spine.x_max),
+hist AS (
+  SELECT ( (CASE WHEN b < a THEN 1 ELSE 0 END)
+         + (CASE WHEN c < a THEN 1 ELSE 0 END) ) * 9
+       + ( (CASE WHEN a <= b THEN 1 ELSE 0 END)
+         + (CASE WHEN c < b THEN 1 ELSE 0 END) ) * 3
+       + ( (CASE WHEN a <= c THEN 1 ELSE 0 END)
+         + (CASE WHEN b <= c THEN 1 ELSE 0 END) ) AS pattern,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM tri GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM hist)
+SELECT CAST(pattern AS BIGINT) AS pattern, n,
+       CAST((n * 1000000) // nn AS BIGINT) AS p_q,
+       CAST(ROUND(LN(CAST(nn AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6, 0)
+            AS BIGINT) AS lq,
+       CAST(n * CAST(ROUND(LN(CAST(nn AS DOUBLE) / CAST(n AS DOUBLE))
+                           * 1e6, 0) AS BIGINT) AS BIGINT) AS term_q
+FROM hist, tot"""
+
+
+HURST_SCALES = (1, 2, 4, 8, 16)
+
+
+def q_hurst_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of hourly event volume via the variance-time
+    plot (the aggregated-variance method of Taqqu-Teverovsky-Willinger
+    1995): block sums over windows m in {HURST_SCALES} scale their
+    variance as m^2H for self-similar traffic; the slope of
+    ln Var(m) vs ln m over the exact quantized-log least squares
+    (_loglog_fit) gives H = slope / 2 — the long-range-dependence
+    screen that made web/LAN traffic famous (H > 0.5 = bursty at every
+    timescale).
+
+    Exactness: the zero-filled spine makes block sums exact BIGINTs;
+    per scale the variance numerator K*sum(Y^2) - (sum Y)^2 is exact
+    and quantizes once to v_q = (varnum * 1e3) div K^2; the fit is the
+    shared micro-log discipline.
+
+    Plan: one corpus shuffle; the spine x {len(HURST_SCALES)} explode,
+    block aggs and the 5-point fit all live on the aggregated series.
+
+    FULL SQL ORACLE (_sql_hurst_var)."""
+    ev = _events_micros(spark, sf_dir)
+    ser = (ev.select(F.expr("tm div 3600000000").alias("x"))
+           .groupBy("x").agg(F.count("*").alias("y")).persist())
+    hor = ser.agg(F.min("x").alias("x_min"), F.max("x").alias("x_max"))
+    spine = (hor.select(
+        F.explode(F.sequence("x_min", "x_max")).alias("t"),
+        "x_min", "x_max")
+        .join(ser, F.col("t") == F.col("x"), "left")
+        .select("t", "x_min", "x_max",
+                F.coalesce("y", F.lit(0)).alias("y0")))
+    scales = spine.withColumn(
+        "m", F.explode(F.array(*[F.lit(m) for m in HURST_SCALES])))
+    blocks = (scales
+              .where(F.expr("(t - x_min) div m")
+                     < F.expr("((x_max - x_min + 1) div m)"))
+              .groupBy("m", F.expr("(t - x_min) div m").alias("bid"))
+              .agg(F.sum("y0").alias("yb")))
+    per_m = (blocks.groupBy("m")
+             .agg(F.count("*").alias("k"),
+                  F.sum("yb").alias("sy"),
+                  F.sum(F.col("yb") * F.col("yb")).alias("syy")))
+    v = per_m.select(
+        "m", "k",
+        (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .alias("varnum"))
+    uv = (v.where(F.col("varnum") > 0)
+          .select(F.round(F.log(F.col("m").cast("double")) * 1e6, 0)
+                  .cast("long").alias("u"),
+                  F.round(F.log(
+                      F.expr("(varnum * 1000) div (k * k)")
+                      .cast("double") / 1e3) * 1e6, 0)
+                  .cast("long").alias("v")))
+    fit = _loglog_fit(_loglog_sums(uv))
+    out = fit.select(
+        "n_pts", "su", "sv", "suuq", "suvq", "slope", "intercept",
+        F.round(F.col("slope") / 2.0, 6).alias("hurst"))
+    ser.unpersist()
+    return out
+
+
+def _sql_hurst_var() -> str:
+    arr = ", ".join(str(m) for m in HURST_SCALES)
+    return f"""WITH ser AS (
+  SELECT epoch_us(ts) // 3600000000 AS x, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+hor AS (SELECT MIN(x) AS x_min, MAX(x) AS x_max FROM ser),
+spine AS (
+  SELECT t, x_min, x_max, COALESCE(ser.y, 0) AS y0 FROM (
+    SELECT unnest(generate_series(x_min, x_max)) AS t, x_min, x_max
+    FROM hor) sp LEFT JOIN ser ON ser.x = sp.t),
+scales AS (SELECT *, unnest([{arr}]) AS m FROM spine),
+blocks AS (
+  SELECT m, (t - x_min) // m AS bid, CAST(SUM(y0) AS BIGINT) AS yb
+  FROM scales WHERE (t - x_min) // m < (x_max - x_min + 1) // m
+  GROUP BY 1, 2),
+per_m AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(yb) AS BIGINT) AS sy,
+                 CAST(SUM(yb * yb) AS BIGINT) AS syy
+          FROM blocks GROUP BY 1),
+v AS (SELECT m, k, k * syy - sy * sy AS varnum FROM per_m),
+uv AS (SELECT CAST(ROUND(LN(CAST(m AS DOUBLE)) * 1e6, 0) AS BIGINT) AS u,
+              CAST(ROUND(LN(CAST((varnum * 1000) // (k * k) AS DOUBLE)
+                            / 1e3) * 1e6, 0) AS BIGINT) AS v
+       FROM v WHERE varnum > 0),
+a AS (SELECT COUNT(*) AS n_pts, CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM((u * u) // 1000000) AS BIGINT) AS suuq,
+             CAST(SUM((u * v) // 1000000) AS BIGINT) AS suvq
+      FROM uv)
+SELECT CAST(n_pts AS BIGINT) AS n_pts, su, sv, suuq, suvq,{_SQL_FIT},
+       ROUND(slope / 2.0, 6) AS hurst
+FROM a"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -13551,6 +13844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "huff_shares": q_huff_shares,
         "rake_keywords": q_rake_keywords,
+        "attribution": q_attribution,
+        "perm_entropy": q_perm_entropy,
+        "hurst_var": q_hurst_var,
     }
 
 
@@ -13757,4 +14053,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": _sql_rrf_fusion(),
         "huff_shares": _sql_huff_shares(n),
         "rake_keywords": _sql_rake_keywords(),
+        "attribution": _sql_attribution(),
+        "perm_entropy": _sql_perm_entropy(),
+        "hurst_var": _sql_hurst_var(),
     }

@@ -78,7 +78,7 @@ HEADLINE = [
     "copurchase", "holt_hours", "ccf_types", "stylometry",
     "weighted_sample", "containment", "ppr_domains", "truss",
     "betweenness", "event_trigrams", "rrf_fusion", "huff_shares",
-    "rake_keywords",
+    "rake_keywords", "attribution", "perm_entropy", "hurst_var",
 ]
 
 

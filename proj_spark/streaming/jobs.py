@@ -25,8 +25,9 @@ from typing import Iterable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, BooleanType, IntegerType,
+                               LongType, StringType, StructField,
+                               StructType)
 
 from proj_spark.pages import extract_geotags
 from proj_spark.spatial import cells
@@ -827,3 +828,96 @@ def run_to_memory(stream_df: DataFrame, name: str,
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(mode).trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+_EWMA_OUT = StructType([
+    StructField("x", LongType()),
+    StructField("y", LongType()),
+    StructField("num", LongType()),
+    StructField("ratio_q", LongType()),
+    StructField("burst", BooleanType()),
+])
+_EWMA_STATE = StructType([
+    StructField("first_hour", LongType()),
+    StructField("cur_hour", LongType()),
+    StructField("cur_cnt", LongType()),
+    StructField("win", ArrayType(LongType())),
+])
+
+
+def stream_ewma_burst(spark: SparkSession, events_dir: str,
+                      k_window: int = 20, burst_q: int = 3_000_000,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming dyadic-EWMA burst detector over the global hourly
+    event volume: the incremental counterpart of the batch
+    q_ewma_hours screen (baseline = exponentially-weighted mean of the
+    `k_window` prior hours with weights 2^(K-k), burst = count >= 3x
+    baseline as the exact floored micro-ratio).
+
+    Per-hour finalize-pending semantics shared with stream_cusum: an
+    hour is emitted only when a LATER hour's event arrives (possibly
+    batches later), skipped hours contribute exact zeros to the
+    rolling window, and the trailing partial hour stays pending.
+    Emission matches the batch gates: only observed hours (y >= 1) at
+    least K hours after the first, with the identical BIGINT
+    numerator — so under in-order arrival stream rows == batch rows
+    (minus the never-finalized last hour; asserted in tests).
+
+    State is (first_hour, cur_hour, cur_cnt, K-slot window) — O(K)
+    per key regardless of stream length.  The series is global, so
+    there is ONE key: at web scale the pre-aggregation would ride a
+    windowed count upstream; here events are tiny relative to the
+    hourly rollup and the single-task state op matches the batch
+    semantics exactly."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _streaming_reader(spark, events_dir, max_files_per_trigger)
+    rows = ev.select(
+        F.lit(0).alias("g"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(3_600_000_000)).cast("long").alias("x"))
+
+    K = k_window
+    wsum = (1 << K) - 1
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            first, cur, pend, win = state.get
+            win = list(win)
+        else:
+            first, cur, pend, win = None, None, 0, [0] * K
+        out = []
+
+        def finalize_and_advance(nxt_hour):
+            # emit cur (if observed + past warmup), roll the window
+            # forward hour by hour with exact zeros for gaps
+            nonlocal cur, pend, win
+            while cur < nxt_hour:
+                y = pend
+                if y > 0 and cur - first >= K:
+                    num = sum(c << i for i, c in enumerate(win))
+                    ratio = ((y * wsum * 1_000_000) // num
+                             if num > 0 else None)
+                    out.append((cur, y, num, ratio,
+                                bool(num > 0 and ratio >= burst_q)))
+                win = win[1:] + [y]
+                pend = 0
+                cur += 1
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        for x in sorted(int(v) for v in pdf["x"]):
+            if first is None:
+                first, cur = x, x
+            if x == cur:
+                pend += 1
+            elif x > cur:
+                finalize_and_advance(x)
+                pend = 1
+        state.update((first, cur, pend, win))
+        yield pd.DataFrame(out, columns=["x", "y", "num",
+                                         "ratio_q", "burst"])
+
+    return (rows.groupBy("g")
+            .applyInPandasWithState(update, _EWMA_OUT, _EWMA_STATE,
+                                    "append", GroupStateTimeout.NoTimeout)
+            .select("x", "y", "num", "ratio_q", "burst"))

@@ -723,3 +723,43 @@ def test_stream_cusum_matches_replay(spark, tmp_path):
                     g = 0
     assert sum(len(v) for v in exp.values()) > 0
     assert {k: sorted(v) for k, v in exp.items()} == dict(got)
+
+
+def test_stream_ewma_burst_matches_batch(spark, tmp_path):
+    """Split events into three TIME-ORDERED files, one per micro-batch:
+    the emitted (x, y, num, ratio_q, burst) rows must equal the batch
+    q_ewma_hours output for every hour except the trailing one (which
+    stays pending in stream state, never finalized)."""
+    import glob
+    import shutil
+
+    import __spark_entry__ as entry
+    from proj_spark.streaming.jobs import stream_ewma_burst
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(src).orderBy("ts", "event_id").collect()
+    d = tmp_path / "ewma_stream"
+    d.mkdir()
+    k = len(ev) // 3
+    for i, chunk in enumerate([ev[:k], ev[k:2 * k], ev[2 * k:]]):
+        spark.createDataFrame(chunk, spark.read.parquet(src).schema) \
+            .coalesce(1).write.parquet(str(d / f"b{i}"))
+        part = glob.glob(str(d / f"b{i}" / "part-*.parquet"))[0]
+        shutil.move(part, str(d / f"part-{i:03d}.parquet"))
+        shutil.rmtree(str(d / f"b{i}"))
+
+    run_to_memory(stream_ewma_burst(spark, str(d),
+                                    k_window=entry.EWMA_K,
+                                    burst_q=entry.EWMA_BURST_Q,
+                                    max_files_per_trigger=1),
+                  "ewma_stream_out", mode="append")
+    got = sorted((r.x, r.y, r.num, r.ratio_q, r.burst)
+                 for r in spark.table("ewma_stream_out").collect())
+
+    batch = entry.q_ewma_hours(spark, "/root/testdata/sf0.001")
+    rows = sorted((r.x, r.y, r.num, r.ratio_q, r.burst)
+                  for r in batch.collect())
+    x_max = max(r[0] for r in rows)
+    want = [r for r in rows if r[0] < x_max]
+    assert len(got) > 0
+    assert got == want
