@@ -13634,6 +13634,215 @@ FROM a"""
 
 
 # ---------------------------------------------------------------------------
+# session 28 — categorical independence, market concentration,
+# raster morphology
+# ---------------------------------------------------------------------------
+
+
+def q_chi2_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document language and
+    source: the contingency-table screen next to the lang_source_mi
+    information measure (chi2 and MI flag the same dependence from
+    different algebra).
+
+    Exactness: with z = N*O - n_l*n_s per cell, the cell's chi-square
+    contribution (O-E)^2/E = z^2 / (N*n_l*n_s) quantizes once to
+    term_q = (z*z*1000) div (N*n_l*n_s) — all BIGINT (caveat: z^2
+    needs |z| < 3e9, i.e. corpora under ~50k docs per the z <= N*O
+    bound; beyond that quantize z first, same caveat class as
+    kendall_tau's documented BIGINT limit).
+
+    Plan: one corpus shuffle to the (lang, source) cells; margins and
+    the one-row total broadcast back — the contingency table is
+    KB-sized at any corpus scale.
+
+    FULL SQL ORACLE (_sql_chi2_indep)."""
+    docs = _docs(spark, sf_dir)
+    cells = (docs.groupBy("lang", "source")
+             .agg(F.count("*").alias("o")).persist())
+    nl = cells.groupBy("lang").agg(F.sum("o").alias("n_l"))
+    ns = cells.groupBy("source").agg(F.sum("o").alias("n_s"))
+    tot = cells.agg(F.sum("o").alias("nn"))
+    # the FULL margin cross product, not just observed cells: an empty
+    # (lang, source) cell still contributes E = n_l*n_s/N to the
+    # statistic, and only over the complete table do the z margins
+    # cancel (sum_s z = 0 per language — asserted in tests)
+    grid = nl.crossJoin(ns)
+    out = (grid.join(cells, ["lang", "source"], "left")
+           .crossJoin(F.broadcast(tot))
+           .select("lang", "source",
+                   F.coalesce("o", F.lit(0)).alias("o"),
+                   "n_l", "n_s", "nn")
+           .select("lang", "source",
+                   F.col("o").cast("long").alias("n_ls"),
+                   F.expr("nn * o - n_l * n_s").cast("long").alias("z"),
+                   F.expr("((nn * o - n_l * n_s) * (nn * o - n_l * n_s) "
+                          "* 1000) div (nn * n_l * n_s)")
+                   .cast("long").alias("term_q")))
+    cells.unpersist()
+    return out
+
+
+def _sql_chi2_indep() -> str:
+    return """WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2),
+nl AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS n_l FROM cells GROUP BY 1),
+ns AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+grid AS (SELECT lang, n_l, source, n_s FROM nl CROSS JOIN ns)
+SELECT g.lang, g.source, CAST(COALESCE(c.o, 0) AS BIGINT) AS n_ls,
+       CAST(nn * COALESCE(c.o, 0) - n_l * n_s AS BIGINT) AS z,
+       CAST(((nn * COALESCE(c.o, 0) - n_l * n_s)
+             * (nn * COALESCE(c.o, 0) - n_l * n_s) * 1000)
+            // (nn * n_l * n_s) AS BIGINT) AS term_q
+FROM grid g LEFT JOIN cells c
+  ON c.lang = g.lang AND c.source = g.source, tot"""
+
+
+CONC_TOPK = 10
+
+
+def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market concentration of the crawl across domains: the
+    Herfindahl-Hirschman index and the top-{CONC_TOPK} concentration
+    ratio of per-domain page counts — the antitrust-style "is the
+    corpus dominated by a few hosts" screen next to domain_entropy
+    (HHI weights large shares quadratically where entropy is
+    logarithmic).
+
+    Exactness: HHI_q = (sum cnt^2 * 1e6) div N^2 and CR_q =
+    (sum top-k cnt * 1e6) div N are exact floored micro-units (sum
+    cnt^2 <= N^2 <= 4e11 at sf1 — no overflow); the top-k is the
+    deterministic (cnt desc, domain) order.
+
+    Plan: one shuffle to per-domain counts; everything after is
+    TakeOrdered top-k + one-row aggregates.
+
+    FULL SQL ORACLE (_sql_concentration)."""
+    pts = _points(spark, sf_dir)
+    cnt = (pts.groupBy("domain").agg(F.count("*").alias("c")).persist())
+    tot = cnt.agg(F.sum("c").alias("n_pages"),
+                  F.count("*").alias("n_domains"),
+                  F.sum(F.col("c") * F.col("c")).alias("sumsq"))
+    topk = (cnt.orderBy(F.col("c").desc(), "domain").limit(CONC_TOPK)
+            .agg(F.sum("c").alias("top_c")))
+    out = (tot.crossJoin(topk)
+           .select(F.col("n_pages").cast("long").alias("n_pages"),
+                   F.col("n_domains").cast("long").alias("n_domains"),
+                   F.col("sumsq").cast("long").alias("sumsq"),
+                   F.expr("(sumsq * 1000000) div (n_pages * n_pages)")
+                   .cast("long").alias("hhi_q"),
+                   F.expr(f"(top_c * 1000000) div n_pages")
+                   .cast("long").alias("cr{}_q".format(CONC_TOPK))))
+    cnt.unpersist()
+    return out
+
+
+def _sql_concentration(n: int) -> str:
+    return f"""WITH {_pages_cte(n)},
+cnt AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pages GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_pages,
+               CAST(COUNT(*) AS BIGINT) AS n_domains,
+               CAST(SUM(c * c) AS BIGINT) AS sumsq FROM cnt),
+topk AS (SELECT CAST(SUM(c) AS BIGINT) AS top_c FROM (
+           SELECT c FROM cnt ORDER BY c DESC, domain LIMIT {CONC_TOPK}))
+SELECT n_pages, n_domains, sumsq,
+       CAST((sumsq * 1000000) // (n_pages * n_pages) AS BIGINT) AS hhi_q,
+       CAST((top_c * 1000000) // n_pages AS BIGINT) AS cr{CONC_TOPK}_q
+FROM tot, topk"""
+
+
+MORPH_Z = 7    # 128 x 128 web-mercator occupancy grid
+
+
+def q_raster_morph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological raster algebra over the page-occupancy grid at
+    z={MORPH_Z}: dilation (grow every occupied cell by its 8-
+    neighborhood) and erosion (keep a cell only if all 8 in-bounds
+    neighbors are occupied; world-edge cells never survive) — the
+    raster half of the raster<->vector roster (smoothing a coverage
+    mask before vectorizing is the standard cartographic cleanup).
+
+    Exactness: cell coordinates are exact integers; the three
+    summaries (cell count, x-sum, y-sum) are BIGINT sums, so the
+    driver hash pins the exact cell SETS without shipping them.
+
+    Plan: the occupancy set aggregates once (map-side combinable
+    distinct); dilation is a 9-offset explode + distinct on the tiny
+    occupied set, erosion an 8-offset explode + self-join + count==8
+    filter — every relation after the first agg is O(|occupied|),
+    never O(|pages|).
+
+    FULL SQL ORACLE (_sql_raster_morph)."""
+    n = 1 << MORPH_Z
+    pts = _points(spark, sf_dir)
+    base = (pts.select(cells.tile_x(F.col("lon"), MORPH_Z).alias("x"),
+                       cells.tile_y(F.col("lat"), MORPH_Z).alias("y"))
+            .distinct().persist())
+    offs9 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    offs8 = [o for o in offs9 if o != (0, 0)]
+    d_exp = base.select(F.explode(F.array(*[
+        F.struct((F.col("x") + dx).alias("x"), (F.col("y") + dy).alias("y"))
+        for dx, dy in offs9])).alias("c")).select("c.x", "c.y")
+    dil = (d_exp.where((F.col("x") >= 0) & (F.col("x") < n)
+                       & (F.col("y") >= 0) & (F.col("y") < n))
+           .distinct())
+    e_exp = base.select("x", "y", F.explode(F.array(*[
+        F.struct((F.col("x") + dx).alias("nx"),
+                 (F.col("y") + dy).alias("ny"))
+        for dx, dy in offs8])).alias("c")).select(
+        "x", "y", "c.nx", "c.ny")
+    nb = base.select(F.col("x").alias("nx"), F.col("y").alias("ny"))
+    ero = (e_exp.join(nb, ["nx", "ny"])
+           .groupBy("x", "y").agg(F.count("*").alias("k"))
+           .where(F.col("k") == 8).select("x", "y"))
+
+    def summarize(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.lit(op).alias("op"),
+                      F.count("*").cast("long").alias("n_cells"),
+                      F.sum("x").cast("long").alias("x_sum"),
+                      F.sum("y").cast("long").alias("y_sum"))
+
+    return (summarize(base, "base")
+            .union(summarize(dil, "dilate"))
+            .union(summarize(ero, "erode")))
+
+
+def _sql_raster_morph(n_pages: int) -> str:
+    n = 1 << MORPH_Z
+    offs9 = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                      for dy in (-1, 0, 1))
+    offs8 = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                      for dy in (-1, 0, 1) if (dx, dy) != (0, 0))
+    return f"""WITH {_pages_cte(n_pages)},
+base AS (SELECT DISTINCT
+           {cells.tile_x_sql('lon', MORPH_Z)} AS x,
+           {cells.tile_y_sql('lat', MORPH_Z)} AS y
+         FROM pages),
+o9(dx, dy) AS (VALUES {offs9}),
+o8(dx, dy) AS (VALUES {offs8}),
+dil AS (SELECT DISTINCT x + dx AS x, y + dy AS y FROM base, o9
+        WHERE x + dx >= 0 AND x + dx < {n}
+          AND y + dy >= 0 AND y + dy < {n}),
+ero AS (SELECT e.x, e.y FROM (
+          SELECT b.x, b.y, b.x + o.dx AS nx, b.y + o.dy AS ny
+          FROM base b, o8 o) e
+        JOIN base nb ON nb.x = e.nx AND nb.y = e.ny
+        GROUP BY 1, 2 HAVING COUNT(*) = 8)
+SELECT 'base' AS op, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(x) AS BIGINT) AS x_sum, CAST(SUM(y) AS BIGINT) AS y_sum
+FROM base
+UNION ALL
+SELECT 'dilate', CAST(COUNT(*) AS BIGINT), CAST(SUM(x) AS BIGINT),
+       CAST(SUM(y) AS BIGINT) FROM dil
+UNION ALL
+SELECT 'erode', CAST(COUNT(*) AS BIGINT), CAST(SUM(x) AS BIGINT),
+       CAST(SUM(y) AS BIGINT) FROM ero"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -13847,6 +14056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "perm_entropy": q_perm_entropy,
         "hurst_var": q_hurst_var,
+        "chi2_indep": q_chi2_indep,
+        "concentration": q_concentration,
+        "raster_morph": q_raster_morph,
     }
 
 
@@ -14056,4 +14268,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _sql_attribution(),
         "perm_entropy": _sql_perm_entropy(),
         "hurst_var": _sql_hurst_var(),
+        "chi2_indep": _sql_chi2_indep(),
+        "concentration": _sql_concentration(n),
+        "raster_morph": _sql_raster_morph(n),
     }

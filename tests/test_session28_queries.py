@@ -1,0 +1,94 @@
+"""First-principles checks for the session-28 layer: chi-square
+independence cells vs a Counter replay, HHI/CR concentration vs exact
+share arithmetic, and raster morphology vs a set-based replay at
+sf0.001 — plus hand cases for erosion/dilation semantics."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+
+import __spark_entry__ as entry
+from __spark_entry__ import CONC_TOPK, MORPH_Z
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_chi2_indep_replay(spark):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["lang", "source"])
+    o = Counter(zip(docs.lang, docs.source))
+    nl = Counter()
+    ns = Counter()
+    for (lg, sr), c in o.items():
+        nl[lg] += c
+        ns[sr] += c
+    nn = sum(o.values())
+    want = {}
+    for lg in nl:
+        for sr in ns:
+            c = o.get((lg, sr), 0)
+            z = nn * c - nl[lg] * ns[sr]
+            want[(lg, sr)] = (c, z,
+                              (z * z * 1000) // (nn * nl[lg] * ns[sr]))
+    got = {(r.lang, r.source): (r.n_ls, r.z, r.term_q)
+           for r in entry.q_chi2_indep(spark, SF_DIR).collect()}
+    assert got == want
+    # the margins of z cancel: sum of z over a row of the table is 0
+    by_lang = Counter()
+    for (lg, _), (_, z, _) in want.items():
+        by_lang[lg] += z
+    assert all(v == 0 for v in by_lang.values())
+
+
+def test_concentration_replay(spark):
+    pts = entry._points(spark, SF_DIR).collect()
+    c = Counter(int(r.domain) for r in pts)
+    n = sum(c.values())
+    sumsq = sum(v * v for v in c.values())
+    top = sum(v for v, _ in sorted(((v, d) for d, v in c.items()),
+                                   key=lambda t: (-t[0], t[1]))[:CONC_TOPK])
+    r = entry.q_concentration(spark, SF_DIR).collect()[0]
+    assert (r.n_pages, r.n_domains, r.sumsq) == (n, len(c), sumsq)
+    assert r.hhi_q == (sumsq * 1_000_000) // (n * n)
+    assert getattr(r, f"cr{CONC_TOPK}_q") == (top * 1_000_000) // n
+    # HHI bounds: 1e6/n_domains <= hhi <= 1e6
+    assert 1_000_000 // len(c) <= r.hhi_q <= 1_000_000
+
+
+def _tile(lon, lat, z):
+    n = 1 << z
+    x = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+    phi = math.radians(lat)
+    asinh_tan = math.log(math.tan(phi) + 1.0 / math.cos(phi))
+    y = min(max(int(math.floor((1.0 - asinh_tan / math.pi) / 2.0 * n)),
+                0), n - 1)
+    return x, y
+
+
+def test_raster_morph_replay(spark):
+    pts = entry._points(spark, SF_DIR).collect()
+    n = 1 << MORPH_Z
+    base = {_tile(r.lon, r.lat, MORPH_Z) for r in pts}
+    dil = {(x + dx, y + dy) for x, y in base
+           for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+           if 0 <= x + dx < n and 0 <= y + dy < n}
+    ero = {(x, y) for x, y in base
+           if all((x + dx, y + dy) in base
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                  if (dx, dy) != (0, 0))}
+    def summ(s):
+        # empty SUM is NULL in both engines, not 0
+        return (len(s),
+                sum(x for x, _ in s) if s else None,
+                sum(y for _, y in s) if s else None)
+
+    want = {"base": summ(base), "dilate": summ(dil), "erode": summ(ero)}
+    got = {r.op: (r.n_cells, r.x_sum, r.y_sum)
+           for r in entry.q_raster_morph(spark, SF_DIR).collect()}
+    assert got == want
+    # set algebra: erode <= base <= dilate
+    assert got["erode"][0] <= got["base"][0] <= got["dilate"][0]
+    assert ero <= base <= dil
