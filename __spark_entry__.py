@@ -13843,6 +13843,83 @@ SELECT 'erode', CAST(COUNT(*) AS BIGINT), CAST(SUM(x) AS BIGINT),
 
 
 # ---------------------------------------------------------------------------
+# session 29 — distributed uncertainty quantification
+# ---------------------------------------------------------------------------
+
+BOOT_B = 64                    # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds in micro-units (cumulative
+# probabilities e^-1 * sum 1/k!): the SAME constants in both dialects,
+# so the replicate weights are bit-identical everywhere
+BOOT_CDF = (367879, 735759, 919699, 981012, 996340)
+_BOOT_MIX = 2654435761         # Knuth multiplicative hash (the synthesis mix)
+
+
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean document length (Chamandy et al.
+    2012, "Estimating uncertainty for massive data streams" — THE
+    distributed bootstrap: resampling n-out-of-n multinomially needs
+    global coordination, but Poisson(1) weights are independent per
+    (row, replicate), so the whole resample is one map-side explode).
+
+    Exactness: the per-(doc, replicate) weight is a deterministic
+    Poisson(1) draw — u = ((doc_id * B + b) * {_BOOT_MIX}) % 2^31
+    % 1e6 stepped through the fixed inverse-CDF thresholds
+    {BOOT_CDF} — so both engines produce bit-identical weights;
+    replicate sums are BIGINT and the mean an exact floored
+    micro-ratio.
+
+    Plan: the x{BOOT_B} replicate explode is map-side (no shuffle
+    before it) and the ONLY exchange is the {BOOT_B}-key hash agg,
+    map-side combinable to <= {BOOT_B} rows per task — the textbook
+    at-scale bootstrap shape.
+
+    FULL SQL ORACLE (_sql_poisson_bootstrap)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    b = docs.withColumn("b", F.explode(F.sequence(
+        F.lit(0), F.lit(BOOT_B - 1))))
+    u = (f"((doc_id * {BOOT_B} + b) * {_BOOT_MIX}) % 2147483648 "
+         f"% 1000000")
+    c0, c1, c2, c3, c4 = BOOT_CDF
+    w = (f"CASE WHEN {u} < {c0} THEN 0 WHEN {u} < {c1} THEN 1 "
+         f"WHEN {u} < {c2} THEN 2 WHEN {u} < {c3} THEN 3 "
+         f"WHEN {u} < {c4} THEN 4 ELSE 5 END")
+    rep = (b.select("b", F.expr(w).cast("long").alias("w"), "n_chars")
+           .groupBy("b")
+           .agg(F.sum("w").alias("n_eff"),
+                F.sum(F.col("w") * F.col("n_chars")).alias("sum_len")))
+    return rep.select(
+        F.col("b").cast("long").alias("b"),
+        F.col("n_eff").cast("long").alias("n_eff"),
+        F.col("sum_len").cast("long").alias("sum_len"),
+        F.when(F.col("n_eff") > 0,
+               F.expr("(sum_len * 1000000) div n_eff"))
+        .cast("long").alias("mean_q"))
+
+
+def _sql_poisson_bootstrap() -> str:
+    c0, c1, c2, c3, c4 = BOOT_CDF
+    u = (f"((doc_id * {BOOT_B} + b) * {_BOOT_MIX}) % 2147483648 "
+         f"% 1000000")
+    return f"""WITH reps AS (
+  SELECT doc_id, n_chars, unnest(generate_series(0, {BOOT_B - 1})) AS b
+  FROM documents),
+wts AS (
+  SELECT b,
+         CASE WHEN {u} < {c0} THEN 0 WHEN {u} < {c1} THEN 1
+              WHEN {u} < {c2} THEN 2 WHEN {u} < {c3} THEN 3
+              WHEN {u} < {c4} THEN 4 ELSE 5 END AS w,
+         n_chars
+  FROM reps),
+rep AS (SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+               CAST(SUM(w * n_chars) AS BIGINT) AS sum_len
+        FROM wts GROUP BY 1)
+SELECT CAST(b AS BIGINT) AS b, n_eff, sum_len,
+       CASE WHEN n_eff > 0
+            THEN CAST((sum_len * 1000000) // n_eff AS BIGINT) END AS mean_q
+FROM rep"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -14059,6 +14136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_indep": q_chi2_indep,
         "concentration": q_concentration,
         "raster_morph": q_raster_morph,
+        "poisson_bootstrap": q_poisson_bootstrap,
     }
 
 
@@ -14271,4 +14349,5 @@ def oracle_sql() -> dict[str, str]:
         "chi2_indep": _sql_chi2_indep(),
         "concentration": _sql_concentration(n),
         "raster_morph": _sql_raster_morph(n),
+        "poisson_bootstrap": _sql_poisson_bootstrap(),
     }

@@ -79,7 +79,7 @@ HEADLINE = [
     "weighted_sample", "containment", "ppr_domains", "truss",
     "betweenness", "event_trigrams", "rrf_fusion", "huff_shares",
     "rake_keywords", "attribution", "perm_entropy", "hurst_var",
-    "chi2_indep", "concentration", "raster_morph",
+    "chi2_indep", "concentration", "raster_morph", "poisson_bootstrap",
 ]
 
 

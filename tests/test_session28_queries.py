@@ -92,3 +92,35 @@ def test_raster_morph_replay(spark):
     # set algebra: erode <= base <= dilate
     assert got["erode"][0] <= got["base"][0] <= got["dilate"][0]
     assert ero <= base <= dil
+
+
+def test_poisson_bootstrap_replay(spark):
+    """Deterministic Poisson-weight replay + CI sanity: the replicate
+    means must bracket the full-sample mean."""
+    from __spark_entry__ import BOOT_B, BOOT_CDF, _BOOT_MIX
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    want = {}
+    for b in range(BOOT_B):
+        n_eff = s = 0
+        for d, ln in zip(docs.doc_id, docs.n_chars):
+            u = ((int(d) * BOOT_B + b) * _BOOT_MIX) % 2147483648 % 1000000
+            w = 5
+            for i, c in enumerate(BOOT_CDF):
+                if u < c:
+                    w = i
+                    break
+            n_eff += w
+            s += w * int(ln)
+        want[b] = (n_eff, s, (s * 1_000_000) // n_eff if n_eff else None)
+    got = {r.b: (r.n_eff, r.sum_len, r.mean_q)
+           for r in entry.q_poisson_bootstrap(spark, SF_DIR).collect()}
+    assert got == want
+    # CI sanity: the replicate spread brackets the plain mean
+    true_mean = int(docs.n_chars.sum()) * 1_000_000 // len(docs)
+    means = sorted(m for _, _, m in want.values() if m is not None)
+    assert means[0] <= true_mean <= means[-1]
+    # weights average ~1: effective sizes cluster around n
+    n = len(docs)
+    assert 0.7 * n < sum(ne for ne, _, _ in want.values()) / BOOT_B < 1.3 * n
