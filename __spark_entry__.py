@@ -1195,8 +1195,29 @@ FROM f GROUP BY 1, 2, 3"""
 # queries — text / dedup / similarity layer (documents + embeddings tables)
 # ---------------------------------------------------------------------------
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents scan with NO rebalance — for the map-only
+    full-corpus rewrites (pii_redact, bloom_decontam) whose contract is
+    scan -> rewrite with zero exchanges: a balance shuffle would
+    double-materialize the corpus, a real 2x I/O cost at 100 TB."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents relation, re-balanced to the session's parallelism.
+
+    The sandbox corpus is ONE small parquet file -> Spark scans it as a
+    single partition, so every downstream shingle/token explode (which
+    multiplies rows ~300x) would run single-threaded — measured 7-9 s
+    single-core vs ~2 s spread for the shingle family at sf0.1.  At
+    100 TB the scan has thousands of row-group splits and this
+    round-robin is a cheap balance step; here it is what unlocks the
+    other 31 cores.  Row order is irrelevant downstream: every consumer
+    aggregates or windows on explicit keys (the oracle compare is
+    order-insensitive by design).  Map-only rewrites that must keep the
+    single-scan shape use _docs_raw instead."""
+    return _docs_raw(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4559,9 +4580,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The decision is a pure map-side expression — reproducible across
     runs, cluster sizes, and engines, unlike df.sample whose output
-    depends on partition layout.  One hash agg on (lang, source)."""
+    depends on partition layout.  One hash agg on (lang, source); reads
+    the raw scan (no balance shuffle) — the per-row work is one hash,
+    so the map-only single-scan shape is the contract here."""
     from proj_spark.text import curation
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     keyed = docs.select(
         "lang", "source", F.col("doc_id").cast("long").alias("doc_id"),
         curation.sample_key(F.col("doc_id"), SAMPLE_DENOM).alias("sk"))
@@ -5400,7 +5423,7 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests membership relationally — bit collisions (the FPs) included,
     so the comparison is value-exact, not statistical."""
     from proj_spark.text import bloom
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs_raw(spark, sf_dir).select("doc_id", "text")
     bench = docs.where(F.col("doc_id") % CONTAM_MOD == CONTAM_REM)
     words = bloom.build_bloom_bits(bench)
     train = docs.where(F.col("doc_id") % CONTAM_MOD != CONTAM_REM)
@@ -5537,7 +5560,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus rewrite.  Output hashes the redacted text so the oracle
     verifies the rewrite byte-for-byte."""
     from proj_spark.text import pii
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs_raw(spark, sf_dir).select("doc_id", "text")
     pt = _pii_text_col()
     ne, np_, ni = pii.pii_counts(pt)
     red = pii.redact(pt)

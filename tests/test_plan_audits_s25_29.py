@@ -68,12 +68,13 @@ def test_rrf_plan_truncated_windows(spark):
 
 def test_bootstrap_plan_single_exchange(spark):
     plan = _plan(entry.q_poisson_bootstrap(spark, SF_DIR))
-    tree = plan.split("\n\n")[0]
-    # one hash agg exchange on the replicate key; the x64 explode is
-    # map-side (Generate below the first Exchange)
-    n_exchanges = sum(1 for ln in tree.splitlines()
-                      if "Exchange" in ln and "Reused" not in ln)
-    assert n_exchanges == 1, tree
+    # one KEYED exchange (the 64-replicate hash agg); the x64 explode
+    # is map-side.  The _docs round-robin balance exchange is not a
+    # data-dependent shuffle and is excluded (it carries the 1-file
+    # sandbox scan to full parallelism; a multi-split scan wouldn't
+    # need it).
+    n_keyed = plan.count("hashpartitioning")
+    assert n_keyed == 1, plan
     assert "Generate" in plan
 
 
