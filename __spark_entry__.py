@@ -13943,6 +13943,103 @@ FROM rep"""
 
 
 # ---------------------------------------------------------------------------
+# session 31 — exact quantiles over large value domains
+# ---------------------------------------------------------------------------
+
+EQ_BUCKETS = 1024
+EQ_SPECS = ((50, "p50"), (90, "p90"), (99, "p99"))
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of the continuous event value (cents) via
+    two-pass bucket refinement — the at-scale exact-quantile algorithm
+    for LARGE value domains, where token_quantiles' one-shot value
+    histogram would be as big as the data: pass A ranges the domain
+    into {EQ_BUCKETS} buckets and locates each quantile's bucket from
+    the bucket-count cumsum; pass B histograms ONLY the (tiny) target
+    buckets and picks the exact offset-th value.  No corpus sort, no
+    sketch, no approximation.
+
+    Exactness: quantile q = the smallest v with cum_count >= r,
+    r = ceil(q*n/100) — a pure cumulative definition both engines
+    replay; all arithmetic BIGINT (cents, counts, ranks).
+
+    Plan: pass A is one map-side-combinable bucket agg (the window
+    cumsum runs over the {EQ_BUCKETS}-row bucket relation, never the
+    corpus); pass B filters the corpus by a BROADCAST <=3-bucket
+    target set — the scan prunes everything else — and the in-bucket
+    histogram is ~n/{EQ_BUCKETS} rows per target.
+
+    FULL SQL ORACLE (_sql_exact_quantiles): the same rank definition
+    evaluated by a full value-histogram cumsum (DuckDB can afford the
+    sort at oracle scale — an INDEPENDENT evaluation strategy)."""
+    ev = _events_micros(spark, sf_dir).select("cents")
+    rng = ev.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+                 F.count("*").alias("n"))
+    withb = (ev.crossJoin(F.broadcast(rng))
+             .select(F.expr(f"(cents - lo) div ((hi - lo) div "
+                            f"{EQ_BUCKETS} + 1)").alias("b"), "cents"))
+    bcnt = withb.groupBy("b").agg(F.count("*").alias("c"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = bcnt.withColumn("cum", F.sum("c").over(wb))
+    spec = None
+    for q, name in EQ_SPECS:
+        row = rng.select(F.lit(q).cast("long").alias("q"),
+                         F.expr(f"CAST(ceil(n * {q} / 100) AS BIGINT)")
+                         .alias("r"))
+        spec = row if spec is None else spec.union(row)
+    targets = (spec.crossJoin(bcum)
+               .where(F.col("cum") >= F.col("r"))
+               .groupBy("q", "r")
+               .agg(F.min(F.struct("b", "cum", "c")).alias("t"))
+               .select("q", "r", F.col("t.b").alias("b"),
+                       (F.col("r") - (F.col("t.cum") - F.col("t.c")))
+                       .alias("off"),
+                       F.col("t.c").alias("bucket_n")))
+    inb = (withb.join(F.broadcast(targets.select("b").distinct()), "b")
+           .groupBy("b", "cents").agg(F.count("*").alias("c")))
+    win = Window.partitionBy("b").orderBy("cents") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    incum = inb.withColumn("cum_in", F.sum("c").over(win))
+    out = (targets.join(incum, "b")
+           .where(F.col("cum_in") >= F.col("off"))
+           .groupBy("q", "r", "b", "bucket_n")
+           .agg(F.min("cents").alias("v_cents")))
+    return out.select(F.col("q").cast("long").alias("q"),
+                      F.col("r").cast("long").alias("r"),
+                      F.col("b").cast("long").alias("bucket"),
+                      F.col("bucket_n").cast("long").alias("bucket_n"),
+                      F.col("v_cents").cast("long").alias("v_cents"))
+
+
+def _sql_exact_quantiles() -> str:
+    specs = ", ".join(f"({q})" for q, _ in EQ_SPECS)
+    return f"""WITH ev AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+rng AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+qs(q) AS (VALUES {specs}),
+spec AS (SELECT CAST(q AS BIGINT) AS q,
+                CAST(CEIL(n * q / 100) AS BIGINT) AS r FROM qs, rng),
+hist AS (SELECT cents, COUNT(*) AS c,
+                (cents - lo) // ((hi - lo) // {EQ_BUCKETS} + 1) AS b
+         FROM ev, rng GROUP BY 1, 3),
+cums AS (SELECT cents, b, c,
+                SUM(c) OVER (ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING) AS cum
+         FROM hist),
+bstat AS (SELECT b, CAST(SUM(c) AS BIGINT) AS bucket_n
+          FROM hist GROUP BY 1),
+pick AS (SELECT q, r, MIN(cents) AS v_cents
+         FROM spec JOIN cums ON cum >= r GROUP BY 1, 2)
+SELECT p.q, p.r, CAST(h.b AS BIGINT) AS bucket, bstat.bucket_n,
+       CAST(p.v_cents AS BIGINT) AS v_cents
+FROM pick p
+JOIN (SELECT DISTINCT cents, b FROM hist) h ON h.cents = p.v_cents
+JOIN bstat ON bstat.b = h.b"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -14160,6 +14257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration": q_concentration,
         "raster_morph": q_raster_morph,
         "poisson_bootstrap": q_poisson_bootstrap,
+        "exact_quantiles": q_exact_quantiles,
     }
 
 
@@ -14373,4 +14471,5 @@ def oracle_sql() -> dict[str, str]:
         "concentration": _sql_concentration(n),
         "raster_morph": _sql_raster_morph(n),
         "poisson_bootstrap": _sql_poisson_bootstrap(),
+        "exact_quantiles": _sql_exact_quantiles(),
     }

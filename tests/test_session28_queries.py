@@ -124,3 +124,31 @@ def test_poisson_bootstrap_replay(spark):
     # weights average ~1: effective sizes cluster around n
     n = len(docs)
     assert 0.7 * n < sum(ne for ne, _, _ in want.values()) / BOOT_B < 1.3 * n
+
+
+def test_exact_quantiles_replay(spark):
+    """Sorted-list replay: the bucket-refinement answer must equal the
+    brute-force 'smallest v with cum >= ceil(q*n/100)' over the fully
+    sorted value list."""
+    import math as _math
+
+    from __spark_entry__ import EQ_BUCKETS, EQ_SPECS
+
+    ev = entry._events_micros(spark, SF_DIR).collect()
+    cents = sorted(int(r.cents) for r in ev)
+    n = len(cents)
+    lo, hi = cents[0], cents[-1]
+    width = (hi - lo) // EQ_BUCKETS + 1
+    got = {r.q: (r.r, r.bucket, r.bucket_n, r.v_cents)
+           for r in entry.q_exact_quantiles(spark, SF_DIR).collect()}
+    assert set(got) == {q for q, _ in EQ_SPECS}
+    from collections import Counter
+    bn = Counter((c - lo) // width for c in cents)
+    for q, _ in EQ_SPECS:
+        r = _math.ceil(n * q / 100)
+        v = cents[r - 1]
+        b = (v - lo) // width
+        assert got[q] == (r, b, bn[b], v), q
+    # refinement really prunes: each target bucket is far smaller than n
+    for q, (_, _, bucket_n, _) in got.items():
+        assert bucket_n < n
