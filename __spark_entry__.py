@@ -14040,6 +14040,151 @@ JOIN bstat ON bstat.b = h.b"""
 
 
 # ---------------------------------------------------------------------------
+# session 32 — diversified retrieval re-ranking
+# ---------------------------------------------------------------------------
+
+MMR_K = 10            # greedy selections
+MMR_CAND = 20         # candidate pool: top cosine to the query vector
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein SIGIR
+    1998): greedily pick {MMR_K} of the top-{MMR_CAND} cosine
+    candidates, each round maximizing score = 0.5*rel - 0.5*max_sim_to
+    _already_selected — the diversity-aware final stage of a retrieval
+    stack (rrf_fusion merges scorers; MMR de-dupes the result list).
+
+    Determinism: rel and the pairwise sims quantize ONCE to integer
+    nano-units (round(cos * 1e8)), and the greedy objective is the
+    monotone-equivalent integer score_n = rel_n - max_sim_n (= 2e8 *
+    (0.5*rel - 0.5*ms)); every comparison after the one quantization
+    is BIGINT, so no float subtraction can drift an argmax (a
+    float-scored first cut lost a selection to a 1-ulp ROUND
+    difference between engines).
+
+    Plan: the candidate pool and its {MMR_CAND}^2 sim matrix compute
+    once (one scan + one broadcast self-join); each greedy round is a
+    3-relation join over <= {MMR_CAND} rows with the selected set
+    localCheckpoint'ed (the truss/betweenness lineage-cut discipline —
+    the round plans reference sel multiply).  The corpus is touched
+    exactly twice regardless of K.
+
+    FULL SQL ORACLE (_sql_mmr_rerank): the greedy rounds unrolled as
+    CTE triples over the identical candidate/sim relations."""
+    from proj_spark.text.similarity import cosine_expr
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(v) for v in qrow[0]]
+    cand = (emb.where(F.col("vec_id") != 0)
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    F.round(cosine_expr(F.col("embedding"), query) * 1e8,
+                            0).cast("long").alias("rel_n"), "embedding")
+            .orderBy(F.col("rel_n").desc(), "vec_id").limit(MMR_CAND)
+            .localCheckpoint(eager=True))
+    a = cand.select(F.col("vec_id").alias("a"),
+                    F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("b"),
+                    F.col("embedding").alias("eb"))
+    dot = F.aggregate(F.zip_with(F.col("ea"), F.col("eb"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.zip_with(F.col("ea"), F.col("ea"),
+                                       lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.zip_with(F.col("eb"), F.col("eb"),
+                                       lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    sim = (a.join(F.broadcast(b), F.col("a") != F.col("b"))
+           .select("a", "b", F.round(dot / (na * nb) * 1e8, 0)
+                   .cast("long").alias("s_n"))
+           .localCheckpoint(eager=True))
+    pool = cand.select("vec_id", "rel_n")
+    sel = None
+    for r in range(1, MMR_K + 1):
+        if sel is None:
+            scored = pool.select("vec_id", "rel_n",
+                                 F.col("rel_n").alias("score_n"))
+        else:
+            rem = pool.join(sel.select("vec_id"), "vec_id", "left_anti")
+            ms = (rem.join(sim, rem.vec_id == sim.a)
+                  .join(sel.select(F.col("vec_id").alias("b")), "b")
+                  .groupBy("a").agg(F.max("s_n").alias("ms_n")))
+            scored = (rem.join(ms, rem.vec_id == ms.a, "left")
+                      .select("vec_id", "rel_n",
+                              (F.col("rel_n") - F.coalesce(
+                                  "ms_n", F.lit(0))).cast("long")
+                              .alias("score_n")))
+        w = Window.orderBy(F.col("score_n").desc(), "vec_id")
+        pick = (scored.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("vec_id", "rel_n", "score_n",
+                        F.lit(r).cast("long").alias("round")))
+        nxt = pick if sel is None else sel.union(pick)
+        sel = nxt.localCheckpoint(eager=True)
+    return sel.select("round", "vec_id", "rel_n",
+                      F.col("score_n").alias("mmr_n"))
+
+
+def _sql_mmr_rerank() -> str:
+    parts = [f"""cand AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(q.qv, q.qv))) * 1e8)
+         AS BIGINT) AS rel_n
+  FROM embeddings,
+       (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        WHERE vec_id = 0) q
+  WHERE vec_id != 0
+  ORDER BY rel_n DESC, vec_id LIMIT {MMR_CAND})""",
+             """ev AS MATERIALIZED (SELECT c.vec_id,
+                CAST(e.embedding AS DOUBLE[]) AS emb
+         FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id)""",
+             """sim AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         CAST(ROUND(list_dot_product(x.emb, y.emb)
+               / (sqrt(list_dot_product(x.emb, x.emb)) *
+                  sqrt(list_dot_product(y.emb, y.emb))) * 1e8)
+              AS BIGINT) AS s_n
+  FROM ev x JOIN ev y ON x.vec_id != y.vec_id)"""]
+    parts.append(
+        "sc1 AS MATERIALIZED (SELECT vec_id, rel_n, rel_n AS score_n "
+        "FROM cand)")
+    parts.append(
+        "sel1 AS MATERIALIZED (SELECT vec_id, rel_n, score_n, CAST(1 AS BIGINT) AS rnd "
+        "FROM sc1 ORDER BY score_n DESC, vec_id LIMIT 1)")
+    for r in range(2, MMR_K + 1):
+        parts.append(
+            f"rem{r} AS MATERIALIZED (SELECT c.vec_id, c.rel_n FROM cand c "
+            f"WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1}))")
+        parts.append(
+            f"ms{r} AS MATERIALIZED (SELECT sim.a AS vec_id, MAX(sim.s_n) AS ms_n "
+            f"FROM sim JOIN sel{r - 1} s ON s.vec_id = sim.b "
+            f"JOIN rem{r} rm ON rm.vec_id = sim.a GROUP BY 1)")
+        parts.append(
+            f"sc{r} AS MATERIALIZED (SELECT rm.vec_id, rm.rel_n, "
+            f"CAST(rm.rel_n - COALESCE(ms.ms_n, 0) AS BIGINT) "
+            f"AS score_n "
+            f"FROM rem{r} rm LEFT JOIN ms{r} ms "
+            f"ON ms.vec_id = rm.vec_id)")
+        # the per-round LIMIT must apply to the round's scores only
+        # (ORDER BY/LIMIT after UNION ALL would cap the whole union),
+        # hence the explicit pick CTE
+        parts.append(
+            f"pick{r} AS MATERIALIZED (SELECT vec_id, rel_n, score_n FROM sc{r} "
+            f"ORDER BY score_n DESC, vec_id LIMIT 1)")
+        parts.append(
+            f"sel{r} AS MATERIALIZED (SELECT * FROM sel{r - 1} UNION ALL "
+            f"SELECT vec_id, rel_n, score_n, CAST({r} AS BIGINT) "
+            f"FROM pick{r})")
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT rnd AS round, vec_id, rel_n, score_n AS mmr_n FROM sel{MMR_K}"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -14258,6 +14403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_morph": q_raster_morph,
         "poisson_bootstrap": q_poisson_bootstrap,
         "exact_quantiles": q_exact_quantiles,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 
@@ -14472,4 +14618,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_morph": _sql_raster_morph(n),
         "poisson_bootstrap": _sql_poisson_bootstrap(),
         "exact_quantiles": _sql_exact_quantiles(),
+        "mmr_rerank": _sql_mmr_rerank(),
     }
