@@ -14185,6 +14185,122 @@ SELECT rnd AS round, vec_id, rel_n, score_n AS mmr_n FROM sel{MMR_K}"""
 
 
 # ---------------------------------------------------------------------------
+# session 33 — spatial diversity & specialization
+# ---------------------------------------------------------------------------
+
+DIV_Z = 6          # diversity lattice: z6 web-mercator tiles
+DIV_MIN_N = 50     # tiles below this support are noise, dropped
+LQ_MIN_N = 50      # same support floor for location quotients
+
+
+def q_tile_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language diversity per z{DIV_Z} tile: richness (distinct
+    languages) and the Simpson concentration index — ecology's
+    diversity measures applied to the multilingual crawl map ("which
+    regions are linguistic melting pots").  Simpson lambda =
+    sum n_i*(n_i-1) / (N*(N-1)) is an exact RATIONAL (unlike Shannon
+    it needs no logarithm), reported as the floored micro-ratio; low
+    lambda = diverse, lambda = 1e6 = monolingual.
+
+    Plan: one shuffle to the (tile, lang) counts; the per-tile rollup
+    runs on the aggregated lattice (map-side combinable both stages).
+
+    FULL SQL ORACLE (_sql_tile_diversity)."""
+    pts = _points(spark, sf_dir)
+    tl = (pts.select(cells.tile_x(F.col("lon"), DIV_Z).alias("tx"),
+                     cells.tile_y(F.col("lat"), DIV_Z).alias("ty"),
+                     "lang")
+          .groupBy("tx", "ty", "lang").agg(F.count("*").alias("c")))
+    out = (tl.groupBy("tx", "ty")
+           .agg(F.sum("c").alias("n"),
+                F.count("*").alias("richness"),
+                F.sum(F.col("c") * (F.col("c") - 1)).alias("pairs"))
+           .where(F.col("n") >= DIV_MIN_N))
+    return out.select(
+        F.col("tx").cast("long").alias("tx"),
+        F.col("ty").cast("long").alias("ty"),
+        F.col("n").cast("long").alias("n"),
+        F.col("richness").cast("long").alias("richness"),
+        F.expr("(pairs * 1000000) div (n * (n - 1))")
+        .cast("long").alias("simpson_q"))
+
+
+def _sql_tile_diversity(n_pages: int) -> str:
+    z = DIV_Z
+    return f"""WITH {_pages_cte(n_pages)},
+tl AS (SELECT {cells.tile_x_sql('lon', z)} AS tx,
+              {cells.tile_y_sql('lat', z)} AS ty,
+              lang, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pages GROUP BY 1, 2, 3)
+SELECT tx, ty, CAST(SUM(c) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS richness,
+       CAST((SUM(c * (c - 1)) * 1000000)
+            // (SUM(c) * (SUM(c) - 1)) AS BIGINT) AS simpson_q
+FROM tl GROUP BY 1, 2 HAVING SUM(c) >= {DIV_MIN_N}"""
+
+
+def q_location_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location quotient of each language per z{DIV_Z} tile: the
+    regional-specialization measure LQ = (share of lang in tile) /
+    (share of lang globally) — LQ > 1 means the tile over-represents
+    that language (the economic-geography standard for "where is X
+    concentrated", the per-cell complement of the lang_scan
+    neighborhood statistic).
+
+    Exactness: LQ_q = (c_tl * N * 1e6) div (n_t * c_l) — one floored
+    division over four exact BIGINT counts (overflow bound: c_tl * N
+    <= N^2 = 3.6e13 at sf1 * 1e6 = 3.6e19... so c_tl is capped by
+    n_t: c_tl * N * 1e6 <= n_t * N * 1e6 with n_t <= 1e6 per tile at
+    sf1 -> 6e18 < 2^63; the division denominator keeps the quotient
+    small).
+
+    Plan: one shuffle to the (tile, lang) lattice; tile margins,
+    language margins and the one-row total broadcast back.
+
+    FULL SQL ORACLE (_sql_location_quotient)."""
+    pts = _points(spark, sf_dir)
+    tl = (pts.select(cells.tile_x(F.col("lon"), DIV_Z).alias("tx"),
+                     cells.tile_y(F.col("lat"), DIV_Z).alias("ty"),
+                     "lang")
+          .groupBy("tx", "ty", "lang").agg(F.count("*").alias("c"))
+          .persist())
+    nt = tl.groupBy("tx", "ty").agg(F.sum("c").alias("n_t"))
+    nl = tl.groupBy("lang").agg(F.sum("c").alias("c_l"))
+    tot = tl.agg(F.sum("c").alias("nn"))
+    out = (tl.join(nt, ["tx", "ty"])
+           .join(F.broadcast(nl), "lang")
+           .crossJoin(F.broadcast(tot))
+           .where(F.col("n_t") >= LQ_MIN_N)
+           .select(F.col("tx").cast("long").alias("tx"),
+                   F.col("ty").cast("long").alias("ty"),
+                   "lang",
+                   F.col("c").cast("long").alias("c_tl"),
+                   F.col("n_t").cast("long").alias("n_t"),
+                   F.col("c_l").cast("long").alias("c_l"),
+                   F.expr("(c * nn * 1000000) div (n_t * c_l)")
+                   .cast("long").alias("lq_q")))
+    tl.unpersist()
+    return out
+
+
+def _sql_location_quotient(n_pages: int) -> str:
+    z = DIV_Z
+    return f"""WITH {_pages_cte(n_pages)},
+tl AS (SELECT {cells.tile_x_sql('lon', z)} AS tx,
+              {cells.tile_y_sql('lat', z)} AS ty,
+              lang, CAST(COUNT(*) AS BIGINT) AS c
+       FROM pages GROUP BY 1, 2, 3),
+nt AS (SELECT tx, ty, CAST(SUM(c) AS BIGINT) AS n_t FROM tl GROUP BY 1, 2),
+nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS c_l FROM tl GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM tl)
+SELECT tl.tx, tl.ty, tl.lang, c AS c_tl, n_t, c_l,
+       CAST((c * nn * 1000000) // (n_t * c_l) AS BIGINT) AS lq_q
+FROM tl JOIN nt ON nt.tx = tl.tx AND nt.ty = tl.ty
+JOIN nl ON nl.lang = tl.lang, tot
+WHERE n_t >= {LQ_MIN_N}"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -14404,6 +14520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_bootstrap": q_poisson_bootstrap,
         "exact_quantiles": q_exact_quantiles,
         "mmr_rerank": q_mmr_rerank,
+        "tile_diversity": q_tile_diversity,
+        "location_quotient": q_location_quotient,
     }
 
 
@@ -14619,4 +14737,6 @@ def oracle_sql() -> dict[str, str]:
         "poisson_bootstrap": _sql_poisson_bootstrap(),
         "exact_quantiles": _sql_exact_quantiles(),
         "mmr_rerank": _sql_mmr_rerank(),
+        "tile_diversity": _sql_tile_diversity(n),
+        "location_quotient": _sql_location_quotient(n),
     }

@@ -80,7 +80,7 @@ HEADLINE = [
     "betweenness", "event_trigrams", "rrf_fusion", "huff_shares",
     "rake_keywords", "attribution", "perm_entropy", "hurst_var",
     "chi2_indep", "concentration", "raster_morph", "poisson_bootstrap",
-    "exact_quantiles", "mmr_rerank",
+    "exact_quantiles", "mmr_rerank", "tile_diversity", "location_quotient",
 ]
 
 

@@ -203,3 +203,63 @@ def test_mmr_rerank_replay(spark):
     # no — but every round's winner must beat the runner-up's replayed
     # score by construction; assert all picks distinct
     assert len({v for _, v, _, _ in want}) == MMR_K
+
+
+def _tiles_langs(spark):
+    from __spark_entry__ import DIV_Z
+    pts = entry._points(spark, SF_DIR).collect()
+    out = Counter()
+    for r in pts:
+        out[(*_tile(r.lon, r.lat, DIV_Z), r.lang)] += 1
+    return out
+
+
+def test_tile_diversity_replay(spark):
+    from __spark_entry__ import DIV_MIN_N
+
+    tl = _tiles_langs(spark)
+    per_tile = {}
+    for (x, y, lg), c in tl.items():
+        n, rich, pairs = per_tile.get((x, y), (0, 0, 0))
+        per_tile[(x, y)] = (n + c, rich + 1, pairs + c * (c - 1))
+    want = {k: (n, rich, (pairs * 1_000_000) // (n * (n - 1)))
+            for k, (n, rich, pairs) in per_tile.items()
+            if n >= DIV_MIN_N}
+    got = {(r.tx, r.ty): (r.n, r.richness, r.simpson_q)
+           for r in entry.q_tile_diversity(spark, SF_DIR).collect()}
+    assert got == want
+    # bounds: a monolingual tile hits exactly the all-same-pairs ratio
+    for (n, rich, s) in want.values():
+        assert s <= 1_000_000
+        if rich == 1:
+            assert s == 1_000_000
+
+
+def test_location_quotient_replay(spark):
+    from __spark_entry__ import LQ_MIN_N
+
+    tl = _tiles_langs(spark)
+    nt = Counter()
+    nl = Counter()
+    for (x, y, lg), c in tl.items():
+        nt[(x, y)] += c
+        nl[lg] += c
+    nn = sum(tl.values())
+    want = {}
+    for (x, y, lg), c in tl.items():
+        if nt[(x, y)] >= LQ_MIN_N:
+            want[(x, y, lg)] = (c, nt[(x, y)], nl[lg],
+                                (c * nn * 1_000_000)
+                                // (nt[(x, y)] * nl[lg]))
+    got = {(r.tx, r.ty, r.lang): (r.c_tl, r.n_t, r.c_l, r.lq_q)
+           for r in entry.q_location_quotient(spark, SF_DIR).collect()}
+    assert got == want
+    # mass balance: sum_l c_l * LQ(t,l) = N * 1e6 exactly without
+    # flooring (sum_l global_share(l) * LQ = 1); each floored term
+    # loses < c_l units, so the defect is in [0, sum c_l) < N * #langs
+    by_tile = Counter()
+    for (x, y, lg), (c, n_t, c_l, lq) in want.items():
+        by_tile[(x, y)] += c_l * lq
+    langs = {lg for (_, _, lg) in want}
+    for k, s in by_tile.items():
+        assert 0 <= nn * 1_000_000 - s < nn * len(langs)
