@@ -14301,6 +14301,65 @@ WHERE n_t >= {LQ_MIN_N}"""
 
 
 # ---------------------------------------------------------------------------
+# session 34 — privacy / re-identification audit
+# ---------------------------------------------------------------------------
+
+KANON_K = 5         # k-anonymity threshold
+LDIV_L = 2          # l-diversity threshold
+KANON_LEN_BUCKET = 100   # length quasi-identifier coarsening
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the document table (Sweeney
+    2002; Machanavajjhala et al. 2007): treat (source, length bucket)
+    as the quasi-identifier and language as the sensitive attribute —
+    a record is re-identifiable if its QI equivalence class has fewer
+    than k={KANON_K} members, and attribute-disclosable if the class
+    carries fewer than l={LDIV_L} distinct sensitive values.  The
+    data-governance screen a release pipeline runs before shipping a
+    corpus.
+
+    Exactness: class sizes, distinct counts and the risky-record
+    totals are exact BIGINTs; the length bucket is integer floor
+    division — no engine-private binning.
+
+    Plan: one shuffle to the QI classes (count + distinct-lang in the
+    same hash agg via a two-level rollup); the output is one row per
+    QI class plus the audit flags.
+
+    FULL SQL ORACLE (_sql_k_anonymity)."""
+    docs = _docs(spark, sf_dir)
+    cls = (docs.select(
+        "source",
+        F.expr(f"n_chars div {KANON_LEN_BUCKET}").alias("len_b"),
+        "lang")
+        .groupBy("source", "len_b", "lang")
+        .agg(F.count("*").alias("c")))
+    return (cls.groupBy("source", "len_b")
+            .agg(F.sum("c").alias("class_n"),
+                 F.count("*").alias("l_div"))
+            .select("source",
+                    F.col("len_b").cast("long").alias("len_b"),
+                    F.col("class_n").cast("long").alias("class_n"),
+                    F.col("l_div").cast("long").alias("l_div"),
+                    (F.col("class_n") < KANON_K).alias("k_risky"),
+                    (F.col("l_div") < LDIV_L).alias("l_risky")))
+
+
+def _sql_k_anonymity() -> str:
+    return f"""WITH cls AS (
+  SELECT source, n_chars // {KANON_LEN_BUCKET} AS len_b, lang,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2, 3)
+SELECT source, CAST(len_b AS BIGINT) AS len_b,
+       CAST(SUM(c) AS BIGINT) AS class_n,
+       CAST(COUNT(*) AS BIGINT) AS l_div,
+       SUM(c) < {KANON_K} AS k_risky,
+       COUNT(*) < {LDIV_L} AS l_risky
+FROM cls GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -14522,6 +14581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "tile_diversity": q_tile_diversity,
         "location_quotient": q_location_quotient,
+        "k_anonymity": q_k_anonymity,
     }
 
 
@@ -14739,4 +14799,5 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": _sql_mmr_rerank(),
         "tile_diversity": _sql_tile_diversity(n),
         "location_quotient": _sql_location_quotient(n),
+        "k_anonymity": _sql_k_anonymity(),
     }

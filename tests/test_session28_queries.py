@@ -263,3 +263,25 @@ def test_location_quotient_replay(spark):
     langs = {lg for (_, _, lg) in want}
     for k, s in by_tile.items():
         assert 0 <= nn * 1_000_000 - s < nn * len(langs)
+
+
+def test_k_anonymity_replay(spark):
+    from __spark_entry__ import KANON_K, KANON_LEN_BUCKET, LDIV_L
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["source", "n_chars", "lang"])
+    cls = Counter()
+    langs = {}
+    for s, n, lg in zip(docs.source, docs.n_chars, docs.lang):
+        k = (s, int(n) // KANON_LEN_BUCKET)
+        cls[k] += 1
+        langs.setdefault(k, set()).add(lg)
+    want = {k: (c, len(langs[k]), c < KANON_K, len(langs[k]) < LDIV_L)
+            for k, c in cls.items()}
+    got = {(r.source, r.len_b): (r.class_n, r.l_div, r.k_risky, r.l_risky)
+           for r in entry.q_k_anonymity(spark, SF_DIR).collect()}
+    assert got == want
+    # the audit partitions the corpus: class sizes sum to the corpus
+    assert sum(c for c, _, _, _ in want.values()) == len(docs)
+    # l-diversity can never exceed class size
+    assert all(l <= c for c, l, _, _ in want.values())
