@@ -14360,6 +14360,169 @@ FROM cls GROUP BY 1, 2"""
 
 
 # ---------------------------------------------------------------------------
+# session 35 — robust location & causal screens
+# ---------------------------------------------------------------------------
+
+TRIM_PCT = 10    # symmetric trim fraction (percent) per tail
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {TRIM_PCT}%-trimmed mean of document length per source —
+    the robust location estimate between the mean (outlier-fragile)
+    and the median (throws information away); the robust-statistics
+    sibling of mad_outliers.
+
+    Exactness: with lo = (n * {TRIM_PCT}) div 100 trimmed from each
+    tail, the kept-rank interval is [lo+1, n-lo]; each value-histogram
+    row [cum-c+1, cum] keeps k = max(0, min(cum, n-lo) - max(cum-c+1,
+    lo+1) + 1) occurrences — pure interval arithmetic on exact
+    BIGINTs, no per-row sort, and the mean one floored micro-division.
+
+    Plan: one shuffle to the (source, value) histogram; the cumsum
+    window runs inside each source partition over the tiny histogram.
+
+    FULL SQL ORACLE (_sql_trimmed_mean)."""
+    docs = _docs(spark, sf_dir)
+    hist = (docs.groupBy("source", F.col("n_chars").cast("long")
+                         .alias("v"))
+            .agg(F.count("*").alias("c")))
+    w = Window.partitionBy("source").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = (hist.withColumn("cum", F.sum("c").over(w))
+           .withColumn("n", F.sum("c").over(
+               Window.partitionBy("source"))))
+    lo = F.expr(f"(n * {TRIM_PCT}) div 100")
+    k = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum"), F.col("n") - lo)
+        - F.greatest(F.col("cum") - F.col("c") + 1, lo + 1) + 1)
+    out = (cum.select("source", "n", lo.alias("lo"), "v", k.alias("k"))
+           .groupBy("source", "n", "lo")
+           .agg(F.sum(F.col("v") * F.col("k")).alias("tsum"),
+                F.sum("k").alias("tn")))
+    return out.select(
+        "source", F.col("n").cast("long").alias("n"),
+        F.col("lo").cast("long").alias("lo"),
+        F.col("tn").cast("long").alias("tn"),
+        F.col("tsum").cast("long").alias("tsum"),
+        F.expr("(tsum * 1000000) div tn").cast("long")
+        .alias("tmean_q"))
+
+
+def _sql_trimmed_mean() -> str:
+    return f"""WITH hist AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT source, v, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM hist),
+kept AS (
+  SELECT source, n, (n * {TRIM_PCT}) // 100 AS lo, v,
+         GREATEST(0, LEAST(cum, n - (n * {TRIM_PCT}) // 100)
+                  - GREATEST(cum - c + 1, (n * {TRIM_PCT}) // 100 + 1)
+                  + 1) AS k
+  FROM cum)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(lo AS BIGINT) AS lo,
+       CAST(SUM(k) AS BIGINT) AS tn, CAST(SUM(v * k) AS BIGINT) AS tsum,
+       CAST((SUM(v * k) * 1000000) // SUM(k) AS BIGINT) AS tmean_q
+FROM kept GROUP BY 1, 2, 3"""
+
+
+DID_TREAT = "purchase"
+DID_CTRL = "click"
+
+
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences screen over the event stream: the
+    change in mean event value (cents) from the first to the second
+    half of the observation window, for '{DID_TREAT}' (treated) minus
+    the same change for '{DID_CTRL}' (control) — the workhorse
+    causal-inference estimator, here as a data-quality screen (a
+    non-zero DiD flags a type-specific shift a global trend cannot
+    explain).
+
+    Exactness: the period cutoff is the exact integer midpoint hour of
+    the GLOBAL horizon (both engines derive it identically), the four
+    cell means are floored micro-ratios, and did_q is a difference of
+    those exact integers.
+
+    Plan: one corpus shuffle to the 4 (group, period) cells; the
+    horizon travels as a broadcast one-row aggregate.
+
+    FULL SQL ORACLE (_sql_did)."""
+    ev = _events_micros(spark, sf_dir)
+    hor = ev.agg(F.expr("min(tm div 3600000000)").alias("x_min"),
+                 F.expr("max(tm div 3600000000)").alias("x_max"))
+    cells_ = (ev.where(F.col("event_type").isin(DID_TREAT, DID_CTRL))
+              .crossJoin(F.broadcast(hor))
+              .select((F.col("event_type") == DID_TREAT).alias("treated"),
+                      (F.expr("tm div 3600000000")
+                       >= F.expr("x_min + (x_max - x_min) div 2"))
+                      .alias("late"), "cents")
+              .groupBy("treated", "late")
+              .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+              .select("treated", "late", "n", "s",
+                      F.expr("(s * 1000000) div n").alias("m_q")))
+    # assemble the single DiD row via conditional aggregation (no
+    # pivot — identical shape in both engines)
+    out = cells_.agg(
+        F.sum(F.when(F.col("treated") & ~F.col("late"),
+                     F.col("m_q"))).alias("m_t1"),
+        F.sum(F.when(F.col("treated") & F.col("late"),
+                     F.col("m_q"))).alias("m_t2"),
+        F.sum(F.when(~F.col("treated") & ~F.col("late"),
+                     F.col("m_q"))).alias("m_c1"),
+        F.sum(F.when(~F.col("treated") & F.col("late"),
+                     F.col("m_q"))).alias("m_c2"),
+        F.sum(F.when(F.col("treated"), F.col("n"))).alias("n_t"),
+        F.sum(F.when(~F.col("treated"), F.col("n"))).alias("n_c"))
+    return out.select(
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("m_t1").cast("long").alias("m_t1"),
+        F.col("m_t2").cast("long").alias("m_t2"),
+        F.col("m_c1").cast("long").alias("m_c1"),
+        F.col("m_c2").cast("long").alias("m_c2"),
+        ((F.col("m_t2") - F.col("m_t1"))
+         - (F.col("m_c2") - F.col("m_c1"))).cast("long").alias("did_q"))
+
+
+def _sql_did() -> str:
+    return f"""WITH ev AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         epoch_us(ts) // 3600000000 AS x
+  FROM events),
+hor AS (SELECT MIN(x) AS x_min, MAX(x) AS x_max FROM ev),
+cells AS (
+  SELECT event_type = '{DID_TREAT}' AS treated,
+         x >= x_min + (x_max - x_min) // 2 AS late,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+         (SUM(cents) * 1000000) // COUNT(*) AS m_q
+  FROM ev, hor WHERE event_type IN ('{DID_TREAT}', '{DID_CTRL}')
+  GROUP BY 1, 2)
+SELECT CAST(SUM(CASE WHEN treated THEN n END) AS BIGINT) AS n_t,
+       CAST(SUM(CASE WHEN NOT treated THEN n END) AS BIGINT) AS n_c,
+       CAST(SUM(CASE WHEN treated AND NOT late THEN m_q END) AS BIGINT)
+         AS m_t1,
+       CAST(SUM(CASE WHEN treated AND late THEN m_q END) AS BIGINT)
+         AS m_t2,
+       CAST(SUM(CASE WHEN NOT treated AND NOT late THEN m_q END)
+            AS BIGINT) AS m_c1,
+       CAST(SUM(CASE WHEN NOT treated AND late THEN m_q END) AS BIGINT)
+         AS m_c2,
+       CAST((SUM(CASE WHEN treated AND late THEN m_q END)
+             - SUM(CASE WHEN treated AND NOT late THEN m_q END))
+            - (SUM(CASE WHEN NOT treated AND late THEN m_q END)
+               - SUM(CASE WHEN NOT treated AND NOT late THEN m_q END))
+            AS BIGINT) AS did_q
+FROM cells"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -14582,6 +14745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_diversity": q_tile_diversity,
         "location_quotient": q_location_quotient,
         "k_anonymity": q_k_anonymity,
+        "trimmed_mean": q_trimmed_mean,
+        "did": q_did,
     }
 
 
@@ -14800,4 +14965,6 @@ def oracle_sql() -> dict[str, str]:
         "tile_diversity": _sql_tile_diversity(n),
         "location_quotient": _sql_location_quotient(n),
         "k_anonymity": _sql_k_anonymity(),
+        "trimmed_mean": _sql_trimmed_mean(),
+        "did": _sql_did(),
     }

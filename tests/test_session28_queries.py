@@ -285,3 +285,51 @@ def test_k_anonymity_replay(spark):
     assert sum(c for c, _, _, _ in want.values()) == len(docs)
     # l-diversity can never exceed class size
     assert all(l <= c for c, l, _, _ in want.values())
+
+
+def test_trimmed_mean_replay(spark):
+    from __spark_entry__ import TRIM_PCT
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["source", "n_chars"])
+    want = {}
+    for src in sorted(set(docs.source)):
+        vs = sorted(int(v) for v in docs[docs.source == src].n_chars)
+        n = len(vs)
+        lo = (n * TRIM_PCT) // 100
+        kept = vs[lo:n - lo]
+        want[src] = (n, lo, len(kept), sum(kept),
+                     (sum(kept) * 1_000_000) // len(kept))
+    got = {r.source: (r.n, r.lo, r.tn, r.tsum, r.tmean_q)
+           for r in entry.q_trimmed_mean(spark, SF_DIR).collect()}
+    assert got == want
+    # robustness: the trimmed mean sits within the kept range
+    for src, (n, lo, tn, tsum, tm) in want.items():
+        vs = sorted(int(v) for v in docs[docs.source == src].n_chars)
+        assert vs[lo] * 1_000_000 <= tm <= vs[n - lo - 1] * 1_000_000
+
+
+def test_did_replay(spark):
+    from __spark_entry__ import DID_CTRL, DID_TREAT
+
+    ev = entry._events_micros(spark, SF_DIR).collect()
+    xs = [int(r.tm) // 3_600_000_000 for r in ev]
+    cut = min(xs) + (max(xs) - min(xs)) // 2
+    cells = {}
+    for r in ev:
+        if r.event_type not in (DID_TREAT, DID_CTRL):
+            continue
+        key = (r.event_type == DID_TREAT,
+               int(r.tm) // 3_600_000_000 >= cut)
+        n, s = cells.get(key, (0, 0))
+        cells[key] = (n + 1, s + int(r.cents))
+
+    def m(t, l):
+        n, s = cells[(t, l)]
+        return (s * 1_000_000) // n if s >= 0 else -((-s * 1_000_000) // n)
+
+    r = entry.q_did(spark, SF_DIR).collect()[0]
+    assert (r.m_t1, r.m_t2, r.m_c1, r.m_c2) == (
+        m(True, False), m(True, True), m(False, False), m(False, True))
+    assert r.did_q == (r.m_t2 - r.m_t1) - (r.m_c2 - r.m_c1)
+    assert r.n_t == cells[(True, False)][0] + cells[(True, True)][0]
