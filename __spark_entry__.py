@@ -14523,6 +14523,110 @@ FROM cells"""
 
 
 # ---------------------------------------------------------------------------
+# session 36 — information rate of user behavior
+# ---------------------------------------------------------------------------
+
+
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type Markov chain: H = sum_f pi_f *
+    H(next | f) in micro-nats — the information-per-step of user
+    behavior (Shannon 1948 ch. 7; low rate = predictable sessions),
+    combining the q_event_transitions matrix with the
+    q_markov_stationary distribution.
+
+    Exactness: pi is the identical {MS_ROUNDS}-round quantized power
+    iteration (BIGINT micro-units, floored per-edge contributions);
+    each transition's log-ratio ln(row_total/n) quantizes ONCE to
+    integer micro-nats (the bigram_entropy discipline), the per-state
+    entropy h_f = sum_t (n * lnq) div row_total is a sum of floored
+    integers, and the weighted term (pi_f * h_f) div 1e6 one more
+    floored product — engine-order-independent throughout.
+
+    Plan: ONE corpus shuffle (the per-user LEAD window); the 5x5
+    matrix, the power iteration and the entropy assembly all run on
+    broadcast-sized relations.
+
+    FULL SQL ORACLE (_sql_entropy_rate)."""
+    ev = _events_micros(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tm", "event_id")
+    mat = (ev.select("user_id", "event_type", "tm", "event_id",
+                     F.lead("event_type").over(w).alias("nxt"))
+           .where(F.col("nxt").isNotNull())
+           .groupBy(F.col("event_type").alias("f"),
+                    F.col("nxt").alias("t"))
+           .agg(F.count("*").alias("n")))
+    tot = mat.groupBy("f").agg(F.sum("n").alias("row_total"))
+    e = mat.join(F.broadcast(tot), "f").persist()
+    types = e.select(F.col("f").alias("typ")).distinct()
+    pi = types.select("typ", F.lit(MS_INIT).cast("long").alias("score"))
+    inter = []
+    for _ in range(MS_ROUNDS):
+        nxt = (e.join(F.broadcast(pi.withColumnRenamed("typ", "f")), "f")
+               .select(F.col("t").alias("typ"),
+                       F.expr("(score * n) div row_total").alias("c"))
+               .groupBy("typ").agg(F.sum("c").alias("m")))
+        pi = (types.join(nxt, "typ", "left")
+              .select("typ", F.coalesce(F.col("m"), F.lit(0))
+                      .cast("long").alias("score"))).persist()
+        inter.append(pi)
+    lnq = F.round(F.log(F.col("row_total").cast("double")
+                        / F.col("n").cast("double")) * 1e6, 0) \
+        .cast("long")
+    hf = (e.select("f", "row_total", (F.col("n") * lnq).alias("num"))
+          .groupBy("f", "row_total")
+          .agg(F.sum(F.expr("num div row_total")).alias("h_f_q")))
+    out = (hf.join(pi.withColumnRenamed("typ", "f"), "f")
+           .select(F.col("f").alias("event_type"),
+                   F.col("row_total").cast("long").alias("row_total"),
+                   F.col("score").cast("long").alias("pi_q"),
+                   F.col("h_f_q").cast("long").alias("h_f_q"),
+                   F.expr(f"(score * h_f_q) div {MS_INIT}")
+                   .cast("long").alias("wh_q")))
+    for df in inter[:-1]:
+        df.unpersist()
+    e.unpersist()
+    return out
+
+
+def _sql_entropy_rate() -> str:
+    parts = ["""ev AS (SELECT user_id, event_type, event_id,
+             epoch_us(ts) AS tm FROM events)""",
+             """mat AS (SELECT event_type AS f,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY tm, event_id) AS t,
+               user_id, tm FROM ev)""",
+             """e0 AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+       FROM mat WHERE t IS NOT NULL GROUP BY 1, 2)""",
+             """rt AS (SELECT f, CAST(SUM(n) AS BIGINT) AS row_total
+       FROM e0 GROUP BY 1)""",
+             "e AS (SELECT e0.f, e0.t, e0.n, rt.row_total "
+             "FROM e0 JOIN rt USING (f))",
+             "types AS (SELECT DISTINCT f AS typ FROM e)",
+             f"""p0 AS (SELECT typ, CAST({MS_INIT} AS BIGINT) AS score
+       FROM types)"""]
+    for r in range(1, MS_ROUNDS + 1):
+        parts.append(
+            f"""m{r} AS (SELECT e.t AS typ,
+        SUM((p.score * e.n) // e.row_total) AS m
+ FROM e JOIN p{r - 1} p ON p.typ = e.f GROUP BY 1)""")
+        parts.append(
+            f"""p{r} AS (SELECT types.typ,
+        CAST(COALESCE(m.m, 0) AS BIGINT) AS score
+ FROM types LEFT JOIN m{r} m ON m.typ = types.typ)""")
+    parts.append("""hf AS (
+  SELECT f, row_total,
+         CAST(SUM((n * CAST(ROUND(LN(CAST(row_total AS DOUBLE)
+                                   / CAST(n AS DOUBLE)) * 1e6, 0)
+                            AS BIGINT)) // row_total) AS BIGINT) AS h_f_q
+  FROM e GROUP BY 1, 2)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT hf.f AS event_type, hf.row_total,
+       p.score AS pi_q, hf.h_f_q,
+       CAST((p.score * hf.h_f_q) // {MS_INIT} AS BIGINT) AS wh_q
+FROM hf JOIN p{MS_ROUNDS} p ON p.typ = hf.f""")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -14747,6 +14851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "trimmed_mean": q_trimmed_mean,
         "did": q_did,
+        "entropy_rate": q_entropy_rate,
     }
 
 
@@ -14967,4 +15072,5 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": _sql_k_anonymity(),
         "trimmed_mean": _sql_trimmed_mean(),
         "did": _sql_did(),
+        "entropy_rate": _sql_entropy_rate(),
     }

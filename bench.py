@@ -81,7 +81,7 @@ HEADLINE = [
     "rake_keywords", "attribution", "perm_entropy", "hurst_var",
     "chi2_indep", "concentration", "raster_morph", "poisson_bootstrap",
     "exact_quantiles", "mmr_rerank", "tile_diversity", "location_quotient",
-    "k_anonymity", "trimmed_mean", "did",
+    "k_anonymity", "trimmed_mean", "did", "entropy_rate",
 ]
 
 

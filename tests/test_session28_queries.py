@@ -333,3 +333,43 @@ def test_did_replay(spark):
         m(True, False), m(True, True), m(False, False), m(False, True))
     assert r.did_q == (r.m_t2 - r.m_t1) - (r.m_c2 - r.m_c1)
     assert r.n_t == cells[(True, False)][0] + cells[(True, True)][0]
+
+
+def test_entropy_rate_replay(spark):
+    from collections import defaultdict
+
+    from __spark_entry__ import MS_INIT, MS_ROUNDS
+
+    ev = sorted(((int(r.user_id), int(r.tm), int(r.event_id),
+                  r.event_type)
+                 for r in entry._events_micros(spark, SF_DIR).collect()))
+    by_user = defaultdict(list)
+    for u, tm, eid, t in ev:
+        by_user[u].append((tm, eid, t))
+    mat = Counter()
+    for rows in by_user.values():
+        rows.sort()
+        for r1, r2 in zip(rows, rows[1:]):
+            mat[(r1[2], r2[2])] += 1
+    rt = Counter()
+    for (f, _), n in mat.items():
+        rt[f] += n
+    types = sorted(rt)
+    pi = {t: MS_INIT for t in types}
+    for _ in range(MS_ROUNDS):
+        nxt = Counter()
+        for (f, t), n in mat.items():
+            nxt[t] += (pi[f] * n) // rt[f]
+        pi = {t: nxt.get(t, 0) for t in types}
+    want = {}
+    for f in types:
+        h = sum((n * int(round(math.log(rt[f] / n) * 1e6))) // rt[f]
+                for (ff, _), n in mat.items() if ff == f)
+        want[f] = (rt[f], pi[f], h, (pi[f] * h) // MS_INIT)
+    got = {r.event_type: (r.row_total, r.pi_q, r.h_f_q, r.wh_q)
+           for r in entry.q_entropy_rate(spark, SF_DIR).collect()}
+    assert got == want
+    # per-state entropy bounded by ln(#successors)
+    for f in types:
+        n_succ = sum(1 for (ff, _) in mat if ff == f)
+        assert 0 <= want[f][2] <= int(math.log(n_succ) * 1e6) + n_succ
