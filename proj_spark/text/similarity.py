@@ -273,7 +273,7 @@ def neardup_pairs(embeddings: DataFrame, tau: float, dim: int,
     id_a < id_b — the edge list a dedup group-assignment consumes
     (see text/components.py).  Same scale shape as knn_pairs_topk:
     bucket-join candidates (work = sum of squared bucket sizes, never
-    n^2), broadcast-dictionary exact verify."""
+    n^2), distributed join-back-by-id exact verify."""
     scored = _lsh_scored_pairs(embeddings, dim, vec_col, id_col,
                                n_planes, n_tables, canonical=True)
     return (scored.where(F.col("cosine") >= tau)
@@ -322,31 +322,34 @@ def _lsh_scored_pairs(embeddings: DataFrame, dim: int, vec_col: str,
             .select(F.col(f"l.{id_col}").alias(id_col),
                     F.col(f"r.{id_col}").alias("nbr_id"))
             .dropDuplicates([id_col, "nbr_id"]))
-    # Exact-cosine verify with a broadcast id -> unit-vector dictionary:
-    # pairs carry two ids (not two arrays) through the join/distinct, and
-    # each Arrow batch verifies with two gathers + one row-wise product
-    # (the same small-side-dictionary pattern as the minhash verify; at
-    # corpus scale shard pairs by id range with per-shard dictionaries).
-    rows = embeddings.select(F.col(id_col), vec.alias("_v")).collect()
-    ids = np.array([r[0] for r in rows])
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-    index = {int(i): k_ for k_, i in enumerate(ids)}
-    bc = embeddings.sparkSession.sparkContext.broadcast((index, mat))
-
-    def _cos_fn(ia, ib):
-        idx, m = bc.value
-        ka = np.fromiter((idx[int(v)] for v in ia), dtype=np.int64,
-                         count=len(ia))
-        kb = np.fromiter((idx[int(v)] for v in ib), dtype=np.int64,
-                         count=len(ib))
-        return pd.Series(np.einsum("ij,ij->i", m[ka], m[kb]))
+    # Exact-cosine verify, fully distributed: join the raw vectors back
+    # onto the candidate pairs by id (the same join-back pattern as the
+    # minhash shingle-set verify, __spark_entry__.q_minhash_neardup), so
+    # pairs carry two ids through the join/distinct and each Arrow batch
+    # normalizes + dots its own rows.  No collect, no driver dictionary:
+    # at corpus scale the two verify joins shuffle on id like any other
+    # join, and candidate volume (sum of squared bucket sizes) is the
+    # only thing that ships vectors — never the full relation.  The
+    # reference's analogue is keeping data in the pipeline end-to-end
+    # (/root/reference/src/4D_api.cpp:353-460, columnar coord contract).
+    def _cos_fn(va, vb):
+        if len(va) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        a = np.stack([np.asarray(x, dtype=np.float64) for x in va])
+        b = np.stack([np.asarray(x, dtype=np.float64) for x in vb])
+        a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
+        b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-300)
+        return pd.Series(np.einsum("ij,ij->i", a, b))
 
     from pyspark.sql.types import DoubleType
     _cos = pandas_udf(_cos_fn, DoubleType())
 
-    return cand.withColumn("cosine", F.round(_cos(F.col(id_col),
-                                                  F.col("nbr_id")), 8))
+    ea = embeddings.select(F.col(id_col), vec.alias("_va"))
+    eb = embeddings.select(F.col(id_col).alias("nbr_id"), vec.alias("_vb"))
+    return (cand.join(ea, id_col).join(eb, "nbr_id")
+            .withColumn("cosine", F.round(_cos(F.col("_va"),
+                                               F.col("_vb")), 8))
+            .drop("_va", "_vb"))
 
 
 def pq_topk(embeddings: DataFrame, query: list[float], k: int,
