@@ -13607,7 +13607,7 @@ def q_hurst_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", "k",
         (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
         .alias("varnum"))
-    uv = (v.where(F.col("varnum") > 0)
+    uv = (v.where(F.expr("(varnum * 1000) div (k * k)") > 0)
           .select(F.round(F.log(F.col("m").cast("double")) * 1e6, 0)
                   .cast("long").alias("u"),
                   F.round(F.log(
@@ -13645,7 +13645,7 @@ v AS (SELECT m, k, k * syy - sy * sy AS varnum FROM per_m),
 uv AS (SELECT CAST(ROUND(LN(CAST(m AS DOUBLE)) * 1e6, 0) AS BIGINT) AS u,
               CAST(ROUND(LN(CAST((varnum * 1000) // (k * k) AS DOUBLE)
                             / 1e3) * 1e6, 0) AS BIGINT) AS v
-       FROM v WHERE varnum > 0),
+       FROM v WHERE (varnum * 1000) // (k * k) > 0),
 a AS (SELECT COUNT(*) AS n_pts, CAST(SUM(u) AS BIGINT) AS su,
              CAST(SUM(v) AS BIGINT) AS sv,
              CAST(SUM((u * u) // 1000000) AS BIGINT) AS suuq,

@@ -593,6 +593,11 @@ def betweenness_bounded(edges: DataFrame, sources: DataFrame,
     as bfs_hops/truss_peel (level plans reference each other multiply;
     an un-cut tree grows exponentially in `depth`).
     """
+    if depth < 2:
+        raise ValueError(
+            "betweenness_bounded requires depth >= 2: at depth < 2 the "
+            "backward dependency accumulation is empty (no interior "
+            "level exists between a source and its frontier)")
     e = (edges.select(F.col("u"), F.col("v").alias("w"))
          .localCheckpoint(eager=True))
     lv = [sources.select(F.col("s"), F.col("s").alias("v"),

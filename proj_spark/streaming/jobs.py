@@ -896,10 +896,14 @@ def stream_ewma_burst(spark: SparkSession, events_dir: str,
                 y = pend
                 if y > 0 and cur - first >= K:
                     num = sum(c << i for i, c in enumerate(win))
-                    ratio = ((y * wsum * 1_000_000) // num
-                             if num > 0 else None)
-                    out.append((cur, y, num, ratio,
-                                bool(num > 0 and ratio >= burst_q)))
+                    # num == 0 (entire K-hour window empty, i.e. a
+                    # >= K-hour gap) matches NO batch row: q_ewma_hours
+                    # inner-joins the series onto the nonzero-baseline
+                    # relation, so the stream must not emit it either
+                    if num > 0:
+                        ratio = (y * wsum * 1_000_000) // num
+                        out.append((cur, y, num, ratio,
+                                    bool(ratio >= burst_q)))
                 win = win[1:] + [y]
                 pend = 0
                 cur += 1

@@ -129,3 +129,15 @@ def test_triangle_counts_doulion_sampling(spark):
             for v in (a, b, c):
                 want[v] = want.get(v, 0) + 1
     assert got == want
+
+
+def test_betweenness_bounded_rejects_depth_lt_2(spark):
+    """depth < 2 has no interior level for the backward pass; the
+    public API must fail loudly, not with IndexError (round-2 advice)."""
+    import pytest as _pytest
+
+    from proj_spark.graph import betweenness_bounded
+    e = spark.createDataFrame([(1, 2)], "u long, v long")
+    s = spark.createDataFrame([(1,)], "s long")
+    with _pytest.raises(ValueError, match="depth >= 2"):
+        betweenness_bounded(e, s, depth=1)

@@ -763,3 +763,51 @@ def test_stream_ewma_burst_matches_batch(spark, tmp_path):
     want = [r for r in rows if r[0] < x_max]
     assert len(got) > 0
     assert got == want
+
+
+def test_stream_ewma_burst_window_gap(spark, tmp_path):
+    """A gap longer than the K-hour window empties the EWMA baseline:
+    the first observed hour after the gap has num == 0, which the batch
+    q_ewma_hours drops via its inner join onto the nonzero-baseline
+    relation — the stream must drop it too (round-2 advice: it emitted
+    a y>0/num=0/ratio NULL row)."""
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from proj_spark.streaming.jobs import stream_ewma_burst
+
+    K = entry.EWMA_K
+    base = pd.Timestamp("2024-01-01T00:00:00")
+    hours = list(range(0, K + 8)) + [K + 8 + K + 7, K + 8 + K + 8,
+                                     K + 8 + K + 9]
+    rows = []
+    eid = 0
+    for h in hours:
+        for _ in range(3 + h % 4):
+            rows.append((eid, base + pd.Timedelta(hours=h, minutes=7),
+                         eid % 11, "click", 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmp_path / "gap_sf"
+    d.mkdir()
+    evdir = d / "events.parquet"
+    evdir.mkdir()
+    k = len(pdf) // 2
+    pdf.iloc[:k].to_parquet(evdir / "part-000.parquet", index=False)
+    pdf.iloc[k:].to_parquet(evdir / "part-001.parquet", index=False)
+
+    run_to_memory(stream_ewma_burst(spark, str(evdir), k_window=K,
+                                    burst_q=entry.EWMA_BURST_Q,
+                                    max_files_per_trigger=1),
+                  "ewma_gap_out", mode="append")
+    got = sorted((r.x, r.y, r.num, r.ratio_q, r.burst)
+                 for r in spark.table("ewma_gap_out").collect())
+    batch = sorted((r.x, r.y, r.num, r.ratio_q, r.burst)
+                   for r in entry.q_ewma_hours(spark, str(d)).collect())
+    x_max = max(r[0] for r in batch) if batch else None
+    want = [r for r in batch if r[0] < x_max]
+    # the post-gap hour is in neither relation; pre-gap bursts are in both
+    assert len(want) > 0
+    assert got == want
