@@ -132,15 +132,24 @@ class Helmert:
         return ox, oy, oz
 
     def _apply_4param(self, x, y, z, t, inverse: bool):
+        """2-D rotation/scale shift.  Kinematic semantics per the
+        reference (src/transformations/helmert.cpp:107-161 propagates
+        theta and scale to the observation epoch; the 2-D kernel at
+        :323-360 then uses the PROPAGATED theta/scale but the BASE
+        translation xyz_0 — translation rates never enter the 4-param
+        path).  theta/scale are elementwise in t, so the whole batch is
+        one vectorized pass — no per-epoch grouping needed."""
         theta, scale = self.theta, self.s
         if t is not None and self.kinematic:
-            raise NotImplementedError("kinematic 4-param helmert")
-        cr = math.cos(theta) * scale
-        sr = math.sin(theta) * scale
+            dt = np.asarray(t, dtype=np.float64) - self.t_epoch
+            theta = self.theta + self.dtheta * dt
+            scale = self.s + self.ds * dt
         if inverse:
-            cr = math.cos(theta) / scale
-            sr = math.sin(theta) / scale
+            cr = np.cos(theta) / scale
+            sr = np.sin(theta) / scale
             xx = x - self.x
             yy = y - self.y
             return xx * cr - yy * sr, xx * sr + yy * cr, z
+        cr = np.cos(theta) * scale
+        sr = np.sin(theta) * scale
         return cr * x + sr * y + self.x, -sr * x + cr * y + self.y, z

@@ -439,3 +439,41 @@ def test_rhealpix_cells_equal_area():
     exp = 200_000 / 486.0
     assert counts.size == 486
     assert counts.min() > 0.8 * exp and counts.max() < 1.2 * exp
+
+
+def test_helmert_4param_kinematic_two_epochs():
+    """Kinematic 4-param Helmert: theta and scale are propagated to the
+    observation epoch (reference src/transformations/helmert.cpp:107-161
+    update_parameters), the translation stays at its base value (the 2-D
+    kernel at helmert.cpp:323-360 adds xyz_0, never xyz(t)).  Verified
+    against a hand-computed replay at two epochs, plus fwd/inv roundtrip."""
+    import math
+
+    import numpy as np
+
+    from proj_spark import create
+
+    ARC = math.pi / 180.0 / 3600.0
+    op = create("+proj=helmert +x=100.0 +y=-50.0 +theta=5.0 +s=1.00002 "
+                "+dtheta=0.5 +ds=-0.00001 +t_epoch=2000.0")
+    x = np.array([3500000.0, 3500000.0])
+    y = np.array([1200000.0, 1200000.0])
+    z = np.zeros(2)
+    t = np.array([2000.0, 2010.0])
+    fx, fy, fz = op.fwd(x, y, z, t)
+    for i, ti in enumerate(t):
+        dt = ti - 2000.0
+        th = (5.0 + 0.5 * dt) * ARC
+        sc = 1.00002 - 0.00001 * dt
+        ex = math.cos(th) * sc * x[i] + math.sin(th) * sc * y[i] + 100.0
+        ey = -math.sin(th) * sc * x[i] + math.cos(th) * sc * y[i] - 50.0
+        assert abs(fx[i] - ex) < 1e-6, (i, fx[i], ex)
+        assert abs(fy[i] - ey) < 1e-6, (i, fy[i], ey)
+    # the two epochs genuinely differ (rates engaged)
+    assert abs(fx[0] - fx[1]) > 100.0
+    # roundtrip closes at both epochs
+    bx, by, _ = op.inv(fx, fy, fz, t)
+    assert np.allclose(bx, x, atol=1e-8) and np.allclose(by, y, atol=1e-8)
+    # t=None falls back to the epoch parameters (reference t_obs=HUGE_VAL)
+    nx, ny, _ = op.fwd(x[:1], y[:1], z[:1])
+    assert abs(nx[0] - fx[0]) < 1e-9 and abs(ny[0] - fy[0]) < 1e-9
