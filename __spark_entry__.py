@@ -14627,6 +14627,83 @@ FROM hf JOIN p{MS_ROUNDS} p ON p.typ = hf.f""")
 
 
 # ---------------------------------------------------------------------------
+# non-EPSG authority CRS (IGNF registry)
+# ---------------------------------------------------------------------------
+
+IGNF_CRS = "IGNF:LAMB93"
+_FR_BBOX = (-5.0, 41.0, 9.5, 51.5)     # metropolitan-France lon/lat box
+
+
+def q_ignf_lamb93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every page inside the metropolitan-France bbox through an
+    IGNF-authority CRS (IGNF:LAMB93, resolved from the vendored IGNF
+    registry — reference data/sql/ignf.sql; create() accepts the
+    authority code directly) and roll up per 100 km Lambert-93 tile.
+
+    FULL SQL ORACLE (_sql_ignf_lamb93): the LCC 2SP forward (tsfn ->
+    rho -> rotation; src/projections/lcc.cpp) expands term-by-term into
+    DuckDB SQL with the compiled operator's own cone constants
+    (n, c, rho0) as literals.  Aggregates round to cm; tile ids are
+    exact floors 100 km apart, far beyond libm drift.
+
+    Plan: one map-side Arrow pass (fwd_udf) + one aggregation shuffle —
+    at 100 TB the bbox filter prunes before the UDF and the rollup is
+    the only exchange."""
+    from proj_spark import create
+    from proj_spark.spark.udf import fwd_udf
+
+    op = create(IGNF_CRS)
+    w, s, e_, n_ = _FR_BBOX
+    pts = _points(spark, sf_dir).where(
+        (F.col("lon") >= w) & (F.col("lon") <= e_)
+        & (F.col("lat") >= s) & (F.col("lat") <= n_))
+    d = pts.withColumn("_p", fwd_udf(op)(F.col("lon"), F.col("lat")))
+    return (d.select(
+        F.floor(F.col("_p.x") / F.lit(100000.0)).cast("long").alias("tx"),
+        F.floor(F.col("_p.y") / F.lit(100000.0)).cast("long").alias("ty"),
+        F.col("_p.x").alias("x"), F.col("_p.y").alias("y"))
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n_pages"),
+             F.round(F.min("x"), 2).alias("min_e"),
+             F.round(F.max("x"), 2).alias("max_e"),
+             F.round(F.min("y"), 2).alias("min_n"),
+             F.round(F.max("y"), 2).alias("max_n")))
+
+
+def _sql_ignf_lamb93(n: int) -> str:
+    """LCC 2SP forward oracle with the IGNF:LAMB93 operator's constants
+    as literals (same replay discipline as _sql_factors)."""
+    from proj_spark import create
+    from proj_spark import mathutils as mu
+
+    op = create(IGNF_CRS)
+    N_, C_, RHO0 = repr(op.n), repr(op.c), repr(op.rho0)
+    E_, EH = repr(op.e), repr(0.5 * op.e)
+    A_, K0 = repr(op.a), repr(op.k0)
+    X0, Y0, LAM0 = repr(op.x0), repr(op.y0), repr(op.lam0)
+    HP = repr(mu.HALFPI)
+    w, s, e_, n_b = _FR_BBOX
+    t = (f"(TAN(0.5 * ({HP} - p)) / "
+         f"POW((1.0 - {E_} * SIN(p)) / (1.0 + {E_} * SIN(p)), {EH}))")
+    rho = f"({C_} * POW({t}, {N_}))"
+    xe = f"({A_} * ({K0} * {rho} * SIN(nl)) + {X0})"
+    ye = f"({A_} * ({K0} * ({RHO0} - {rho} * COS(nl))) + {Y0})"
+    return f"""WITH {_pages_cte(n)},
+fr AS (
+  SELECT RADIANS(lat) AS p, (RADIANS(lon) - {LAM0}) * {N_} AS nl
+  FROM pages
+  WHERE lon >= {w!r} AND lon <= {e_!r} AND lat >= {s!r} AND lat <= {n_b!r}
+),
+prj AS (SELECT {xe} AS x, {ye} AS y FROM fr)
+SELECT CAST(FLOOR(x / 100000.0) AS BIGINT) AS tx,
+       CAST(FLOOR(y / 100000.0) AS BIGINT) AS ty,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       ROUND(MIN(x), 2) AS min_e, ROUND(MAX(x), 2) AS max_e,
+       ROUND(MIN(y), 2) AS min_n, ROUND(MAX(y), 2) AS max_n
+FROM prj GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -14649,6 +14726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_zones": q_utm_zones,
         "webmerc_bbox": q_webmerc_bbox,
         "utm_project": q_utm_project,
+        "ignf_lamb93": q_ignf_lamb93,
         "datum_shift": q_datum_shift,
         "factors": q_factors,
         "geod_pairs": q_geod_pairs,
@@ -14912,6 +14990,7 @@ def oracle_sql() -> dict[str, str]:
         "ripley_k": _sql_ripley_k(n),
         "sessionize": _sql_sessionize(),
         "utm_project": _sql_utm_project(),
+        "ignf_lamb93": _sql_ignf_lamb93(n),
         "ann_pairs": _sql_ann_pairs(),
         "embed_neardup": _sql_embed_neardup(),
         "ivf_topk": _sql_ivf_topk(),

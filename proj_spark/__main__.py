@@ -47,21 +47,72 @@ def _fmt(vals, ncols):
     return "\n".join(out)
 
 
+_COORD_TOKEN = __import__("re").compile(r"\s*(\S+)")
+
+
+def _consume_coord(line: str, pos: int) -> tuple[float, int]:
+    """Parse one coordinate token (decimal or PROJ DMS) starting at
+    `pos`; returns (degrees-or-value, end position) — the engine
+    analogue of proj_dmstor's pointer-advancing parse."""
+    from proj_spark.operations.cs2cs import dms_to_deg
+    m = _COORD_TOKEN.match(line, pos)
+    if m is None:
+        raise ValueError("no coordinate")
+    return dms_to_deg(m.group(1)), m.end()
+
+
 def cmd_proj(args) -> int:
+    """Filter like the reference's proj app (src/apps/proj.cpp): reads
+    'lon lat [trailing text]' lines (DMS accepted), projects, prints.
+    Flags: -I inverse, -E echo the consumed input before the output,
+    -f <fmt> printf-style output format (default %.10g), -r reverse
+    input order (lat lon first).  Trailing text after the two parsed
+    coordinates is passed through verbatim, as the reference does —
+    the CLI golden diffs (test/cli/pj_out27.dist) depend on it."""
     from proj_spark import create
-    inverse = "-I" in args
-    args = [a for a in args if a != "-I"]
-    op = create(" ".join(args))
-    arr, ncols = _read_coords(sys.stdin)
-    if not len(arr):
-        return 0
-    x, y = arr[:, 0], arr[:, 1]
-    if inverse:
-        lam, phi = op.inv(x, y)
-        print(_fmt((np.degrees(lam), np.degrees(phi)), 2))
-    else:
-        ox, oy = op.fwd(np.radians(x), np.radians(y))
-        print(_fmt((ox, oy), 2))
+    inverse = echo = revin = False
+    oform = "%.10g"
+    rest: list[str] = []
+    it = iter(args)
+    for a in it:
+        if a == "-I":
+            inverse = True
+        elif a == "-E":
+            echo = True
+        elif a == "-r":
+            revin = True
+        elif a == "-f":
+            oform = next(it, oform)
+        else:
+            rest.append(a)
+    op = create(" ".join(rest))
+    out_lines = []
+    for line in sys.stdin:
+        line = line.rstrip("\n")
+        stripped = line.split("#", 1)[0].strip()
+        if not stripped:
+            continue
+        try:
+            a, p1 = _consume_coord(line, 0)
+            b, p2 = _consume_coord(line, p1)
+        except ValueError:
+            out_lines.append("*\t*")
+            continue
+        if revin:
+            a, b = b, a
+        remainder = line[p2:]
+        prefix = (line[:p2] + "\t") if echo else ""
+        va = np.array([a])
+        vb = np.array([b])
+        if inverse:
+            lam, phi = op.inv(va, vb)
+            ox, oy = np.degrees(lam), np.degrees(phi)
+        else:
+            ox, oy = op.fwd(np.radians(va), np.radians(vb))
+        out_lines.append(prefix + (oform % ox[0]) + "\t"
+                         + (oform % oy[0]) + remainder)
+    if out_lines:
+        print("\n".join(out_lines))
     return 0
 
 

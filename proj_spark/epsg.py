@@ -95,12 +95,21 @@ _STATIC: dict[int, str] = {
 
 
 def resolve(code) -> str:
-    """EPSG code ('EPSG:32632', 'epsg:4326', or int) -> proj-string."""
+    """Authority code ('EPSG:32632', 'IGNF:LAMB93', 'ESRI:102100', an
+    OGC urn, or a bare int = EPSG) -> proj-string.  Non-EPSG authorities
+    resolve through the vendored multi-authority catalog
+    (proj_spark.factory; reference ships ESRI/IGNF registries in
+    data/sql/esri.sql, ignf.sql and accepts them in createFromUserInput,
+    src/iso19111/io.cpp:5611+)."""
     s = str(code).strip()
+    if s.lower().startswith("urn:"):
+        from proj_spark import factory
+        s = factory.normalize_code(s)
     if ":" in s:
         auth, num = s.split(":", 1)
         if auth.upper() != "EPSG":
-            raise NotImplementedError(f"authority {auth!r} not supported")
+            from proj_spark import factory
+            return factory.crs_definition(s)
         s = num
     try:
         n = int(s)

@@ -84,7 +84,7 @@ def _geog_parts(code: str) -> list[str]:
     cat = catalog()
     crs = cat["geodetic_crs"].get(code)
     if crs is None:
-        raise NotImplementedError(f"EPSG:{code} not a known geodetic CRS")
+        raise NotImplementedError(f"{_label(code)} not a known geodetic CRS")
     datum = cat["geodetic_datum"][crs["datum"]]
     ell = cat["ellipsoid"][datum["ellipsoid"]]
     a = length_to_m(ell["a"], ell["uom"])
@@ -106,7 +106,10 @@ def _legacy_towgs84(geod_code: str) -> str | None:
     keeps catalog-expanded projected CRSs datum-consistent with the
     static geographic definitions (as the proj4-era init files were)."""
     from proj_spark import epsg as epsg_mod
-    definition = epsg_mod._STATIC.get(int(geod_code))
+    try:
+        definition = epsg_mod._STATIC.get(int(geod_code))
+    except ValueError:       # namespaced non-EPSG base (e.g. IGNF:RGF93G)
+        return None
     if definition and "+towgs84=" in definition:
         for tok in definition.split():
             if tok.startswith("+towgs84="):
@@ -114,19 +117,85 @@ def _legacy_towgs84(geod_code: str) -> str | None:
     return None
 
 
+def _label(key: str) -> str:
+    """Human-readable authority label for a catalog key."""
+    return key if ":" in key else f"EPSG:{key}"
+
+
+def normalize_code(code) -> str:
+    """Any accepted spelling -> catalog key: bare int / 'EPSG:n' -> 'n';
+    'IGNF:LAMB93' / 'ESRI:102100' -> namespaced; OGC urns
+    ('urn:ogc:def:crs:EPSG::4326') unwrap to authority:code first
+    (reference analogue: createFromUserInput, src/iso19111/io.cpp:5611+)."""
+    s = str(code).strip()
+    if s.lower().startswith("urn:"):
+        parts = s.split(":")
+        if len(parts) < 3:
+            raise NotImplementedError(f"unparseable urn {code!r}")
+        s = f"{parts[-3]}:{parts[-1]}"
+    if ":" in s:
+        auth, num = s.split(":", 1)
+        auth = auth.strip().upper()
+        if auth == "EPSG":
+            s = num
+        else:
+            return f"{auth}:{num.strip()}"
+    try:
+        return str(int(s))
+    except ValueError:
+        raise NotImplementedError(f"unparseable CRS code {code!r}")
+
+
+def _vertical_grid(vert_code: str) -> str | None:
+    """Geoid grid name for a vertical CRS, when a non-deprecated
+    grid_transformation maps it AND the grid is registered in the
+    engine's grid registry (runtime-loaded; grid files do not ship)."""
+    from proj_spark.operations import datum as datum_mod
+    cat = catalog()
+    if vert_code not in cat.get("vertical_crs", {}):
+        raise NotImplementedError(
+            f"{_label(vert_code)} not a known vertical CRS")
+    for g in cat.get("grid_transformation", {}).values():
+        if g["deprecated"] or not g["grid"]:
+            continue
+        if vert_code in (g["src"], g["dst"]) \
+                and g["grid"] in datum_mod.GRID_REGISTRY:
+            return g["grid"]
+    return None
+
+
 def crs_definition(code) -> str:
-    """EPSG code (int or str) -> proj-string from the vendored catalog."""
+    """Authority code (int, 'EPSG:n', 'IGNF:NAME', 'ESRI:n', or OGC urn)
+    -> proj-string from the vendored catalog."""
     from proj_spark.wkt import METHODS, PARAMS
     cat = catalog()
-    code = str(int(str(code).split(":")[-1]))
+    code = normalize_code(code)
     if code in cat["geodetic_crs"]:
         crs = cat["geodetic_crs"][code]
         if crs["type"] == "geocentric":
             return " ".join(["+proj=geocent"] + _geog_parts(code))
         return " ".join(["+proj=longlat"] + _geog_parts(code))
+    comp = cat.get("compound_crs", {}).get(code)
+    if comp is not None:
+        # CompoundCRS (reference src/iso19111/crs.cpp, vendored from
+        # data/sql/compound_crs.sql): horizontal component lowered as
+        # usual; the vertical component contributes +geoidgrids when a
+        # registered geoid grid transforms its vertical CRS (the
+        # +geoidgrids lowering of src/4D_api.cpp:560-696), else heights
+        # pass through ellipsoidally — the same degradation as the
+        # reference's proj4-string export without grid files.
+        base = crs_definition(comp["horiz"])
+        grid = _vertical_grid(comp["vert"])
+        return base + (f" +geoidgrids={grid}" if grid else "")
     proj = cat["projected_crs"].get(code)
     if proj is None:
-        raise NotImplementedError(f"EPSG:{code} not in the vendored catalog")
+        raise NotImplementedError(
+            f"{_label(code)} not in the vendored catalog")
+    if "wkt" in proj:
+        # ESRI text-definition CRS: the registry carries the authority's
+        # own WKT1; lower it with the shared WKT parser
+        from proj_spark import wkt as wkt_mod
+        return wkt_mod.from_user_input(proj["wkt"])
     conv = cat["conversion"][proj["conversion"]]
     method = conv["method"]
     # South/West-orientated TM / LCC are the base projections with axis
@@ -138,7 +207,7 @@ def crs_definition(code) -> str:
     mkey = method if method in METHODS else _METHOD_ALIAS.get(method)
     if mkey is None or mkey not in METHODS:
         raise NotImplementedError(
-            f"EPSG:{code}: method {conv['method_name']!r} ({method}) "
+            f"{_label(code)}: method {conv['method_name']!r} ({method}) "
             "not supported")
     proj_name = METHODS[mkey]
     # Hotine Oblique Mercator variant B with alpha = gamma = 90 deg is
@@ -209,7 +278,7 @@ def crs_definition(code) -> str:
             continue
         if key is None:
             raise NotImplementedError(
-                f"EPSG:{code}: parameter {pcode} not supported")
+                f"{_label(code)}: parameter {pcode} not supported")
         if proj_name == "somerc":
             if pcode in ("8813", "8814"):
                 continue            # the 90-deg angles are implicit
@@ -242,7 +311,7 @@ def crs_definition(code) -> str:
         if uom and uom != "9001":
             u = cat["units"].get(uom)
             if u is None or u[2] is None:
-                raise NotImplementedError(f"EPSG:{code}: CS unit {uom!r}")
+                raise NotImplementedError(f"{_label(code)}: CS unit {uom!r}")
             parts.append(f"+to_meter={u[2]!r}")
         spec = "".join(_ORIENT.get(o, "") for _, o, _ in axes[:2])
         # proj4-era init semantics (which the gie expectations follow):

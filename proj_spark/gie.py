@@ -33,11 +33,17 @@ def _tok_value(tok: str) -> float | None:
         return float(tok)
     except ValueError:
         pass
-    from proj_spark.operations.cs2cs import dms_to_deg
-    try:
-        return dms_to_deg(tok)
-    except Exception:
-        return None
+    # explicit DMS markers -> dmstor semantics; otherwise the reference
+    # gie parses values with proj_strtod, which stops at trailing junk
+    # ('55s' is 55, NOT hemisphere south — gie.cpp get_inp/proj_strtod)
+    if any(c in tok for c in "d'\""):
+        from proj_spark.operations.cs2cs import dms_to_deg
+        try:
+            return dms_to_deg(tok)
+        except Exception:
+            return None
+    m = re.match(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?", tok)
+    return float(m.group(0)) if m else None
 
 
 _VERBS = {"operation", "tolerance", "direction", "accept", "expect",

@@ -136,6 +136,7 @@ class Operation:
         from proj_spark.operations import datum as datum_mod
         shifts = []
         for nm in str(names).split(","):
+            optional = nm.startswith("@")
             nm = nm.lstrip("@")
             try:
                 op_cls = (datum_mod.REGISTRY["hgridshift"] if kind == "nadgrids"
@@ -143,6 +144,13 @@ class Operation:
                 shifts.append(op_cls({"grids": nm, "ellps":
                                       self.params.get("ellps", "GRS80")}))
             except (KeyError, ValueError, NotImplementedError) as exc:
+                if optional:
+                    # '@grid' marks the grid optional: an unloadable
+                    # optional grid is skipped, not an error (reference
+                    # grid-list semantics, src/grids.cpp '@' prefix) —
+                    # e.g. +datum=NAD27's @conus list degrades to a pure
+                    # ellipsoid change when no grid files are present
+                    continue
                 raise NotImplementedError(
                     f"+{kind}={names}: grid {nm!r} not registered "
                     f"(pjd_err_failed_to_load_grid)") from exc

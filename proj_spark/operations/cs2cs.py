@@ -57,24 +57,51 @@ PRIME_MERIDIANS: dict[str, str] = {
     "copenhagen": "12d34'40.35\"E",
 }
 
-_DMS_RE = re.compile(
-    r"^\s*(-?)(?:(\d+(?:\.\d*)?)d)?(?:(\d+(?:\.\d*)?)')?"
-    r"(?:(\d+(?:\.\d*)?)\")?\s*([NSEWnsew]?)\s*$")
+_DMS_FIELD = re.compile(r"(\d+(?:\.\d*)?)([d'\"]?)")
+
+#: unit suffix -> degrees factor, and which unit an unsuffixed NEXT
+#: field means (proj_dmstor's positional fallback: 17d40 = 17deg 40min)
+_DMS_FACTOR = {"d": 1.0, "'": 1.0 / 60.0, '"': 1.0 / 3600.0}
+_DMS_NEXT = {"d": "'", "'": '"', '"': None}
 
 
 def dms_to_deg(s: str) -> float:
-    """Parse PROJ DMS notation ('2d20'14.025\"E', '17d40'W', '-3.5') to
-    decimal degrees — the engine analogue of proj_dmstor (src/dmstor.cpp)."""
+    """Parse PROJ DMS notation ('2d20'14.025\"E', '17d40'W',
+    '-36d52'11.6315', '-3.5') to decimal degrees — the engine analogue
+    of proj_dmstor (src/dmstor.cpp): numeric fields carry their unit
+    suffix, an unsuffixed field takes the next-finer unit than the one
+    before it (so a bare trailing number after ' is seconds)."""
     try:
         return float(s)
     except ValueError:
         pass
-    m = _DMS_RE.match(s)
-    if not m or (m.group(2) is None and m.group(3) is None
-                 and m.group(4) is None):
+    t = s.strip()
+    neg = False
+    if t[:1] in "+-":
+        neg = t[0] == "-"
+        t = t[1:]
+    hemi = ""
+    if t[-1:] in "NSEWnsew":
+        hemi = t[-1]
+        t = t[:-1].rstrip()
+    pos = 0
+    val = 0.0
+    next_unit: str | None = "d"
+    seen = False
+    while pos < len(t):
+        m = _DMS_FIELD.match(t, pos)
+        if m is None:
+            raise ValueError(f"unparseable angle {s!r}")
+        num, suf = m.groups()
+        unit = suf or next_unit
+        if unit is None:
+            raise ValueError(f"unparseable angle {s!r}")
+        val += float(num) * _DMS_FACTOR[unit]
+        next_unit = _DMS_NEXT[unit]
+        pos = m.end()
+        seen = True
+    if not seen:
         raise ValueError(f"unparseable angle {s!r}")
-    neg, d, mnt, sec, hemi = m.groups()
-    val = float(d or 0) + float(mnt or 0) / 60.0 + float(sec or 0) / 3600.0
     if neg:
         val = -val
     if hemi.upper() in ("W", "S"):

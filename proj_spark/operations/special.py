@@ -204,8 +204,9 @@ class Omerc(Operation):
         self.no_rot = "no_rot" in p
         alp = "alpha" in p
         gam = "gamma" in p
-        alpha_c = float(p.get("alpha", 0.0)) * D2R
-        gamma = float(p.get("gamma", 0.0)) * D2R
+        from proj_spark.operations.base import _angle
+        alpha_c = _angle(p, "alpha", 0.0)
+        gamma = _angle(p, "gamma", 0.0)
         no_off = ("no_off" in p) or ("no_uoff" in p)
         com = np.sqrt(self.one_es)
         if abs(self.phi0) > self.EPS:
@@ -231,7 +232,7 @@ class Omerc(Operation):
             self.A = self.k0
             self.E = D = F = 1.0
         if alp or gam:
-            lamc = float(p.get("lonc", 0.0)) * D2R
+            lamc = _angle(p, "lonc", 0.0)
             if alp:
                 gamma0 = np.arcsin(np.sin(alpha_c) / D)
                 if not gam:
@@ -242,10 +243,10 @@ class Omerc(Operation):
             self.lam0 = lamc - np.arcsin(np.clip(
                 0.5 * (F - 1.0 / F) * np.tan(gamma0), -1, 1)) / self.B
         else:
-            lam1 = float(p.get("lon_1", 0.0)) * D2R
-            phi1 = float(p.get("lat_1", 0.0)) * D2R
-            lam2 = float(p.get("lon_2", 0.0)) * D2R
-            phi2 = float(p.get("lat_2", 0.0)) * D2R
+            lam1 = _angle(p, "lon_1", 0.0)
+            phi1 = _angle(p, "lat_1", 0.0)
+            lam2 = _angle(p, "lon_2", 0.0)
+            phi2 = _angle(p, "lat_2", 0.0)
             H = mu.tsfn(np.float64(phi1), np.float64(np.sin(phi1)),
                         self.e) ** self.B
             L = mu.tsfn(np.float64(phi2), np.float64(np.sin(phi2)),

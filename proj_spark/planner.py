@@ -204,6 +204,12 @@ def catalog_candidates(src_code, dst_code) -> list[KnownOp]:
     dst_set = _WGS84_HUB | {dst} if dst in _WGS84_HUB else {dst}
     out: list[KnownOp] = []
     for code, h in cat["helmert"].items():
+        if ":" in code:
+            # non-EPSG authority op (ESRI:/IGNF: key): the reference's
+            # default createOperations search is authority EPSG
+            # (factory.cpp authority defaulting); other authorities'
+            # transformations apply only to their own CRS codes
+            continue
         if h["deprecated"]:
             continue
         if h["method"] not in _HELMERT_METHODS:
@@ -243,6 +249,8 @@ def catalog_candidates(src_code, dst_code) -> list[KnownOp]:
                            h["acc"] if h["acc"] is not None else -1.0,
                            extent or (-180.0, -90.0, 180.0, 90.0)))
     for code, g in cat.get("grid_transformation", {}).items():
+        if ":" in code:
+            continue         # same EPSG-default rule as above
         if g["deprecated"] or not g["grid"]:
             continue
         if not ((g["src"] == src and g["dst"] in dst_set)

@@ -70,14 +70,60 @@ def _registry() -> dict:
     return reg
 
 
+def _load_init_file_entry(fname: str, code: str) -> dict:
+    """Classic proj init-file entry (src/init.cpp pj_init_ctx file
+    scan): entries start at '<code>' and end at '<>'; tokens are
+    proj params without the '+' prefix.  The files themselves are the
+    reference's public data files (data/nad27, nad83, GL27, world),
+    vendored under proj_spark/data/init/."""
+    import importlib.resources
+    try:
+        text = (importlib.resources.files("proj_spark.data")
+                .joinpath("init").joinpath(fname).read_text())
+    except (FileNotFoundError, ModuleNotFoundError):
+        raise NotImplementedError(
+            f"+init file {fname!r} not vendored (have: nad27, nad83, "
+            f"GL27, world, epsg)")
+    tag = f"<{code}>"
+    collecting = False
+    toks: list[str] = []
+    for line in text.splitlines():
+        line = line.split("#", 1)[0]
+        if not collecting:
+            i = line.find(tag)
+            if i < 0:
+                continue
+            collecting = True
+            line = line[i + len(tag):]
+        end = line.find("<>")
+        if end >= 0:
+            toks += line[:end].split()
+            return parse_projstring(
+                " ".join("+" + t if not t.startswith("+") else t
+                         for t in toks))
+        toks += line.split()
+    raise NotImplementedError(f"init entry {fname}:{code} not found")
+
+
 def _expand_init(params: dict) -> dict:
-    """+init=epsg:NNNN expansion (src/init.cpp:599-612 under proj4 init
-    rules): the init definition's params, overridden by explicit ones."""
+    """+init=FILE:CODE expansion (src/init.cpp:599-612 under proj4 init
+    rules): the init definition's params, overridden by explicit ones.
+    FILE 'epsg' resolves through the vendored EPSG catalog; other names
+    read the vendored classic init files (nad27/nad83/GL27/world)."""
     init = params.pop("init", None)
     if init is None:
         return params
-    from proj_spark import epsg
-    base = parse_projstring(epsg.resolve(str(init)))
+    s = str(init)
+    fname, _, code = s.partition(":")
+    # tolerate full paths ('.../data/nad27:5001' as the reference CLI
+    # scripts pass them): only the basename names the vendored file
+    import os as _os
+    fname = _os.path.basename(fname)
+    if not code or fname.lower() == "epsg":
+        from proj_spark import epsg
+        base = parse_projstring(epsg.resolve(code or s))
+    else:
+        base = _load_init_file_entry(fname, code)
     base.update(params)
     return base
 
@@ -85,7 +131,8 @@ def _expand_init(params: dict) -> dict:
 def create(definition: str):
     """Compile a proj-string (or 'EPSG:nnnn' code) into an executable
     Operation or Pipeline."""
-    if definition.strip().upper().startswith("EPSG:"):
+    if definition.strip().upper().startswith(("EPSG:", "ESRI:", "IGNF:",
+                                              "URN:")):
         from proj_spark import epsg
         definition = epsg.resolve(definition.strip())
     elif not definition.lstrip().startswith("+"):
@@ -93,7 +140,8 @@ def create(definition: str):
         # src/iso19111/io.cpp:5611): lower to a proj-string first
         head = definition.strip()[:12].upper()
         if head.startswith(("{", "PROJCS", "GEOGCS", "PROJCRS", "GEOGCRS",
-                            "GEODCRS", "PROJECTEDCRS")):
+                            "GEODCRS", "PROJECTEDCRS", "COMPOUNDCRS",
+                            "COMPD_CS", "BOUNDCRS", "VERTCRS", "VERT_CS")):
             from proj_spark import wkt
             definition = wkt.from_user_input(definition)
     params = parse_projstring(definition)

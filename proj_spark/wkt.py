@@ -183,6 +183,67 @@ METHODS: dict[str, str] = {
     "lambert conic conformal (2sp belgium)": "lcc",
     "lambert_conformal_conic_2sp_belgium": "lcc", "9803": "lcc",
     "hyperbolic cassini-soldner": "cass", "9833": "cass",
+    # ESRI WKT1 spellings (data/sql/esri.sql text definitions; the
+    # reference maps them in src/iso19111/io.cpp ESRI tables)
+    "lambert_conformal_conic": "lcc",       # ESRI uses one name for 1/2SP
+    "double_stereographic": "sterea",
+    "mercator": "merc",
+    "gauss_kruger": "tmerc",
+    "albers": "aea",
+    "cassini": "cass",
+    "equidistant_cylindrical": "eqc", "plate_carree": "eqc",
+    "equidistant_conic": "eqdc",
+    "equal_earth": "eqearth",
+    "miller_cylindrical": "mill",
+    "eckert_i": "eck1", "eckert_ii": "eck2", "eckert_iii": "eck3",
+    "eckert_iv": "eck4", "eckert_v": "eck5", "eckert_vi": "eck6",
+    "gall_stereographic": "gall",
+    "times": "times",
+    "winkel_i": "wink1", "winkel_ii": "wink2", "winkel_tripel": "wintri",
+    "van_der_grinten_i": "vandg",
+    "natural_earth": "natearth", "natural_earth_ii": "natearth2",
+    "compact_miller": "comill", "patterson": "patterson",
+    "hammer_aitoff": "hammer", "aitoff": "aitoff",
+    "loximuthal": "loxim",
+    "craster_parabolic": "crast",
+    "flat_polar_quartic": "mbtfpq",
+    "quartic_authalic": "qua_aut",
+    "behrmann": "cea",
+    "wagner_iv": "wag4", "wagner_v": "wag5", "wagner_vii": "wag7",
+    "goode_homolosine": "goode",
+    "transverse_mercator_complex": "etmerc",   # ESRI's exact-TM spelling
+    "stereographic_north_pole": "stere", "stereographic_south_pole": "stere",
+    "vertical_near_side_perspective": "nsper",
+    "two_point_equidistant": "tpeqd",
+    "rectified_skew_orthomorphic_natural_origin": "omerc",
+    "hotine_oblique_mercator_two_point_natural_origin": "omerc",
+    "gauss schreiber transverse mercator": "gstmerc",   # IGNF (PROJ gstm)
+    "gstm": "gstmerc", "mill": "mill",                  # IGNF PROJ-method codes
+}
+
+#: WKT1 method-specific parameter respellings applied BEFORE the global
+#: PARAMS table (ESRI dialect quirks where the same parameter name means
+#: a different proj key per projection)
+_METHOD_PARAM_REMAP: dict[str, dict[str, str | None]] = {
+    "equidistant_cylindrical": {"standard_parallel_1": "lat_ts"},
+    "behrmann": {"standard_parallel_1": "lat_ts"},
+    "stereographic_north_pole": {"standard_parallel_1": "lat_ts"},
+    "stereographic_south_pole": {"standard_parallel_1": "lat_ts"},
+    "loximuthal": {"central_parallel": "lat_1"},
+    "vertical_near_side_perspective": {"height": "h"},
+    "two_point_equidistant": {
+        "latitude_of_1st_point": "lat_1",
+        "longitude_of_1st_point": "lon_1",
+        "latitude_of_2nd_point": "lat_2",
+        "longitude_of_2nd_point": "lon_2"},
+    "rectified_skew_orthomorphic_natural_origin": {
+        "xy_plane_rotation": "gamma"},
+    "hotine_oblique_mercator_two_point_natural_origin": {
+        "latitude_of_1st_point": "lat_1",
+        "longitude_of_1st_point": "lon_1",
+        "latitude_of_2nd_point": "lat_2",
+        "longitude_of_2nd_point": "lon_2"},
+    "goode_homolosine": {"option": None},   # 0/1 handled below, 2 refused
 }
 
 #: (wkt1 PARAMETER name | wkt2 name | EPSG parameter code) -> proj key
@@ -299,7 +360,7 @@ def _param_unit_factors(node: Node) -> tuple[float, float]:
 
 
 _ANGULAR_KEYS = {"lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "lonc",
-                 "alpha", "gamma"}
+                 "alpha", "gamma", "lon_1", "lon_2"}
 
 
 def _lower_projcs(node: Node) -> str:
@@ -316,12 +377,34 @@ def _lower_projcs(node: Node) -> str:
     geog = node.child("GEOGCS")
     if geog is not None:
         parts += _lower_geog(geog)
+    remap = _METHOD_PARAM_REMAP.get(meth, {})
     for p in node.children("PARAMETER"):
         names = p.strings()
         nums = p.numbers()
         if not names or not nums:
             continue
-        key = PARAMS.get(_norm(names[0]))
+        pname = _norm(names[0])
+        if pname == "auxiliary_sphere_type":
+            # ESRI Mercator_Auxiliary_Sphere: type 0 (sphere of the
+            # semi-major axis) IS webmerc; other types are distinct
+            # authalic/rectifying spheres we refuse loudly
+            if nums[0] != 0.0:
+                raise NotImplementedError(
+                    f"Auxiliary_Sphere_Type {nums[0]} not supported")
+            continue
+        if pname in remap:
+            key = remap[pname]
+            if key is None:
+                if meth == "goode_homolosine" and nums[0] == 1.0:
+                    # ESRI Option 1 = land-interrupted Goode (proj igh)
+                    parts[0] = "+proj=igh"
+                    proj = "igh"
+                elif nums[0] != 0.0:
+                    raise NotImplementedError(
+                        f"parameter {names[0]!r}={nums[0]} not supported")
+                continue
+        else:
+            key = PARAMS.get(pname)
         if key is None:
             raise NotImplementedError(f"parameter {names[0]!r} not supported")
         if key in _ANGULAR_KEYS:
@@ -333,6 +416,16 @@ def _lower_projcs(node: Node) -> str:
         parts.append(f"+{key}={val!r}")
     if lin != 1.0:
         parts.append(f"+to_meter={lin!r}")
+    s_all = " ".join(parts)
+    if meth == "stereographic_north_pole" and "+lat_0=" not in s_all:
+        parts.append("+lat_0=90.0")
+    elif meth == "stereographic_south_pole" and "+lat_0=" not in s_all:
+        parts.append("+lat_0=-90.0")
+    elif meth == "behrmann" and "+lat_ts=" not in s_all:
+        parts.append("+lat_ts=30.0")       # Behrmann IS cea at 30 deg
+    elif meth in ("rectified_skew_orthomorphic_natural_origin",
+                  "hotine_oblique_mercator_two_point_natural_origin"):
+        parts.append("+no_uoff")           # natural-origin = variant A
     return _post_process(proj, parts)
 
 
@@ -412,6 +505,124 @@ def _post_process(proj: str, parts: list[str]) -> str:
 def _lower_geogcs(node: Node) -> str:
     parts = ["+proj=longlat"] + _lower_geog(node)
     return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# compound / vertical / bound CRS (reference: src/iso19111/io.cpp
+# COMPOUNDCRS/VERTCRS/BOUNDCRS node handlers at io.cpp:6086+ region;
+# +geoidgrids lowering analogue src/4D_api.cpp:560-696)
+# ---------------------------------------------------------------------------
+
+def _lower_vertcrs_parts(node: Node) -> list[str]:
+    """VERTCRS (WKT2) / VERT_CS (WKT1) -> proj fragments.
+
+    GEOIDMODEL names the geoid grid (looked up in the engine's grid
+    registry at create() time -> +geoidgrids=); a non-metre CS unit
+    becomes +vto_meter.  A vertical CRS without a geoid model
+    contributes only its unit — ellipsoidal-height passthrough, the
+    same as the reference's proj4-string export of compound CRSs whose
+    geoid grid is unresolvable."""
+    parts: list[str] = []
+    gm = node.child("GEOIDMODEL")
+    if gm is not None and gm.strings():
+        parts.append(f"+geoidgrids={gm.strings()[0]}")
+    unit = node.child("LENGTHUNIT", "UNIT")
+    if unit is not None and unit.numbers() and unit.numbers()[0] != 1.0:
+        parts.append(f"+vto_meter={unit.numbers()[0]!r}")
+    return parts
+
+
+def _lower_compound(node: Node) -> str:
+    """COMPOUNDCRS (WKT2) / COMPD_CS (WKT1): horizontal component
+    lowered as usual, vertical component appended as fragments."""
+    horiz = node.child("PROJCRS", "PROJECTEDCRS", "PROJCS")
+    geog = node.child("GEOGCRS", "GEOGRAPHICCRS", "GEODCRS", "GEOGCS")
+    vert = node.child("VERTCRS", "VERTICALCRS", "VERT_CS")
+    if horiz is not None:
+        base = (_lower_projcs(horiz) if horiz.name.upper() == "PROJCS"
+                else _lower_wkt2_projcrs(horiz))
+    elif geog is not None:
+        base = _lower_geogcs(geog)
+    else:
+        raise ValueError("compound CRS without a horizontal component")
+    if vert is None:
+        raise ValueError("compound CRS without a vertical component")
+    return " ".join([base] + _lower_vertcrs_parts(vert))
+
+
+#: ABRIDGEDTRANSFORMATION parameter names/codes -> towgs84 slot
+_ABRIDGED_SLOTS = {
+    "x-axis translation": 0, "8605": 0,
+    "y-axis translation": 1, "8606": 1,
+    "z-axis translation": 2, "8607": 2,
+    "x-axis rotation": 3, "8608": 3,
+    "y-axis rotation": 4, "8609": 4,
+    "z-axis rotation": 5, "8610": 5,
+    "scale difference": 6, "8611": 6,
+}
+
+
+def _lower_boundcrs(node: Node) -> str:
+    """BOUNDCRS: the source CRS with the abridged WGS84 transformation
+    lowered to +towgs84 (rotations in arc-seconds, position-vector —
+    the WKT2 ABRIDGEDTRANSFORMATION convention; scale difference is
+    stored as 1+ds in abridged form, converted back to ppm) and/or
+    +geoidgrids from a PARAMETERFILE."""
+    src = node.child("SOURCECRS")
+    if src is None:
+        raise ValueError("BOUNDCRS without SOURCECRS")
+    inner = None
+    for v in src.values:
+        if isinstance(v, Node):
+            inner = v
+            break
+    if inner is None:
+        raise ValueError("SOURCECRS without a CRS node")
+    name = inner.name.upper()
+    if name in ("PROJCRS", "PROJECTEDCRS"):
+        base = _lower_wkt2_projcrs(inner)
+    elif name == "PROJCS":
+        base = _lower_projcs(inner)
+    elif name in ("GEOGCRS", "GEOGRAPHICCRS", "GEODCRS", "GEOGCS"):
+        base = _lower_geogcs(inner)
+    elif name in ("COMPOUNDCRS", "COMPD_CS"):
+        base = _lower_compound(inner)
+    else:
+        raise NotImplementedError(f"BOUNDCRS source {inner.name!r}")
+    extra: list[str] = []
+    tr = node.child("ABRIDGEDTRANSFORMATION")
+    if tr is not None:
+        tw = [0.0] * 7
+        has = False
+        for p in tr.children("PARAMETER"):
+            names, nums = p.strings(), p.numbers()
+            if not names or not nums:
+                continue
+            pid = p.child("ID")
+            key = None
+            if pid is not None and pid.numbers():
+                key = str(int(pid.numbers()[0]))
+            slot = _ABRIDGED_SLOTS.get(key or "",
+                                       _ABRIDGED_SLOTS.get(_norm(names[0])))
+            if slot is None:
+                raise NotImplementedError(
+                    f"abridged parameter {names[0]!r} not supported")
+            v = nums[0]
+            if slot == 6:
+                # abridged form stores the scale as (1 + ds); ds in ppm
+                v = (v - 1.0) * 1e6 if abs(v - 1.0) < 0.5 else v
+            tw[slot] = v
+            has = True
+        for pf in tr.children("PARAMETERFILE"):
+            ss = pf.strings()
+            if len(ss) >= 2 and "geoid" in _norm(ss[0]):
+                extra.append(f"+geoidgrids={ss[1]}")
+        if has:
+            if "+towgs84=" in base:
+                raise ValueError("BOUNDCRS over a CRS that already "
+                                 "carries +towgs84")
+            extra.insert(0, "+towgs84=" + ",".join(repr(v) for v in tw))
+    return " ".join([base] + extra)
 
 
 # ---------------------------------------------------------------------------
@@ -498,4 +709,12 @@ def from_user_input(text: str) -> str:
         return _lower_wkt2_projcrs(parse_wkt(s))
     if head in ("GEOGCRS", "GEOGRAPHICCRS", "GEODCRS"):
         return " ".join(["+proj=longlat"] + _lower_geog(parse_wkt(s)))
+    if head in ("COMPOUNDCRS", "COMPD_CS"):
+        return _lower_compound(parse_wkt(s))
+    if head in ("BOUNDCRS",):
+        return _lower_boundcrs(parse_wkt(s))
+    if head in ("VERTCRS", "VERTICALCRS", "VERT_CS"):
+        raise NotImplementedError(
+            "vertical-only CRS has no horizontal component to execute; "
+            "use it inside a COMPOUNDCRS")
     return s

@@ -9,9 +9,10 @@ proj_spark.wkt.from_user_input into an operation whose forward results
 match the original bit-for-bit — method/parameter names are chosen from
 the same METHODS/PARAMS tables the parser consumes.
 
-Datum shifts (+towgs84) are deliberately NOT encoded: WKT2 models them
-as a BoundCRS wrapper, which is out of scope here; the projection
-geometry round-trips, the datum hop stays proj-string-side.
+Datum shifts (+towgs84) export as a WKT2 BoundCRS wrapper (abridged
+transformation to WGS 84) and +geoidgrids as a CompoundCRS with a
+GEOIDMODEL-bearing VertCRS — both re-parse through proj_spark.wkt into
+the same proj-string semantics (see tests/test_compound_crs.py).
 """
 
 from __future__ import annotations
@@ -140,9 +141,62 @@ def _cs_to_meter(params: dict) -> float:
     return 1.0
 
 
+_WGS84_GEOGCRS = ('GEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+                  'ELLIPSOID["WGS 84",6378137.0,298.257223563,'
+                  'LENGTHUNIT["metre",1]]],CS[ellipsoidal,2],'
+                  'AXIS["geodetic latitude (Lat)",north],'
+                  'AXIS["geodetic longitude (Lon)",east],'
+                  'ANGLEUNIT["degree",0.0174532925199433],'
+                  'ID["EPSG",4326]]')
+
+#: towgs84 slot -> (WKT2 parameter name, EPSG code, unit wkt)
+_ABRIDGED_EXPORT = [
+    ("X-axis translation", "8605"), ("Y-axis translation", "8606"),
+    ("Z-axis translation", "8607"), ("X-axis rotation", "8608"),
+    ("Y-axis rotation", "8609"), ("Z-axis rotation", "8610"),
+    ("Scale difference", "8611"),
+]
+
+
 def to_wkt2(definition: str, name: str = "unknown") -> str:
-    """proj-string (or EPSG:code) -> WKT2:2019 text."""
+    """proj-string (or authority code) -> WKT2:2019 text.
+
+    +towgs84 exports as a BOUNDCRS wrapper (abridged transformation to
+    WGS 84), +geoidgrids as a COMPOUNDCRS with a GEOIDMODEL-bearing
+    VERTCRS — both re-parse through proj_spark.wkt.from_user_input to
+    the same proj-string semantics (reference: WKTFormatter BoundCRS /
+    CompoundCRS export, src/iso19111/io.cpp)."""
     params = _parse(definition)
+    towgs84 = params.pop("towgs84", None)
+    geoid = params.pop("geoidgrids", None)
+    core = _to_wkt2_core(params, name)
+    if geoid is not None:
+        vert = (f'VERTCRS["{name} height",VDATUM["unknown"],'
+                f'CS[vertical,1],'
+                f'AXIS["gravity-related height (H)",up],'
+                f'LENGTHUNIT["metre",1],GEOIDMODEL["{geoid}"]]')
+        core = f'COMPOUNDCRS["{name}",{core},{vert}]'
+    if towgs84 is not None:
+        from proj_spark.operations.cs2cs import parse_towgs84
+        tw = parse_towgs84(towgs84)
+        plist = []
+        for slot, (pname, pcode) in enumerate(_ABRIDGED_EXPORT):
+            v = tw[slot]
+            if slot >= 3 and tw[3:] == [0.0] * 4:
+                break               # pure 3-param form
+            if slot == 6:
+                v = 1.0 + v * 1e-6  # abridged scale = (1 + ds_ppm*1e-6)
+            plist.append(f'PARAMETER["{pname}",{_num(v)},'
+                         f'ID["EPSG",{pcode}]]')
+        tr = (f'ABRIDGEDTRANSFORMATION["Transformation to WGS84",'
+              f'METHOD["Position Vector transformation"],'
+              + ",".join(plist) + "]")
+        core = (f'BOUNDCRS[SOURCECRS[{core}],'
+                f'TARGETCRS[{_WGS84_GEOGCRS}],{tr}]')
+    return core
+
+
+def _to_wkt2_core(params: dict, name: str) -> str:
     ell = ellipsoid_from_params(params)
     rf = 0.0 if ell.f == 0.0 else 1.0 / ell.f
     ell_wkt = (f'ELLIPSOID["{ell.name or "unknown"}",{_num(ell.a)},'
@@ -177,6 +231,88 @@ def to_wkt2(definition: str, name: str = "unknown") -> str:
     return (f'PROJCRS["{name}",{geog},{conv},CS[Cartesian,2],'
             f'AXIS["(E)",east],AXIS["(N)",north],'
             f'LENGTHUNIT["{unit_name}",{_num(to_meter)}]]')
+
+
+#: EPSG parameter name -> ESRI WKT1 PARAMETER spelling (both directions
+#: are understood by proj_spark.wkt PARAMS, so the round-trip is closed)
+_ESRI_PARAM = {
+    "Latitude of natural origin": "Latitude_Of_Origin",
+    "Longitude of natural origin": "Central_Meridian",
+    "Scale factor at natural origin": "Scale_Factor",
+    "False easting": "False_Easting",
+    "False northing": "False_Northing",
+    "Latitude of false origin": "Latitude_Of_Origin",
+    "Longitude of false origin": "Central_Meridian",
+    "Latitude of 1st standard parallel": "Standard_Parallel_1",
+    "Latitude of 2nd standard parallel": "Standard_Parallel_2",
+    "Easting at false origin": "False_Easting",
+    "Northing at false origin": "False_Northing",
+    "Projection plane origin height": "Height",
+}
+
+#: proj name -> ESRI PROJECTION name (subset with exact ESRI analogues)
+_ESRI_PROJECTION = {
+    "tmerc": "Transverse_Mercator", "etmerc": "Transverse_Mercator",
+    "lcc": "Lambert_Conformal_Conic",
+    "merc": "Mercator",
+    "webmerc": "Mercator_Auxiliary_Sphere",
+    "laea": "Lambert_Azimuthal_Equal_Area",
+    "aeqd": "Azimuthal_Equidistant",
+    "sterea": "Double_Stereographic",
+    "cass": "Cassini_Soldner",
+    "poly": "Polyconic",
+    "aea": "Albers",
+}
+
+
+def to_wkt1_esri(definition: str, name: str = "unknown") -> str:
+    """proj-string (or authority code) -> ESRI WKT1 text (the dialect of
+    data/sql/esri.sql text definitions; reference exporter analogue:
+    src/iso19111/io.cpp WKTFormatter Convention::WKT1_ESRI).  Emitted
+    documents re-parse through proj_spark.wkt.from_user_input into an
+    operation whose forward results match within 1e-6 m (tested — the
+    same round-trip contract as to_wkt2; the sub-µm residue is the
+    1/f -> rf decimal representation)."""
+    params = _parse(definition)
+    ell = ellipsoid_from_params(params)
+    rf = 0.0 if ell.f == 0.0 else 1.0 / ell.f
+    ell_name = (ell.name or "unknown").replace(" ", "_")
+    pm_deg = 0.0
+    if "pm" in params:
+        from proj_spark.operations.cs2cs import parse_pm
+        pm_deg = math.degrees(parse_pm(params["pm"]))
+    geogcs = (f'GEOGCS["GCS_{name}",DATUM["D_{name}",'
+              f'SPHEROID["{ell_name}",{_num(ell.a)},{_num(rf)}]],'
+              f'PRIMEM["Greenwich",{_num(pm_deg)}],'
+              f'UNIT["Degree",0.0174532925199433]]')
+    if params["proj"] in ("longlat", "latlong", "latlon", "lonlat"):
+        return geogcs
+    (mname, mcode, ptable), params = _method_for(params)
+    proj = params["proj"] if params["proj"] != "utm" else "tmerc"
+    esri_proj = _ESRI_PROJECTION.get(proj)
+    if esri_proj is None:
+        raise NotImplementedError(
+            f"ESRI WKT1 export for +proj={proj} not supported")
+    to_meter_cs = _cs_to_meter(params)
+    plist = []
+    for key, pname, pcode, kind in ptable:
+        ename = _ESRI_PARAM.get(pname)
+        if ename is None:
+            raise NotImplementedError(
+                f"ESRI WKT1 export: parameter {pname!r} has no ESRI name")
+        v = _pval(params, key)
+        if kind == "len":
+            # WKT1 expresses lengths in the PROJCS UNIT (the parser
+            # multiplies back by the unit factor); proj +x_0/+y_0 are
+            # always metres
+            v = v / to_meter_cs
+        plist.append(f'PARAMETER["{ename}",{_num(v)}]')
+    if proj == "webmerc":
+        plist.append('PARAMETER["Auxiliary_Sphere_Type",0.0]')
+    unit = ('UNIT["Meter",1.0]' if to_meter_cs == 1.0
+            else f'UNIT["unknown",{_num(to_meter_cs)}]')
+    return (f'PROJCS["{name}",{geogcs},PROJECTION["{esri_proj}"],'
+            + ",".join(plist) + f",{unit}]")
 
 
 def to_projjson(definition: str, name: str = "unknown") -> dict:

@@ -21,11 +21,17 @@ from proj_spark import create
 from proj_spark.factory import catalog, crs_definition
 
 
-def _active_codes():
+def _active_codes(authority: str | None = None):
+    """Non-deprecated projected CRS keys — EPSG (bare numeric keys,
+    sorted numerically) by default, or one namespaced authority."""
     cat = catalog()
-    return [c for c, p in sorted(cat["projected_crs"].items(),
-                                 key=lambda kv: int(kv[0]))
-            if not p["deprecated"]]
+    if authority:
+        return sorted(c for c, p in cat["projected_crs"].items()
+                      if c.startswith(authority + ":")
+                      and not p["deprecated"])
+    return [c for c, p in sorted(
+        ((c, p) for c, p in cat["projected_crs"].items() if ":" not in c),
+        key=lambda kv: int(kv[0])) if not p["deprecated"]]
 
 
 def test_catalog_create_floor():
@@ -103,3 +109,30 @@ def test_polar_stereographic_variant_c():
     op = create(crs_definition(2985))
     x, y = op.fwd_deg(np.array([140.0]), np.array([-67.0]))
     assert abs(x[0] - 300000.0) < 1e-6 and abs(y[0] - 200000.0) < 1e-6
+
+
+def test_esri_authority_create_floor():
+    """ESRI registry (vendored from the reference's data/sql/esri.sql):
+    >= 98% of active ESRI projected CRSs compile; the remainder are the
+    novelty projections (Fuller, Berghaus star, cube, ...) refused
+    loudly."""
+    codes = _active_codes("ESRI")
+    assert len(codes) > 1000
+    ok = 0
+    for code in codes:
+        try:
+            create(crs_definition(code))
+            ok += 1
+        except NotImplementedError:
+            pass
+    assert ok / len(codes) >= 0.98, f"{ok}/{len(codes)}"
+
+
+def test_ignf_authority_create_floor():
+    """IGNF registry (data/sql/ignf.sql): every active projected CRS
+    compiles — including the Gauss-Schreiber TM (gstmerc) and
+    PROJ-method (mill) conversions."""
+    codes = _active_codes("IGNF")
+    assert len(codes) > 250
+    for code in codes:
+        create(crs_definition(code))

@@ -164,8 +164,14 @@ def test_geoc_modifier():
 def test_datum_expansion_and_grid_rejection():
     op = create("+proj=longlat +datum=GGRS87")
     assert op.datum_chain is not None
+    # +datum=NAD27's grid list is all-@-optional (reference '@' grid
+    # semantics, src/grids.cpp): with no grid files present it degrades
+    # to a pure ellipsoid change instead of erroring
+    nad27 = create("+proj=longlat +datum=NAD27")
+    assert nad27.hgridshifts == []
     with pytest.raises(NotImplementedError):
-        create("+proj=longlat +datum=NAD27")  # grid-backed, not loaded
+        # a NON-optional missing grid still refuses loudly
+        create("+proj=longlat +ellps=clrk66 +nadgrids=conus")
     with pytest.raises(NotImplementedError):
         create("+proj=longlat +ellps=GRS80 +nadgrids=nzgd2kgrid0005.gsb")
     with pytest.raises(NotImplementedError):

@@ -17,10 +17,10 @@ GIE_DIR = "/root/reference/test/gie"
 CORPORA = {
     "axisswap.gie": 21,
     "unitconvert.gie": 8,
-    "ellipsoid.gie": 21,
+    "ellipsoid.gie": 22,
     "GDA.gie": 3,
     "builtins.gie": 1703,
-    "more_builtins.gie": 118,
+    "more_builtins.gie": 126,
     "deformation.gie": 2,
     "DHDN_ETRS89.gie": 0,
     "4D-API_cs2cs-style.gie": 53,

@@ -79,3 +79,56 @@ def test_projinfo_wkt2_output(capsys):
     assert main(["projinfo", "-o", "projjson", "EPSG:32632"]) == 0
     out = capsys.readouterr().out
     assert '"type": "ProjectedCRS"' in out
+
+
+ESRI_DEFS = [d for d in DEFS if not d.startswith((
+    "+proj=stere ", "+proj=eqearth", "+proj=col_urban"))]
+
+
+@pytest.mark.parametrize("definition", ESRI_DEFS)
+def test_wkt1_esri_roundtrip(definition):
+    from proj_spark.wkt_export import to_wkt1_esri
+    orig = create(definition)
+    wkt = to_wkt1_esri(definition)
+    assert wkt.startswith(("PROJCS[", "GEOGCS["))
+    back = create(from_user_input(wkt))
+    x0, y0 = orig.fwd_deg(*PTS)
+    x1, y1 = back.fwd_deg(*PTS)
+    np.testing.assert_allclose(x1, x0, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(y1, y0, rtol=0, atol=1e-6)
+
+
+def test_esri_registry_text_definition_matches_epsg_twin():
+    """ESRI:102100 is vendored as an ESRI WKT1 text definition; lowering
+    it must agree with its EPSG twin 3857 (the reference supersession
+    registry maps them, data/sql/esri.sql)."""
+    a = create("ESRI:102100")
+    b = create("EPSG:3857")
+    lon = np.array([2.0, -74.0, 151.2])
+    lat = np.array([49.0, 40.7, -33.9])
+    xa, ya = a.fwd_deg(lon, lat)
+    xb, yb = b.fwd_deg(lon, lat)
+    np.testing.assert_allclose(xa, xb, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(ya, yb, rtol=0, atol=1e-6)
+
+
+def test_ignf_lamb93_matches_epsg_2154():
+    a = create("IGNF:LAMB93")
+    b = create("EPSG:2154")
+    lon = np.array([3.0, 2.35, 5.4, -1.55])
+    lat = np.array([46.5, 48.85, 43.3, 47.22])
+    xa, ya = a.fwd_deg(lon, lat)
+    xb, yb = b.fwd_deg(lon, lat)
+    # IGNF lists the standard parallels in the opposite order from the
+    # legacy EPSG:2154 definition; LCC is symmetric in them but the
+    # evaluation order leaves ~2e-11 relative floating-point noise
+    np.testing.assert_allclose(xa, xb, rtol=1e-9)
+    np.testing.assert_allclose(ya, yb, rtol=1e-9)
+
+
+def test_urn_and_case_insensitive_authorities():
+    import proj_spark.epsg as epsg
+    assert "utm" in epsg.resolve("urn:ogc:def:crs:EPSG::32632")
+    assert epsg.resolve("ignf:LAMB93") == epsg.resolve("IGNF:LAMB93")
+    with pytest.raises(NotImplementedError):
+        epsg.resolve("NOAUTH:12345")

@@ -83,6 +83,33 @@ def rows(fname: str):
                 yield parse_values(m.group(2))
 
 
+_INSERT_ANY = re.compile(r'INSERT INTO "?(\w+)"? VALUES\((.*)\);\s*$', re.S)
+
+
+def rows_with_table(fname: str):
+    """Like rows() but yields (table_name, values) — the ESRI/IGNF files
+    interleave many tables in one file."""
+    path = os.path.join(SQL_DIR, fname)
+    buf = ""
+    for line in open(path, encoding="utf-8", errors="replace"):
+        if not buf and not line.lstrip().startswith("INSERT"):
+            continue
+        buf += line
+        if line.rstrip().endswith(");"):
+            m = _INSERT_ANY.match(buf.strip())
+            buf = ""
+            if m:
+                yield m.group(1), parse_values(m.group(2))
+
+
+def ref(auth, code) -> str:
+    """Catalog key for an (authority, code) pair: EPSG keys stay bare
+    (backward compatible), other authorities are namespaced AUTH:CODE."""
+    if auth is None or str(auth).upper() == "EPSG":
+        return str(code)
+    return f"{str(auth).upper()}:{code}"
+
+
 def main() -> None:
     cat: dict = {}
 
@@ -191,6 +218,102 @@ def main() -> None:
         # auth, code, name, description, south, north, west, east, depr
         area[str(r[1])] = [r[6], r[4], r[7], r[5]]   # (w, s, e, n)
     cat["area"] = area
+
+    # vertical + compound CRS (reference data/sql/vertical_crs.sql,
+    # compound_crs.sql; modelled as CompoundCRS/VerticalCRS in
+    # src/iso19111/crs.cpp)
+    vert = {}
+    for r in rows("vertical_crs.sql"):
+        # auth, code, name, _, _, cs_auth, cs, datum_auth, datum,
+        # area_auth, area, depr
+        vert[str(r[1])] = {"name": r[2], "datum": str(r[8]),
+                           "deprecated": r[-1]}
+    cat["vertical_crs"] = vert
+
+    comp = {}
+    for r in rows("compound_crs.sql"):
+        # auth, code, name, _, _, horiz_auth, horiz, vert_auth, vert,
+        # area_auth, area, depr
+        comp[str(r[1])] = {"name": r[2], "horiz": str(r[6]),
+                           "vert": str(r[8]), "deprecated": r[-1]}
+    cat["compound_crs"] = comp
+
+    # -----------------------------------------------------------------
+    # non-EPSG authorities: ESRI + IGNF registries (the reference ships
+    # them in data/sql/esri.sql and ignf.sql and enforces their presence
+    # at data/sql/commit.sql:96-111).  Same table shapes; keys become
+    # AUTH:CODE via ref() and cross-authority references are resolved
+    # with the same helper, so EPSG-referenced objects stay bare keys.
+    # -----------------------------------------------------------------
+    aliases: dict[str, str] = {}
+    for fname in ("esri.sql", "ignf.sql", "alias_name.sql"):
+        for table, r in rows_with_table(fname):
+            if table == "alias_name":
+                # table_name, auth, code, alt_name, source
+                aliases.setdefault(f"{r[0]}|{str(r[3]).lower()}",
+                                   ref(r[1], r[2]))
+            elif table == "ellipsoid":
+                ell[ref(r[0], r[1])] = {
+                    "name": r[2], "a": r[6], "uom": str(r[8]),
+                    "rf": r[9] if r[9] not in (0, 0.0) else None,
+                    "b": r[10]}
+            elif table == "prime_meridian":
+                pm[ref(r[0], r[1])] = {"name": r[2], "lon": r[3],
+                                       "uom": str(r[5])}
+            elif table == "geodetic_datum":
+                datum[ref(r[0], r[1])] = {"name": r[2],
+                                          "ellipsoid": ref(r[5], r[6]),
+                                          "pm": ref(r[7], r[8])}
+            elif table == "geodetic_crs":
+                geod[ref(r[0], r[1])] = {
+                    "name": r[2], "type": r[5], "datum": ref(r[8], r[9]),
+                    "deprecated": r[-1]}
+            elif table == "conversion":
+                params = []
+                for k in range(7):
+                    off = 10 + k * 6
+                    if off + 5 >= len(r) or r[off + 1] is None:
+                        continue
+                    params.append([str(r[off + 1]), r[off + 3],
+                                   str(r[off + 5])])
+                conv[ref(r[0], r[1])] = {
+                    "name": r[2], "method": str(r[8]),
+                    "method_name": r[9], "params": params}
+            elif table == "projected_crs":
+                entry = {"name": r[2], "deprecated": r[-1]}
+                if r[6] is None and isinstance(r[13], str):
+                    # ESRI text-definition form: lower the vendored
+                    # WKT1 at resolve time (proj_spark.wkt)
+                    entry["wkt"] = r[13]
+                else:
+                    entry.update({"cs": ref(r[5], r[6]),
+                                  "base": ref(r[7], r[8]),
+                                  "conversion": ref(r[9], r[10])})
+                proj[ref(r[0], r[1])] = entry
+            elif table == "helmert_transformation":
+                helm[ref(r[0], r[1])] = {
+                    "name": r[2], "method": str(r[6]),
+                    "src": ref(r[8], r[9]), "dst": ref(r[10], r[11]),
+                    "area": ref(r[12], r[13]), "acc": r[14],
+                    "tx": r[15], "ty": r[16], "tz": r[17],
+                    "t_uom": str(r[19]),
+                    "rx": r[20], "ry": r[21], "rz": r[22],
+                    "r_uom": str(r[24]) if r[24] is not None else None,
+                    "s": r[25],
+                    "s_uom": str(r[27]) if r[27] is not None else None,
+                    "deprecated": r[-1]}
+            elif table == "area":
+                area[ref(r[0], r[1])] = [r[6], r[4], r[7], r[5]]
+            elif table == "vertical_crs":
+                vert[ref(r[0], r[1])] = {"name": r[2],
+                                         "datum": ref(r[7], r[8]),
+                                         "deprecated": r[-1]}
+            elif table == "compound_crs":
+                comp[ref(r[0], r[1])] = {"name": r[2],
+                                         "horiz": ref(r[5], r[6]),
+                                         "vert": ref(r[7], r[8]),
+                                         "deprecated": r[-1]}
+    cat["alias"] = aliases
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     blob = json.dumps(cat, separators=(",", ":")).encode()
