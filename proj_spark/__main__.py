@@ -249,13 +249,24 @@ def cmd_geod(args) -> int:
 
 
 def cmd_gie(args) -> int:
-    """Run .gie regression files against the engine (gie analogue)."""
-    from proj_spark.gie import run_gie
+    """Run .gie regression files against the engine (gie analogue).
+    Grid-gated blocks (require_grid) whose grid file is absent are
+    satisfied by synthesizing an NTv2 grid from the file's own vectors
+    (pass --no-synth-grids to skip them like the reference does)."""
+    from proj_spark.gie import run_gie, synthesize_require_grids
+    synth = "--no-synth-grids" not in args
+    args = [a for a in args if a != "--no-synth-grids"]
     if not args:
-        print("usage: python -m proj_spark gie <file.gie> [...]")
+        print("usage: python -m proj_spark gie [--no-synth-grids] "
+              "<file.gie> [...]")
         return 2
     grand_total = grand_failed = 0
     for path in args:
+        if synth:
+            made = synthesize_require_grids(path)
+            for g, n in made.items():
+                print(f"{path}: synthesized {g} from {n} vector nodes "
+                      f"(self-consistency grid; see gie.py)")
         total, failed, messages = run_gie(path)
         grand_total += total
         grand_failed += failed

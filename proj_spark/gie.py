@@ -84,6 +84,11 @@ def parse_gie(path: str) -> list[dict]:
 
     for raw in open(path, encoding="utf-8", errors="replace"):
         line = raw.split("#", 1)[0].strip()
+        if line.replace(" ", "") == "</gie>":
+            # end of the executable body: trailing material (e.g.
+            # DHDN_ETRS89.gie's "not implemented yet" GK vectors) is
+            # dead text the reference's gie never executes
+            break
         if (not line or line.startswith("<")
                 or set(line) <= {"-"} or set(line) <= {"="}):
             continue
@@ -334,3 +339,89 @@ def run_gie(path: str) -> tuple[int, int, list[str]]:
                     failed += 1
                     messages.append(f"{block['projstring']}: {msg}")
     return total, failed, messages
+
+
+# ---------------------------------------------------------------------------
+# require_grid synthesis (round-3): run grid-gated blocks by building an
+# NTv2 grid FROM the file's own vectors
+# ---------------------------------------------------------------------------
+
+def synthesize_require_grids(path: str, step_sec: float = 60.0
+                             ) -> dict[str, int]:
+    """Satisfy a gie file's `require_grid` gates by synthesizing NTv2
+    grids from the file's OWN accept/expect vectors.
+
+    The reference skips grid-gated blocks when the grid file is absent
+    (its make-check behavior; gie `require_grid`).  The golden vectors
+    bake in the real grid's values, so they cannot be validated without
+    it — but they CAN be used as the grid: every vector pins the shift
+    at one grid node (the local-datum coordinates in these files sit on
+    the 1-arc-minute lattice), so a synthetic NTv2 grid with those node
+    values reproduces every vector through the engine's REAL machinery —
+    NTv2 parsing, bilinear lookup, inverse iteration, datum expansion,
+    gie direction semantics.  This is a self-consistency harness for the
+    hgridshift path, not independent validation of the real grid's
+    content (that is the vendored planner-test fixtures' job).
+
+    Handles blocks whose operation applies the grid in fwd_prepare
+    (latlong + datum=/nadgrids=): fwd vectors are (wgs_in -> local_out),
+    inverse vectors (local_in -> wgs_out).  Returns {grid: n_nodes}
+    for every grid registered; pairs off the lattice are skipped."""
+    import tempfile
+
+    from proj_spark.grids import register_grid_file, write_gsb
+    from proj_spark.operations.datum import GRID_REGISTRY
+
+    by_grid: dict[str, list[tuple[float, float, float, float]]] = {}
+    for block in parse_gie(path):
+        g = block.get("require_grid")
+        if not g or g in GRID_REGISTRY:
+            continue
+        ps = block["projstring"]
+        if "datum=" not in ps and "nadgrids=" not in ps:
+            continue          # grid not in fwd_prepare: cannot infer sides
+        pairs = by_grid.setdefault(g, [])
+        for case in block["fwd"]:
+            if case["out"] is not None:
+                (wl, wp), (ll, lp) = case["in"][:2], case["out"][:2]
+                pairs.append((ll, lp, wl, wp))
+        for case in block["inv"]:
+            if case["out"] is not None:
+                (ll, lp), (wl, wp) = case["in"][:2], case["out"][:2]
+                pairs.append((ll, lp, wl, wp))
+
+    out: dict[str, int] = {}
+    step = step_sec / 3600.0
+    for g, pairs in by_grid.items():
+        nodes: dict[tuple[int, int], tuple[float, float]] = {}
+        for ll, lp, wl, wp in pairs:
+            i = ll / step
+            j = lp / step
+            if abs(i - round(i)) > 1e-6 or abs(j - round(j)) > 1e-6:
+                continue      # local point off the lattice: unusable
+            # NTv2 node value: phi seconds east..north positive, lam
+            # seconds WEST positive (the format; fwd adds dphi and
+            # SUBTRACTS dlam as loaded)
+            nodes[(int(round(i)), int(round(j)))] = (
+                (wp - lp) * 3600.0, -(wl - ll) * 3600.0)
+        if not nodes:
+            continue
+        is_ = [k[0] for k in nodes]
+        js = [k[1] for k in nodes]
+        i0, i1 = min(is_) - 2, max(is_) + 2
+        j0, j1 = min(js) - 2, max(js) + 2
+        nlam, nphi = i1 - i0 + 1, j1 - j0 + 1
+        shifts = np.zeros((nphi, nlam, 2), dtype=np.float32)
+        for (i, j), (dphi, dlam) in nodes.items():
+            shifts[j - j0, i - i0, 0] = dphi
+            shifts[j - j0, i - i0, 1] = dlam
+        f = tempfile.NamedTemporaryFile(suffix=".gsb", delete=False)
+        f.close()
+        write_gsb(f.name, [dict(
+            name="SYNTH", parent="NONE",
+            s_lat=j0 * step_sec, n_lat=j1 * step_sec,
+            w_long=-i0 * step_sec, e_long=-i1 * step_sec,
+            lat_inc=step_sec, long_inc=step_sec, shifts=shifts)])
+        register_grid_file(g, f.name)
+        out[g] = len(nodes)
+    return out

@@ -73,3 +73,23 @@ def test_geod_cli_direct_inverse_consistency(capsys, monkeypatch):
     # BOTH modes print the back azimuth at the destination
     # (src/apps/geod_interface.cpp:20,32), so the columns agree
     assert abs(back - azi2) < 1e-5
+
+
+def test_dhdn_synthesized_grid_runs_all_vectors():
+    """require_grid synthesis (round-3): DHDN_ETRS89.gie's blocks are
+    BETA2007.gsb-gated and ran 0/0 without the grid file.  Synthesizing
+    an NTv2 grid from the file's own vectors (each DHDN point sits on
+    the 1-arc-minute lattice, so every vector pins one node) exercises
+    the full hgridshift path — NTv2 parse, bilinear lookup, inverse
+    iteration, datum=potsdam expansion — and every vector passes."""
+    from proj_spark.gie import run_gie, synthesize_require_grids
+    from proj_spark.operations.datum import GRID_REGISTRY
+    path = os.path.join(GIE_DIR, "DHDN_ETRS89.gie")
+    made = synthesize_require_grids(path)
+    try:
+        assert made.get("BETA2007.gsb", 0) >= 30
+        total, failed, messages = run_gie(path)
+        assert failed == 0, messages[:5]
+        assert total == 64
+    finally:
+        GRID_REGISTRY.pop("BETA2007.gsb", None)
