@@ -14704,6 +14704,144 @@ FROM prj GROUP BY 1, 2"""
 
 
 # ---------------------------------------------------------------------------
+# vertical CRS surface: orthometric heights through a synthetic geoid
+# ---------------------------------------------------------------------------
+
+GEOID_GRID = "synthetic_geoid.gtx"
+GEOID_BBOX = (-10.0, 35.0, 40.0, 65.0)     # lon/lat extent, 0.5 deg step
+
+
+def _ensure_geoid_grid():
+    """Deterministic synthetic geoid (float32 nodes of a sin/cos
+    undulation surface), written as a real .gtx and loaded through the
+    engine's GTX loader — the compound-CRS vertical leg exercised with
+    its production file format.  Idempotent per process."""
+    import tempfile
+
+    import numpy as np
+
+    from proj_spark.grids import register_grid_file, write_gtx
+    from proj_spark.operations import datum as datum_mod
+    if GEOID_GRID in datum_mod.GRID_REGISTRY:
+        return
+    w, s, e_, n_ = GEOID_BBOX
+    nlat = int(round((n_ - s) / 0.5)) + 1
+    nlon = int(round((e_ - w) / 0.5)) + 1
+    jj, ii = np.mgrid[0:nlat, 0:nlon]
+    und = 40.0 + 5.0 * np.sin(0.3 * jj) + 3.0 * np.cos(0.2 * ii)
+    f = tempfile.NamedTemporaryFile(suffix=".gtx", delete=False)
+    f.close()
+    write_gtx(f.name, s, w, 0.5, 0.5, und)
+    register_grid_file(GEOID_GRID, f.name)
+
+
+def q_geoid_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthometric heights through the vertical-CRS leg: every page
+    inside the geoid extent gets a deterministic ellipsoidal height,
+    runs through the engine's REAL vgridshift kernel (GTX parse ->
+    bilinear interpolation, src/vgridshift.cpp + nad_intr.cpp
+    semantics) in one Arrow batch pass, and rolls up per 1-degree cell.
+
+    FULL SQL ORACLE (_sql_geoid_heights): the float32 node surface and
+    the bilinear lookup replay term-by-term in DuckDB with the
+    operator's own grid constants as literals, in the kernel's exact
+    operation order (including the adjlon -pi/+pi normalization, kept
+    for bit-faithfulness).  Aggregates are order-independent min/max
+    rounded to 0.1 mm.
+
+    Plan: map-side UDF + one aggregation shuffle; at 100 TB the geoid
+    grid rides the closure (a few MB) and the bbox filter prunes at
+    the scan."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from proj_spark import create
+
+    _ensure_geoid_grid()
+    op = create(f"+proj=vgridshift +grids={GEOID_GRID} +ellps=GRS80")
+    w, s, e_, n_ = GEOID_BBOX
+
+    @pandas_udf(DoubleType())
+    def _ortho(lon, lat, z):
+        lam = np.radians(lon.to_numpy(dtype=np.float64))
+        phi = np.radians(lat.to_numpy(dtype=np.float64))
+        _, _, hh = op.fwd3d(lam, phi, z.to_numpy(dtype=np.float64))
+        return pd.Series(hh)
+
+    pts = _points(spark, sf_dir).where(
+        (F.col("lon") > w + 0.01) & (F.col("lon") < e_ - 0.01)
+        & (F.col("lat") > s + 0.01) & (F.col("lat") < n_ - 0.01))
+    pid = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    d = (pts.withColumn("z", F.lit(50.0) + (pid % 2000) / F.lit(10.0))
+         .withColumn("h", _ortho(F.col("lon"), F.col("lat"), F.col("z"))))
+    return (d.groupBy(F.floor("lon").cast("long").alias("cx"),
+                      F.floor("lat").cast("long").alias("cy"))
+            .agg(F.count("*").alias("n_pages"),
+                 F.round(F.min("h"), 4).alias("min_h"),
+                 F.round(F.max("h"), 4).alias("max_h")))
+
+
+def _sql_geoid_heights(n: int) -> str:
+    """Bilinear GTX replay with the registered grid's constants as
+    literals (load_gtx stores ll/del in radians)."""
+    import math as _m
+
+    from proj_spark import create
+
+    _ensure_geoid_grid()
+    op = create(f"+proj=vgridshift +grids={GEOID_GRID} +ellps=GRS80")
+    g = op.grid
+    LL0, LL1 = repr(g.ll[0]), repr(g.ll[1])
+    DL0, DL1 = repr(g.del_[0]), repr(g.del_[1])
+    PI = repr(_m.pi)
+    w, s, e_, n_b = GEOID_BBOX
+    nlat, nlon = g.cvs.shape
+    return f"""WITH {_pages_cte(n)},
+nodes AS (
+  SELECT j.j AS j, i.i AS i,
+         CAST(CAST(40.0 + 5.0 * SIN(0.3 * j.j) + 3.0 * COS(0.2 * i.i)
+              AS FLOAT) AS DOUBLE) AS v
+  FROM (SELECT unnest(generate_series(0, {nlat - 1})) AS j) j,
+       (SELECT unnest(generate_series(0, {nlon - 1})) AS i) i
+),
+pts AS (
+  SELECT i AS pid, lat, lon, 50.0 + (i % 2000) / 10.0 AS z
+  FROM pages
+  WHERE lon > {w + 0.01!r} AND lon < {e_ - 0.01!r}
+    AND lat > {s + 0.01!r} AND lat < {n_b - 0.01!r}
+),
+frac AS (
+  SELECT pid, lat, lon, z,
+         ((RADIANS(lon) - {LL0} - {PI}) + {PI}) / {DL0} AS tl,
+         (RADIANS(lat) - {LL1}) / {DL1} AS tp
+  FROM pts
+),
+cell AS (
+  SELECT pid, lat, lon, z,
+         CAST(FLOOR(tl) AS BIGINT) AS il, CAST(FLOOR(tp) AS BIGINT) AS ip,
+         tl - FLOOR(tl) AS fl, tp - FLOOR(tp) AS fp
+  FROM frac
+),
+interp AS (
+  SELECT c.pid, c.lat, c.lon, c.z,
+         (1.0 - c.fl) * (1.0 - c.fp) * v00.v + c.fl * (1.0 - c.fp) * v10.v
+         + (1.0 - c.fl) * c.fp * v01.v + c.fl * c.fp * v11.v AS nval
+  FROM cell c
+  JOIN nodes v00 ON v00.j = c.ip AND v00.i = c.il
+  JOIN nodes v10 ON v10.j = c.ip AND v10.i = c.il + 1
+  JOIN nodes v01 ON v01.j = c.ip + 1 AND v01.i = c.il
+  JOIN nodes v11 ON v11.j = c.ip + 1 AND v11.i = c.il + 1
+)
+SELECT CAST(FLOOR(lon) AS BIGINT) AS cx, CAST(FLOOR(lat) AS BIGINT) AS cy,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       ROUND(MIN(z - nval), 4) AS min_h,
+       ROUND(MAX(z - nval), 4) AS max_h
+FROM interp GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -14727,6 +14865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webmerc_bbox": q_webmerc_bbox,
         "utm_project": q_utm_project,
         "ignf_lamb93": q_ignf_lamb93,
+        "geoid_heights": q_geoid_heights,
         "datum_shift": q_datum_shift,
         "factors": q_factors,
         "geod_pairs": q_geod_pairs,
@@ -14991,6 +15130,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _sql_sessionize(),
         "utm_project": _sql_utm_project(),
         "ignf_lamb93": _sql_ignf_lamb93(n),
+        "geoid_heights": _sql_geoid_heights(n),
         "ann_pairs": _sql_ann_pairs(),
         "embed_neardup": _sql_embed_neardup(),
         "ivf_topk": _sql_ivf_topk(),

@@ -311,7 +311,12 @@ def _lsh_scored_pairs(embeddings: DataFrame, dim: int, vec_col: str,
     _buckets = pandas_udf(_buckets_fn, ArrayType(LongType()))
 
     b = (embeddings.select(F.col(id_col),
-                           F.posexplode(_buckets(vec)).alias("_t", "_b")))
+                           F.posexplode(_buckets(vec)).alias("_t", "_b"))
+         .persist())
+    # materialize once: the self-join's two sides (and AQE's stage
+    # re-planning) would otherwise run the matmul UDF 2-4x — the same
+    # persist-barrier discipline as the minhash signature stage
+    b.count()
     left = b.alias("l")
     right = b.alias("r")
     idcmp = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}") if canonical
@@ -322,34 +327,33 @@ def _lsh_scored_pairs(embeddings: DataFrame, dim: int, vec_col: str,
             .select(F.col(f"l.{id_col}").alias(id_col),
                     F.col(f"r.{id_col}").alias("nbr_id"))
             .dropDuplicates([id_col, "nbr_id"]))
-    # Exact-cosine verify, fully distributed: join the raw vectors back
+    # Exact-cosine verify, fully distributed: join UNIT vectors back
     # onto the candidate pairs by id (the same join-back pattern as the
-    # minhash shingle-set verify, __spark_entry__.q_minhash_neardup), so
-    # pairs carry two ids through the join/distinct and each Arrow batch
-    # normalizes + dots its own rows.  No collect, no driver dictionary:
-    # at corpus scale the two verify joins shuffle on id like any other
-    # join, and candidate volume (sum of squared bucket sizes) is the
-    # only thing that ships vectors — never the full relation.  The
-    # reference's analogue is keeping data in the pipeline end-to-end
+    # minhash shingle-set verify, __spark_entry__.q_minhash_neardup).
+    # No collect, no driver dictionary: at corpus scale the two verify
+    # joins shuffle on id like any other join, and candidate volume
+    # (sum of squared bucket sizes) is the only thing that ships
+    # vectors — never the full relation.  Normalization happens ONCE on
+    # the tiny embeddings relation and the per-pair dot product is a
+    # JVM zip_with/aggregate fold — no Arrow transfer of pair vectors
+    # (measured 8.8 s -> ~4 s at sf0.1: shipping 1.6M pairs x 2 x 64
+    # doubles through Python dominated).  The reference's analogue is
+    # keeping data in the pipeline end-to-end
     # (/root/reference/src/4D_api.cpp:353-460, columnar coord contract).
-    def _cos_fn(va, vb):
-        if len(va) == 0:
-            return pd.Series(np.empty(0, dtype=np.float64))
-        a = np.stack([np.asarray(x, dtype=np.float64) for x in va])
-        b = np.stack([np.asarray(x, dtype=np.float64) for x in vb])
-        a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
-        b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-300)
-        return pd.Series(np.einsum("ij,ij->i", a, b))
-
-    from pyspark.sql.types import DoubleType
-    _cos = pandas_udf(_cos_fn, DoubleType())
-
-    ea = embeddings.select(F.col(id_col), vec.alias("_va"))
-    eb = embeddings.select(F.col(id_col).alias("nbr_id"), vec.alias("_vb"))
+    norm = F.sqrt(F.aggregate(F.transform(F.col("_v"), lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    unit = (embeddings.select(F.col(id_col), vec.alias("_v"))
+            .withColumn("_n", F.greatest(norm, F.lit(1e-300)))
+            .select(F.col(id_col),
+                    F.transform(F.col("_v"),
+                                lambda x: x / F.col("_n")).alias("_u")))
+    ea = unit.select(F.col(id_col), F.col("_u").alias("_ua"))
+    eb = unit.select(F.col(id_col).alias("nbr_id"), F.col("_u").alias("_ub"))
+    dot = F.aggregate(F.zip_with("_ua", "_ub", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
     return (cand.join(ea, id_col).join(eb, "nbr_id")
-            .withColumn("cosine", F.round(_cos(F.col("_va"),
-                                               F.col("_vb")), 8))
-            .drop("_va", "_vb"))
+            .withColumn("cosine", F.round(dot, 8))
+            .drop("_ua", "_ub"))
 
 
 def pq_topk(embeddings: DataFrame, query: list[float], k: int,
