@@ -203,3 +203,16 @@ def test_malformed_pipeline_rejected():
                "+step +proj=unitconvert +xy_in=m +xy_out=km")
     x, y = p.fwd(np.array([np.radians(12.0)]), np.array([np.radians(56.0)]))
     assert abs(x[0] - 1335.8339) < 1e-3
+
+
+def test_dms_positional_fields():
+    """proj_dmstor positional-fallback semantics: an unsuffixed field
+    takes the next-finer unit than the one before it."""
+    from proj_spark.operations.cs2cs import dms_to_deg
+    assert dms_to_deg("30d30") == 30.5                  # bare minutes
+    assert abs(dms_to_deg("-36d52'11.6315")
+               + (36 + 52 / 60 + 11.6315 / 3600)) < 1e-12   # bare seconds
+    assert dms_to_deg("55d00'00.000") == 55.0
+    assert dms_to_deg("12d30'10.5\"N") == 12 + 30 / 60 + 10.5 / 3600
+    with pytest.raises(ValueError):
+        dms_to_deg("12x34")
