@@ -26,7 +26,10 @@ def build(out: str) -> str:
         for root, dirs, files in os.walk(pkg):
             dirs[:] = [d for d in dirs if d != "__pycache__"]
             for f in sorted(files):
-                if f.endswith((".py", ".json.gz")):
+                # package code + vendored data: the EPSG catalog and the
+                # classic init files (data/init/nad27 etc., no extension)
+                if (f.endswith((".py", ".json.gz"))
+                        or os.path.basename(root) == "init"):
                     p = os.path.join(root, f)
                     z.write(p, os.path.relpath(p, ROOT))
     return out
