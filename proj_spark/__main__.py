@@ -116,20 +116,137 @@ def cmd_proj(args) -> int:
     return 0
 
 
+_NUM_TOKEN = __import__("re").compile(
+    r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?")
+
+
 def cmd_cs2cs(args) -> int:
+    """Filter like the reference's cs2cs (src/apps/cs2cs.cpp): reads
+    'c1 c2 [z [t]] [trailing]' lines (DMS accepted for geographic
+    input), transforms src -> dst, prints.  Flags: -E echo the consumed
+    input, -f <fmt> printf output format, -r/-s reverse in/out order.
+    Source/destination split at '+to' (or exactly two bare arguments).
+    Default output for a geographic destination is the reference's DMS
+    form (rtodms, zero fields trimmed) — the format the test/cli golden
+    files record; failed points print the reference's '*\\t*'."""
     from proj_spark import crs_to_crs
-    t = crs_to_crs(args[0], args[1])
-    arr, ncols = _read_coords(sys.stdin)
-    if not len(arr):
-        return 0
-    x, y = arr[:, 0], arr[:, 1]
-    z = np.where(np.isnan(arr[:, 2]), 0.0, arr[:, 2])
-    if t.src.is_geographic:
-        x, y = np.radians(x), np.radians(y)
-    ox, oy, oz = t.fwd3d(x, y, z)
-    if t.dst.is_geographic:
-        ox, oy = np.degrees(ox), np.degrees(oy)
-    print(_fmt((ox, oy, oz), 3 if ncols > 2 else 2))
+    from proj_spark.operations.cs2cs import dms_to_deg, rtodms
+    echo = revin = revout = inverse = False
+    oform = None
+    rest: list[str] = []
+    it = iter(args)
+    for a in it:
+        if a == "-E":
+            echo = True
+        elif a == "-r":
+            revin = True
+        elif a == "-s":
+            revout = True
+        elif a == "-I":
+            inverse = True
+        elif a == "-f":
+            oform = next(it, None)
+        else:
+            rest.append(a)
+    src_code = dst_code = False
+    if "+to" in rest:
+        i = rest.index("+to")
+        src = " ".join(rest[:i])
+        dst = " ".join(rest[i + 1:])
+    elif rest and rest[0].startswith("+"):
+        # proj-string source with no +to: the destination defaults to
+        # geographic on the SAME datum/ellipsoid (classic cs2cs)
+        src = " ".join(rest)
+        from proj_spark.projstring import parse_projstring
+        keep = ("ellps", "a", "b", "rf", "es", "f", "R", "datum",
+                "towgs84", "nadgrids", "geoidgrids", "pm")
+        p = parse_projstring(src)
+        dst = " ".join(["+proj=latlong"]
+                       + [f"+{k}" if p[k] is True else f"+{k}={p[k]}"
+                          for k in keep if k in p])
+    else:
+        src, dst = rest[0], " ".join(rest[1:])
+    if inverse:
+        src, dst = dst, src    # -I swaps the transform direction
+    t = crs_to_crs(src, dst)
+
+    def _angular(leg) -> bool:
+        if leg.is_geographic:
+            return True
+        p = leg.params
+        return (p.get("proj") == "ob_tran"
+                and str(p.get("o_proj", "")) in ("latlong", "longlat",
+                                                 "latlon", "lonlat"))
+
+    src_ang = _angular(t.src)
+    dst_ang = _angular(t.dst)
+    # authority-resolved GEOGRAPHIC CRSs are lat-first (EPSG CS
+    # 6422/6423); the reference honors that axis order on both io
+    # sides (cs2cs.cpp isLatFirst) — proj-strings stay lon-first
+    src_latfirst = t.src.axis_lat_first and src_ang
+    dst_latfirst = t.dst.axis_lat_first and dst_ang
+    if oform is None and not dst_ang:
+        oform = "%.2f"     # the reference's projected-output default
+    out_lines: list[str] = []
+    for line in sys.stdin:
+        line = line.rstrip("\n")
+        if not line.strip():
+            continue
+        if line.lstrip().startswith("#"):
+            out_lines.append(line)    # tag lines echo verbatim
+            continue
+        try:
+            a, p1 = _consume_coord(line, 0)
+            b, p2 = _consume_coord(line, p1)
+        except ValueError:
+            out_lines.append("*\t*")
+            continue
+        if revin != src_latfirst:      # -r XOR lat-first axis order
+            a, b = b, a
+        # optional z: a numeric token right after the two coords
+        m = _NUM_TOKEN.match(line[p2:].lstrip())
+        if m:
+            z = float(m.group(0))
+            stripped = len(line[p2:]) - len(line[p2:].lstrip())
+            p3 = p2 + stripped + m.end()
+        else:
+            z = 0.0
+            p3 = p2
+        remainder = line[p3:]
+        prefix = (line[:p3] + "\t") if echo else ""
+        # optional t: peeked but NOT consumed — the reference reads it
+        # for the transform and forwards it verbatim from the input
+        # (cs2cs.cpp "possible t component ... rewind" hack)
+        mt = _NUM_TOKEN.match(remainder.lstrip())
+        vt = np.array([float(mt.group(0))]) if mt else None
+        va, vb = np.array([a]), np.array([b])
+        vz = np.array([z])
+        if src_ang:
+            va, vb = np.radians(va), np.radians(vb)
+        ox, oy, oz = t.fwd4d(va, vb, vz, vt)
+        bad = not (np.isfinite(ox[0]) and np.isfinite(oy[0]))
+        # proj_trans poisons the WHOLE coordinate on error: z prints as
+        # printf(oform, HUGE_VAL) = "inf" (tv_out.dist records this)
+        zfmt = ("inf" if bad
+                else (oform % oz[0]) if oform else f"{oz[0]:.3f}")
+        if bad:
+            out_lines.append(prefix + "*\t* " + zfmt + remainder)
+            continue
+        latfirst = revout != dst_latfirst
+        u, v = (oy[0], ox[0]) if latfirst else (ox[0], oy[0])
+        if dst_ang and oform is None:
+            if latfirst:
+                body = (rtodms(u, "N", "S") + "\t" + rtodms(v, "E", "W"))
+            else:
+                body = (rtodms(u, "E", "W") + "\t" + rtodms(v, "N", "S"))
+        else:
+            if dst_ang:
+                u, v = np.degrees(u), np.degrees(v)
+            fmt = oform or "%.10g"
+            body = (fmt % u) + "\t" + (fmt % v)
+        out_lines.append(prefix + body + " " + zfmt + remainder)
+    if out_lines:
+        print("\n".join(out_lines))
     return 0
 
 

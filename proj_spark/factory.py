@@ -164,6 +164,38 @@ def _vertical_grid(vert_code: str) -> str | None:
     return None
 
 
+#: geodetic CRS type preference for name lookup: a bare name like
+#: 'ITRF2000' names the frame; 3D carries heights (which is what a
+#: name-addressed frame transformation operates on), then 2D, then XYZ
+_NAME_TYPE_RANK = {"geographic 3D": 0, "geographic 2D": 1,
+                   "geocentric": 2}
+
+
+@lru_cache(maxsize=256)
+def find_crs_by_name(name: str) -> str | None:
+    """Geodetic CRS NAME -> catalog code (createFromUserInput's
+    findObjects name path, src/iso19111/io.cpp:5611+).  Exact
+    case-insensitive match first; 'ITRF1993'-style spellings fall back
+    to the EPSG short form ('ITRF93'), matching the reference's
+    approximate-name search for these frames."""
+    import re as _re
+    cat = catalog()
+    wanted = [name.strip().lower()]
+    m = _re.fullmatch(r"(itrf)\s*19(\d\d)", wanted[0])
+    if m:
+        wanted.append(m.group(1) + m.group(2))
+    best = None
+    for code, crs in cat["geodetic_crs"].items():
+        if crs.get("deprecated"):
+            continue
+        if str(crs["name"]).strip().lower() in wanted:
+            rank = _NAME_TYPE_RANK.get(str(crs.get("type")), 9)
+            key = (wanted.index(str(crs["name"]).strip().lower()), rank)
+            if best is None or key < best[0]:
+                best = (key, code)
+    return best[1] if best else None
+
+
 def crs_definition(code) -> str:
     """Authority code (int, 'EPSG:n', 'IGNF:NAME', 'ESRI:n', or OGC urn)
     -> proj-string from the vendored catalog."""

@@ -49,9 +49,27 @@ class Operation:
     right = "classic"   # classic: kernel emits a-units; projected: meters
     proj_name = "?"
 
+    #: params whose values the reference reads with pj_param 'r'/'d'
+    #: (dmstor-parsed) — DMS strings like '20n'/'60W'/"53d18'56.9537"
+    #: normalize to decimal degrees ONCE here so every kernel's plain
+    #: float() sees a number (src/pj_param.cpp 'r' case -> dmstor)
+    _DMS_PARAM_KEYS = frozenset((
+        "lat_0", "lon_0", "lat_1", "lat_2", "lat_3", "lat_ts", "lat_b",
+        "lonc", "alpha", "gamma", "azi", "theta", "lon_1", "lon_2",
+        "o_lat_p", "o_lon_p", "o_lat_c", "o_lon_c", "o_alpha",
+        "o_lat_1", "o_lon_1", "o_lat_2", "o_lon_2", "tilt", "plat_0",
+        "plon_0", "lat_4", "lsat_lat", "lon_wrap"))
+
     def __init__(self, params: dict):
         from proj_spark.operations import cs2cs
         params = self._expand_datum(dict(params))
+        for _k in (self._DMS_PARAM_KEYS & params.keys()):
+            _v = params[_k]
+            if isinstance(_v, str):
+                try:
+                    float(_v)
+                except ValueError:
+                    params[_k] = repr(cs2cs.dms_to_deg(_v))
         self.params = params
         self.ell: Ellipsoid = ellipsoid_from_params(params)
         self.a = self.ell.a

@@ -214,3 +214,37 @@ class DatumChain:
         if self.helmert is not None:
             X, Y, Z = self.helmert.fwd(X, Y, Z)
         return self.cart_wgs84.inv3d(X, Y, Z)
+
+
+# ---------------------------------------------------------------------------
+# DMS output (rtodms port)
+# ---------------------------------------------------------------------------
+
+_RTODMS_RES = 1000.0
+_RTODMS_RES60 = 60000.0
+_RTODMS_CONV = 206264806.24709635516     # 180*3600*RES/pi
+
+
+def rtodms(r: float, pos: str, neg: str) -> str:
+    """Radians -> the reference's DMS ascii form (src/rtodms.cpp at the
+    default 3-fractional-second precision): DDdMM'SS.SSS"H with zero
+    seconds/minutes fields dropped from the right and trailing zeros
+    trimmed off the seconds fraction — the exact cs2cs default output
+    the test/cli golden files record."""
+    import math as _m
+    if r < 0:
+        r = -r
+        sign = neg
+    else:
+        sign = pos
+    r = _m.floor(r * _RTODMS_CONV + 0.5)
+    sec = _m.fmod(r / _RTODMS_RES, 60.0)
+    r = _m.floor(r / _RTODMS_RES60)
+    mnt = int(_m.fmod(r, 60.0))
+    deg = int(_m.floor(r / 60.0))
+    if sec != 0.0:
+        s = f"{sec:.3f}".rstrip("0").rstrip(".")
+        return f"{deg}d{mnt}'{s}\"{sign}"
+    if mnt:
+        return f"{deg}d{mnt}'{sign}"
+    return f"{deg}d{sign}"

@@ -183,6 +183,63 @@ _HELMERT_METHODS = {
     "9607": "coordinate_frame",    # 7-param coordinate frame
 }
 
+#: geocentric-domain + time-dependent helmert methods -> (convention,
+#: kinematic?) — lowered as direct cart -> helmert(t) -> cart ops
+#: (KnownOp kind "helmert14"; engine kernel operations/helmert.py)
+_HELMERT14_METHODS = {
+    "1031": (None, False),                   # geocentric translations
+    "1033": ("position_vector", False),      # PV (geocentric)
+    "1032": ("coordinate_frame", False),     # CF (geocentric)
+    "1053": ("position_vector", True),       # TD PV (geocentric)
+    "1054": ("position_vector", True),       # TD PV (geog 2D)
+    "1055": ("position_vector", True),       # TD PV (geog 3D)
+    "1056": ("coordinate_frame", True),      # TD CF (geocentric)
+    "1057": ("coordinate_frame", True),      # TD CF (geog 2D)
+    "1058": ("coordinate_frame", True),      # TD CF (geog 3D)
+}
+
+_ARCSEC_RAD = math.pi / 180.0 / 3600.0
+#: EPSG unit 1029 "year" in seconds — EPSG rate-unit factors are SI
+#: (per second); the engine's kinematic Helmert wants per-year rates
+_SEC_PER_YEAR = 31556925.445
+
+
+def _helmert14_params(h: dict, cat: dict) -> dict:
+    """Catalog helmert row -> engine Helmert params (metres, arc-seconds,
+    ppm, decimal years), converting each value by its EPSG unit."""
+    units = cat["units"]
+
+    def length(v, uom):
+        return 0.0 if v is None else v * units[uom][2]
+
+    def ang(v, uom):
+        return 0.0 if v is None else v * units[uom][2] / _ARCSEC_RAD
+
+    def scale(v, uom):
+        return 0.0 if v is None else v * units[uom][2] * 1e6
+
+    conv, kinematic = _HELMERT14_METHODS[h["method"]]
+    p = {"x": length(h["tx"], h["t_uom"]),
+         "y": length(h["ty"], h["t_uom"]),
+         "z": length(h["tz"], h["t_uom"]), "exact": True}
+    if conv is not None:
+        p.update({"rx": ang(h["rx"], h["r_uom"]),
+                  "ry": ang(h["ry"], h["r_uom"]),
+                  "rz": ang(h["rz"], h["r_uom"]),
+                  "s": scale(h["s"], h["s_uom"]),
+                  "convention": conv})
+    if kinematic and "dtx" in h:
+        y = _SEC_PER_YEAR
+        p.update({"dx": length(h["dtx"], h["dt_uom"]) * y,
+                  "dy": length(h["dty"], h["dt_uom"]) * y,
+                  "dz": length(h["dtz"], h["dt_uom"]) * y,
+                  "drx": ang(h["drx"], h["dr_uom"]) * y,
+                  "dry": ang(h["dry"], h["dr_uom"]) * y,
+                  "drz": ang(h["drz"], h["dr_uom"]) * y,
+                  "ds": scale(h["ds"], h["ds_uom"]) * y,
+                  "t_epoch": h["epoch"] or 0.0})
+    return p
+
 
 def catalog_candidates(src_code, dst_code) -> list[KnownOp]:
     """Candidate enumeration from the vendored EPSG registry — the
@@ -211,6 +268,33 @@ def catalog_candidates(src_code, dst_code) -> list[KnownOp]:
             # transformations apply only to their own CRS codes
             continue
         if h["deprecated"]:
+            continue
+        if h["method"] in _HELMERT14_METHODS:
+            # direct (possibly time-dependent) helmert: match the PAIR
+            # by geodetic DATUM (a frame's geocentric / geographic 2D /
+            # 3D CRSs are datum-mates — the reference inserts the cart
+            # conversions when the op is registered on a sibling CRS),
+            # either direction (hel.inv is exact)
+            def _datum_of(c):
+                crs = cat["geodetic_crs"].get(c)
+                return crs["datum"] if crs else c
+            sd, dd = _datum_of(src), _datum_of(dst)
+            fwd14 = (_datum_of(h["src"]) == sd
+                     and _datum_of(h["dst"]) == dd)
+            rev14 = (_datum_of(h["src"]) == dd
+                     and _datum_of(h["dst"]) == sd)
+            if not (fwd14 or rev14) or sd == dd:
+                continue
+            params = _helmert14_params(h, cat)
+            if rev14:
+                params["_reversed"] = True
+            ext = cat["area"].get(h["area"])
+            extent = tuple(ext) if ext and None not in ext else None
+            out.append(KnownOp(
+                h["name"] + (" (reversed)" if rev14 else ""),
+                "helmert14", params,
+                h["acc"] if h["acc"] is not None else -1.0,
+                extent or (-180.0, -90.0, 180.0, 90.0)))
             continue
         if h["method"] not in _HELMERT_METHODS:
             continue
@@ -290,17 +374,49 @@ class _Leg:
     def __init__(self, definition: str):
         from proj_spark import epsg as epsg_mod
         self.definition = definition
+        self.axis_lat_first = False    # EPSG geographic axis order
+        self.is_3d = False             # geographic 3D / geocentric CRS
         if definition.strip().upper().startswith("EPSG:"):
             self.epsg = int(definition.strip().split(":")[1])
+            self._note_crs_kind(self.epsg)
             definition = epsg_mod.resolve(definition)
         else:
             self.epsg = None
+            d = definition.strip()
+            if not d.startswith("+") and not d[:12].upper().startswith(
+                    ("PROJCS", "GEOGCS", "PROJCRS", "GEOGCRS", "GEODCRS",
+                     "COMPOUNDCRS", "COMPD_CS", "BOUNDCRS", "{")):
+                # bare CRS NAME (createFromUserInput name lookup,
+                # io.cpp:5611+ findObjects): resolve via the vendored
+                # catalog — 'ITRF2000' / 'ITRF1993' style inputs
+                from proj_spark import factory
+                code = factory.find_crs_by_name(d)
+                if code is not None:
+                    self.epsg = int(code)
+                    self._note_crs_kind(self.epsg)
+                    definition = factory.crs_definition(code)
             if not definition.lstrip().startswith("+"):
                 from proj_spark import wkt as wkt_mod
                 definition = wkt_mod.from_user_input(definition)
         self.params = parse_projstring(definition)
+        if "init" in self.params:
+            # +init=epsg:NNNN / +init=nad27:ZONE legs expand like create()
+            # does (proj4 init rules; the cs2cs CLI feeds these through);
+            # an epsg init also pins the leg's EPSG identity so the
+            # catalog candidate search works (e.g. +init=epsg:31284 ->
+            # MGI -> the EPSG Austria helmert, tv_out.dist's MGI case)
+            init = str(self.params["init"]).lower()
+            if init.startswith("epsg:"):
+                try:
+                    self.epsg = int(init.split(":", 1)[1])
+                except ValueError:
+                    pass
+            from proj_spark.projstring import _expand_init
+            self.params = _expand_init(self.params)
         self.is_geographic = self.params.get("proj") in (
             "latlong", "longlat", "latlon", "lonlat")
+        if self.params.get("proj") == "geocent":
+            self.is_3d = True
         stripped = _strip_datum(self.params)
         stripped_str = " ".join(
             f"+{k}" if v is True else f"+{k}={v}" for k, v in stripped.items())
@@ -320,8 +436,34 @@ class _Leg:
         self.chain = cs2cs.DatumChain(self.proj_op.ell.a, self.proj_op.ell.es,
                                       self.towgs84)
 
+    def _note_crs_kind(self, code: int) -> None:
+        """Record EPSG axis/dimensionality facts for a code-resolved
+        leg: geographic CRSs are lat-first (CS 6422/6423); geographic 3D
+        and geocentric CRSs carry their height as a real coordinate."""
+        try:
+            from proj_spark.factory import catalog
+            crs = catalog()["geodetic_crs"].get(str(code))
+        except Exception:
+            return
+        if crs is None:
+            return
+        typ = str(crs.get("type", ""))
+        if typ.startswith("geographic"):
+            self.axis_lat_first = True
+        if typ in ("geographic 3D", "geocentric"):
+            self.is_3d = True
+
     def _geodetic_code(self) -> int | None:
         if self.epsg is None:
+            # +datum=WGS84 (or an explicit null towgs84 on the WGS84
+            # ellipsoid) identifies the leg with the WGS84 hub so the
+            # EPSG candidate search applies (the reference reaches the
+            # same ops because +datum=WGS84 IS the WGS84 datum)
+            p = self.params
+            if (str(p.get("datum", "")) == "WGS84"
+                    or (p.get("towgs84") in ("0,0,0", "0,0,0,0,0,0,0")
+                        and str(p.get("ellps", "")) == "WGS84")):
+                return 4326
             return None
         e = self.epsg
         if e in (4326, 4978) or 32601 <= e <= 32660 or 32701 <= e <= 32760:
@@ -367,16 +509,29 @@ class _HubPipeline:
         self.dst = dst
         self.datum_fwd = datum_fwd
         self.datum_inv = datum_inv
+        # geocentric / geographic-3D CRSs are inherently 3D: their z IS
+        # a coordinate, never push/pop-preserved
+        self.carries_height = (getattr(src, "is_3d", False)
+                               or getattr(dst, "is_3d", False))
 
-    def fwd3d(self, x, y, z):
+    def fwd3d(self, x, y, z, t=None):
         lam, phi, h = self.src.to_hub_geodetic(x, y, z)
-        lam, phi, h = self.datum_fwd(lam, phi, h)
-        return self.dst.from_hub_geodetic(lam, phi, h)
+        # push v_3 / pop v_3 around the datum step: crs_to_crs over 2D
+        # CRSs preserves the ellipsoidal height — the reference wraps
+        # the datum operation exactly this way when normalizing 2D CRS
+        # pairs (createOperations pipelines; test/cli/tv_out.dist
+        # records z passing through towgs84 hops unchanged).  The
+        # geocentric-domain exception lives in _datum_ops_from_known's
+        # helmert14 branch (3D CRSs carry their height through it).
+        lam, phi, h2 = self.datum_fwd(lam, phi, h, t)
+        keep = h if not getattr(self, "carries_height", False) else h2
+        return self.dst.from_hub_geodetic(lam, phi, keep)
 
-    def inv3d(self, x, y, z):
+    def inv3d(self, x, y, z, t=None):
         lam, phi, h = self.dst.to_hub_geodetic(x, y, z)
-        lam, phi, h = self.datum_inv(lam, phi, h)
-        return self.src.from_hub_geodetic(lam, phi, h)
+        lam, phi, h2 = self.datum_inv(lam, phi, h, t)
+        keep = h if not getattr(self, "carries_height", False) else h2
+        return self.src.from_hub_geodetic(lam, phi, keep)
 
 
 def _datum_ops_from_known(src: _Leg, dst: _Leg, op: KnownOp):
@@ -391,14 +546,14 @@ def _datum_ops_from_known(src: _Leg, dst: _Leg, op: KnownOp):
         srcc = chain if chain.active else None
         dstc = dst.chain if dst.chain.active else None
 
-        def fwd(lam, phi, h):
+        def fwd(lam, phi, h, t=None):
             if srcc is not None:
                 lam, phi, h = srcc.local_to_wgs84(lam, phi, h)
             if dstc is not None:
                 lam, phi, h = dstc.wgs84_to_local(lam, phi, h)
             return lam, phi, h
 
-        def inv(lam, phi, h):
+        def inv(lam, phi, h, t=None):
             if dstc is not None:
                 lam, phi, h = dstc.local_to_wgs84(lam, phi, h)
             if srcc is not None:
@@ -410,26 +565,67 @@ def _datum_ops_from_known(src: _Leg, dst: _Leg, op: KnownOp):
         from proj_spark.operations import datum as datum_mod
         g = datum_mod.REGISTRY["hgridshift"](
             {"grids": op.params, "ellps": src.params.get("ellps", "GRS80")})
-        return ((lambda lam, phi, h: g.fwd3d(lam, phi, h)),
-                (lambda lam, phi, h: g.inv3d(lam, phi, h)))
+        return ((lambda lam, phi, h, t=None: g.fwd3d(lam, phi, h)),
+                (lambda lam, phi, h, t=None: g.inv3d(lam, phi, h)))
+    if op.kind == "helmert14":
+        # direct (possibly time-dependent) Helmert between the two
+        # datums in the geocentric domain: cart(src) -> helmert(t) ->
+        # cart^-1(dst) — the engine lowering of EPSG methods 1031-1033
+        # and the time-dependent 1053-1058 family (kinematic kernel:
+        # operations/helmert.py; reference helmert.cpp:107-161)
+        from proj_spark.operations.cart import Cart
+        from proj_spark.operations.helmert import Helmert
+        hp = dict(op.params)
+        reversed_op = hp.pop("_reversed", False)
+        cart_s = Cart({"a": repr(src.proj_op.ell.a),
+                       "es": repr(src.proj_op.ell.es)})
+        cart_d = Cart({"a": repr(dst.proj_op.ell.a),
+                       "es": repr(dst.proj_op.ell.es)})
+        hel = Helmert(hp)
+        h_fwd = hel.inv if reversed_op else hel.fwd
+        h_inv = hel.fwd if reversed_op else hel.inv
+
+        def fwd(lam, phi, h, t=None):
+            X, Y, Z = cart_s.fwd3d(lam, phi, h)
+            X, Y, Z = h_fwd(X, Y, Z, t)
+            return cart_d.inv3d(X, Y, Z)
+
+        def inv(lam, phi, h, t=None):
+            X, Y, Z = cart_d.fwd3d(lam, phi, h)
+            X, Y, Z = h_inv(X, Y, Z, t)
+            return cart_s.inv3d(X, Y, Z)
+
+        return fwd, inv
     raise NotImplementedError(op.kind)
 
 
 def _ballpark_ops(src: _Leg, dst: _Leg):
     """Generic hub route from the legs' own +towgs84/+datum information —
     the reference's ballpark/cs2cs-emulation fallback
-    (src/transform.cpp:543-590 normalization sequence)."""
-    srcc = src.chain if src.chain.active else None
-    dstc = dst.chain if dst.chain.active else None
+    (src/transform.cpp:543-590 normalization sequence).
 
-    def fwd(lam, phi, h):
+    pj_datum_transform rule (transform.cpp:543-552): if EITHER side's
+    datum is UNKNOWN (no +towgs84/+datum information at all), the datum
+    step is skipped in BOTH directions — a raw-ellipsoid CRS cannot be
+    shifted meaningfully, so lon/lat pass through (the 'ballpark
+    geographic offset'; test/cli/tv_out.dist records exactly this for
+    clrk66 -> bessel)."""
+    if src.towgs84 is None and src.params.get("datum") is None:
+        srcc = dstc = None
+    elif dst.towgs84 is None and dst.params.get("datum") is None:
+        srcc = dstc = None
+    else:
+        srcc = src.chain if src.chain.active else None
+        dstc = dst.chain if dst.chain.active else None
+
+    def fwd(lam, phi, h, t=None):
         if srcc is not None:
             lam, phi, h = srcc.local_to_wgs84(lam, phi, h)
         if dstc is not None:
             lam, phi, h = dstc.wgs84_to_local(lam, phi, h)
         return lam, phi, h
 
-    def inv(lam, phi, h):
+    def inv(lam, phi, h, t=None):
         if dstc is not None:
             lam, phi, h = dstc.local_to_wgs84(lam, phi, h)
         if srcc is not None:
@@ -560,11 +756,12 @@ class CRSTransform:
                 return i
         return 0
 
-    def _run(self, x, y, z, inverse: bool):
+    def _run(self, x, y, z, inverse: bool, t=None):
         x = np.asarray(x, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
         z = (np.zeros_like(x) if z is None
              else np.asarray(z, dtype=np.float64))
+        t = None if t is None else np.asarray(t, dtype=np.float64)
         ox = np.full_like(x, np.nan)
         oy = np.full_like(x, np.nan)
         oz = np.full_like(x, np.nan)
@@ -585,7 +782,8 @@ class CRSTransform:
                     continue
                 done_any = True
                 f = c.pipeline.inv3d if inverse else c.pipeline.fwd3d
-                rx, ry, rz = f(x[sel], y[sel], z[sel])
+                rx, ry, rz = f(x[sel], y[sel], z[sel],
+                               None if t is None else t[sel])
                 ox[sel], oy[sel], oz[sel] = rx, ry, rz
                 failed = sel.copy()
                 failed[sel] = ~np.isfinite(rx)
@@ -620,6 +818,15 @@ class CRSTransform:
 
     def inv3d(self, x, y, z=None):
         return self._run(x, y, z, inverse=True)
+
+    def fwd4d(self, x, y, z=None, t=None):
+        """4D forward: observation epochs `t` (decimal years) engage the
+        time-dependent candidates (helmert14 rates); t=None means the
+        reference's HUGE_VAL convention — parameters at their epoch."""
+        return self._run(x, y, z, inverse=False, t=t)
+
+    def inv4d(self, x, y, z=None, t=None):
+        return self._run(x, y, z, inverse=True, t=t)
 
     def fwd(self, x, y):
         ox, oy, _ = self._run(x, y, None, inverse=False)

@@ -26,9 +26,28 @@ def test_proj_forward_inverse():
 
 
 def test_cs2cs_dhdn():
-    out = run(["cs2cs", "EPSG:4314", "EPSG:4258"], "7.483333333333 53.5\n")
-    lon, lat = [float(v) for v in out.split()[:2]]
+    # -f forces decimal output; authority-code geographic CRSs are
+    # LAT-FIRST on both io sides (cs2cs.cpp isLatFirst) and the
+    # reference-faithful default output is the rtodms DMS form
+    out = run(["cs2cs", "-f", "%.9f", "EPSG:4314", "EPSG:4258"],
+              "53.5 7.483333333333\n")
+    lat, lon = [float(v) for v in out.split()[:2]]
     assert abs(lon - 7.482506) < 3e-5 and abs(lat - 53.498461) < 3e-5
+
+
+def test_cs2cs_dms_default_output():
+    out = run(["cs2cs", "+proj=latlong", "+ellps=bessel", "+towgs84=5,0,0",
+               "+to", "+proj=latlong", "+ellps=bessel", "+towgs84=1,0,0",
+               "-E"], "79d00'00.000\"W 45d00'00.000\"N 0.0\n")
+    # tv_out.dist line: 78d59'59.821"W  44d59'59.983"N 0.000
+    assert out.endswith("78d59'59.821\"W\t44d59'59.983\"N 0.000"), out
+
+
+def test_cs2cs_raw_to_raw_is_ballpark_noop():
+    out = run(["cs2cs", "+proj=latlong", "+ellps=clrk66",
+               "+to", "+proj=latlong", "+ellps=bessel", "-E"],
+              "79d58'00.000\"W 37d02'00.000\"N 0.0\n")
+    assert out.endswith("79d58'W\t37d2'N 0.000"), out
 
 
 def test_projinfo_code_and_pair():

@@ -178,7 +178,7 @@ def test_dispatch_retry_on_failure():
     t = crs_to_crs("EPSG:4230", "EPSG:4258")
 
     class Failing:
-        def fwd3d(self, x, y, z):
+        def fwd3d(self, x, y, z, t=None):
             n = np.full_like(np.asarray(x, dtype=np.float64), np.nan)
             return n, n, n
         inv3d = fwd3d

@@ -189,7 +189,7 @@ def main() -> None:
         # t_uom(19), rx(20), ry, rz(22), r_uom_auth, r_uom(24), s(25),
         # s_uom_auth, s_uom(27), ..., deprecated(last)
         code = str(r[1])
-        helm[code] = {
+        entry = {
             "name": r[2], "method": str(r[6]), "src": str(r[9]),
             "dst": str(r[11]), "area": str(r[13]), "acc": r[14],
             "tx": r[15], "ty": r[16], "tz": r[17], "t_uom": str(r[19]),
@@ -198,6 +198,19 @@ def main() -> None:
             "s": r[25], "s_uom": str(r[27]) if r[27] is not None else None,
             "deprecated": r[-1],
         }
+        # kinematic (time-dependent) parameter block: rates + epoch
+        # (proj_db_table_defs.sql:794-809); present only when non-NULL
+        if len(r) > 41 and r[28] is not None:
+            entry.update({
+                "dtx": r[28], "dty": r[29], "dtz": r[30],
+                "dt_uom": str(r[32]) if r[32] is not None else None,
+                "drx": r[33], "dry": r[34], "drz": r[35],
+                "dr_uom": str(r[37]) if r[37] is not None else None,
+                "ds": r[38],
+                "ds_uom": str(r[40]) if r[40] is not None else None,
+                "epoch": r[41],
+            })
+        helm[code] = entry
     cat["helmert"] = helm
 
     grids = {}
