@@ -260,17 +260,27 @@ def _end_units(op, input_side: bool) -> str:
 def cmd_cct(args) -> int:
     """4D filter like the reference's cct (src/apps/cct.cpp): reads
     "x y [z [t]]" lines, applies the operation's highest arity, prints
-    all four columns.  Angular input/output in degrees, like proj."""
+    all four columns in the reference's fixed-width format
+    (%14.<da>f for angular output, %13.<dd>f otherwise, t %12.4f;
+    defaults da=10 dd=4, -d N sets both — testcct_out.dist is the
+    golden).  A missing t column prints 'inf' (HUGE_VAL), as the
+    reference does."""
     from proj_spark import create
     inverse = "-I" in args
     args = [a for a in args if a != "-I"]
+    dec_ang, dec_dist = 10, 4
+    if "-d" in args:
+        i = args.index("-d")
+        dec_ang = dec_dist = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
     op = create(" ".join(args))
     arr, ncols = _read_coords(sys.stdin)
     if not len(arr):
         return 0
     x, y = arr[:, 0].copy(), arr[:, 1].copy()
     z = np.where(np.isnan(arr[:, 2]), 0.0, arr[:, 2])
-    t = np.where(np.isnan(arr[:, 3]), 0.0, arr[:, 3])
+    t_missing = np.isnan(arr[:, 3])
+    t = np.where(t_missing, 0.0, arr[:, 3])
     if _end_units(op, input_side=not inverse) == "radians":
         x, y = np.radians(x), np.radians(y)
     f4 = getattr(op, "inv4d" if inverse else "fwd4d", None)
@@ -279,9 +289,19 @@ def cmd_cct(args) -> int:
     else:
         ox, oy = (op.inv if inverse else op.fwd)(x, y)
         oz, ot = z, t
-    if _end_units(op, input_side=inverse) == "radians":
+    angular_out = _end_units(op, input_side=inverse) == "radians"
+    if angular_out:
         ox, oy = np.degrees(ox), np.degrees(oy)
-    print(_fmt((ox, oy, oz, ot), 4))
+    ot = np.where(t_missing, np.inf, ot)
+    lines = []
+    for u, v, w, tt in zip(ox, oy, oz, ot):
+        if angular_out:
+            lines.append(f"{u:14.{dec_ang}f}  {v:14.{dec_ang}f}  "
+                         f"{w:12.{dec_dist}f}  {tt:12.4f}")
+        else:
+            lines.append(f"{u:13.{dec_dist}f}  {v:13.{dec_dist}f}  "
+                         f"{w:12.{dec_dist}f}  {tt:12.4f}")
+    print("\n".join(lines))
     return 0
 
 

@@ -237,3 +237,12 @@ def test_tv_out_golden():
         near.append(seg["title"])
     assert exact >= 66, (exact, near)
     assert near == ["Test MGI datum gives expected results (#207)"], near
+
+
+def test_cct_golden():
+    """testcct -> testcct_out.dist: byte-identical (modulo the banner
+    echo line, produced by the shell script, asserted verbatim)."""
+    out = _run_cli(["cct", "-d", "8", "+proj=merc", "+R=1"], "90 45 0\n")
+    want = open(f"{REF_CLI}/testcct_out.dist").read().splitlines()
+    assert out.splitlines() == [want[1]]
+    assert want[0] == "Testing cct -d 8 +proj=merc +R=1"
