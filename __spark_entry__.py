@@ -14704,6 +14704,143 @@ FROM prj GROUP BY 1, 2"""
 
 
 # ---------------------------------------------------------------------------
+# time-dependent reference-frame drift (kinematic 14-param Helmert)
+# ---------------------------------------------------------------------------
+
+ITRF_EPOCH0, ITRF_N_EPOCHS = 2010, 20
+
+
+def _itrf_helmert():
+    """The EPSG ITRF2005 -> ETRF2000 time-dependent transformation
+    (EPSG:7950, method 1053) compiled into the engine's kinematic
+    Helmert kernel via the catalog's unit-converted parameters."""
+    from proj_spark.factory import catalog
+    from proj_spark.operations.helmert import Helmert
+    from proj_spark.planner import _helmert14_params
+    cat = catalog()
+    return Helmert(_helmert14_params(cat["helmert"]["7950"], cat))
+
+
+def q_itrf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plate-motion drift screen: every page, tagged with a
+    deterministic observation epoch (2010..2029), runs through the
+    FULL kinematic datum pipeline — cart fwd -> 14-param Helmert with
+    parameters propagated to the row's epoch (EPSG:7950,
+    ITRF2005->ETRF2000; reference src/transformations/helmert.cpp:
+    107-161 update_parameters) -> Bowring cart inverse — in one Arrow
+    pass, then bins the induced horizontal shift per epoch at 0.001
+    arcsec (the q_datum_shift discipline, now time-dependent).
+
+    FULL SQL ORACLE (_sql_itrf_drift): the per-epoch rotation matrices,
+    translations and scales are lifted from the compiled operator at
+    each of the {ITRF_N_EPOCHS} epochs as literals into a lookup CTE —
+    the SQL replays cart -> R(t) -> Bowring bit-for-bit per epoch.
+
+    Plan: map-side UDF (per-distinct-epoch matmul inside the kernel)
+    + one aggregation shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from proj_spark import create
+
+    cart = create("+proj=cart +ellps=GRS80")
+    hel = _itrf_helmert()
+
+    @pandas_udf(StructType([StructField("lat2", DoubleType()),
+                            StructField("lon2", DoubleType())]))
+    def _drift(lon, lat, t):
+        lam = np.radians(lon.to_numpy(dtype=np.float64))
+        phi = np.radians(lat.to_numpy(dtype=np.float64))
+        X, Y, Z = cart.fwd3d(lam, phi, np.zeros_like(lam))
+        X2, Y2, Z2 = hel.fwd(X, Y, Z, t.to_numpy(dtype=np.float64))
+        lam2, phi2, _ = cart.inv3d(X2, Y2, Z2)
+        return pd.DataFrame({"lat2": np.degrees(phi2),
+                             "lon2": np.degrees(lam2)})
+
+    pts = _points(spark, sf_dir)
+    pid = F.regexp_extract("url", r"page/(\d+)$", 1).cast("long")
+    d = (pts.withColumn("epoch",
+                        (F.lit(ITRF_EPOCH0) + pid % ITRF_N_EPOCHS)
+                        .cast("double"))
+         .withColumn("_g", _drift(F.col("lon"), F.col("lat"),
+                                  F.col("epoch"))))
+    dlat = F.round((F.col("_g.lat2") - F.col("lat")) * 3600.0, 3)
+    dlon = F.round((F.col("_g.lon2") - F.col("lon")) * 3600.0, 3)
+    return (d.select(F.col("epoch").cast("long").alias("epoch"),
+                     dlat.alias("dlat_as"), dlon.alias("dlon_as"))
+            .groupBy("epoch", "dlat_as", "dlon_as")
+            .agg(F.count("*").alias("n_pages")))
+
+
+def _sql_itrf_drift(n: int) -> str:
+    """Kinematic datum oracle: one literal parameter row per epoch."""
+    from proj_spark import create
+
+    cart = create("+proj=cart +ellps=GRS80")
+    hel = _itrf_helmert()
+    a, es = repr(cart.a), repr(cart.es)
+    b, e2s = repr(cart.ell.b), repr(cart.ell.e2s)
+    rows = []
+    for k in range(ITRF_N_EPOCHS):
+        year = float(ITRF_EPOCH0 + k)
+        trans, r, scale = hel._params_at(year)
+        rows.append(
+            f"({int(year)}, {scale!r}, {trans[0]!r}, {trans[1]!r}, "
+            f"{trans[2]!r}, {r[0, 0]!r}, {r[0, 1]!r}, {r[0, 2]!r}, "
+            f"{r[1, 0]!r}, {r[1, 1]!r}, {r[1, 2]!r}, {r[2, 0]!r}, "
+            f"{r[2, 1]!r}, {r[2, 2]!r})")
+    vals = ",\n    ".join(rows)
+    return f"""WITH {_pages_cte(n)},
+par(epoch, sc, tx, ty, tz, r00, r01, r02, r10, r11, r12,
+    r20, r21, r22) AS (VALUES
+    {vals}
+),
+geo AS (
+  SELECT 2010 + i % 20 AS epoch, lat, lon,
+         RADIANS(lat) AS phi, RADIANS(lon) AS lam
+  FROM pages
+),
+cartf AS (
+  SELECT epoch, lat, lon,
+         ({a} / SQRT(1.0 - {es} * SIN(phi) * SIN(phi)) + 0.0)
+             * COS(phi) * COS(lam) AS cx,
+         ({a} / SQRT(1.0 - {es} * SIN(phi) * SIN(phi)) + 0.0)
+             * COS(phi) * SIN(lam) AS cy,
+         ({a} / SQRT(1.0 - {es} * SIN(phi) * SIN(phi)) * (1.0 - {es}) + 0.0)
+             * SIN(phi) AS cz
+  FROM geo
+),
+helm AS (
+  SELECT c.epoch, lat, lon,
+         p.sc * (p.r00 * cx + p.r01 * cy + p.r02 * cz) + p.tx AS x2,
+         p.sc * (p.r10 * cx + p.r11 * cy + p.r12 * cz) + p.ty AS y2,
+         p.sc * (p.r20 * cx + p.r21 * cy + p.r22 * cz) + p.tz AS z2
+  FROM cartf c JOIN par p ON p.epoch = c.epoch
+),
+bow AS (
+  SELECT epoch, lat, lon, x2, y2, z2,
+         SQRT(x2 * x2 + y2 * y2) AS p,
+         ATAN2(z2 * {a}, SQRT(x2 * x2 + y2 * y2) * {b}) AS theta
+  FROM helm
+),
+inv AS (
+  SELECT epoch, lat, lon,
+         DEGREES(ATAN2(z2 + {e2s} * {b} * SIN(theta) * SIN(theta) * SIN(theta),
+                       p - {es} * {a} * COS(theta) * COS(theta) * COS(theta)))
+             AS lat2,
+         DEGREES(ATAN2(y2, x2)) AS lon2
+  FROM bow
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       ROUND((lat2 - lat) * 3600.0, 3) AS dlat_as,
+       ROUND((lon2 - lon) * 3600.0, 3) AS dlon_as,
+       COUNT(*) AS n_pages
+FROM inv GROUP BY 1, 2, 3"""
+
+
+# ---------------------------------------------------------------------------
 # vertical CRS surface: orthometric heights through a synthetic geoid
 # ---------------------------------------------------------------------------
 
@@ -14866,6 +15003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_project": q_utm_project,
         "ignf_lamb93": q_ignf_lamb93,
         "geoid_heights": q_geoid_heights,
+        "itrf_drift": q_itrf_drift,
         "datum_shift": q_datum_shift,
         "factors": q_factors,
         "geod_pairs": q_geod_pairs,
@@ -15131,6 +15269,7 @@ def oracle_sql() -> dict[str, str]:
         "utm_project": _sql_utm_project(),
         "ignf_lamb93": _sql_ignf_lamb93(n),
         "geoid_heights": _sql_geoid_heights(n),
+        "itrf_drift": _sql_itrf_drift(n),
         "ann_pairs": _sql_ann_pairs(),
         "embed_neardup": _sql_embed_neardup(),
         "ivf_topk": _sql_ivf_topk(),

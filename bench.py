@@ -27,6 +27,7 @@ from proj_spark.spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "tile_density", "cell_rollup", "pip_admin", "knn", "knn_join", "utm_zones",
     "webmerc_bbox", "utm_project", "ignf_lamb93", "geoid_heights",
+    "itrf_drift",
     "datum_shift", "factors", "geod_pairs",
     "dggs_rollup", "geod_area", "asof_join", "sessionize", "radius_join",
     "zorder_bbox", "geohash_rollup", "admin_raster",
