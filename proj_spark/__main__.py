@@ -86,6 +86,16 @@ def cmd_proj(args) -> int:
         else:
             rest.append(a)
     op = create(" ".join(rest))
+    # The reference's proj app builds its operator through the legacy
+    # pj_init path (src/apps/proj.cpp:506 proj.fwd = pj_fwd), which
+    # never runs cs2cs_emulation_setup — so +towgs84/+datum/+nadgrids/
+    # +geoidgrids modifiers are NOT applied by proj (pure projection);
+    # pj_out83.dist's values depend on this (the GRS80 null-towgs84
+    # cart hop would shift the last printed digit)
+    if hasattr(op, "datum_chain"):
+        op.datum_chain = None
+        op.hgridshifts = []
+        op.vgridshifts = []
     out_lines = []
     for line in sys.stdin:
         line = line.rstrip("\n")

@@ -109,13 +109,12 @@ def test_pj_out27_golden():
 
 
 def test_pj_out83_golden():
-    """test83 runs in metres at %.3f (mm granularity): the engine's
-    exact-Clenshaw TM vs the reference's Snyder series sits right at
-    the final printf digit on ~1/3 of lines — the ".001ft range"
-    variance the reference's own script header documents.  Every line
-    must still agree within 0.0011; the byte-exact floor is lower."""
+    """Byte-exact once the proj app matches the reference's legacy
+    pj_init path (no cs2cs emulation: the GRS80 null-towgs84 cart hop
+    must NOT be applied by proj — it shifted the final printf digit on
+    ~1/3 of lines before the fix)."""
     exact, near, total = _run_golden("test83", "pj_out83.dist", "nad83",
-                                     exact_floor=0.60)
+                                     exact_floor=1.0)
     print(f"test83: {exact}/{total} byte-exact, {near} within 0.001")
 
 
