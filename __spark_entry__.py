@@ -459,8 +459,8 @@ inv AS (
          DEGREES(ATAN2(y2, x2)) AS lon2
   FROM bow
 )
-SELECT ROUND((lat2 - lat) * 3600.0, 3) AS dlat_as,
-       ROUND((lon2 - lon) * 3600.0, 3) AS dlon_as,
+SELECT ROUND((lat2 - lat) * 3600.0, 3) + 0.0 AS dlat_as,
+       ROUND((lon2 - lon) * 3600.0, 3) + 0.0 AS dlon_as,
        COUNT(*) AS n_pages
 FROM inv GROUP BY 1, 2"""
 
@@ -2264,11 +2264,14 @@ def _sql_crs_dispatch() -> str:
     the same dispatch CASE order (accuracy ascending) as the planner."""
     from proj_spark.ellipsoids import get_ellipsoid
     I, W, G = get_ellipsoid("intl"), get_ellipsoid("WGS84"), get_ellipsoid("GRS80")
-    # North Sea 7-param: exact position-vector rotation about z only
+    # North Sea 7-param: position-vector rotation about z only, applied
+    # with the reference's APPROXIMATE small-angle matrix (DB-derived
+    # helmerts run without +exact — helmert.cpp build matrix, else
+    # branch; the planner's towgs84 candidates mirror this since r4)
     import math
     rz = -0.156 * math.pi / 180.0 / 3600.0
     k = 1.0 + 1.2e-6
-    c, s = repr(math.cos(rz)), repr(math.sin(rz))
+    c, s = "1.0", repr(rz)
     ns = "lon >= -1.0 AND lat >= 56.0 AND lon <= 11.0 AND lat <= 62.0"
     ib = "lon >= -9.5 AND lat >= 36.0 AND lon <= 3.3 AND lat <= 43.8"
     mean = "lon >= -16.1 AND lat >= 25.7 AND lon <= 48.6 AND lat <= 84.2"
@@ -2305,8 +2308,11 @@ helm AS (    -- branch helmert (dispatch CASE, accuracy ascending)
          ELSE z0 + -121.0 END AS zh,
     CASE WHEN {ns} THEN 'ED50 to WGS 84 (23) North Sea'
          WHEN {ib} THEN 'ED50 to WGS 84 (9) Iberia'
-         WHEN {mean} THEN 'ED50 to WGS 84 (1) Mean European'
-         ELSE 'Transformation from EPSG:4230 to EPSG:4258' END AS op
+         -- out-of-extent points use the first gridless candidate in
+         -- rank order (4D_api.cpp:288-305), which IS the Mean European
+         -- op — same translation the old ballpark chain applied, but
+         -- reported under the real op's name since r4
+         ELSE 'ED50 to WGS 84 (1) Mean European' END AS op
   FROM s_cart
 ),
 w_inv1 AS (  -- Bowring inverse, WGS84
@@ -8510,7 +8516,7 @@ SELECT CAST(dc.community AS BIGINT) AS community, dc.n_nodes,
        ROUND(CAST(4 * m.m_e * COALESCE(ein.e_in, 0)
                   - dc.d_tot * dc.d_tot AS DOUBLE)
              / (4.0 * CAST(m.m_e AS DOUBLE) * CAST(m.m_e AS DOUBLE)), 6)
-         AS q_part
+         + 0.0 AS q_part
 FROM dc LEFT JOIN ein ON ein.community = dc.community CROSS JOIN m"""
 
 
@@ -14834,8 +14840,8 @@ inv AS (
   FROM bow
 )
 SELECT CAST(epoch AS BIGINT) AS epoch,
-       ROUND((lat2 - lat) * 3600.0, 3) AS dlat_as,
-       ROUND((lon2 - lon) * 3600.0, 3) AS dlon_as,
+       ROUND((lat2 - lat) * 3600.0, 3) + 0.0 AS dlat_as,
+       ROUND((lon2 - lon) * 3600.0, 3) + 0.0 AS dlon_as,
        COUNT(*) AS n_pages
 FROM inv GROUP BY 1, 2, 3"""
 

@@ -287,6 +287,10 @@ def crs_definition(code) -> str:
         # (9834/9835): the standard parallel is proj's +lat_ts
         if method in ("9805", "9834", "9835") and pcode == "8823":
             key = "lat_ts"
+        # Equidistant Cylindrical (1028/1029): the 1st standard
+        # parallel is proj eqc's +lat_ts (reference eqc.cpp setup)
+        if method in ("1028", "1029") and pcode == "8823":
+            key = "lat_ts"
         # Bonne (9827/9828): the latitude of natural origin is the
         # standard parallel (+lat_1 in proj terms)
         if method in ("9827", "9828") and pcode == "8801":

@@ -183,7 +183,7 @@ class DatumChain:
     """
 
     def __init__(self, a_orig: float, es_orig: float,
-                 towgs84: list[float] | None):
+                 towgs84: list[float] | None, approx: bool = False):
         from proj_spark.operations.cart import Cart
         from proj_spark.operations.helmert import Helmert
         null_shift = towgs84 is None or all(v == 0.0 for v in towgs84)
@@ -197,9 +197,16 @@ class DatumChain:
         self.helmert = None
         if towgs84 is not None and not all(v == 0.0 for v in towgs84):
             x, y, z, rx, ry, rz, s = towgs84
-            self.helmert = Helmert({
-                "x": x, "y": y, "z": z, "rx": rx, "ry": ry, "rz": rz, "s": s,
-                "exact": True, "convention": "position_vector"})
+            # +towgs84 cs2cs emulation runs `proj=helmert exact`
+            # (src/4D_api.cpp:653); catalog/database-derived operations
+            # run helmert WITHOUT exact (the approximate small-angle
+            # matrix) — tv_out.dist's MGI segment is printf-sensitive
+            # to the second-order difference (~4 mm at 5" rotations)
+            hp = {"x": x, "y": y, "z": z, "rx": rx, "ry": ry, "rz": rz,
+                  "s": s, "convention": "position_vector"}
+            if not approx:
+                hp["exact"] = True
+            self.helmert = Helmert(hp)
 
     def wgs84_to_local(self, lam, phi, z):
         """fwd_prepare chain (src/fwd.cpp:76-81)."""

@@ -176,6 +176,26 @@ for (_s, _d), _ops in list(KNOWN_OPS.items()):
 _WGS84_HUB = {"4326", "4258", "4269", "4148", "4151", "4152", "4173",
               "4167", "4283", "4674", "4742", "4759"}
 
+#: prime-meridian sibling datums folded to one frame for authority-code
+#: candidate matching: the PM longitude rotation (EPSG:1763-style) is
+#: carried by the projection op's +pm, so NTF (Paris, 6807) and NTF
+#: (Greenwich, 6275) share every helmert to other frames
+_PM_DATUM_SIBLING = {"6807": "6275"}
+
+#: authority grid transformations between datum pairs (the vendored
+#: catalog carries no IGNF grid rows; the IGNF registry's NTF->RGF93 is
+#: the ntf_r93 NTv2 grid — test/cli/testIGNF's goldens bake it in, and
+#: its header documents the grid dependency).  When the named grid is
+#: registered the grid op IS the pair's operation (the reference's
+#: createOperations for these CRSs yields the grid op alone, so an
+#: out-of-grid point fails instead of falling back to a hub helmert —
+#: proj_outIGNF.dist records '* * inf' for exactly that).
+#: (authority, src_datum, dst_datum) -> (grid, accuracy_m, extent, name)
+_AUTHORITY_GRID_OPS = {
+    ("IGNF", "6275", "6171"): (
+        "ntf_r93.gsb", 1.0, (-5.5, 41.0, 10.0, 52.5), "NTF vers RGF93"),
+}
+
 #: EPSG helmert method codes the engine executes -> convention
 _HELMERT_METHODS = {
     "9603": None,                  # geocentric translations (3-param)
@@ -219,9 +239,14 @@ def _helmert14_params(h: dict, cat: dict) -> dict:
         return 0.0 if v is None else v * units[uom][2] * 1e6
 
     conv, kinematic = _HELMERT14_METHODS[h["method"]]
+    # the reference's DB-derived pipelines run helmert WITHOUT +exact —
+    # the small-angle rotation matrix (helmert.cpp build_rot_matrix
+    # approximate branch); with arc-minute-scale rotations (Reunion
+    # 1947: ry=76.8") the second-order difference is ~0.4 m, visible in
+    # test/cli/proj_outIGNF.dist
     p = {"x": length(h["tx"], h["t_uom"]),
          "y": length(h["ty"], h["t_uom"]),
-         "z": length(h["tz"], h["t_uom"]), "exact": True}
+         "z": length(h["tz"], h["t_uom"])}
     if conv is not None:
         p.update({"rx": ang(h["rx"], h["r_uom"]),
                   "ry": ang(h["ry"], h["r_uom"]),
@@ -259,9 +284,59 @@ def catalog_candidates(src_code, dst_code) -> list[KnownOp]:
     src, dst = str(src_code), str(dst_code)
     src_set = _WGS84_HUB | {src} if src in _WGS84_HUB else {src}
     dst_set = _WGS84_HUB | {dst} if dst in _WGS84_HUB else {dst}
+    # authority-aware search: when a leg IS a non-EPSG authority code
+    # (IGNF:NTFG, ESRI:102100), that authority's own transformations
+    # become eligible and matching folds CRS aliases to datum identity —
+    # the reference reaches the same ops because createOperations
+    # consults the CRS's own authority in the database
+    # (src/iso19111/factory.cpp createBetweenGeodeticCRS authority
+    # walk); pure-EPSG pairs keep the exact-code matching below.
+    def _authority(c: str) -> str:
+        return c.split(":", 1)[0] if ":" in c else "EPSG"
+
+    extra_auth = {a for a in (_authority(src), _authority(dst))
+                  if a != "EPSG"}
+
+    def _fold(c) -> str:
+        """CRS code -> datum identity, folding prime-meridian siblings
+        (NTF Paris and NTF are one frame — the +pm longitude rotation
+        lives in the projection op, reference EPSG:1763 semantics)."""
+        crs = cat["geodetic_crs"].get(str(c))
+        d = str(crs["datum"]) if crs else str(c)
+        return _PM_DATUM_SIBLING.get(d, d)
+
+    wgs_equiv: set[str] = set()
+    if extra_auth:
+        # datums tied to WGS84 by a published zero-translation helmert
+        # (RGF93/ETRS89-style "accuracy 1 m" null ops): such a dst/src
+        # accepts WGS84-family entries, exactly like _WGS84_HUB does for
+        # EPSG codes
+        wgs_equiv = {_fold("4326")}
+        for c2, h2 in cat["helmert"].items():
+            if h2["deprecated"] or h2["method"] not in ("9603", "1031"):
+                continue
+            if any((h2[k] or 0.0) != 0.0 for k in ("tx", "ty", "tz")):
+                continue
+            a2, b2 = _fold(h2["src"]), _fold(h2["dst"])
+            if b2 in wgs_equiv:
+                wgs_equiv.add(a2)
+            elif a2 in wgs_equiv:
+                wgs_equiv.add(b2)
+    sd, dd = _fold(src), _fold(dst)
     out: list[KnownOp] = []
+    grid_covers_pair = False
+    if extra_auth:
+        from proj_spark.operations import datum as datum_mod
+        for auth in extra_auth:
+            entry = _AUTHORITY_GRID_OPS.get((auth, sd, dd))
+            if entry and entry[0] in datum_mod.GRID_REGISTRY:
+                grid, acc, extent, name = entry
+                out.append(KnownOp(name, "hgridshift", grid, acc, extent))
+                grid_covers_pair = True
     for code, h in cat["helmert"].items():
-        if ":" in code:
+        if ":" in code and _authority(code) not in (extra_auth | {"PROJ"}
+                                                    if extra_auth
+                                                    else set()):
             # non-EPSG authority op (ESRI:/IGNF: key): the reference's
             # default createOperations search is authority EPSG
             # (factory.cpp authority defaulting); other authorities'
@@ -275,16 +350,21 @@ def catalog_candidates(src_code, dst_code) -> list[KnownOp]:
             # 3D CRSs are datum-mates — the reference inserts the cart
             # conversions when the op is registered on a sibling CRS),
             # either direction (hel.inv is exact)
-            def _datum_of(c):
-                crs = cat["geodetic_crs"].get(c)
-                return crs["datum"] if crs else c
-            sd, dd = _datum_of(src), _datum_of(dst)
-            fwd14 = (_datum_of(h["src"]) == sd
-                     and _datum_of(h["dst"]) == dd)
-            rev14 = (_datum_of(h["src"]) == dd
-                     and _datum_of(h["dst"]) == sd)
-            if not (fwd14 or rev14) or sd == dd:
+            if extra_auth:
+                _datum_of = _fold       # PM-sibling folding for authority legs
+            else:
+                def _datum_of(c):
+                    crs = cat["geodetic_crs"].get(c)
+                    return crs["datum"] if crs else c
+            sd14, dd14 = _datum_of(src), _datum_of(dst)
+            fwd14 = (_datum_of(h["src"]) == sd14
+                     and _datum_of(h["dst"]) == dd14)
+            rev14 = (_datum_of(h["src"]) == dd14
+                     and _datum_of(h["dst"]) == sd14)
+            if not (fwd14 or rev14) or sd14 == dd14:
                 continue
+            if extra_auth and sd14 in wgs_equiv and dd14 in wgs_equiv:
+                continue       # WGS84-equivalent pair: noop datum step
             params = _helmert14_params(h, cat)
             if rev14:
                 params["_reversed"] = True
@@ -298,11 +378,79 @@ def catalog_candidates(src_code, dst_code) -> list[KnownOp]:
             continue
         if h["method"] not in _HELMERT_METHODS:
             continue
-        fwd = h["src"] == src and h["dst"] in dst_set
-        rev = h["src"] == dst and h["dst"] in src_set
+        if extra_auth:
+            # datum-folded matching for authority legs (the registry
+            # keys one frame pair under many CRS-alias entries)
+            if sd == dd or (sd in wgs_equiv and dd in wgs_equiv):
+                # same frame, or both WGS84-equivalent (RGF93 -> a
+                # WGS84-based CRS): the reference emits a noop datum
+                # step — no cart roundtrip, phi preserved bit-exactly
+                continue
+            hs, hd = _fold(h["src"]), _fold(h["dst"])
+            fwd = hs == sd and (hd == dd or (dd in wgs_equiv
+                                             and hd in wgs_equiv))
+            rev = hs == dd and (hd == sd or (sd in wgs_equiv
+                                             and hd in wgs_equiv))
+            if grid_covers_pair and not (hd == dd if fwd else hd == sd):
+                # hub-composed helmert suppressed: the registered
+                # authority grid IS the pair's operation (see
+                # _AUTHORITY_GRID_OPS)
+                continue
+        else:
+            fwd = h["src"] == src and h["dst"] in dst_set
+            rev = h["src"] == dst and h["dst"] in src_set
         if not (fwd or rev):
             continue
+        if (extra_auth and h["method"] in ("9606", "9607")
+                and (_fold(h["dst"]) == dd if fwd else _fold(h["dst"]) == sd)):
+            # direct-pair 7-param geographic-domain op for authority
+            # legs: the reference lowers these to cart -> helmert
+            # (approximate small-angle matrix, no +exact) -> cart on
+            # the target ellipsoid — NOT the towgs84-exact chain; with
+            # Reunion-1947-scale rotations (76.8") the second-order
+            # difference is ~0.4 m (proj_outIGNF.dist golden)
+            h14 = dict(h)
+            h14["method"] = {"9606": "1033", "9607": "1032"}[h["method"]]
+            params = _helmert14_params(h14, cat)
+            if rev:
+                params["_reversed"] = True
+            ext = cat["area"].get(h["area"])
+            extent = tuple(ext) if ext and None not in ext else None
+            out.append(KnownOp(
+                h["name"] + (" (reversed)" if rev else ""),
+                "helmert14", params,
+                h["acc"] if h["acc"] is not None else -1.0,
+                extent or (-180.0, -90.0, 180.0, 90.0)))
+            continue
         conv = _HELMERT_METHODS[h["method"]]
+        if rev and conv is not None:
+            # reversed 7-param: the reference emits "Inverse of ..."
+            # running the SAME helmert with +inv (transpose/unscale),
+            # NOT negated parameters — negation differs at second
+            # order ((1-R)·T ~ cm at MGI-scale rotations).  Emit the
+            # original parameters with the reversed kind; 3-param
+            # reversal below stays sign-negated (exact there).
+            def ang_r(v, uom):
+                if v is None:
+                    return 0.0
+                if uom == "9104":
+                    return v
+                if uom == "9109":
+                    return v * 1e-6 * (3600.0 * 180.0 / math.pi)
+                raise NotImplementedError(f"rotation unit {uom}")
+            r = [ang_r(h["rx"], h["r_uom"]), ang_r(h["ry"], h["r_uom"]),
+                 ang_r(h["rz"], h["r_uom"])]
+            if conv == "coordinate_frame":
+                r = [-v for v in r]
+            tw = [h["tx"] or 0.0, h["ty"] or 0.0, h["tz"] or 0.0]
+            tw += r + [h["s"] or 0.0]
+            ext = cat["area"].get(h["area"])
+            extent = tuple(ext) if ext and None not in ext else None
+            out.append(KnownOp(h["name"] + " (reversed)", "towgs84_rev",
+                               ",".join(repr(v) for v in tw),
+                               h["acc"] if h["acc"] is not None else -1.0,
+                               extent or (-180.0, -90.0, 180.0, 90.0)))
+            continue
         sign = 1.0 if fwd else -1.0
 
         def ang(v, uom):
@@ -348,6 +496,19 @@ def catalog_candidates(src_code, dst_code) -> list[KnownOp]:
         out.append(KnownOp(g["name"], "hgridshift", g["grid"],
                            g["acc"] if g["acc"] is not None else -1.0,
                            extent or (-180.0, -90.0, 180.0, 90.0)))
+    if extra_auth:
+        # the registry repeats one frame pair under many CRS-alias
+        # entries (TSG399_NTFG_TO_WGS84G / _TO_4326 / ...): keep the
+        # first of each identical parameter set
+        uniq, seen = [], set()
+        for op in out:
+            k = (op.kind, repr(op.params), op.params.get("_reversed")
+                 if isinstance(op.params, dict) else None)
+            if k in seen:
+                continue
+            seen.add(k)
+            uniq.append(op)
+        out = uniq
     return out
 
 
@@ -376,10 +537,21 @@ class _Leg:
         self.definition = definition
         self.axis_lat_first = False    # EPSG geographic axis order
         self.is_3d = False             # geographic 3D / geocentric CRS
+        self.auth_code = None          # non-EPSG authority identity
         if definition.strip().upper().startswith("EPSG:"):
             self.epsg = int(definition.strip().split(":")[1])
             self._note_crs_kind(self.epsg)
             definition = epsg_mod.resolve(definition)
+        elif definition.strip().upper().startswith(("IGNF:", "ESRI:")):
+            # authority-coded leg (testIGNF's +init corpus resolves
+            # here): pin the code so the catalog candidate search runs
+            # in that authority's own transformation space; IGNF/ESRI
+            # registry CRSs are east-first, so axis_lat_first stays off
+            auth, _, code = definition.strip().partition(":")
+            self.epsg = None
+            self.auth_code = f"{auth.upper()}:{code}"
+            self._note_auth_kind(self.auth_code)
+            definition = epsg_mod.resolve(self.auth_code)
         else:
             self.epsg = None
             d = definition.strip()
@@ -411,6 +583,12 @@ class _Leg:
                     self.epsg = int(init.split(":", 1)[1])
                 except ValueError:
                     pass
+            elif init.startswith(("ignf:", "esri:")):
+                # +init=IGNF:CODE pins the authority identity the same
+                # way +init=epsg: pins EPSG (PROJ 6 database init path)
+                auth, _, code = str(self.params["init"]).partition(":")
+                self.auth_code = f"{auth.upper()}:{code}"
+                self._note_auth_kind(self.auth_code)
             from proj_spark.projstring import _expand_init
             self.params = _expand_init(self.params)
         self.is_geographic = self.params.get("proj") in (
@@ -453,7 +631,37 @@ class _Leg:
         if typ in ("geographic 3D", "geocentric"):
             self.is_3d = True
 
-    def _geodetic_code(self) -> int | None:
+    def _note_auth_kind(self, code: str) -> None:
+        """Dimensionality facts for an authority-coded leg (IGNF
+        geocentric CRSs carry z as a real coordinate; axis order in
+        these registries is east-first, so lat-first stays off)."""
+        try:
+            from proj_spark.factory import catalog
+            crs = catalog()["geodetic_crs"].get(code)
+        except Exception:
+            return
+        if crs is not None and str(crs.get("type", "")) in (
+                "geographic 3D", "geocentric"):
+            self.is_3d = True
+
+    def _geodetic_code(self):
+        if self.epsg is None and self.auth_code is not None:
+            # authority code -> its geodetic identity (string code):
+            # projected CRSs fold to their base
+            try:
+                from proj_spark.factory import catalog
+                cat = catalog()
+                if self.auth_code in cat["geodetic_crs"]:
+                    return self.auth_code
+                proj = cat["projected_crs"].get(self.auth_code)
+                if proj is not None:
+                    base = str(proj["base"])
+                    # a numeric base is an EPSG geodetic CRS: return it
+                    # as int so the curated KNOWN_OPS lookup still hits
+                    return int(base) if base.isdigit() else base
+            except Exception:
+                pass
+            return None
         if self.epsg is None:
             # +datum=WGS84 (or an explicit null towgs84 on the WGS84
             # ellipsoid) identifies the leg with the WGS84 hub so the
@@ -538,13 +746,44 @@ def _datum_ops_from_known(src: _Leg, dst: _Leg, op: KnownOp):
     """Build (datum_fwd, datum_inv) callables for a KnownOp."""
     from proj_spark.operations import cs2cs
     if op.kind == "towgs84":
+        # catalog/curated ops are database-derived: approximate
+        # small-angle helmert, like the reference's createOperations
+        # pipelines (no +exact — see DatumChain)
         chain = cs2cs.DatumChain(src.proj_op.ell.a, src.proj_op.ell.es,
-                                 cs2cs.parse_towgs84(op.params))
+                                 cs2cs.parse_towgs84(op.params),
+                                 approx=True)
         # a zero shift on a WGS84-ellipsoid source is the identity — the
         # chain deactivates itself and carries no cart ops (e.g. the
         # EPSG ETRS89<->WGS84 "accuracy 1 m" towgs84=0,0,0 operation)
         srcc = chain if chain.active else None
         dstc = dst.chain if dst.chain.active else None
+
+        def fwd(lam, phi, h, t=None):
+            if srcc is not None:
+                lam, phi, h = srcc.local_to_wgs84(lam, phi, h)
+            if dstc is not None:
+                lam, phi, h = dstc.wgs84_to_local(lam, phi, h)
+            return lam, phi, h
+
+        def inv(lam, phi, h, t=None):
+            if dstc is not None:
+                lam, phi, h = dstc.local_to_wgs84(lam, phi, h)
+            if srcc is not None:
+                lam, phi, h = srcc.wgs84_to_local(lam, phi, h)
+            return lam, phi, h
+
+        return fwd, inv
+    if op.kind == "towgs84_rev":
+        # op published DST-datum -> WGS84; the pair needs its inverse:
+        # forward = src-side own chain (if any) to WGS84, then the op's
+        # helmert REVERSED through wgs84_to_local (cart_wgs84 fwd ->
+        # helmert.inv transpose/unscale -> cart(dst ell) inv) — the
+        # reference's "Inverse of ..." pipeline shape
+        chain = cs2cs.DatumChain(dst.proj_op.ell.a, dst.proj_op.ell.es,
+                                 cs2cs.parse_towgs84(op.params),
+                                 approx=True)
+        srcc = src.chain if src.chain.active else None
+        dstc = chain if chain.active else None
 
         def fwd(lam, phi, h, t=None):
             if srcc is not None:
@@ -703,11 +942,23 @@ class CRSTransform:
         dfwd, dinv = _ballpark_ops(self.src, self.dst)
         null_datum = (not self.src.chain.active
                       and not self.dst.chain.active)
+        # when real candidates exist, the ballpark must NOT capture
+        # out-of-area points by containment: the reference's dispatch
+        # breaks out of the spatial pass and uses the first gridless op
+        # in RANK order (src/4D_api.cpp:250,278-305 "first operation
+        # that does not require grids") — an empty dispatch bbox
+        # reproduces that (testIGNF's deliberately out-of-area RGR92
+        # geocentric point lands on the ranked helmert, not ballpark)
+        _empty = (math.inf, math.inf, -math.inf, -math.inf)
         cands.append(Candidate(
             name=f"Transformation from {src} to {dst}",
             pipeline=_HubPipeline(self.src, self.dst, dfwd, dinv),
             accuracy=-1.0, extent=None, is_approx=bool(known),
-            is_null=null_datum, step_count=3))
+            is_null=null_datum, step_count=3,
+            src_bbox=_empty if known else
+            (-math.inf, -math.inf, math.inf, math.inf),
+            dst_bbox=_empty if known else
+            (-math.inf, -math.inf, math.inf, math.inf)))
         self.candidates = filter_results(cands, area, desired_accuracy)
         if not self.candidates:
             raise ValueError(f"no operation found from {src!r} to {dst!r}")
@@ -750,11 +1001,17 @@ class CRSTransform:
         return choice
 
     def _fallback_index(self) -> int:
-        """First gridless candidate in rank order (src/4D_api.cpp:288-310)."""
+        """First gridless candidate in rank order (src/4D_api.cpp:288-310).
+
+        The reference's list holds only real operations, so its
+        fallback never lands on an engine-side ballpark appended next
+        to known ops (is_approx) — and when every real op needs grids,
+        the point FAILS (proj_errno_set EINVAL, cs2cs prints '*';
+        proj_outIGNF.dist's out-of-grid LAMBE point records this)."""
         for i, c in enumerate(self.candidates):
-            if not c.has_grids:
+            if not c.has_grids and not c.is_approx:
                 return i
-        return 0
+        return -1
 
     def _run(self, x, y, z, inverse: bool, t=None):
         x = np.asarray(x, dtype=np.float64)

@@ -122,6 +122,13 @@ def _expand_init(params: dict) -> dict:
     if not code or fname.lower() == "epsg":
         from proj_spark import epsg
         base = parse_projstring(epsg.resolve(code or s))
+    elif fname.upper() in ("IGNF", "ESRI"):
+        # PROJ 6 routes +init=AUTH:CODE through the database before
+        # falling back to legacy files (src/init.cpp:599 pj_init_ctx ->
+        # createFromUserInput): IGNF/ESRI resolve via the vendored
+        # authority catalog (test/cli/testIGNF exercises this path)
+        from proj_spark import epsg
+        base = parse_projstring(epsg.resolve(f"{fname.upper()}:{code}"))
     else:
         base = _load_init_file_entry(fname, code)
     base.update(params)

@@ -48,7 +48,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
             if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
                 av = av.astype(np.float64)
                 bv = bv.astype(np.float64)
-                bad = ~((av == bv) | (np.isnan(av) & np.isnan(bv)))
+                nan_pair = np.isnan(av) & np.isnan(bv)
+                # Signbit-strict: the driver's gate hashes the textual repr,
+                # under which -0.0 != 0.0 even though they compare equal.
+                # Round-3 lesson (itrf_drift): value equality alone certified
+                # a result the driver hash rejected.  Require bit-level sign
+                # agreement on every non-NaN float.
+                eq = (av == bv) & (np.signbit(av) == np.signbit(bv))
+                bad = ~(eq | nan_pair)
             else:
                 bad = av.astype(str) != bv.astype(str)
             if bad.any():
