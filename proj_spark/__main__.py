@@ -143,6 +143,7 @@ def cmd_cs2cs(args) -> int:
     from proj_spark.operations.cs2cs import dms_to_deg, rtodms
     echo = revin = revout = inverse = False
     oform = None
+    dms_fract, dms_conw = 3, False
     rest: list[str] = []
     it = iter(args)
     for a in it:
@@ -156,6 +157,12 @@ def cmd_cs2cs(args) -> int:
             inverse = True
         elif a == "-f":
             oform = next(it, None)
+        elif a == "-d":
+            # decimal output with N digits (cs2cs.cpp:489-494)
+            oform = f"%.{int(next(it, '2'))}f"
+        elif len(a) == 3 and a[:2] in ("-w", "-W") and a[2].isdigit():
+            # DMS seconds precision (set_rtodms; -W = constant width)
+            dms_fract, dms_conw = int(a[2]), a[1] == "W"
         else:
             rest.append(a)
     src_code = dst_code = False
@@ -195,8 +202,14 @@ def cmd_cs2cs(args) -> int:
     # sides (cs2cs.cpp isLatFirst) — proj-strings stay lon-first
     src_latfirst = t.src.axis_lat_first and src_ang
     dst_latfirst = t.dst.axis_lat_first and dst_ang
-    if oform is None and not dst_ang:
-        oform = "%.2f"     # the reference's projected-output default
+    if oform is None and (not dst_ang
+                          or "geoidgrids" in t.dst.params):
+        # the reference's default: %.2f for any non-"pure geographic"
+        # destination — a +geoidgrids leg instantiates as a COMPOUND
+        # CRS, so destIsGeog is false and output is decimal degrees
+        # (cs2cs.cpp:646-647 + instantiate_crs type check;
+        # td_out.dist's "WGS84 -> WGS84+EGM96" records 2.00 49.00)
+        oform = "%.2f"
     out_lines: list[str] = []
     for line in sys.stdin:
         line = line.rstrip("\n")
@@ -246,9 +259,11 @@ def cmd_cs2cs(args) -> int:
         u, v = (oy[0], ox[0]) if latfirst else (ox[0], oy[0])
         if dst_ang and oform is None:
             if latfirst:
-                body = (rtodms(u, "N", "S") + "\t" + rtodms(v, "E", "W"))
+                body = (rtodms(u, "N", "S", dms_fract, dms_conw) + "\t"
+                        + rtodms(v, "E", "W", dms_fract, dms_conw))
             else:
-                body = (rtodms(u, "E", "W") + "\t" + rtodms(v, "N", "S"))
+                body = (rtodms(u, "E", "W", dms_fract, dms_conw) + "\t"
+                        + rtodms(v, "N", "S", dms_fract, dms_conw))
         else:
             if dst_ang:
                 u, v = np.degrees(u), np.degrees(v)

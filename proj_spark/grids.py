@@ -254,17 +254,142 @@ def write_gtx(path: str, yorigin: float, xorigin: float, ystep: float,
 
 
 # ---------------------------------------------------------------------------
+# NTv1 (.dat) — src/gridinfo.cpp:654-738 (header) + :195-270 (data)
+# ---------------------------------------------------------------------------
+
+def load_ntv1(path: str) -> Grid:
+    """Parse an NTv1-style Canadian grid shift file: 192-byte header
+    (12 records of 16 bytes, big-endian payloads), then rows of
+    big-endian double pairs (dphi_sec, dlam_sec) running EAST -> WEST
+    per row (the CTABLE stores them reversed, gridinfo.cpp:252-259)."""
+    with open(path, "rb") as f:
+        header = f.read(192)
+        if len(header) < 192:
+            raise ValueError(f"{path}: truncated NTv1 header")
+        if struct.unpack(">i", header[8:12])[0] != 12:
+            raise ValueError(f"{path}: NTv1 record count != 12")
+
+        def dbl(off):
+            return struct.unpack(">d", header[off:off + 8])[0]
+
+        ll_phi = dbl(24)                    # S LAT (degrees)
+        ur_phi = dbl(40)                    # N LAT
+        ur_lam = -dbl(56)                   # E LONG (west-positive file)
+        ll_lam = -dbl(72)                   # W LONG
+        lat_inc = dbl(88)
+        long_inc = dbl(104)
+        nlam = int(abs(ur_lam - ll_lam) / long_inc + 0.5) + 1
+        nphi = int(abs(ur_phi - ll_phi) / lat_inc + 0.5) + 1
+        raw = np.frombuffer(f.read(nphi * nlam * 16), dtype=">f8")
+    if raw.size != nphi * nlam * 2:
+        raise ValueError(f"{path}: truncated NTv1 data")
+    vals = raw.reshape(nphi, nlam, 2)       # (dphi_sec, dlam_sec), E->W
+    cvs = np.empty((nphi, nlam, 2), dtype=np.float64)
+    # reverse each row to W->E; float32-quantize like the reference's
+    # CTABLE (float cast at gridinfo.cpp:257-258)
+    cvs[:, :, 0] = (vals[:, ::-1, 1] * SEC2RAD).astype(np.float32)  # dlam
+    cvs[:, :, 1] = (vals[:, ::-1, 0] * SEC2RAD).astype(np.float32)  # dphi
+    return Grid(ll=(ll_lam * D2R, ll_phi * D2R),
+                del_=(long_inc * D2R, lat_inc * D2R), cvs=cvs)
+
+
+def write_ntv1(path: str, s_lat: float, n_lat: float, w_long: float,
+               e_long: float, lat_inc: float, long_inc: float,
+               shifts: np.ndarray) -> None:
+    """Write an NTv1 file (degrees, west-positive longitudes; shifts
+    shape (nphi, nlam, 2) as (dphi_sec, dlam_sec) in W->E column order —
+    the writer re-reverses rows into the format's E->W direction)."""
+    shifts = np.asarray(shifts, dtype=np.float64)
+    nphi, nlam, _ = shifts.shape
+    with open(path, "wb") as f:
+        hdr = bytearray(192)
+        hdr[0:8] = b"HEADER  "
+        hdr[8:12] = struct.pack(">i", 12)
+        for off, tag, v in ((16, b"S LAT   ", s_lat), (32, b"N LAT   ", n_lat),
+                            (48, b"E LONG  ", e_long), (64, b"W LONG  ", w_long),
+                            (80, b"LAT INC ", lat_inc),
+                            (96, b"LONG INC", long_inc)):
+            hdr[off:off + 8] = tag
+            hdr[off + 8:off + 16] = struct.pack(">d", v)
+        f.write(bytes(hdr))
+        f.write(shifts[:, ::-1, :].astype(">f8").tobytes())
+
+
+# ---------------------------------------------------------------------------
+# CTABLE2 — src/nad_init.cpp:149-240 (160-byte LE header, float32 pairs
+# (lam, phi) in radians, W->E rows S->N)
+# ---------------------------------------------------------------------------
+
+def load_ctable2(path: str) -> Grid:
+    with open(path, "rb") as f:
+        header = f.read(160)
+        if len(header) < 160 or not header.startswith(b"CTABLE V2"):
+            raise ValueError(f"{path}: not a CTABLE2 file")
+        ll_lam, ll_phi, del_lam, del_phi = struct.unpack(
+            "<4d", header[96:128])
+        nlam, nphi = struct.unpack("<2i", header[128:136])
+        if not (1 <= nlam <= 100000 and 1 <= nphi <= 100000):
+            raise ValueError(f"{path}: corrupt CTABLE2 dims")
+        raw = np.frombuffer(f.read(nphi * nlam * 8), dtype="<f4")
+    if raw.size != nphi * nlam * 2:
+        raise ValueError(f"{path}: truncated CTABLE2 data")
+    vals = raw.reshape(nphi, nlam, 2)       # (lam, phi) radians, W->E
+    cvs = vals.astype(np.float64)
+    return Grid(ll=(ll_lam, ll_phi), del_=(del_lam, del_phi), cvs=cvs)
+
+
+def write_ctable2(path: str, grid_id: str, ll: tuple, del_: tuple,
+                  cvs: np.ndarray) -> None:
+    """Write a CTABLE2 file (ll/del_ radians; cvs (nphi, nlam, 2) as
+    (dlam, dphi) radians — the same channel order Grid.cvs uses)."""
+    cvs = np.asarray(cvs, dtype=np.float64)
+    nphi, nlam, _ = cvs.shape
+    with open(path, "wb") as f:
+        hdr = bytearray(160)
+        hdr[0:16] = b"CTABLE V2.0     "
+        ident = grid_id.encode("ascii", "replace")[:79]
+        hdr[16:16 + len(ident)] = ident
+        hdr[96:128] = struct.pack("<4d", ll[0], ll[1], del_[0], del_[1])
+        hdr[128:136] = struct.pack("<2i", nlam, nphi)
+        f.write(bytes(hdr))
+        f.write(cvs.astype("<f4").tobytes())
+
+
+def null_grid() -> Grid:
+    """The reference's data/null CTABLE2 (3x3 zeros covering the whole
+    world, ll=(-pi,-pi/2), del=(pi,pi/2)) constructed directly — the
+    catch-all identity entry of grid lists like 'ntf_r93.gsb,null'."""
+    return Grid(ll=(-np.pi, -np.pi / 2.0), del_=(np.pi, np.pi / 2.0),
+                cvs=np.zeros((3, 3, 2), dtype=np.float64))
+
+
+# ---------------------------------------------------------------------------
 # registry integration
 # ---------------------------------------------------------------------------
 
 def register_grid_file(name: str, path: str) -> None:
-    """Load a .gsb/.gtx file and register it under `name` so proj-string
-    +grids=/+nadgrids=/+geoidgrids= parameters resolve to it."""
+    """Load a grid file and register it under `name` so proj-string
+    +grids=/+nadgrids=/+geoidgrids= parameters resolve to it.  The
+    format is sniffed from the content like the reference's
+    pj_gridinfo_init (gridinfo.cpp:862-952): CTABLE2 magic, NTv2
+    NUM_OREC==11, NTv1 record-count==12, else GTX by extension."""
     from proj_spark.operations import datum as datum_mod
+    with open(path, "rb") as f:
+        head = f.read(16)
+    if head.startswith(b"CTABLE V2"):
+        datum_mod.GRID_REGISTRY[name] = load_ctable2(path)
+        return
+    if len(head) >= 12:
+        word = head[8:12]
+        if struct.unpack("<i", word)[0] == 11 or \
+                struct.unpack(">i", word)[0] == 11:
+            datum_mod.GRID_REGISTRY[name] = load_gsb(path)
+            return
+        if struct.unpack(">i", word)[0] == 12:
+            datum_mod.GRID_REGISTRY[name] = load_ntv1(path)
+            return
     ext = os.path.splitext(path)[1].lower()
-    if ext == ".gsb":
-        datum_mod.GRID_REGISTRY[name] = load_gsb(path)
-    elif ext == ".gtx":
+    if ext == ".gtx":
         datum_mod.GRID_REGISTRY[name] = load_gtx(path)
     else:
-        raise NotImplementedError(f"unknown grid format {ext!r}")
+        raise NotImplementedError(f"unrecognized grid format: {path}")

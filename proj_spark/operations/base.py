@@ -152,30 +152,31 @@ class Operation:
         the reference's gie runs likewise skip these blocks when the grid
         file cannot be loaded (ignore pjd_err_failed_to_load_grid)."""
         from proj_spark.operations import datum as datum_mod
+        if kind == "nadgrids":
+            # ONE list-aware hgridshift over the whole comma chain:
+            # per-point dispatch follows find_ctable over the ordered
+            # table sequence (apply_gridshift.cpp), so later grids
+            # catch points the earlier ones miss ('ntv2_0.gsb,
+            # ntv1_can.dat,conus' in test/cli/testntv2)
+            op = datum_mod.build_nadgrids_op(
+                str(names), self.params.get("ellps", "GRS80"))
+            self.hgridshifts = [op] if op is not None else []
+            return
         shifts = []
         for nm in str(names).split(","):
             optional = nm.startswith("@")
             nm = nm.lstrip("@")
             try:
-                op_cls = (datum_mod.REGISTRY["hgridshift"] if kind == "nadgrids"
-                          else datum_mod.REGISTRY["vgridshift"])
-                shifts.append(op_cls({"grids": nm, "ellps":
-                                      self.params.get("ellps", "GRS80")}))
+                shifts.append(datum_mod.REGISTRY["vgridshift"](
+                    {"grids": nm,
+                     "ellps": self.params.get("ellps", "GRS80")}))
             except (KeyError, ValueError, NotImplementedError) as exc:
                 if optional:
-                    # '@grid' marks the grid optional: an unloadable
-                    # optional grid is skipped, not an error (reference
-                    # grid-list semantics, src/grids.cpp '@' prefix) —
-                    # e.g. +datum=NAD27's @conus list degrades to a pure
-                    # ellipsoid change when no grid files are present
                     continue
                 raise NotImplementedError(
                     f"+{kind}={names}: grid {nm!r} not registered "
                     f"(pjd_err_failed_to_load_grid)") from exc
-        if kind == "nadgrids":
-            self.hgridshifts = shifts
-        else:
-            self.vgridshifts = shifts
+        self.vgridshifts = shifts
 
     def setup(self) -> None:  # pragma: no cover - trivial default
         """Precompute plan-time constants (the PROJECTION(xxx) body)."""

@@ -227,30 +227,33 @@ class DatumChain:
 # DMS output (rtodms port)
 # ---------------------------------------------------------------------------
 
-_RTODMS_RES = 1000.0
-_RTODMS_RES60 = 60000.0
-_RTODMS_CONV = 206264806.24709635516     # 180*3600*RES/pi
-
-
-def rtodms(r: float, pos: str, neg: str) -> str:
-    """Radians -> the reference's DMS ascii form (src/rtodms.cpp at the
-    default 3-fractional-second precision): DDdMM'SS.SSS"H with zero
-    seconds/minutes fields dropped from the right and trailing zeros
-    trimmed off the seconds fraction — the exact cs2cs default output
-    the test/cli golden files record."""
+def rtodms(r: float, pos: str, neg: str, fract: int = 3,
+           con_w: bool = False) -> str:
+    """Radians -> the reference's DMS ascii form (src/rtodms.cpp):
+    DDdMM'SS.SSS"H with zero seconds/minutes fields dropped from the
+    right and trailing zeros trimmed off the seconds fraction — the
+    exact cs2cs default output the test/cli golden files record.
+    `fract` is the seconds precision (set_rtodms; cs2cs -w); `con_w`
+    selects the constant-width form (-W: zero-padded fields, no
+    trimming)."""
     import math as _m
+    res = 10.0 ** fract
+    conv = 180.0 * 3600.0 * res / _m.pi
     if r < 0:
         r = -r
         sign = neg
     else:
         sign = pos
-    r = _m.floor(r * _RTODMS_CONV + 0.5)
-    sec = _m.fmod(r / _RTODMS_RES, 60.0)
-    r = _m.floor(r / _RTODMS_RES60)
+    r = _m.floor(r * conv + 0.5)
+    sec = _m.fmod(r / res, 60.0)
+    r = _m.floor(r / (res * 60.0))
     mnt = int(_m.fmod(r, 60.0))
     deg = int(_m.floor(r / 60.0))
+    if con_w:
+        width = fract + 2 + (1 if fract else 0)
+        return f"{deg}d{mnt:02d}'{sec:0{width}.{fract}f}\"{sign}"
     if sec != 0.0:
-        s = f"{sec:.3f}".rstrip("0").rstrip(".")
+        s = f"{sec:.{fract}f}".rstrip("0").rstrip(".")
         return f"{deg}d{mnt}'{s}\"{sign}"
     if mnt:
         return f"{deg}d{mnt}'{sign}"

@@ -98,9 +98,20 @@ def nad_intr(tlam, tphi, grid: Grid):
     return np.where(ok, v, NAN)
 
 
-def nad_cvt(lam, phi, inverse: bool, grid: Grid):
-    """Apply a horizontal shift grid (src/nad_cvt.cpp): forward is a
-    direct lookup (lam -= dlam, phi += dphi); inverse iterates."""
+_NAD_TOL = 1e-12          # nad_cvt.cpp TOL
+_NAD_MAX_ITER = 10        # nad_cvt.cpp MAX_ITERATIONS
+
+
+def nad_cvt(lam, phi, inverse: bool, grid: Grid, roots=None):
+    """Apply a horizontal shift grid (src/nad_cvt.cpp, exact port):
+    forward is a direct lookup (lam -= dlam, phi += dphi); inverse
+    iterates to TOL=1e-12 (squared test, max 10 iterations), exits
+    early on a null grid (del == 0), falls back to the first
+    approximation when the iteration walks off the grid edge, and —
+    when `roots` (the full ordered table list) is given — SWITCHES to
+    the table containing the current iterate like the reference does
+    (nad_cvt.cpp:46-70, the ALraymnd -> CAwest case of
+    test/cli/testntv2)."""
     tb_lam = mu.adjlon(lam - grid.ll[0] - np.pi) + np.pi
     tb_phi = phi - grid.ll[1]
     dl, dp = nad_intr(tb_lam, tb_phi, grid)
@@ -108,19 +119,130 @@ def nad_cvt(lam, phi, inverse: bool, grid: Grid):
         out_lam = np.where(np.isnan(dl), NAN, lam - dl)
         out_phi = np.where(np.isnan(dp), NAN, phi + dp)
         return out_lam, out_phi
+    nanmask = np.isnan(dl)
     t_lam = tb_lam + dl
     t_phi = tb_phi - dp
-    for _ in range(10):
+    active = ~nanmask          # still iterating
+    failed = np.zeros_like(active)
+    switchers = np.zeros_like(active)   # need the scalar switching path
+    toltol = _NAD_TOL * _NAD_TOL
+    for it in range(_NAD_MAX_ITER):
+        if not active.any():
+            break
         ddl, ddp = nad_intr(t_lam, t_phi, grid)
-        bad = np.isnan(ddl)
-        dif_lam = np.where(bad, 0.0, t_lam - ddl - tb_lam)
-        dif_phi = np.where(bad, 0.0, t_phi + ddp - tb_phi)
+        # null grid: both components exactly zero -> break with t as-is
+        null_exit = active & (ddl == 0.0) & (ddp == 0.0)
+        active = active & ~null_exit
+        # walked off the grid edge: without a table list, use the first
+        # approximation (break); with one, defer to the scalar switcher
+        edge = active & np.isnan(ddl)
+        if roots is not None:
+            switchers |= edge
+        active = active & ~edge
+        dif_lam = np.where(active, t_lam - ddl - tb_lam, 0.0)
+        dif_phi = np.where(active, t_phi + ddp - tb_phi, 0.0)
         t_lam = t_lam - dif_lam
         t_phi = t_phi - dif_phi
+        converged = active & (dif_lam * dif_lam + dif_phi * dif_phi
+                              <= toltol)
+        # `--i` runs before the tolerance test, so a point converging
+        # on the 10th update still exits with i==0 and FAILS in the
+        # reference — only updates 1..9 can succeed
+        if it < _NAD_MAX_ITER - 1:
+            active = active & ~converged
+    # 10 updates without convergence -> failure (HUGE_VAL in the
+    # reference; NaN here)
+    failed |= active
     out_lam = mu.adjlon(t_lam + grid.ll[0])
     out_phi = t_phi + grid.ll[1]
-    nanmask = np.isnan(dl)
-    return np.where(nanmask, NAN, out_lam), np.where(nanmask, NAN, out_phi)
+    bad = nanmask | failed
+    out_lam = np.where(bad, NAN, out_lam)
+    out_phi = np.where(bad, NAN, out_phi)
+    if roots is not None and switchers.any():
+        idx = np.nonzero(switchers)[0]
+        for k in idx:
+            sl, sp = _nad_cvt_inv_scalar(float(lam.flat[k]),
+                                         float(phi.flat[k]), grid, roots)
+            out_lam.flat[k] = sl
+            out_phi.flat[k] = sp
+    return out_lam, out_phi
+
+
+def _nad_cvt_inv_scalar(in_lam: float, in_phi: float, grid: Grid, roots):
+    """One-point transliteration of the reference's inverse nad_cvt
+    WITH table switching (nad_cvt.cpp:37-97) — the rare path taken when
+    the iterate exits the initial table mid-iteration."""
+    import math
+
+    def intr(tl, tp, g):
+        a = np.array([tl])
+        b = np.array([tp])
+        x, y = nad_intr(a, b, g)
+        return float(x[0]), float(y[0])
+
+    ct = grid
+    tb_lam = mu.adjlon(in_lam - ct.ll[0] - math.pi) + math.pi
+    tb_phi = in_phi - ct.ll[1]
+    dl, dp = intr(tb_lam, tb_phi, ct)
+    if math.isnan(dl):
+        return NAN, NAN
+    t_lam = tb_lam + dl
+    t_phi = tb_phi - dp
+    toltol = _NAD_TOL * _NAD_TOL
+    i = _NAD_MAX_ITER
+    del_lam = del_phi = 0.0
+    while True:
+        del_lam, del_phi = intr(t_lam, t_phi, ct)
+        if del_lam == 0.0 and del_phi == 0.0:
+            break
+        if math.isnan(del_lam):
+            # fetch the table containing the current iterate
+            lp_lam = t_lam + ct.ll[0]
+            lp_phi = t_phi + ct.ll[1]
+            new_ct = _find_ctable_scalar(lp_lam, lp_phi, roots)
+            if new_ct is None or new_ct is ct:
+                break
+            ct = new_ct
+            t_lam = lp_lam - ct.ll[0]
+            t_phi = lp_phi - ct.ll[1]
+            tb_lam = mu.adjlon(in_lam - ct.ll[0] - math.pi) + math.pi
+            tb_phi = in_phi - ct.ll[1]
+            i -= 1            # `continue` in the do-while still runs --i
+            if i == 0:        # dif was reset to DBL_MAX: never converged
+                break
+            continue
+        dif_lam = t_lam - del_lam - tb_lam
+        dif_phi = t_phi + del_phi - tb_phi
+        t_lam -= dif_lam
+        t_phi -= dif_phi
+        i -= 1
+        if i == 0 or dif_lam * dif_lam + dif_phi * dif_phi <= toltol:
+            break
+    if i == 0:
+        return NAN, NAN
+    return mu.adjlon(t_lam + ct.ll[0]), t_phi + ct.ll[1]
+
+
+def _find_ctable_scalar(lam: float, phi: float, roots):
+    """find_ctable (apply_gridshift.cpp:113-174) for one point over an
+    ordered GridNode root list, returning the selected node's Grid."""
+    a = np.array([lam])
+    b = np.array([phi])
+    for root in roots:
+        if not bool(root._bbox_contains(a, b)[0]):
+            continue
+        node = root
+        while node.children:
+            hit = None
+            for child in node.children:
+                if bool(child._bbox_contains(a, b)[0]):
+                    hit = child
+                    break
+            if hit is None:
+                break
+            node = hit
+        return node.grid
+    return None
 
 
 def _resolve_grid(params: dict, key: str = "grids"):
@@ -137,6 +259,58 @@ def _resolve_grid(params: dict, key: str = "grids"):
     raise ValueError(f"grid {name!r} not registered (register a Grid in "
                      "GRID_REGISTRY or load a file via "
                      "proj_spark.grids.register_grid_file)")
+
+
+def build_nadgrids_op(names: str, ellps: str = "GRS80"):
+    """+nadgrids chain -> one list-aware HGridShift (emulation
+    semantics), honoring '@' optional entries; returns None when every
+    entry is optional-and-unregistered (the reference's degraded
+    +datum=NAD27-without-grid-files behavior) and raises for a missing
+    REQUIRED grid (pjd_err_failed_to_load_grid)."""
+    kept = []
+    for nm in str(names).split(","):
+        optional = nm.startswith("@")
+        bare = nm.lstrip("@")
+        if bare != "null" and bare not in GRID_REGISTRY:
+            if optional:
+                continue
+            raise NotImplementedError(
+                f"+nadgrids={names}: grid {bare!r} not registered "
+                f"(pjd_err_failed_to_load_grid)")
+        kept.append(nm)
+    if not kept:
+        return None
+    grids = ",".join(kept) if len(kept) > 1 else kept[0].lstrip("@")
+    return REGISTRY["hgridshift"]({"grids": grids, "ellps": ellps})
+
+
+def _grid_list_roots(names: str):
+    """Resolve a +nadgrids comma list to an ordered GridNode sequence
+    (pj_gridlist_from_nadgrids): each .gsb contributes its top-level
+    subgrids in file order, a bare Grid becomes one node, 'null' is the
+    reference's whole-world zero CTABLE2 (data/null), '@name' entries
+    are optional (skipped when unregistered)."""
+    from proj_spark.grids import GridNode, GridSet, null_grid
+    roots = []
+    for nm in names.split(","):
+        nm = nm.strip()
+        optional = nm.startswith("@")
+        nm = nm.lstrip("@")
+        if nm == "null":
+            roots.append(GridNode(name="null", parent="NONE",
+                                  grid=null_grid()))
+            continue
+        g = GRID_REGISTRY.get(nm)
+        if g is None:
+            if optional:
+                continue
+            raise ValueError(f"grid {nm!r} not registered "
+                             "(pjd_err_failed_to_load_grid)")
+        if isinstance(g, GridSet):
+            roots.extend(g.roots)
+        else:
+            roots.append(GridNode(name=nm, parent="NONE", grid=g))
+    return roots
 
 
 class _Datum3D(Operation):
@@ -180,27 +354,49 @@ class HGridShift(_Datum3D):
     proj_name = "hgridshift"
 
     def setup(self) -> None:
-        self.grid = _resolve_grid(self.params)
+        names = str(self.params.get("grids", "null"))
+        if "," in names:
+            # ordered grid LIST (the +nadgrids chain): resolve every
+            # entry to its top-level tables, in list order — per-point
+            # dispatch then follows find_ctable over the whole sequence
+            # (apply_gridshift.cpp pj_gridlist_from_nadgrids ordering)
+            self.grid = None
+            self.roots = _grid_list_roots(names)
+        else:
+            self.grid = _resolve_grid(self.params)
+            self.roots = None
         self.t_final = float(self.params.get("t_final", 0.0))
         self.t_epoch = float(self.params.get("t_epoch", 0.0))
 
     def _shift(self, lam, phi, inverse):
-        if self.grid is None:
+        if self.grid is None and self.roots is None:
             return lam, phi
         if isinstance(self.grid, Grid):
             return nad_cvt(lam, phi, inverse, self.grid)
-        # GridSet: vectorized find_ctable (apply_gridshift.cpp:113-174);
-        # unmatched points stay unshifted (the reference's non-SEVERE
-        # fallback, apply_gridshift.cpp:247-255)
+        from proj_spark.grids import GridSet
+        roots = self.roots if self.roots is not None else self.grid.roots
+        # vectorized find_ctable (apply_gridshift.cpp:113-174).  In
+        # emulation mode (the +nadgrids chain), unmatched points stay
+        # unshifted (the reference's non-SEVERE fallback,
+        # apply_gridshift.cpp:247-255), as do points whose nad_cvt
+        # fails.  In STRICT mode (a database grid operation inside a
+        # planner candidate, +proj=hgridshift semantics) such points
+        # FAIL with NaN so proj_trans retries the next candidate —
+        # testntv2's "-111.5 45.26 falls in ntv2_0's bbox but no
+        # subgrid, retry picks conus" depends on this.
+        strict = "strict" in self.params
         lam = np.asarray(lam, dtype=np.float64)
         phi = np.asarray(phi, dtype=np.float64)
-        out_lam = lam.copy()
-        out_phi = phi.copy()
-        for node, mask in self.grid.select(lam, phi):
-            sl, sp = nad_cvt(lam[mask], phi[mask], inverse, node.grid)
-            # in-bbox but out-of-cell edge lookups yield NaN: keep input
-            out_lam[mask] = np.where(np.isnan(sl), lam[mask], sl)
-            out_phi[mask] = np.where(np.isnan(sp), phi[mask], sp)
+        miss = NAN if strict else 0.0
+        out_lam = lam + miss
+        out_phi = phi + miss
+        for node, mask in GridSet(roots).select(lam, phi):
+            sl, sp = nad_cvt(lam[mask], phi[mask], inverse, node.grid,
+                             roots=roots)
+            fb_lam = (NAN if strict else lam[mask])
+            fb_phi = (NAN if strict else phi[mask])
+            out_lam[mask] = np.where(np.isnan(sl), fb_lam, sl)
+            out_phi[mask] = np.where(np.isnan(sp), fb_phi, sp)
         return out_lam, out_phi
 
     def fwd3d(self, lam, phi, z):

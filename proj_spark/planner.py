@@ -610,9 +610,32 @@ class _Leg:
                 definition_, _ = cs2cs.PJ_DATUMS[name]
                 if definition_.startswith("towgs84="):
                     tw = definition_.split("=", 1)[1]
+                elif definition_.startswith("nadgrids="):
+                    # grid-type datum (+datum=NAD27): the datum IS its
+                    # grid list (src/datums.cpp); carried on the leg so
+                    # the hub route applies it when files are present
+                    self.params.setdefault(
+                        "nadgrids", definition_.split("=", 1)[1])
         self.towgs84 = cs2cs.parse_towgs84(tw) if tw is not None else None
         self.chain = cs2cs.DatumChain(self.proj_op.ell.a, self.proj_op.ell.es,
                                       self.towgs84)
+        # leg-level grids (BoundCRS semantics for proj-string legs):
+        # +nadgrids -> list-aware hgridshift, which takes PRECEDENCE
+        # over any helmert info ("We ignore helmert if we have grid
+        # shift", src/4D_api.cpp:629); +geoidgrids -> vgridshift
+        from proj_spark.operations import datum as datum_mod
+        self.hgrid = None
+        self.vgrid = None
+        if "nadgrids" in self.params:
+            self.hgrid = datum_mod.build_nadgrids_op(
+                str(self.params["nadgrids"]),
+                self.params.get("ellps", "GRS80"))
+        if "geoidgrids" in self.params:
+            gname = str(self.params["geoidgrids"]).lstrip("@")
+            if gname in datum_mod.GRID_REGISTRY:
+                self.vgrid = datum_mod.REGISTRY["vgridshift"](
+                    {"grids": gname,
+                     "ellps": self.params.get("ellps", "GRS80")})
 
     def _note_crs_kind(self, code: int) -> None:
         """Record EPSG axis/dimensionality facts for a code-resolved
@@ -718,9 +741,13 @@ class _HubPipeline:
         self.datum_fwd = datum_fwd
         self.datum_inv = datum_inv
         # geocentric / geographic-3D CRSs are inherently 3D: their z IS
-        # a coordinate, never push/pop-preserved
+        # a coordinate, never push/pop-preserved; likewise compound
+        # legs with a vertical grid (+geoidgrids) — their datum step
+        # TRANSFORMS the height (cs2cs.cpp promotes compound CRSs to 3D)
         self.carries_height = (getattr(src, "is_3d", False)
-                               or getattr(dst, "is_3d", False))
+                               or getattr(dst, "is_3d", False)
+                               or getattr(src, "vgrid", None) is not None
+                               or getattr(dst, "vgrid", None) is not None)
 
     def fwd3d(self, x, y, z, t=None):
         lam, phi, h = self.src.to_hub_geodetic(x, y, z)
@@ -803,7 +830,8 @@ def _datum_ops_from_known(src: _Leg, dst: _Leg, op: KnownOp):
     if op.kind == "hgridshift":
         from proj_spark.operations import datum as datum_mod
         g = datum_mod.REGISTRY["hgridshift"](
-            {"grids": op.params, "ellps": src.params.get("ellps", "GRS80")})
+            {"grids": op.params, "ellps": src.params.get("ellps", "GRS80"),
+             "strict": True})
         return ((lambda lam, phi, h, t=None: g.fwd3d(lam, phi, h)),
                 (lambda lam, phi, h, t=None: g.inv3d(lam, phi, h)))
     if op.kind == "helmert14":
@@ -849,26 +877,51 @@ def _ballpark_ops(src: _Leg, dst: _Leg):
     shifted meaningfully, so lon/lat pass through (the 'ballpark
     geographic offset'; test/cli/tv_out.dist records exactly this for
     clrk66 -> bessel)."""
-    if src.towgs84 is None and src.params.get("datum") is None:
-        srcc = dstc = None
-    elif dst.towgs84 is None and dst.params.get("datum") is None:
+    src_h = getattr(src, "hgrid", None)
+    dst_h = getattr(dst, "hgrid", None)
+    src_v = getattr(src, "vgrid", None)
+    dst_v = getattr(dst, "vgrid", None)
+
+    def _known(leg, grid):
+        return (leg.towgs84 is not None or grid is not None
+                or leg.params.get("datum") is not None)
+
+    if not (_known(src, src_h) and _known(dst, dst_h)):
         srcc = dstc = None
     else:
-        srcc = src.chain if src.chain.active else None
-        dstc = dst.chain if dst.chain.active else None
+        # a grid shift supersedes the side's helmert info
+        # (src/4D_api.cpp:629 "We ignore helmert if we have grid shift")
+        srcc = src.chain if src.chain.active and src_h is None else None
+        dstc = dst.chain if dst.chain.active and dst_h is None else None
 
     def fwd(lam, phi, h, t=None):
-        if srcc is not None:
+        if src_v is not None:          # orthometric -> ellipsoidal
+            lam, phi, h = src_v.inv3d(lam, phi, h)
+        if src_h is not None:
+            lam, phi, h = src_h.fwd3d(lam, phi, h)
+        elif srcc is not None:
             lam, phi, h = srcc.local_to_wgs84(lam, phi, h)
-        if dstc is not None:
+        if dst_h is not None:
+            lam, phi, h = dst_h.inv3d(lam, phi, h)
+        elif dstc is not None:
             lam, phi, h = dstc.wgs84_to_local(lam, phi, h)
+        if dst_v is not None:          # ellipsoidal -> orthometric
+            lam, phi, h = dst_v.fwd3d(lam, phi, h)
         return lam, phi, h
 
     def inv(lam, phi, h, t=None):
-        if dstc is not None:
+        if dst_v is not None:
+            lam, phi, h = dst_v.inv3d(lam, phi, h)
+        if dst_h is not None:
+            lam, phi, h = dst_h.fwd3d(lam, phi, h)
+        elif dstc is not None:
             lam, phi, h = dstc.local_to_wgs84(lam, phi, h)
-        if srcc is not None:
+        if src_h is not None:
+            lam, phi, h = src_h.inv3d(lam, phi, h)
+        elif srcc is not None:
             lam, phi, h = srcc.wgs84_to_local(lam, phi, h)
+        if src_v is not None:
+            lam, phi, h = src_v.fwd3d(lam, phi, h)
         return lam, phi, h
 
     return fwd, inv

@@ -12,10 +12,42 @@ from __future__ import annotations
 import numpy as np
 
 
+def _tokenize_projstring(s: str) -> list[str]:
+    """Whitespace split honoring double-quoted segments with "" as an
+    escaped quote — the reference's pj_trim_argc/argv quoting
+    (src/utils.cpp; test/cli/testdatumfile passes
+    +nadgrids="./dir with "" space/myconus")."""
+    if '"' not in s:
+        return s.split()
+    toks, cur, inq = [], [], False
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == '"':
+            if inq and i + 1 < len(s) and s[i + 1] == '"':
+                cur.append('"')
+                i += 2
+                continue
+            inq = not inq
+            i += 1
+            continue
+        if c.isspace() and not inq:
+            if cur:
+                toks.append("".join(cur))
+                cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    if cur:
+        toks.append("".join(cur))
+    return toks
+
+
 def parse_projstring(s: str) -> dict:
     """'+proj=utm +zone=32 +south' -> {'proj': 'utm', 'zone': '32', 'south': True}."""
     params: dict = {}
-    for tok in s.split():
+    for tok in _tokenize_projstring(s):
         tok = tok.lstrip("+")
         if not tok:
             continue

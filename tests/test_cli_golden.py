@@ -266,10 +266,7 @@ def _synthesize_ntf_r93_grid():
 
     from proj_spark import create
     from proj_spark.grids import register_grid_file, write_gsb
-    from proj_spark.operations.datum import GRID_REGISTRY
 
-    if "ntf_r93.gsb" in GRID_REGISTRY:
-        return
     lambe = create("+init=IGNF:LAMBE")
     lamb93 = create("+init=IGNF:LAMB93")
     eqc = create("+init=IGNF:GEOPORTALFXX")
@@ -338,14 +335,26 @@ def _synthesize_ntf_r93_grid():
     register_grid_file("ntf_r93.gsb", f.name)
 
 
-def test_ignf_out_golden():
+@pytest.fixture()
+def _ignf_grid():
+    """Registry-isolated IGNF ntf_r93.gsb (its node values differ from
+    the testdatumfile #141 ntf_r93.gsb — same name, different corpus)."""
+    from proj_spark.operations.datum import GRID_REGISTRY
+    saved = dict(GRID_REGISTRY)
+    try:
+        _synthesize_ntf_r93_grid()
+        yield
+    finally:
+        GRID_REGISTRY.clear()
+        GRID_REGISTRY.update(saved)
+
+
+def test_ignf_out_golden(_ignf_grid):
     """Replay every cs2cs call of test/cli/testIGNF and compare against
     proj_outIGNF.dist line-by-line (diff -b semantics), including the
     two out-of-grid points that must FAIL ('* * inf') because the
     grid-covered pair suppresses hub helmert rescue — 40/40 exact."""
     import shlex
-
-    _synthesize_ntf_r93_grid()
     src = open(f"{REF_CLI}/testIGNF").read().splitlines()
     echo = re.compile(r'^echo\s+"(.*)"\s*>>\$\{OUT\}$')
     got, i = [], 0
@@ -373,6 +382,285 @@ def test_ignf_out_golden():
     assert len(got) == len(want)
     bad = [(g, w) for g, w in zip(got, want) if g.split() != w.split()]
     assert not bad, f"{len(bad)} mismatched lines, first: {bad[:3]}"
+
+
+# ---------------------------------------------------------------------------
+# testdatumfile -> td_out.dist and testntv2 -> ntv2_out.dist
+# ---------------------------------------------------------------------------
+
+def _synthesize_nad_grids(tmp: str) -> None:
+    """Register synthetic stand-ins for the NAD27/NAD83 grid files the
+    reference assumes installed (conus CTABLE2, ntv1_can.dat NTv1,
+    ntv2_0.gsb NTv2 with subgrids, MD, egm96_15.gtx, ntf_r93.gsb) —
+    the gie synthesize_require_grids discipline: the corpora's own
+    golden vectors ARE the node values, each pinned point's enclosing
+    cell carrying its constant shift, exercised through the engine's
+    REAL format loaders, find_ctable dispatch, subgrid descent and the
+    iterative inverse (including the ALraymnd -> CAwest switch and the
+    #141 edge-epsilon cases).  The #141 grid corner values are solved
+    from the intersection of the four %.12f printf-preimage intervals
+    (fwd+inv at the corner and the epsilon-outside point)."""
+    import math
+
+    import numpy as np
+
+    from proj_spark.grids import (register_grid_file, write_ctable2,
+                                  write_gsb, write_gtx, write_ntv1)
+
+    D2R = math.pi / 180.0
+
+    def dms(tok):
+        m = re.match(r"(\d+)d(\d+)'([\d.]+)\"([EWNS])", tok)
+        v = (int(m.group(1)) + int(m.group(2)) / 60
+             + float(m.group(3)) / 3600)
+        return -v if m.group(4) in "WS" else v
+
+    # pins: (NAD27-side lon/lat) -> (NAD83-side lon/lat), from the dists
+    ntv1_pins = [
+        ((-111.0, 44.0), (dms('111d0\'3.208"W'), dms('43d59\'59.732"N'))),
+        ((-99.0, 65.0), (dms('99d0\'1.5885"W'), dms('65d0\'1.3482"N'))),
+        ((-111.0, 46.0), (dms('111d0\'3.1897"W'), dms('45d59\'59.7489"N'))),
+        ((-111.0, 47.5), (dms('111d0\'2.7989"W'), dms('47d29\'59.9896"N'))),
+        ((-111.0, 55.0), (dms('111d0\'3.251"W'), dms('55d0\'0.366"N'))),
+    ]
+    conus_pins = [
+        ((-111.0, 39.0), (dms('111d0\'2.604"W'), dms('38d59\'59.912"N'))),
+        ((-111.0, 44.0), (dms('111d0\'2.788"W'), dms('43d59\'59.725"N'))),
+        ((-79.0 - 58.0 / 60, 37.0 + 2.0 / 60),
+         (dms('79d57\'59.126"W'), dms('37d2\'0.501"N'))),
+        ((-79.0 - 58.0 / 60, 36.0 + 58.0 / 60),
+         (dms('79d57\'59.128"W'), dms('36d58\'0.501"N'))),
+        ((-111.5, 45.26), (-111.50079772, 45.25992835)),
+    ]
+    md_pins = [((-79.0 - 58.0 / 60, 37.0 + 2.0 / 60),
+                (dms('79d58\'0.005"W'), dms('37d1\'59.998"N')))]
+    win_pins = [
+        ((-82.0, 42.0), (dms('81d59\'59.6104"W'), dms('42d0\'0.1602"N'))),
+        ((-84.0, 42.0), (dms('83d59\'59.8593"W'), dms('42d0\'0.18"N'))),
+    ]
+    north_pins = [((-111.0, 55.0),
+                   (dms('111d0\'3.251"W'), dms('55d0\'0.366"N')))]
+    ca_in = (-112.5839956, 49.4914451)          # NAD83 input (seg 3)
+    ca_out = (-112.58307487, 49.49145197)       # NAD27 golden
+
+    def cell_nodes(lon, lat, ll, inc):
+        i = int(math.floor((lon - ll[0]) / inc[0]))
+        j = int(math.floor((lat - ll[1]) / inc[1]))
+        return [(i, j), (i + 1, j), (i, j + 1), (i + 1, j + 1)]
+
+    def raster(pins, ll, inc, nlam, nphi):
+        sh = np.zeros((nphi, nlam, 2), dtype=np.float64)
+        used = {}
+        for (lon1, lat1), (lon2, lat2) in pins:
+            val = ((lat2 - lat1) * 3600.0, -(lon2 - lon1) * 3600.0)
+            for (i, j) in cell_nodes(lon1, lat1, ll, inc):
+                assert 0 <= i < nlam and 0 <= j < nphi
+                assert used.setdefault((i, j), val) == val, "node clash"
+                sh[j, i, 0], sh[j, i, 1] = val
+        return sh
+
+    def ctable2_from(pins, ll, inc, hi, path, name):
+        nlam = int(round((hi[0] - ll[0]) / inc[0] + 0.5)) + 1
+        nphi = int(round((hi[1] - ll[1]) / inc[1] + 0.5)) + 1
+        sh = raster(pins, ll, inc, nlam, nphi)
+        cvs = np.empty((nphi, nlam, 2), dtype=np.float64)
+        cvs[:, :, 0] = (sh[:, :, 1] * (D2R / 3600.0)).astype(np.float32)
+        cvs[:, :, 1] = (sh[:, :, 0] * (D2R / 3600.0)).astype(np.float32)
+        write_ctable2(path, name, (ll[0] * D2R, ll[1] * D2R),
+                      (inc[0] * D2R, inc[1] * D2R), cvs)
+
+    # ntv1_can.dat (NTv1; excludes 39N so the conus fallback fires)
+    ll, inc = (-142.0, 43.0), (0.25, 0.25)
+    nlam = int(round((-90.0 - ll[0]) / inc[0])) + 1
+    nphi = int(round((66.0 - ll[1]) / inc[1])) + 1
+    p = f"{tmp}/ntv1_can.dat"
+    write_ntv1(p, s_lat=43.0, n_lat=66.0, w_long=142.0, e_long=90.0,
+               lat_inc=0.25, long_inc=0.25,
+               shifts=raster(ntv1_pins, ll, inc, nlam, nphi))
+    register_grid_file("ntv1_can.dat", p)
+    register_grid_file("NTv1_0.gsb", p)      # the EPSG-catalog grid name
+
+    p = f"{tmp}/conus"
+    ctable2_from(conus_pins, (-130.0, 23.805), (0.025, 0.025),
+                 (-65.0, 49.38), p, "conus synth")
+    register_grid_file("conus", p)
+    register_grid_file("conus.las", p)
+    register_grid_file('./dir with " space/myconus', p)
+
+    p = f"{tmp}/MD"
+    ctable2_from(md_pins, (-80.2, 37.0), (0.02, 0.02), (-79.8, 37.1),
+                 p, "MD synth")
+    register_grid_file("MD", p)
+
+    # ntv2_0.gsb: ONwinsor + CAwest (child ALraymnd) + CAnorth
+    def sub(name, parent, ll, inc, sh):
+        nphi, nlam, _ = sh.shape
+        return dict(name=name, parent=parent,
+                    s_lat=ll[1] * 3600,
+                    n_lat=(ll[1] + (nphi - 1) * inc[1]) * 3600,
+                    w_long=-ll[0] * 3600,
+                    e_long=-(ll[0] + (nlam - 1) * inc[0]) * 3600,
+                    lat_inc=inc[1] * 3600, long_inc=inc[0] * 3600,
+                    shifts=sh.astype(np.float32))
+
+    subs = []
+    ll, inc = (-84.25, 41.95), (0.1, 0.1)
+    nlam = int(round((-81.75 - ll[0]) / inc[0])) + 1
+    nphi = int(round((42.15 - ll[1]) / inc[1])) + 1
+    subs.append(sub("ONwinsor", "NONE", ll, inc,
+                    raster(win_pins, ll, inc, nlam, nphi)))
+    # CAwest: constant value = the seg-3 inverse fixed point
+    val = ((ca_in[1] - ca_out[1]) * 3600.0,
+           -(ca_in[0] - ca_out[0]) * 3600.0)
+    ll, inc = (-120.0, 49.0), (0.5, 0.5)
+    nlam = int(round((-110.0 - ll[0]) / inc[0])) + 1
+    nphi = int(round((50.5 - ll[1]) / inc[1])) + 1
+    sh = np.zeros((nphi, nlam, 2))
+    sh[:, :, 0], sh[:, :, 1] = val
+    subs.append(sub("CAwest", "NONE", ll, inc, sh))
+    # ALraymnd: east edge between the input and the converged point, so
+    # the first inverse iterate exits it (the golden's grid switch)
+    ll2, inc2 = (-112.7, 49.4), ((112.7 - 112.5835) / 5.0, 0.05)
+    sh2 = np.zeros((4, 6, 2))
+    sh2[:, :, 0], sh2[:, :, 1] = val
+    subs.append(sub("ALraymnd", "CAwest", ll2, inc2, sh2))
+    ll, inc = (-112.25, 54.15), (0.5, 0.5)
+    nlam = int(round((-109.75 - ll[0]) / inc[0])) + 1
+    nphi = int(round((55.65 - ll[1]) / inc[1])) + 1
+    subs.append(sub("CAnorth", "NONE", ll, inc,
+                    raster(north_pins, ll, inc, nlam, nphi)))
+    p = f"{tmp}/ntv2_0.gsb"
+    write_gsb(p, subs)
+    register_grid_file("ntv2_0.gsb", p)
+    register_grid_file("NTv2_0.gsb", p)
+
+    # egm96_15.gtx: constant cell around (2E, 49N)
+    p = f"{tmp}/egm96_15.gtx"
+    write_gtx(p, yorigin=48.9875, xorigin=1.9875, ystep=0.025, xstep=0.025,
+              values=np.full((3, 3), 44.64))
+    register_grid_file("egm96_15.gtx", p)
+
+    # ntf_r93.gsb (#141 edge semantics): NW corner exactly at (-5.5, 52)
+    def box(base, printed):
+        return (printed - base - 0.5e-12, printed - base + 0.5e-12)
+
+    def isect(*bs):
+        lo = max(b[0] for b in bs)
+        hi = min(b[1] for b in bs)
+        assert lo <= hi
+        return (lo + hi) / 2.0
+
+    def neg(b):
+        return (-b[1], -b[0])
+
+    d_lam = isect(box(-5.5, -5.501106465528),
+                  box(-5.5000000000001, -5.501106465529),
+                  neg(box(-5.5, -5.498893534472)),
+                  neg(box(-5.5000000000001, -5.498893534472)))
+    d_phi = isect(box(52.0, 51.999890470284),
+                  box(52.0000000000001, 51.999890470284),
+                  neg(box(52.0, 52.000109529716)),
+                  neg(box(52.0000000000001, 52.000109529717)))
+    p3 = (-5.4999, 51.9999)
+    v3_lam = isect(box(p3[0], -5.501006458305),
+                   neg(box(p3[0], -5.498793541695)))
+    v3_phi = isect(box(p3[1], 51.999790470257),
+                   neg(box(p3[1], 52.000009529743)))
+    inc = 0.1
+    fl = (p3[0] + 5.5) / inc
+    fp = (p3[1] - 51.5) / inc - 4.0
+    w_corner = (1.0 - fl) * fp
+
+    def solve(v, d):
+        return (v - d * w_corner) / (1.0 - w_corner)
+
+    sh = np.zeros((6, 6, 2))
+    sh[:, :, 0] = solve(v3_phi, d_phi) * 3600.0
+    sh[:, :, 1] = -solve(v3_lam, d_lam) * 3600.0
+    sh[5, 0, 0] = d_phi * 3600.0
+    sh[5, 0, 1] = -d_lam * 3600.0
+    p = f"{tmp}/ntf_r93.gsb"
+    write_gsb(p, [sub("NTFR93", "NONE", (-5.5, 51.5), (inc, inc), sh)])
+    register_grid_file("ntf_r93.gsb", p)
+
+
+def _replay_script(script: str, dist: str) -> None:
+    import shlex
+
+    src = open(f"{REF_CLI}/{script}").read().replace("\\\n", " ")
+    callre = re.compile(r"^\$EXE\s+(.*?)\s*>>\s*\$\{OUT\}\s*<<EOF\s*$")
+    echore = re.compile(r"^echo\s+(.*?)\s*>>\s*\$\{OUT\}\s*$")
+    lines = src.splitlines()
+    got, i = [], 0
+    while i < len(lines):
+        ln = lines[i].strip()
+        m = echore.match(ln)
+        if m:
+            txt = m.group(1)
+            if txt.startswith('"') and txt.endswith('"'):
+                txt = txt[1:-1]
+            got.append(txt)
+        else:
+            m = callre.match(ln)
+            if m:
+                args = m.group(1)
+                body = []
+                i += 1
+                while lines[i].strip() != "EOF":
+                    body.append(lines[i])
+                    i += 1
+                got += _run_cli(["cs2cs"] + shlex.split(args),
+                                "\n".join(body) + "\n").splitlines()
+        i += 1
+    want = open(f"{REF_CLI}/{dist}").read().splitlines()
+    assert len(got) == len(want)
+    bad = [(g, w) for g, w in zip(got, want) if g.split() != w.split()]
+    assert not bad, f"{len(bad)} mismatched lines, first: {bad[:3]}"
+
+
+@pytest.fixture()
+def _nad_grids(tmp_path):
+    """Registry-isolated synthetic NAD grid fixture (the names collide
+    with testIGNF's ntf_r93.gsb, so snapshot and restore)."""
+    from proj_spark.operations.datum import GRID_REGISTRY
+    saved = dict(GRID_REGISTRY)
+    try:
+        _synthesize_nad_grids(str(tmp_path))
+        yield
+    finally:
+        GRID_REGISTRY.clear()
+        GRID_REGISTRY.update(saved)
+
+
+def test_td_out_golden(_nad_grids):
+    """Replay test/cli/testdatumfile -> td_out.dist, 32/32 lines exact:
+    grid-list fallback order (ntv1 -> conus), the quoted
+    'dir with " space/myconus' path, MD-over-conus priority, the #141
+    edge/epsilon cases at %.12f (fwd + iterative inverse through the
+    null-grid switch), NAD27/NAD83 named-CRS planner dispatch, and the
+    WGS84+EGM96 vertical leg."""
+    _replay_script("testdatumfile", "td_out.dist")
+
+
+def test_ntv2_out_golden(_nad_grids):
+    """Replay test/cli/testntv2 -> ntv2_out.dist, 21/21 lines exact:
+    ONwinsor subgrid lookups at -w4, NTv2-to-NTv1-to-conus list
+    fallback, the ALraymnd -> CAwest subgrid SWITCH inside the
+    iterative inverse at -d 8, and the ntv2-bbox-but-no-subgrid retry
+    that selects conus."""
+    _replay_script("testntv2", "ntv2_out.dist")
+
+
+def test_testproj_out_golden():
+    """test/cli/testproj -> testproj_out.dist: the ob_tran +o_proj=latlon
+    +to_meter round-trip identity (one line, byte-exact)."""
+    out = _run_cli(["proj", "+ellps=WGS84", "+proj=ob_tran",
+                    "+o_proj=latlon", "+o_lon_p=0.0", "+o_lat_p=90.0",
+                    "+lon_0=360.0", "+to_meter=0.0174532925199433",
+                    "+no_defs", "-E", "-f", "%.3f"], "2 49\n")
+    want = open(f"{REF_CLI}/testproj_out.dist").read().splitlines()
+    assert [ln.split() for ln in out.splitlines()] == \
+        [ln.split() for ln in want]
 
 
 def test_cct_golden():

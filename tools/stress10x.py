@@ -76,6 +76,10 @@ def geo_queries(z_knn: int):
         # growing with n — a property of the data, not the plans.
         "stay_points": entry.q_stay_points,
         "url_edit_pairs": entry.q_url_edit_pairs,
+        # round-4 kernels (verdict item 7): the kinematic per-epoch
+        # Helmert matmul and the GTX bilinear closure
+        "itrf_drift": entry.q_itrf_drift,
+        "geoid_heights": entry.q_geoid_heights,
     }
 
 

@@ -76,9 +76,17 @@ def parse_file(path: str) -> list[dict]:
     return blocks
 
 
+#: .gie.failing files the ENGINE fully passes (round-4 triage, see
+#: COVERAGE.md "GIGS .failing triage"): promoted into the vendored
+#: suite even though the reference keeps them failing
+PROMOTED_FAILING = ["5101.4-jhs.gie.failing"]
+
+
 def main() -> None:
     out = []
-    for path in sorted(glob.glob(os.path.join(GIGS, "*.gie"))):
+    files = sorted(glob.glob(os.path.join(GIGS, "*.gie")))
+    files += [os.path.join(GIGS, f) for f in PROMOTED_FAILING]
+    for path in files:
         out.extend(parse_file(path))
     nvec = sum(len(b["vectors"]) for b in out)
     nrt = sum(len(b["roundtrips"]) for b in out)
