@@ -330,8 +330,164 @@ def cmd_cct(args) -> int:
     return 0
 
 
+def _projinfo_crs_display(definition: str, fmt: str | None) -> str:
+    """The reference projinfo's CRS display (projinfo.cpp outputObject):
+    'PROJ.4 string:' + WKT2:2019 by default, or the -o format(s); ALL
+    chains every format with blank-line separators.  Raises
+    NotImplementedError for object kinds the text layer doesn't model
+    (the caller falls back to the engine's own summary)."""
+    from proj_spark.projinfo_text import CrsDescription, proj4_string
+    code = definition.strip()
+    if code.upper().startswith("EPSG:"):
+        code = code.split(":", 1)[1]
+    if not code.isdigit():
+        raise NotImplementedError("projinfo display needs a catalog code")
+    d = CrsDescription(code)
+    head = ""
+    if d.deprecated:
+        head = "Warning: object is deprecated\n"
+        alt = d.cat.get("deprecation", {}).get(str(code))
+        if alt:
+            head += f"Alternative non-deprecated CRS:\n  EPSG:{alt}\n"
+        head += "\n"
+    blocks = {
+        "PROJ": lambda: "PROJ.4 string:\n" + proj4_string(code),
+        "WKT2_2019": lambda: "WKT2:2019 string:\n" + d.wkt2(True),
+        "WKT2_2015": lambda: "WKT2:2015 string:\n" + d.wkt2(False),
+        "WKT1_GDAL": lambda: "WKT1:GDAL string:\n" + d.wkt1_gdal(),
+        "WKT1_ESRI": lambda: "WKT1:ESRI string:\n" + d.wkt1_esri(),
+        "PROJJSON": lambda: "PROJJSON:\n" + d.projjson(),
+    }
+    if fmt is None:
+        return head + blocks["PROJ"]() + "\n\n" + blocks["WKT2_2019"]()
+    if fmt == "ALL":
+        # -o ALL chains the formats; the golden separates PROJ/WKT2
+        # blocks with one blank line and the WKT1:ESRI / PROJJSON
+        # blocks with two (projinfo.cpp outputObject newline pattern)
+        return (head
+                + "\n\n".join(blocks[k]() for k in (
+                    "PROJ", "WKT2_2015", "WKT2_2019", "WKT1_GDAL"))
+                + "\n\n\n" + blocks["WKT1_ESRI"]()
+                + "\n\n\n" + blocks["PROJJSON"]())
+    if fmt in blocks:
+        return head + blocks[fmt]()
+    raise NotImplementedError(f"projinfo -o {fmt}")
+
+
+def _projinfo_pair_summary(args) -> str:
+    """-s/-t --summary candidate listing (projinfo.cpp outputOperations
+    summary path); NotImplementedError falls back to the legacy view."""
+    from proj_spark.projinfo_text import resolve_area_arg, summary_listing
+    opts = {"-s": None, "-t": None}
+    aoi = None
+    spatial = "contains"
+    grid_check = "sort"
+    i = 0
+    summary = False
+    while i < len(args):
+        a = args[i]
+        if a in ("-s", "-t"):
+            opts[a] = args[i + 1]
+            i += 2
+        elif a == "--summary":
+            summary = True
+            i += 1
+        elif a == "--spatial-test":
+            spatial = args[i + 1]
+            i += 2
+        elif a == "--grid-check":
+            grid_check = args[i + 1]
+            i += 2
+        elif a == "--bbox":
+            w, s, e, n = (float(v) for v in args[i + 1].split(","))
+            aoi = (w, s, e, n)
+            i += 2
+        elif a == "--area":
+            bbox, err = resolve_area_arg(args[i + 1])
+            if err is not None:
+                return "\n".join(err)
+            aoi = bbox
+            i += 2
+        else:
+            raise NotImplementedError(f"projinfo flag {a}")
+    if not summary or opts["-s"] is None or opts["-t"] is None:
+        raise NotImplementedError("projinfo non-summary pair display")
+
+    def code_of(v):
+        v = v.strip().strip('"')
+        if v.upper().startswith("EPSG:") and v.split(":")[1].isdigit():
+            return v.split(":")[1]
+        if v.isdigit():
+            return v
+        from proj_spark import factory
+        c = factory.find_crs_by_name(v)
+        if c is None:
+            raise NotImplementedError(f"projinfo CRS name {v!r}")
+        return str(c)
+
+    return "\n".join(summary_listing(code_of(opts["-s"]),
+                                     code_of(opts["-t"]),
+                                     aoi=aoi, spatial_test=spatial,
+                                     grid_check=grid_check))
+
+
 def cmd_projinfo(args) -> int:
     from proj_spark import create, epsg
+    # reference-format display paths (testprojinfo golden); unsupported
+    # inputs fall through to the engine's own summary output below
+    try:
+        if "-s" in args and "-t" in args and "--summary" in args:
+            print(_projinfo_pair_summary(args))
+            return 0
+        if list(args[::2]) == ["-s", "-t"] and len(args) == 4:
+            from proj_spark import factory
+            from proj_spark.projinfo_text import (conversion_pair_listing,
+                                                  full_listing)
+
+            def _code(v):
+                v = v.strip()
+                if ":" in v and v.split(":", 1)[1].isdigit():
+                    return v.split(":", 1)[1]
+                if v.isdigit():
+                    return v
+                c = factory.find_crs_by_name(v)
+                if c is None:
+                    raise NotImplementedError(f"projinfo CRS name {v!r}")
+                return str(c)
+            s, d = _code(args[1]), _code(args[3])
+            try:
+                print(conversion_pair_listing(s, d))
+                return 0
+            except NotImplementedError:
+                print(full_listing(s, d))
+                return 0
+    except NotImplementedError:
+        pass
+    try:
+        if "-o" in args:
+            i = args.index("-o")
+            fmt = args[i + 1] if i + 1 < len(args) else ""
+            rest = [a for j, a in enumerate(args) if j not in (i, i + 1)]
+            if len(rest) == 1 and fmt in ("PROJ", "WKT2_2019", "WKT2_2015",
+                                          "WKT1_GDAL", "WKT1_ESRI",
+                                          "PROJJSON", "ALL"):
+                print(_projinfo_crs_display(rest[0], fmt))
+                return 0
+        elif len(args) == 1:
+            print(_projinfo_crs_display(args[0], None))
+            return 0
+        elif len(args) == 2 and "--3d" in args:
+            from proj_spark.projinfo_text import (CrsDescription,
+                                                  proj4_string)
+            code = [a for a in args if a != "--3d"][0]
+            if code.upper().startswith("EPSG:"):
+                code = code.split(":", 1)[1]
+            d = CrsDescription(code)
+            print("PROJ.4 string:\n" + proj4_string(code)
+                  + "\n\nWKT2:2019 string:\n" + d.wkt2_promoted_3d())
+            return 0
+    except NotImplementedError:
+        pass
     if "-o" in args:
         i = args.index("-o")
         if i + 1 >= len(args):

@@ -349,7 +349,7 @@ def crs_definition(code) -> str:
             if u is None or u[2] is None:
                 raise NotImplementedError(f"{_label(code)}: CS unit {uom!r}")
             parts.append(f"+to_meter={u[2]!r}")
-        spec = "".join(_ORIENT.get(o, "") for _, o, _ in axes[:2])
+        spec = "".join(_ORIENT.get(a[1], "") for a in axes[:2])
         # proj4-era init semantics (which the gie expectations follow):
         # plain axis REORDERING (northing-first CRSs) is ignored — values
         # stay easting,northing — but reversed directions (south/west

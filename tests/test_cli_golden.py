@@ -663,6 +663,93 @@ def test_testproj_out_golden():
         [ln.split() for ln in want]
 
 
+# ---------------------------------------------------------------------------
+# testprojinfo -> testprojinfo_out.dist (segment-wise)
+# ---------------------------------------------------------------------------
+
+#: golden segments the projinfo text layer replays byte-exactly; the
+#: remainder need transformation-WKT2 export, vertical/compound CRS
+#: display, the 3D-promotion formatter or concatenated-op pivoting —
+#: COVERAGE.md "CLI golden corpora status" documents the gap
+_PROJINFO_IMPLEMENTED = [
+    "Testing projinfo EPSG:4326",
+    "Testing projinfo -o WKT1_GDAL EPSG:4326",
+    "Testing projinfo -o WKT2_2015 EPSG:4326",
+    "Testing projinfo -o WKT2_2019 EPSG:4326",
+    "Testing projinfo -o ALL EPSG:4326",
+    "Testing projinfo -s EPSG:4326 -t EPSG:32631",
+    "Testing projinfo -s NAD27 -t NAD83 --grid-check none "
+    "--spatial-test intersects --summary",
+    "Testing projinfo -s EPSG:4230 -t EPSG:4258 "
+    "--bbox 8,54.51,15.24,57.8 --summary",
+    "Testing projinfo -s EPSG:4230 -t EPSG:4258 --area EPSG:3237 --summary",
+    "Testing projinfo -s EPSG:4230 -t EPSG:4258 "
+    "--area 'Denmark - onshore' --summary",
+    "Testing projinfo -s EPSG:4230 -t EPSG:4258 --area 'Denmark -' "
+    "--summary",
+    "Testing projinfo -s EPSG:4230 -t EPSG:4258 --area no_match --summary",
+    "Testing projinfo -s EPSG:4230 -t EPSG:4258 --area WRONG:CODE "
+    "--summary",
+    "Testing deprecated CRS: projinfo EPSG:26591",
+    "Testing CRS with towgs84: projinfo -o PROJ EPSG:25832",
+    'Testing -s EPSG:4936 -t EPSG:4978 --spatial-test intersects '
+    '--summary where WGS 84 to ETRS89 (2) uses a transformation method '
+    'not supported by PROJ currently (time-specific Helmert), and thus '
+    'must be sorted last',
+    'Testing -s EPSG:31467 -t ETRS89 --spatial-test intersects '
+    '--grid-check none --bbox 8,48,9,49 --summary. Should include both '
+    'DHDN to ETRS89 (8) and DHDN to ETRS89 (BWTA2017)',
+    "Testing EPSG:32631 --3d",
+    "Testing projinfo -s NAD27 -t NAD83",
+]
+
+
+def _projinfo_segments():
+    """(title, argv) for every projinfo invocation of the script, plus
+    the golden output segment keyed by title."""
+    import shlex
+
+    src = open(f"{REF_CLI}/testprojinfo").read().splitlines()
+    segs, i = [], 0
+    while i < len(src):
+        m = re.match(r'''^echo ["'](Testing .*)["'] >> \$\{OUT\}$''',
+                     src[i].strip())
+        if m:
+            j = i + 1
+            while j < len(src) and not src[j].strip().startswith("$EXE"):
+                j += 1
+            cmd = re.sub(r">>\$\{OUT\}.*$", "", src[j].strip())
+            segs.append((m.group(1),
+                         shlex.split(cmd.replace("$EXE", "").strip())))
+            i = j
+        i += 1
+    want_all = open(f"{REF_CLI}/testprojinfo_out.dist").read().splitlines()
+    bounds = [k for k, ln in enumerate(want_all)
+              if ln.startswith("Testing ")] + [len(want_all)]
+    golden = {}
+    for a, b in zip(bounds, bounds[1:]):
+        seg = want_all[a:b]
+        while seg and seg[-1] == "":
+            seg.pop()
+        golden[seg[0]] = seg[1:]
+    return segs, golden
+
+
+def test_projinfo_golden_segments():
+    """Replay test/cli/testprojinfo segment-by-segment; every segment in
+    _PROJINFO_IMPLEMENTED must be byte-exact against
+    testprojinfo_out.dist (19 of 30; see COVERAGE.md for the rest)."""
+    segs, golden = _projinfo_segments()
+    ran = set()
+    for title, argv in segs:
+        if title not in _PROJINFO_IMPLEMENTED:
+            continue
+        got = _run_cli(["projinfo"] + argv, "").rstrip("\n").splitlines()
+        assert got == golden[title], (title, got[:5], golden[title][:5])
+        ran.add(title)
+    assert len(ran) == len(_PROJINFO_IMPLEMENTED) == 19
+
+
 def test_cct_golden():
     """testcct -> testcct_out.dist: byte-identical (modulo the banner
     echo line, produced by the shell script, asserted verbatim)."""

@@ -144,6 +144,7 @@ def main() -> None:
         # auth, code, name, _, _, type, cs_auth, cs, datum_auth, datum,
         # area_auth, area, text_def, depr
         geod[str(r[1])] = {"name": r[2], "type": r[5], "datum": str(r[9]),
+                           "cs": str(r[7]), "area": str(r[11]),
                            "deprecated": r[-1]}
     cat["geodetic_crs"] = geod
 
@@ -160,7 +161,8 @@ def main() -> None:
                 continue
             params.append([str(r[off + 1]), r[off + 3], str(r[off + 5])])
         conv[str(r[1])] = {"name": r[2], "method": str(r[8]),
-                           "method_name": r[9], "params": params}
+                           "method_name": r[9], "params": params,
+                           "area": str(r[6])}
     cat["conversion"] = conv
 
     proj = {}
@@ -168,7 +170,8 @@ def main() -> None:
         # auth, code, name, _, _, cs_auth, cs, geod_auth, geod,
         # conv_auth, conv, area_auth, area, (text_def,) depr
         proj[str(r[1])] = {"name": r[2], "cs": str(r[6]), "base": str(r[8]),
-                           "conversion": str(r[10]), "deprecated": r[-1]}
+                           "conversion": str(r[10]), "area": str(r[12]),
+                           "deprecated": r[-1]}
     cat["projected_crs"] = proj
 
     # coordinate_system axis orientation matters for e.g. south-oriented
@@ -178,7 +181,8 @@ def main() -> None:
         # auth, code, name, abbrev, orientation(4), cs_auth, cs(6),
         # order(7), uom_auth, uom(9)
         axes.setdefault(str(r[6]), []).append(
-            [r[7], r[4], str(r[9]) if len(r) > 9 and r[9] else None])
+            [r[7], r[4], str(r[9]) if len(r) > 9 and r[9] else None,
+             r[2], r[3]])        # + name, abbreviation (projinfo WKT2)
     cat["axis"] = axes
 
     helm = {}
@@ -224,13 +228,69 @@ def main() -> None:
             "src": str(r[9]), "dst": str(r[11]), "area": str(r[13]),
             "acc": r[14], "grid": r[18], "deprecated": r[-1],
         }
+    # PROJ's own hand-maintained entries (grid_transformation_custom.sql:
+    # BWTA2017/SeTa2016-style grids + their PROJ-authority areas)
+    for table, r in rows_with_table("grid_transformation_custom.sql"):
+        if table == "grid_transformation":
+            key = str(r[1]) if str(r[0]) == "EPSG" else f"{r[0]}:{r[1]}"
+            grids[key] = {
+                "name": r[2], "method": str(r[6]), "method_name": r[7],
+                "src": str(r[9]), "dst": str(r[11]),
+                "area": (str(r[13]) if str(r[12]) == "EPSG"
+                         else f"{r[12]}:{r[13]}"),
+                "acc": r[14], "grid": r[18], "deprecated": r[-1],
+            }
     cat["grid_transformation"] = grids
 
     area = {}
+    area_name = {}
     for r in rows("area.sql"):
         # auth, code, name, description, south, north, west, east, depr
         area[str(r[1])] = [r[6], r[4], r[7], r[5]]   # (w, s, e, n)
+        area_name[str(r[1])] = r[2]                  # projinfo AREA[...]
+    for table, r in rows_with_table("grid_transformation_custom.sql"):
+        if table == "area":
+            key = str(r[1]) if str(r[0]) == "EPSG" else f"{r[0]}:{r[1]}"
+            area[key] = [r[6], r[4], r[7], r[5]]
+            area_name[key] = r[2]
     cat["area"] = area
+    cat["area_name"] = area_name
+
+    # deprecation replacements (projinfo "Alternative non-deprecated
+    # CRS" display; reference data/sql/deprecation.sql)
+    depr = {}
+    for r in rows("deprecation.sql"):
+        # table, auth, old_code, auth, new_code, source_auth
+        depr[str(r[2])] = str(r[4])
+    cat["deprecation"] = depr
+
+    # operation supersession (discardSuperseded in createOperations;
+    # reference data/sql/supersession.sql)
+    sup = {}
+    for r in rows("supersession.sql"):
+        # table, auth, superseded, table, auth, replacement, source
+        sup[str(r[2])] = str(r[5])
+    cat["supersession"] = sup
+
+    # hand-maintained accuracy overrides (data/sql/customizations.sql:
+    # NTv1-class grids downgraded below their NTv2 replacements)
+    for code in ("1312", "1462"):
+        if code in grids:
+            grids[code]["acc"] = 2.0
+
+    # EPSG grid name -> PROJ grid name (grid_alternatives[-generated]
+    # .sql; drives projinfo's DERIVED_FROM(EPSG) markers and the
+    # engine's grid-file name resolution)
+    alt = {}
+    for fname in ("grid_alternatives.sql", "grid_alternatives_generated.sql"):
+        text = open(os.path.join(SQL_DIR, fname)).read()
+        for stmt in text.split("INSERT INTO"):
+            if not stmt.lstrip().startswith("grid_alternatives"):
+                continue
+            m = re.search(r"VALUES\s*\(\s*'([^']+)',\s*'([^']+)',", stmt)
+            if m:
+                alt[m.group(1)] = m.group(2)
+    cat["grid_alternatives"] = alt
 
     # vertical + compound CRS (reference data/sql/vertical_crs.sql,
     # compound_crs.sql; modelled as CompoundCRS/VerticalCRS in
