@@ -437,13 +437,14 @@ _EXPORTABLE_METHODS = {
 class _OpEntry:
     __slots__ = ("marker", "code", "name", "acc", "area_code",
                  "ballpark", "exportable", "area_deg2", "composed",
-                 "grid")
+                 "grid", "grids_available")
 
     def __init__(self, marker, code, name, acc, area_code, cat,
                  ballpark=False, exportable=True, composed=False,
                  grid=None):
         self.composed = composed
         self.grid = grid
+        self.grids_available = True
         self.marker = marker
         self.code = code
         self.name = name
@@ -465,6 +466,7 @@ class _OpEntry:
         """SortFunction::operator() fields relevant to summary rows."""
         return (int(not self.exportable),
                 int(self.ballpark),
+                int(not self.grids_available),
                 int(self.acc is None or self.acc < 0),
                 -self.area_deg2,
                 self.acc if self.acc is not None and self.acc >= 0
@@ -568,6 +570,8 @@ def pair_ops(src_code: str, dst_code: str) -> list[_OpEntry]:
                                 cat, exportable=exportable,
                                 composed=composed,
                                 grid=h.get("grid") if is_grid else None))
+    if not any(not op.ballpark for op in out):
+        out += _pivot_ops(cat, s, d, prefix, suffix)
     sname = cat["geodetic_crs"][s]["name"]
     dname = cat["geodetic_crs"][d]["name"]
     geocentric = _crs_kind(cat, s) == "geocentric"
@@ -577,6 +581,115 @@ def pair_ops(src_code: str, dst_code: str) -> list[_OpEntry]:
     out.append(_OpEntry("", None, prefix + bp_name + suffix, None, None,
                         cat, ballpark=True))
     return out
+
+
+def _pivot_ops(cat, s, d, prefix, suffix):
+    """One-pivot concatenated candidates when no direct operation
+    exists (IntermediateCRSUse::IF_NO_DIRECT_TRANSFORMATION,
+    coordinateoperation.cpp createIntermediateCoordinateOperations):
+    chains A(src->P) + B(P->d) with geog2D<->geocentric conversion
+    steps spelled into the name like the reference's concatenation,
+    accuracy summed, extent intersected (testprojinfo's GDA94/AGD66 ->
+    'WGS 84 (G1762)' segments)."""
+    gc = cat["geodetic_crs"]
+
+    def datum_of(code):
+        row = gc.get(str(code))
+        return str(row["datum"]) if row else None
+
+    def geocentric(code):
+        return str(gc.get(str(code), {}).get("type", "")) == "geocentric"
+
+    def geog2d_name(datum):
+        for c2, r2 in gc.items():
+            if (":" not in c2 and r2["datum"] == datum
+                    and str(r2["type"]) == "geographic 2D"
+                    and not r2["deprecated"]):
+                return str(r2["name"])
+        return "unknown"
+
+    sd, dd = datum_of(s), datum_of(d)
+    sup = cat.get("supersession", {})
+    from_s: dict = {}
+    to_d: dict = {}
+    for table in ("helmert", "grid_transformation"):
+        for code, h in cat[table].items():
+            if h.get("deprecated"):
+                continue
+            if ":" in code and not code.startswith("PROJ:"):
+                continue
+            repl = sup.get(code)
+            if repl is not None:
+                r_row = (cat["helmert"].get(repl)
+                         or cat["grid_transformation"].get(repl))
+                if r_row is not None and not r_row.get("deprecated"):
+                    continue
+            hs, hd = datum_of(h["src"]), datum_of(h["dst"])
+            if hs is None or hd is None:
+                continue
+            is_grid = table == "grid_transformation"
+            geoc = geocentric(h["src"])
+            if hs == sd and hd not in (sd, dd):
+                from_s.setdefault(hd, []).append((h, False, is_grid, geoc))
+            elif hd == sd and hs not in (sd, dd):
+                from_s.setdefault(hs, []).append((h, True, is_grid, geoc))
+            if hd == dd and hs not in (sd, dd):
+                to_d.setdefault(hs, []).append((h, False, is_grid, geoc))
+            elif hs == dd and hd not in (sd, dd):
+                to_d.setdefault(hd, []).append((h, True, is_grid, geoc))
+    s_name = str(gc[s]["name"])
+    d_name = str(gc[d]["name"])
+    out = []
+    for piv in sorted(set(from_s) & set(to_d)):
+        p_name = geog2d_name(piv)
+        for ha, ra, ga, geoa in from_s[piv]:
+            for hb, rb, gb, geob in to_d[piv]:
+                parts = []
+                if geoa:
+                    parts.append(f"Conversion from {s_name} (geog2D) to "
+                                 f"{s_name} (geocentric)")
+                parts.append(("Inverse of " if ra else "") + str(ha["name"]))
+                if geoa != geob:
+                    if geob:
+                        parts.append(f"Conversion from {p_name} (geog2D) "
+                                     f"to {p_name} (geocentric)")
+                    else:
+                        parts.append(f"Conversion from {p_name} "
+                                     f"(geocentric) to {p_name} (geog2D)")
+                parts.append(("Inverse of " if rb else "") + str(hb["name"]))
+                if geob:
+                    parts.append(f"Conversion from {d_name} (geocentric) "
+                                 f"to {d_name} (geog2D)")
+                name = prefix + " + ".join(parts) + suffix
+                acc_a, acc_b = ha["acc"], hb["acc"]
+                acc = (None if acc_a is None or acc_b is None
+                       or acc_a < 0 or acc_b < 0 else acc_a + acc_b)
+                area_code = _intersect_area_code(cat, ha["area"],
+                                                 hb["area"])
+                grid = (ha.get("grid") if ga else None) or \
+                    (hb.get("grid") if gb else None)
+                op = _OpEntry("", None, name, acc, area_code, cat,
+                              composed=True, grid=grid)
+                out.append(op)
+    return out
+
+
+def _intersect_area_code(cat, a_code, b_code):
+    """The concatenated op's extent: the intersection of the component
+    extents — when one bbox contains the other, the contained one's
+    AREA CODE (and thus its name) is the result, like the reference's
+    Extent::intersection keeping the description."""
+    a = cat["area"].get(str(a_code))
+    b = cat["area"].get(str(b_code))
+    if a is None:
+        return b_code
+    if b is None:
+        return a_code
+    if _bbox_contains(tuple(a), tuple(b)):
+        return b_code
+    if _bbox_contains(tuple(b), tuple(a)):
+        return a_code
+    return a_code        # proper intersection: keep A's (not in goldens)
 
 
 def _clip_area(op: _OpEntry, aoi: tuple, cat) -> None:
@@ -607,43 +720,61 @@ def _lon_pieces(w, e):
     return [(w, 180.0), (-180.0, e)]
 
 
+def _bbox_contains(outer, inner) -> bool:
+    """GeographicBoundingBox::contains (metadata.cpp:254-300): OUTER
+    must contain INNER, with the reference's antimeridian branches."""
+    w, s, e, n = outer
+    ow, os_, oe, on = inner
+    if not (s <= os_ and n >= on):
+        return False
+    if w == -180.0 and e == 180.0:
+        return True
+    if ow == -180.0 and oe == 180.0:
+        return False
+    if w < e:
+        return ow < oe and w <= ow and e >= oe
+    if ow < oe:
+        return ow >= w or oe <= e
+    return w <= ow and e >= oe
+
+
+def _bbox_intersects(a, b) -> bool:
+    aw, as_, ae, an = a
+    bw, bs, be, bn = b
+    if an < bs or as_ > bn:
+        return False
+    return any(not (pe < qw or pw > qe)
+               for pw, pe in _lon_pieces(aw, ae)
+               for qw, qe in _lon_pieces(bw, be))
+
+
+def _op_bbox(op, cat):
+    bbox = cat["area"].get(str(op.area_code)) if op.area_code else None
+    return tuple(bbox) if bbox else (-180.0, -90.0, 180.0, 90.0)
+
+
 def _aoi_filter(ops, aoi, cat, spatial_test: str):
-    """FilterResults' extent criterion: default = op extent CONTAINED
-    in the area of interest; 'intersects' keeps any overlap.
-    Antimeridian-crossing boxes handled piecewise (metadata.cpp
-    GeographicBoundingBox contains/intersects)."""
-    w0, s0, e0, n0 = aoi
-    aoi_pieces = _lon_pieces(w0, e0)
+    """FilterResults' extent criterion (coordinateoperation.cpp:
+    11042-11066): keep an op iff its extent CONTAINS the area of
+    interest (strict containment default) or intersects it; a real op
+    whose extent contains the AOI makes the ballpark uninteresting."""
     kept = []
+    has_containing_real = False
     for op in ops:
-        bbox = cat["area"].get(str(op.area_code)) if op.area_code else None
-        if bbox is None:
-            bbox = (-180.0, -90.0, 180.0, 90.0)
-        w, s, e, n = bbox
-        op_pieces = _lon_pieces(w, e)
+        bbox = _op_bbox(op, cat)
+        if op.ballpark:
+            # the ballpark's extent IS the area of interest
+            bbox = aoi
+        contains = _bbox_contains(bbox, aoi)
+        if contains and not op.ballpark:
+            has_containing_real = True
         if spatial_test == "intersects":
-            lon_ok = any(not (pe < aw or pw > ae)
-                         for pw, pe in op_pieces
-                         for aw, ae in aoi_pieces)
-            ok = lon_ok and not (n < s0 or s > n0)
+            ok = _bbox_intersects(bbox, aoi)
         else:
-            lon_ok = all(any(pw >= aw and pe <= ae
-                             for aw, ae in aoi_pieces)
-                         for pw, pe in op_pieces)
-            ok = lon_ok and s >= s0 and n <= n0
+            ok = contains
         if ok:
             kept.append(op)
-    # the ballpark is dropped when some real operation's extent
-    # CONTAINS the area of interest (it then adds nothing; the
-    # reference's removal rule — AGD66/ED50 keep their ballpark
-    # because no op covers the whole AOI, GDA94/DHDN drop theirs)
-    def contains_aoi(op):
-        bbox = cat["area"].get(str(op.area_code)) if op.area_code else None
-        if bbox is None:
-            return True
-        w, s, e, n = bbox
-        return w <= w0 and e >= e0 and s <= s0 and n >= n0
-    if any(contains_aoi(op) for op in kept if not op.ballpark):
+    if has_containing_real:
         kept = [op for op in kept if not op.ballpark]
     return kept
 
@@ -686,35 +817,48 @@ def filtered_ops(src_code: str, dst_code: str,
     counts them regardless — the plain NAD27->NAD83 golden records
     'found: 1' with a note of 10), and the ballpark survives as the
     last resort when everything real is filtered away."""
-    from proj_spark.operations.datum import GRID_REGISTRY
     cat = _cat()
     all_ops = pair_ops(src_code, dst_code)
     note = None
     aoi_eff = aoi if aoi is not None else _implicit_aoi(cat, src_code,
                                                         dst_code)
     ops = list(all_ops)
-    if grid_check != "none":
-        alt = cat.get("grid_alternatives", {})
-
-        def available(op):
-            if op.grid is None:
-                return True
-            name = alt.get(op.grid, op.grid)
-            return name in GRID_REGISTRY
-        ops = [op for op in ops if available(op)]
     if aoi_eff is not None:
         kept = _aoi_filter(ops, aoi_eff, cat, spatial_test)
         if spatial_test != "intersects":
             more = _aoi_filter(all_ops, aoi_eff, cat, "intersects")
-            if len(more) > max(len(kept), 1):
+            if len(more) > len(kept):
                 note = (f"Note: using '--spatial-test intersects' would "
                         f"bring more results ({len(more)})")
         ops = kept
         for op in ops:
             _clip_area(op, aoi_eff, cat)
-    if not ops:
-        ops = [op for op in all_ops if op.ballpark]
+    # default grid check: unavailable grids demote in the sort
+    # (USE_FOR_SORTING; --grid-check none forces them available)
+    from proj_spark.operations.datum import GRID_REGISTRY
+    alt = cat.get("grid_alternatives", {})
+    for op in ops:
+        op.grids_available = (grid_check == "none" or op.grid is None
+                              or alt.get(op.grid, op.grid)
+                              in GRID_REGISTRY)
     ops.sort(key=lambda o: o.sort_key())
+    # removeUninterestingOps (coordinateoperation.cpp:11265-11380):
+    # after sorting, a consecutive op with worse/unknown accuracy over
+    # the SAME extent adds nothing when the kept one needs no grids
+    # (drops 'GDA94 to WGS 84 (1) + glue, 5 m' behind the 0.21 m chain)
+    pruned = []
+    last = None
+    for op in ops:
+        if last is not None and not op.ballpark:
+            same_extent = str(op.area_code) == str(last.area_code)
+            worse = (last.acc is not None and last.acc >= 0
+                     and (op.acc is None or op.acc < 0
+                          or op.acc > last.acc))
+            if worse and same_extent and last.grid is None:
+                continue
+        pruned.append(op)
+        last = op
+    ops = pruned
     return ops, note
 
 

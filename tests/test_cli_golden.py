@@ -701,6 +701,11 @@ _PROJINFO_IMPLEMENTED = [
     'DHDN to ETRS89 (8) and DHDN to ETRS89 (BWTA2017)',
     "Testing EPSG:32631 --3d",
     "Testing projinfo -s NAD27 -t NAD83",
+    'Testing -s "GDA94" -t "WGS 84 (G1762)" --spatial-test intersects '
+    '--summary. Should include transformations through ITRF2008 and '
+    'GDA2020',
+    'Testing -s "AGD66" -t "WGS 84 (G1762)" --spatial-test intersects '
+    '--summary. Should include a transformation through GDA2020',
 ]
 
 
@@ -738,7 +743,7 @@ def _projinfo_segments():
 def test_projinfo_golden_segments():
     """Replay test/cli/testprojinfo segment-by-segment; every segment in
     _PROJINFO_IMPLEMENTED must be byte-exact against
-    testprojinfo_out.dist (19 of 30; see COVERAGE.md for the rest)."""
+    testprojinfo_out.dist (21 of 30; see COVERAGE.md for the rest)."""
     segs, golden = _projinfo_segments()
     ran = set()
     for title, argv in segs:
@@ -747,7 +752,7 @@ def test_projinfo_golden_segments():
         got = _run_cli(["projinfo"] + argv, "").rstrip("\n").splitlines()
         assert got == golden[title], (title, got[:5], golden[title][:5])
         ran.add(title)
-    assert len(ran) == len(_PROJINFO_IMPLEMENTED) == 19
+    assert len(ran) == len(_PROJINFO_IMPLEMENTED) == 21
 
 
 def test_cct_golden():

@@ -186,13 +186,18 @@ def main() -> None:
     cat["axis"] = axes
 
     helm = {}
-    for r in rows("helmert_transformation.sql"):
+    custom_helmert = [r for t, r in
+                      rows_with_table("customizations.sql")
+                      if t == "helmert_transformation"]
+    for r in list(rows("helmert_transformation.sql")) + custom_helmert:
+        # hand-maintained PROJ-authority glue ops (WGS 84 realizations,
+        # customizations.sql) key under their authority namespace
         # auth, code(1), name(2), desc, scope, method_auth, method(6),
         # method_name(7), src_auth, src(9), dst_auth, dst(11), area_auth,
         # area(13), accuracy(14), tx(15), ty, tz(17), t_uom_auth,
         # t_uom(19), rx(20), ry, rz(22), r_uom_auth, r_uom(24), s(25),
         # s_uom_auth, s_uom(27), ..., deprecated(last)
-        code = str(r[1])
+        code = str(r[1]) if str(r[0]) == "EPSG" else f"{r[0]}:{r[1]}"
         entry = {
             "name": r[2], "method": str(r[6]), "src": str(r[9]),
             "dst": str(r[11]), "area": str(r[13]), "acc": r[14],
