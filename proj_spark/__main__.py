@@ -382,6 +382,7 @@ def _projinfo_pair_summary(args) -> str:
     aoi = None
     spatial = "contains"
     grid_check = "sort"
+    out_fmt = None
     i = 0
     summary = False
     while i < len(args):
@@ -398,6 +399,14 @@ def _projinfo_pair_summary(args) -> str:
         elif a == "--grid-check":
             grid_check = args[i + 1]
             i += 2
+        elif a == "-o":
+            fmt = args[i + 1]
+            if fmt != "PROJ":
+                raise NotImplementedError(f"pair display -o {fmt}")
+            out_fmt = fmt
+            i += 2
+        elif a == "--3d":
+            i += 1                  # summary output is promotion-neutral
         elif a == "--bbox":
             w, s, e, n = (float(v) for v in args[i + 1].split(","))
             aoi = (w, s, e, n)
@@ -410,25 +419,41 @@ def _projinfo_pair_summary(args) -> str:
             i += 2
         else:
             raise NotImplementedError(f"projinfo flag {a}")
-    if not summary or opts["-s"] is None or opts["-t"] is None:
-        raise NotImplementedError("projinfo non-summary pair display")
+    if opts["-s"] is None or opts["-t"] is None:
+        raise NotImplementedError("projinfo pair display needs -s/-t")
 
     def code_of(v):
         v = v.strip().strip('"')
-        if v.upper().startswith("EPSG:") and v.split(":")[1].isdigit():
-            return v.split(":")[1]
-        if v.isdigit():
+        if v.upper().startswith("EPSG:"):
+            v = v.split(":", 1)[1]
+        if v.isdigit() or ("+" in v and
+                           all(p.isdigit() for p in v.split("+"))):
             return v
         from proj_spark import factory
+        from proj_spark.factory import catalog
         c = factory.find_crs_by_name(v)
-        if c is None:
-            raise NotImplementedError(f"projinfo CRS name {v!r}")
-        return str(c)
+        if c is not None:
+            return str(c)
+        for code, row in catalog().get("vertical_crs", {}).items():
+            if (":" not in code and str(row["name"]) == v
+                    and not row["deprecated"]):
+                return code
+        raise NotImplementedError(f"projinfo CRS name {v!r}")
 
-    return "\n".join(summary_listing(code_of(opts["-s"]),
-                                     code_of(opts["-t"]),
-                                     aoi=aoi, spatial_test=spatial,
-                                     grid_check=grid_check))
+    s, d = code_of(opts["-s"]), code_of(opts["-t"])
+    if summary:
+        return "\n".join(summary_listing(s, d, aoi=aoi,
+                                         spatial_test=spatial,
+                                         grid_check=grid_check))
+    from proj_spark.projinfo_text import (conversion_pair_listing,
+                                          full_listing)
+    try:
+        if out_fmt is None:
+            return conversion_pair_listing(s, d)
+        raise NotImplementedError("-o PROJ pair: full listing")
+    except NotImplementedError:
+        return full_listing(s, d, aoi=aoi, spatial_test=spatial,
+                            grid_check=grid_check, fmt=out_fmt)
 
 
 def cmd_projinfo(args) -> int:
@@ -436,31 +461,9 @@ def cmd_projinfo(args) -> int:
     # reference-format display paths (testprojinfo golden); unsupported
     # inputs fall through to the engine's own summary output below
     try:
-        if "-s" in args and "-t" in args and "--summary" in args:
+        if "-s" in args and "-t" in args:
             print(_projinfo_pair_summary(args))
             return 0
-        if list(args[::2]) == ["-s", "-t"] and len(args) == 4:
-            from proj_spark import factory
-            from proj_spark.projinfo_text import (conversion_pair_listing,
-                                                  full_listing)
-
-            def _code(v):
-                v = v.strip()
-                if ":" in v and v.split(":", 1)[1].isdigit():
-                    return v.split(":", 1)[1]
-                if v.isdigit():
-                    return v
-                c = factory.find_crs_by_name(v)
-                if c is None:
-                    raise NotImplementedError(f"projinfo CRS name {v!r}")
-                return str(c)
-            s, d = _code(args[1]), _code(args[3])
-            try:
-                print(conversion_pair_listing(s, d))
-                return 0
-            except NotImplementedError:
-                print(full_listing(s, d))
-                return 0
     except NotImplementedError:
         pass
     try:

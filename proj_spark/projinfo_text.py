@@ -437,14 +437,17 @@ _EXPORTABLE_METHODS = {
 class _OpEntry:
     __slots__ = ("marker", "code", "name", "acc", "area_code",
                  "ballpark", "exportable", "area_deg2", "composed",
-                 "grid", "grids_available")
+                 "grid", "grids_available", "row", "is_grid", "reversed")
 
     def __init__(self, marker, code, name, acc, area_code, cat,
                  ballpark=False, exportable=True, composed=False,
-                 grid=None):
+                 grid=None, row=None, is_grid=False, reversed_=False):
         self.composed = composed
         self.grid = grid
         self.grids_available = True
+        self.row = row
+        self.is_grid = is_grid
+        self.reversed = reversed_
         self.marker = marker
         self.code = code
         self.name = name
@@ -462,11 +465,19 @@ class _OpEntry:
         self.area_deg2 = (e - w) * (math.sin(math.radians(n))
                                     - math.sin(math.radians(s)))
 
+    def grids_known(self) -> bool:
+        """gridsKnown: a grid with a grid_alternatives row (package
+        known to the database); no-grid ops are trivially known."""
+        if self.grid is None:
+            return True
+        return self.grid in _cat().get("grid_alternatives", {})
+
     def sort_key(self):
         """SortFunction::operator() fields relevant to summary rows."""
         return (int(not self.exportable),
                 int(self.ballpark),
                 int(not self.grids_available),
+                int(not self.grids_known()),
                 int(self.acc is None or self.acc < 0),
                 -self.area_deg2,
                 self.acc if self.acc is not None and self.acc >= 0
@@ -527,6 +538,36 @@ def pair_ops(src_code: str, dst_code: str) -> list[_OpEntry]:
         conv = cat["conversion"][str(row["conversion"])]
         prefix = f"Inverse of {conv['name']} + "
         s = str(row["base"])
+    if "+" in d:
+        # compound target 'horiz+vert': when the horizontal part is the
+        # source's own datum, the operation IS the vertical leg (and
+        # the compound keeps its ballpark vertical candidate)
+        horiz, _, vert = d.partition("+")
+        gcat = cat["geodetic_crs"]
+        if (horiz in gcat and s in gcat
+                and gcat[horiz]["datum"] == gcat[s]["datum"]):
+            return _vertical_ops(cat, s, vert, prefix, compound=True)
+        raise NotImplementedError("compound target with datum change")
+    if d in cat.get("vertical_crs", {}):
+        return _vertical_ops(cat, s, d, prefix, compound=False)
+    if s in cat.get("compound_crs", {}):
+        # compound source -> its horizontal's 3D sibling: the inverse
+        # of the vertical leg, anonymized like any compound sub-op
+        comp = cat["compound_crs"][s]
+        gcat = cat["geodetic_crs"]
+        horiz = _fold_3d_to_2d(cat, str(comp["horiz"]))
+        d2 = _fold_3d_to_2d(cat, d)
+        if (horiz in gcat and d2 in gcat
+                and gcat[horiz]["datum"] == gcat[d2]["datum"]):
+            return _vertical_ops(cat, horiz, str(comp["vert"]), prefix,
+                                 reverse=True, hide_code=True)
+        raise NotImplementedError("compound source with datum change")
+    if s in cat.get("vertical_crs", {}):
+        # vertical source -> geographic target: inverse vertical ops
+        d2 = _fold_3d_to_2d(cat, d)
+        if d2 in cat["geodetic_crs"]:
+            return _vertical_ops(cat, d2, s, prefix, reverse=True)
+        raise NotImplementedError("vertical source to non-geographic")
     if d in cat["projected_crs"]:
         row = cat["projected_crs"][d]
         conv = cat["conversion"][str(row["conversion"])]
@@ -569,7 +610,8 @@ def pair_ops(src_code: str, dst_code: str) -> list[_OpEntry]:
             out.append(_OpEntry(marker, op_code, name, h["acc"], h["area"],
                                 cat, exportable=exportable,
                                 composed=composed,
-                                grid=h.get("grid") if is_grid else None))
+                                grid=h.get("grid") if is_grid else None,
+                                row=h, is_grid=is_grid, reversed_=rev))
     if not any(not op.ballpark for op in out):
         out += _pivot_ops(cat, s, d, prefix, suffix)
     sname = cat["geodetic_crs"][s]["name"]
@@ -580,6 +622,71 @@ def pair_ops(src_code: str, dst_code: str) -> list[_OpEntry]:
                f"Ballpark geographic offset from {sname} to {dname}")
     out.append(_OpEntry("", None, prefix + bp_name + suffix, None, None,
                         cat, ballpark=True))
+    return out
+
+
+def _vertical_ops(cat, s, d, prefix, compound=False, reverse=False,
+                  hide_code=False):
+    """Candidates to a VERTICAL target: the geoid-model grid
+    transformations from the source datum's 3D sibling to the vertical
+    CRS, plus the ballpark vertical transformation (testprojinfo's
+    'AHD height' / EPSG:4326+3855 segments)."""
+    gc = cat["geodetic_crs"]
+    sd = str(gc[s]["datum"])
+    out = []
+    sup = cat.get("supersession", {})
+    for code, h in cat["grid_transformation"].items():
+        if h.get("deprecated"):
+            continue
+        if ":" in code and not code.startswith("PROJ:"):
+            continue
+        if str(h["dst"]) == str(d):
+            entry_g2v = True          # registered geog -> vertical
+            geog_end = str(h["src"])
+        elif str(h["src"]) == str(d):
+            entry_g2v = False         # registered vertical -> geog
+            geog_end = str(h["dst"])
+        else:
+            continue
+        src_row = gc.get(geog_end)
+        if src_row is None or str(src_row["datum"]) != sd:
+            continue
+        repl = sup.get(code)
+        if repl is not None:
+            r_row = cat["grid_transformation"].get(repl)
+            if r_row is not None and not r_row.get("deprecated"):
+                continue
+        auth, _, bare = code.rpartition(":")
+        marker = auth or "EPSG"
+        alt_name = cat.get("grid_alternatives", {}).get(h["grid"])
+        if alt_name and alt_name != h["grid"]:
+            # a derived op only when the substitution CHANGES the file
+            marker = f"DERIVED_FROM({marker})"
+        name = str(h["name"])
+        # invert when the registry direction opposes the requested one
+        inv = entry_g2v if reverse else not entry_g2v
+        if inv:
+            marker = f"INVERSE({marker})"
+            name = f"Inverse of {name}"
+        name = prefix + name
+        op = _OpEntry(marker, bare or code, name, h["acc"], h["area"],
+                      cat, composed=bool(prefix), grid=h["grid"], row=h,
+                      is_grid=True, reversed_=inv)
+        if prefix or hide_code:
+            op.code = None
+        out.append(op)
+    if compound:
+        # only the compound form carries the ballpark vertical
+        # candidate (pure geog->vertical pairs list real ops only)
+        vname = cat["vertical_crs"][str(d)]["name"]
+        sname = gc[s]["name"]
+        bp = (f"Inverse of Transformation from {vname} to {sname} "
+              f"(ballpark vertical transformation, without ellipsoid "
+              f"height to vertical height correction)")
+        op = _OpEntry("", None, prefix + bp, None, None, cat,
+                      ballpark=True, composed=bool(prefix))
+        op.grids_available = True
+        out.append(op)
     return out
 
 
@@ -775,7 +882,11 @@ def _aoi_filter(ops, aoi, cat, spatial_test: str):
         if ok:
             kept.append(op)
     if has_containing_real:
-        kept = [op for op in kept if not op.ballpark]
+        # the ballpark VERTICAL candidate survives (isApprox, not
+        # isNullTransformation — the reference only prunes the
+        # geographic/geocentric null offsets this way)
+        kept = [op for op in kept
+                if not op.ballpark or "ballpark vertical" in op.name]
     return kept
 
 
@@ -785,7 +896,13 @@ def _implicit_aoi(cat, src_code: str, dst_code: str):
     boxes = []
     for code in (src_code, dst_code):
         c = str(code)
-        row = (cat["geodetic_crs"].get(c) or cat["projected_crs"].get(c))
+        if "+" in c:
+            c = c.partition("+")[2]     # compound: the vertical leg
+        comp = cat.get("compound_crs", {}).get(c)
+        if comp is not None:
+            c = str(comp["vert"])       # compound extent ~ vertical leg
+        row = (cat["geodetic_crs"].get(c) or cat["projected_crs"].get(c)
+               or cat.get("vertical_crs", {}).get(c))
         bbox = cat["area"].get(str(row.get("area"))) if row else None
         if bbox:
             boxes.append(bbox)
@@ -876,27 +993,14 @@ def summary_listing(src_code: str, dst_code: str,
     return out
 
 
-def full_listing(src_code: str, dst_code: str,
-                 aoi: tuple | None = None,
-                 spatial_test: str = "contains") -> str:
-    """The non-summary pair listing when the surviving candidate set is
-    the ballpark alone (testprojinfo's plain NAD27 -> NAD83): the
-    'Operation n°1' block with '+proj=noop' and the ballpark
-    COORDINATEOPERATION WKT2 (Geographic2D offsets, zero parameters,
-    nested source/target CRSs without USAGE)."""
-    cat = _cat()
-    ops, note = filtered_ops(src_code, dst_code, aoi, spatial_test)
-    if len(ops) != 1 or not ops[0].ballpark:
-        raise NotImplementedError("full listing for real operations")
-    s2 = _fold_3d_to_2d(cat, str(src_code))
-    d2 = _fold_3d_to_2d(cat, str(dst_code))
-    src = CrsDescription(s2)
-    dst = CrsDescription(d2)
-    if src.kind != "geographic" or dst.kind != "geographic":
-        raise NotImplementedError("ballpark listing for this CRS kind")
-    deg = _unit_node("9102", cat)
-    op_node = N(
-        "COORDINATEOPERATION", Q(ops[0].name),
+#: grid_alternatives format -> WKT2 method name for substituted ops
+_ALT_FORMAT_METHOD = {"NTv1": "NTv1", "NTv2": "NTv2",
+                      "CTable2": "CTABLE2", "GTX": "GTX"}
+
+
+def _ballpark_op_node(cat, src, dst, name) -> N:
+    return N(
+        "COORDINATEOPERATION", Q(name),
         N("SOURCECRS", src.geog_node(usage=False)),
         N("TARGETCRS", dst.geog_node(usage=False)),
         N("METHOD", Q("Geographic2D offsets"),
@@ -907,13 +1011,201 @@ def full_listing(src_code: str, dst_code: str,
           _unit_node("9102", cat), N("ID", Q("EPSG"), 8602)),
         N("USAGE", N("SCOPE", Q("unknown")), N("AREA", Q("World")),
           N("BBOX", -90.0, -180.0, 90.0, 180.0)))
+
+
+def _grid_op_block(cat, op, src, dst):
+    """(proj_string, wkt) for one grid-transformation candidate —
+    grid-alternative substitution changes the file AND the method (the
+    DERIVED_FROM ops, which also lose VERSION/REMARK like the
+    reference's createSimilarPropertiesTransformation)."""
+    h = op.row
+    alt = cat.get("grid_alternatives", {})
+    fmt = cat.get("grid_alternatives_format", {})
+    derived = bool(alt.get(h["grid"]))
+    method_name = str(h["method_name"])
+    files = [(h["p_name"], h["grid"])]
+    if h.get("grid2"):
+        files.append((h["p2_name"], h["grid2"]))
+    if derived:
+        method_name = _ALT_FORMAT_METHOD.get(fmt.get(h["grid"], ""),
+                                             method_name)
+        # substitution collapses to ONE PROJ-named file under the
+        # NTv1/NTv2-style parameter name
+        files = [("Latitude and longitude difference file",
+                  alt[h["grid"]])]
+    if op.exportable:
+        proj = ("+proj=pipeline +step +proj=axisswap +order=2,1 "
+                "+step +proj=unitconvert +xy_in=deg +xy_out=rad "
+                f"+step {'+inv ' if op.reversed else ''}"
+                f"+proj=hgridshift +grids={files[0][1]} "
+                "+step +proj=unitconvert +xy_in=rad +xy_out=deg "
+                "+step +proj=axisswap +order=2,1")
+    else:
+        proj = ""
+    args = [Q(h["name"])]
+    if not derived and h.get("version") and h["version"] != "-":
+        args.append(N("VERSION", Q(h["version"])))
+    args += [N("SOURCECRS", src.geog_node(usage=False)),
+             N("TARGETCRS", dst.geog_node(usage=False))]
+    method = N("METHOD", Q(method_name))
+    if method_name == str(h["method_name"]):
+        method.args.append(N("ID", Q("EPSG"), int(h["method"])))
+    args.append(method)
+    for pname, fname in files:
+        args.append(N("PARAMETERFILE", Q(pname), Q(fname)))
+    if h["acc"] is not None and h["acc"] >= 0:
+        args.append(N("OPERATIONACCURACY", Raw(repr(h["acc"]))))
+    bbox = cat["area"].get(str(h["area"]))
+    aname = cat.get("area_name", {}).get(str(h["area"]), "unknown")
+    w, s_, e, n = bbox
+    args.append(N("USAGE", N("SCOPE", Q(h.get("scope") or "unknown")),
+                  N("AREA", Q(aname)), N("BBOX", _num(s_), _num(w),
+                                         _num(n), _num(e))))
+    args.append(N("ID", Q(op.marker), int(op.code)))
+    if not derived and h.get("remark"):
+        args.append(N("REMARK", Q(h["remark"])))
+    return proj, format_wkt(N("COORDINATEOPERATION", *args))
+
+
+def _vertcrs_node(cat, code: str) -> N:
+    """VERTCRS WKT2 node (crs.cpp VerticalCRS::_exportToWKT)."""
+    row = cat["vertical_crs"][str(code)]
+    vd = cat.get("vertical_datum", {}).get(str(row["datum"]), {})
+    axes = sorted(cat["axis"].get(str(row.get("cs")), []),
+                  key=lambda a: a[0])
+    args = [Q(row["name"]), N("VDATUM", Q(vd.get("name", "unknown"))),
+            N("CS", Raw("vertical"), 1)]
+    for order, orient, uom, aname, abbrev in axes:
+        label = aname[0].lower() + aname[1:]
+        if abbrev:
+            label += f" ({abbrev})"
+        args.append(N("AXIS", Q(label), Raw(orient),
+                      _unit_node(uom or "9001", cat), extra_indent=1))
+    args.append(N("ID", Q("EPSG"), int(code)))
+    return N("VERTCRS", *args)
+
+
+def _id_node(marker: str, code) -> N:
+    """ID[...] with numeric EPSG codes bare and authority string codes
+    quoted (ID[\"PROJ\",\"EPSG_5613_TO_EPSG_4977\"])."""
+    if code is not None and str(code).isdigit():
+        return N("ID", Q(marker), int(code))
+    return N("ID", Q(marker), Q(str(code)))
+
+
+def _vertical_op_wkt(cat, op, src_code: str, dst_code: str) -> str:
+    """COORDINATEOPERATION WKT2 for a vertical <-> geographic operation
+    (the RH2000 -> SWEREF99 golden): VERTCRS on the vertical end, the
+    3D GEOGCRS on the other, custom PROJ method IDs quoted."""
+    h = op.row
+
+    def crs_node(code):
+        c = str(code)
+        if c in cat.get("vertical_crs", {}):
+            return _vertcrs_node(cat, c)
+        return CrsDescription(c).geog_node(usage=False)
+
+    args = [Q(op.name),
+            N("SOURCECRS", crs_node(src_code)),
+            N("TARGETCRS", crs_node(dst_code))]
+    method = N("METHOD", Q(h["method_name"]))
+    if str(h["method"]).isdigit():
+        method.args.append(N("ID", Q("EPSG"), int(h["method"])))
+    else:
+        method.args.append(N("ID", Q("PROJ"), Q(str(h["method"]))))
+    args.append(method)
+    args.append(N("PARAMETERFILE", Q(h["p_name"]), Q(h["grid"])))
+    if h["acc"] is not None and (not isinstance(h["acc"], (int, float))
+                                 or h["acc"] >= 0):
+        if isinstance(h["acc"], (int, float)):
+            args.append(N("OPERATIONACCURACY", Raw(repr(h["acc"]))))
+    bbox = cat["area"].get(str(h["area"]))
+    aname = cat.get("area_name", {}).get(str(h["area"]), "unknown")
+    w, s_, e, n = bbox
+    args.append(N("USAGE", N("SCOPE", Q(h.get("scope") or "unknown")),
+                  N("AREA", Q(aname)),
+                  N("BBOX", _num(s_), _num(w), _num(n), _num(e))))
+    args.append(_id_node(op.marker, op.code))
+    return format_wkt(N("COORDINATEOPERATION", *args))
+
+
+def _vgridshift_pipeline(cat, op, wrapped: bool) -> str:
+    """The vertical operation's PROJ string: net direction = op
+    reversal XOR the grid alternative's inverse_direction flag (the
+    GTX derived from a source with the opposite sign convention);
+    compound sources wrap with the horizontal axis normalization, a
+    bare forward vgridshift needs no pipeline at all."""
+    alt = cat.get("grid_alternatives", {})
+    grid = alt.get(op.grid, op.grid)
+    inv = bool(op.reversed) != bool(
+        cat.get("grid_alternatives_inverse", {}).get(op.grid, 0))
+    core = ("+inv " if inv else "") + \
+        f"+proj=vgridshift +grids={grid} +multiplier=1"
+    if wrapped:
+        return ("+proj=pipeline +step +proj=axisswap +order=2,1 "
+                "+step +proj=unitconvert +xy_in=deg +xy_out=rad "
+                f"+step {core} "
+                "+step +proj=unitconvert +xy_in=rad +xy_out=deg "
+                "+step +proj=axisswap +order=2,1")
+    if inv:
+        return "+proj=pipeline +step " + core
+    return core
+
+
+def full_listing(src_code: str, dst_code: str,
+                 aoi: tuple | None = None,
+                 spatial_test: str = "contains",
+                 grid_check: str = "sort",
+                 fmt: str | None = None) -> str:
+    """The non-summary pair listing (testprojinfo's NAD27 -> NAD83
+    runs): per-candidate 'Operation n°N' blocks with the op's PROJ
+    pipeline (empty for non-instantiable methods) and its
+    COORDINATEOPERATION WKT2."""
+    cat = _cat()
+    ops, note = filtered_ops(src_code, dst_code, aoi, spatial_test,
+                             grid_check)
+    vert_dst = (str(dst_code) in cat.get("vertical_crs", {})
+                or "+" in str(dst_code))
+    vert_src = str(src_code) in cat.get("vertical_crs", {})
+    comp_src = str(src_code) in cat.get("compound_crs", {})
+    vertical = vert_dst or vert_src or comp_src
+    if vertical:
+        src = dst = None
+    else:
+        src = CrsDescription(_fold_3d_to_2d(cat, str(src_code)))
+        dst = CrsDescription(_fold_3d_to_2d(cat, str(dst_code)))
+        if src.kind != "geographic" or dst.kind != "geographic":
+            raise NotImplementedError("full listing for this CRS kind")
     lines = [f"Candidate operations found: {len(ops)}"]
     if note:
         lines.append(note)
-    lines += ["-------------------------------------",
-              "Operation n°1:", "", ops[0].line(cat), "",
-              "PROJ string:", "+proj=noop", "",
-              "WKT2:2019 string:", format_wkt(op_node)]
+    alt = cat.get("grid_alternatives", {})
+    for i, op in enumerate(ops):
+        wkt = None
+        if vertical:
+            if op.ballpark or op.row is None:
+                raise NotImplementedError("vertical ballpark block")
+            proj = _vgridshift_pipeline(cat, op, wrapped=comp_src)
+            if fmt is None:
+                wkt = _vertical_op_wkt(cat, op, src_code, dst_code)
+        elif op.ballpark:
+            proj = "+proj=noop"
+            wkt = format_wkt(_ballpark_op_node(cat, src, dst, op.name))
+        elif op.is_grid and op.row is not None:
+            proj, wkt = _grid_op_block(cat, op, src, dst)
+        else:
+            raise NotImplementedError("full listing for helmert/"
+                                      "composed candidates")
+        lines += ["-------------------------------------",
+                  f"Operation n°{i + 1}:", "", op.line(cat), "",
+                  "PROJ string:"]
+        # a non-instantiable method prints no PROJ line at all
+        if proj:
+            lines.append(proj)
+        if fmt is None and wkt is not None:
+            lines += ["", "WKT2:2019 string:", wkt]
+        if i + 1 < len(ops):
+            lines.append("")
     return "\n".join(lines)
 
 

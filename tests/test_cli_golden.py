@@ -706,6 +706,20 @@ _PROJINFO_IMPLEMENTED = [
     'GDA2020',
     'Testing -s "AGD66" -t "WGS 84 (G1762)" --spatial-test intersects '
     '--summary. Should include a transformation through GDA2020',
+    "Testing projinfo -s NAD27 -t NAD83 --grid-check none "
+    "--spatial-test intersects",
+    "Testing RH2000 height to SWEREF99: projinfo -s EPSG:5613 -t "
+    "EPSG:4977",
+    "Testing NAD83(2011) + NAVD88 height -> NAD83(2011) : projinfo "
+    "-s EPSG:6349 -t EPSG:6319 --spatial-test intersects -o PROJ",
+    "Testing NGF IGN69 height to RGF93: projinfo -s EPSG:5720 -t "
+    "EPSG:4965 -o PROJ",
+    "Testing -s EPSG:32631 -t EPSG:4326+3855 --summary",
+    "Testing -s EPSG:32631 -t EPSG:4326+3855 --3d --summary",
+    'Testing -s "GDA94" -t "AHD height" --grid-check none -o PROJ '
+    '--spatial-test intersects',
+    'Testing -s "GDA2020" -t "AHD height" --grid-check none -o PROJ '
+    '--spatial-test intersects',
 ]
 
 
@@ -743,7 +757,7 @@ def _projinfo_segments():
 def test_projinfo_golden_segments():
     """Replay test/cli/testprojinfo segment-by-segment; every segment in
     _PROJINFO_IMPLEMENTED must be byte-exact against
-    testprojinfo_out.dist (21 of 30; see COVERAGE.md for the rest)."""
+    testprojinfo_out.dist (29 of 30; see COVERAGE.md for the rest)."""
     segs, golden = _projinfo_segments()
     ran = set()
     for title, argv in segs:
@@ -752,7 +766,7 @@ def test_projinfo_golden_segments():
         got = _run_cli(["projinfo"] + argv, "").rstrip("\n").splitlines()
         assert got == golden[title], (title, got[:5], golden[title][:5])
         ran.add(title)
-    assert len(ran) == len(_PROJINFO_IMPLEMENTED) == 21
+    assert len(ran) == len(_PROJINFO_IMPLEMENTED) == 29
 
 
 def test_cct_golden():

@@ -86,12 +86,24 @@ def rows(fname: str):
 _INSERT_ANY = re.compile(r'INSERT INTO "?(\w+)"? VALUES\((.*)\);\s*$', re.S)
 
 
-def rows_with_table(fname: str):
+def rows_with_table(fname: str, strip_comments: bool = False):
     """Like rows() but yields (table_name, values) — the ESRI/IGNF files
-    interleave many tables in one file."""
+    interleave many tables in one file.  strip_comments removes inline
+    `--` SQL comments first (the hand-written custom files annotate
+    INSIDE multi-line VALUES lists)."""
     path = os.path.join(SQL_DIR, fname)
+    if strip_comments:
+        text = re.sub(r"--[^\n]*", "", open(path, encoding="utf-8",
+                                            errors="replace").read())
+        lines = [ln + "\n" for ln in text.splitlines()]
+        return _rows_with_table_lines(lines)
+    return _rows_with_table_lines(open(path, encoding="utf-8",
+                                       errors="replace"))
+
+
+def _rows_with_table_lines(lines):
     buf = ""
-    for line in open(path, encoding="utf-8", errors="replace"):
+    for line in lines:
         if not buf and not line.lstrip().startswith("INSERT"):
             continue
         buf += line
@@ -187,7 +199,7 @@ def main() -> None:
 
     helm = {}
     custom_helmert = [r for t, r in
-                      rows_with_table("customizations.sql")
+                      rows_with_table("customizations.sql", strip_comments=True)
                       if t == "helmert_transformation"]
     for r in list(rows("helmert_transformation.sql")) + custom_helmert:
         # hand-maintained PROJ-authority glue ops (WGS 84 realizations,
@@ -232,10 +244,16 @@ def main() -> None:
             "name": r[2], "method": str(r[6]), "method_name": r[7],
             "src": str(r[9]), "dst": str(r[11]), "area": str(r[13]),
             "acc": r[14], "grid": r[18], "deprecated": r[-1],
+            # projinfo full-listing fields: scope/remark/version and the
+            # grid parameter name(s) (second file for NADCON .las/.los)
+            "scope": r[4], "remark": r[3], "version": r[-2],
+            "p_name": r[17],
+            "p2_name": r[21] if len(r) > 22 and r[21] else None,
+            "grid2": r[22] if len(r) > 22 and r[22] else None,
         }
     # PROJ's own hand-maintained entries (grid_transformation_custom.sql:
     # BWTA2017/SeTa2016-style grids + their PROJ-authority areas)
-    for table, r in rows_with_table("grid_transformation_custom.sql"):
+    for table, r in rows_with_table("grid_transformation_custom.sql", strip_comments=True):
         if table == "grid_transformation":
             key = str(r[1]) if str(r[0]) == "EPSG" else f"{r[0]}:{r[1]}"
             grids[key] = {
@@ -244,6 +262,10 @@ def main() -> None:
                 "area": (str(r[13]) if str(r[12]) == "EPSG"
                          else f"{r[12]}:{r[13]}"),
                 "acc": r[14], "grid": r[18], "deprecated": r[-1],
+                "scope": r[4], "remark": r[3], "version": r[-2],
+                "p_name": r[17],
+                "p2_name": r[21] if len(r) > 22 and r[21] else None,
+                "grid2": r[22] if len(r) > 22 and r[22] else None,
             }
     cat["grid_transformation"] = grids
 
@@ -253,7 +275,7 @@ def main() -> None:
         # auth, code, name, description, south, north, west, east, depr
         area[str(r[1])] = [r[6], r[4], r[7], r[5]]   # (w, s, e, n)
         area_name[str(r[1])] = r[2]                  # projinfo AREA[...]
-    for table, r in rows_with_table("grid_transformation_custom.sql"):
+    for table, r in rows_with_table("grid_transformation_custom.sql", strip_comments=True):
         if table == "area":
             key = str(r[1]) if str(r[0]) == "EPSG" else f"{r[0]}:{r[1]}"
             area[key] = [r[6], r[4], r[7], r[5]]
@@ -287,15 +309,27 @@ def main() -> None:
     # .sql; drives projinfo's DERIVED_FROM(EPSG) markers and the
     # engine's grid-file name resolution)
     alt = {}
+    alt_fmt = {}
+    alt_inv = {}
     for fname in ("grid_alternatives.sql", "grid_alternatives_generated.sql"):
         text = open(os.path.join(SQL_DIR, fname)).read()
+        # strip line comments so VALUES args tokenize cleanly
+        text = re.sub(r"--[^\n]*", "", text)
         for stmt in text.split("INSERT INTO"):
             if not stmt.lstrip().startswith("grid_alternatives"):
                 continue
-            m = re.search(r"VALUES\s*\(\s*'([^']+)',\s*'([^']+)',", stmt)
-            if m:
-                alt[m.group(1)] = m.group(2)
+            m = re.search(r"VALUES\s*\((.*?)\);", stmt, re.S)
+            if not m:
+                continue
+            toks = re.findall(r"'([^']*)'|(\b\d+\b)", m.group(1))
+            vals = [a if a else b for a, b in toks]
+            if len(vals) >= 5:
+                alt[vals[0]] = vals[1]
+                alt_fmt[vals[0]] = vals[2]
+                alt_inv[vals[0]] = int(vals[4])
     cat["grid_alternatives"] = alt
+    cat["grid_alternatives_format"] = alt_fmt
+    cat["grid_alternatives_inverse"] = alt_inv
 
     # vertical + compound CRS (reference data/sql/vertical_crs.sql,
     # compound_crs.sql; modelled as CompoundCRS/VerticalCRS in
@@ -305,8 +339,15 @@ def main() -> None:
         # auth, code, name, _, _, cs_auth, cs, datum_auth, datum,
         # area_auth, area, depr
         vert[str(r[1])] = {"name": r[2], "datum": str(r[8]),
+                           "cs": str(r[6]), "area": str(r[10]),
                            "deprecated": r[-1]}
     cat["vertical_crs"] = vert
+
+    vdatum = {}
+    for r in rows("vertical_datum.sql"):
+        # auth, code, name, _, _, area_auth, area, publication, depr
+        vdatum[str(r[1])] = {"name": r[2]}
+    cat["vertical_datum"] = vdatum
 
     comp = {}
     for r in rows("compound_crs.sql"):
