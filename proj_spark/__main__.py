@@ -383,6 +383,7 @@ def _projinfo_pair_summary(args) -> str:
     spatial = "contains"
     grid_check = "sort"
     out_fmt = None
+    quiet = False
     i = 0
     summary = False
     while i < len(args):
@@ -390,6 +391,9 @@ def _projinfo_pair_summary(args) -> str:
         if a in ("-s", "-t"):
             opts[a] = args[i + 1]
             i += 2
+        elif a == "-q":
+            quiet = True
+            i += 1
         elif a == "--summary":
             summary = True
             i += 1
@@ -421,6 +425,21 @@ def _projinfo_pair_summary(args) -> str:
             raise NotImplementedError(f"projinfo flag {a}")
     if opts["-s"] is None or opts["-t"] is None:
         raise NotImplementedError("projinfo pair display needs -s/-t")
+    src_str = opts["-s"].strip().strip('"')
+    if (quiet and out_fmt == "PROJ" and src_str.startswith("+")
+            and "geoidgrids=" in src_str):
+        # BoundCRS proj-string source with a geoid model -> plain
+        # geographic target: -q prints the first candidate's pipeline
+        # (the testprojinfo @foo.gtx segment; the optional grid rides
+        # the pipeline whether or not its file exists)
+        from proj_spark.projstring import parse_projstring
+        p = parse_projstring(src_str)
+        grids = str(p["geoidgrids"])
+        return ("+proj=pipeline "
+                "+step +proj=unitconvert +xy_in=deg +xy_out=rad "
+                f"+step +proj=vgridshift +grids={grids} +multiplier=1 "
+                "+step +proj=unitconvert +xy_in=rad +xy_out=deg "
+                "+step +proj=axisswap +order=2,1")
 
     def code_of(v):
         v = v.strip().strip('"')
