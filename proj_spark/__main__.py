@@ -386,10 +386,19 @@ def _projinfo_pair_summary(args) -> str:
     quiet = False
     i = 0
     summary = False
+
+    def val(i, a):
+        # a trailing flag without its value must not crash the CLI
+        # (projinfo.cpp exits with a usage error); NotImplementedError
+        # routes to the engine's fallback/usage path
+        if i + 1 >= len(args):
+            raise NotImplementedError(f"projinfo flag {a} missing value")
+        return args[i + 1]
+
     while i < len(args):
         a = args[i]
         if a in ("-s", "-t"):
-            opts[a] = args[i + 1]
+            opts[a] = val(i, a)
             i += 2
         elif a == "-q":
             quiet = True
@@ -398,13 +407,13 @@ def _projinfo_pair_summary(args) -> str:
             summary = True
             i += 1
         elif a == "--spatial-test":
-            spatial = args[i + 1]
+            spatial = val(i, a)
             i += 2
         elif a == "--grid-check":
-            grid_check = args[i + 1]
+            grid_check = val(i, a)
             i += 2
         elif a == "-o":
-            fmt = args[i + 1]
+            fmt = val(i, a)
             if fmt != "PROJ":
                 raise NotImplementedError(f"pair display -o {fmt}")
             out_fmt = fmt
@@ -412,11 +421,11 @@ def _projinfo_pair_summary(args) -> str:
         elif a == "--3d":
             i += 1                  # summary output is promotion-neutral
         elif a == "--bbox":
-            w, s, e, n = (float(v) for v in args[i + 1].split(","))
+            w, s, e, n = (float(v) for v in val(i, a).split(","))
             aoi = (w, s, e, n)
             i += 2
         elif a == "--area":
-            bbox, err = resolve_area_arg(args[i + 1])
+            bbox, err = resolve_area_arg(val(i, a))
             if err is not None:
                 return "\n".join(err)
             aoi = bbox
@@ -426,8 +435,10 @@ def _projinfo_pair_summary(args) -> str:
     if opts["-s"] is None or opts["-t"] is None:
         raise NotImplementedError("projinfo pair display needs -s/-t")
     src_str = opts["-s"].strip().strip('"')
+    tgt_str = opts["-t"].strip().strip('"').upper()
     if (quiet and out_fmt == "PROJ" and src_str.startswith("+")
-            and "geoidgrids=" in src_str):
+            and "geoidgrids=" in src_str
+            and tgt_str in ("EPSG:4326", "EPSG:4979", "4326", "4979")):
         # BoundCRS proj-string source with a geoid model -> plain
         # geographic target: -q prints the first candidate's pipeline
         # (the testprojinfo @foo.gtx segment; the optional grid rides
@@ -485,6 +496,13 @@ def cmd_projinfo(args) -> int:
             return 0
     except NotImplementedError:
         pass
+    if "-s" in args or "-t" in args:
+        # -s/-t inputs the pair path could not handle (unsupported
+        # combination or a trailing flag with no value): usage error,
+        # never a traceback (projinfo.cpp exits with usage)
+        print("projinfo: unsupported -s/-t invocation "
+              "(missing value or unsupported option combination)")
+        return 2
     try:
         if "-o" in args:
             i = args.index("-o")

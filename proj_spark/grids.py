@@ -305,12 +305,17 @@ def write_ntv1(path: str, s_lat: float, n_lat: float, w_long: float,
         hdr = bytearray(192)
         hdr[0:8] = b"HEADER  "
         hdr[8:12] = struct.pack(">i", 12)
+        # tags at 96 ('W GRID') and 144 ('TO      NAD83   ') are the
+        # magic bytes pj_gridinfo_init sniffs (gridinfo.cpp:917-920);
+        # the long-inc VALUE still lives at offset 104 (to_double(
+        # header+104), gridinfo.cpp:717)
         for off, tag, v in ((16, b"S LAT   ", s_lat), (32, b"N LAT   ", n_lat),
                             (48, b"E LONG  ", e_long), (64, b"W LONG  ", w_long),
                             (80, b"LAT INC ", lat_inc),
-                            (96, b"LONG INC", long_inc)):
+                            (96, b"W GRID  ", long_inc)):
             hdr[off:off + 8] = tag
             hdr[off + 8:off + 16] = struct.pack(">d", v)
+        hdr[144:160] = b"TO      NAD83   "
         f.write(bytes(hdr))
         f.write(shifts[:, ::-1, :].astype(">f8").tobytes())
 
@@ -371,25 +376,28 @@ def register_grid_file(name: str, path: str) -> None:
     """Load a grid file and register it under `name` so proj-string
     +grids=/+nadgrids=/+geoidgrids= parameters resolve to it.  The
     format is sniffed from the content like the reference's
-    pj_gridinfo_init (gridinfo.cpp:862-952): CTABLE2 magic, NTv2
-    NUM_OREC==11, NTv1 record-count==12, else GTX by extension."""
+    pj_gridinfo_init (gridinfo.cpp:917-941): NTv1 needs 'HEADER'@0 +
+    'W GRID'@96 + 'TO      NAD83   '@144; NTv2 needs 'NUM_OREC'@0 +
+    'GS_TYPE'@48; then GTX by extension; then the CTABLE2 magic.  A
+    record-count word alone is NOT enough — an unrelated binary whose
+    bytes 8:12 decode to 11/12 must not be mis-sniffed."""
     from proj_spark.operations import datum as datum_mod
     with open(path, "rb") as f:
-        head = f.read(16)
-    if head.startswith(b"CTABLE V2"):
-        datum_mod.GRID_REGISTRY[name] = load_ctable2(path)
+        head = f.read(160)
+    if (len(head) >= 144 + 16 and head[0:6] == b"HEADER"
+            and head[96:102] == b"W GRID"
+            and head[144:160] == b"TO      NAD83   "):
+        datum_mod.GRID_REGISTRY[name] = load_ntv1(path)
         return
-    if len(head) >= 12:
-        word = head[8:12]
-        if struct.unpack("<i", word)[0] == 11 or \
-                struct.unpack(">i", word)[0] == 11:
-            datum_mod.GRID_REGISTRY[name] = load_gsb(path)
-            return
-        if struct.unpack(">i", word)[0] == 12:
-            datum_mod.GRID_REGISTRY[name] = load_ntv1(path)
-            return
+    if (len(head) >= 48 + 7 and head[0:8] == b"NUM_OREC"
+            and head[48:55] == b"GS_TYPE"):
+        datum_mod.GRID_REGISTRY[name] = load_gsb(path)
+        return
     ext = os.path.splitext(path)[1].lower()
     if ext == ".gtx":
         datum_mod.GRID_REGISTRY[name] = load_gtx(path)
-    else:
-        raise NotImplementedError(f"unrecognized grid format: {path}")
+        return
+    if head.startswith(b"CTABLE V2"):
+        datum_mod.GRID_REGISTRY[name] = load_ctable2(path)
+        return
+    raise NotImplementedError(f"unrecognized grid format: {path}")

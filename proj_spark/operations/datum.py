@@ -159,7 +159,7 @@ def nad_cvt(lam, phi, inverse: bool, grid: Grid, roots=None):
     out_lam = np.where(bad, NAN, out_lam)
     out_phi = np.where(bad, NAN, out_phi)
     if roots is not None and switchers.any():
-        idx = np.nonzero(switchers)[0]
+        idx = np.flatnonzero(switchers)
         for k in idx:
             sl, sp = _nad_cvt_inv_scalar(float(lam.flat[k]),
                                          float(phi.flat[k]), grid, roots)

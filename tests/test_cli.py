@@ -78,3 +78,30 @@ def test_cct_forward_and_inverse():
                f"{x} {y} 0 2018\n")
     lon, lat = [float(v) for v in back.split()[:2]]
     assert abs(lon - 12) < 1e-8 and abs(lat - 56) < 1e-8
+
+
+def test_projinfo_trailing_flag_does_not_crash():
+    # advisor r4: 'projinfo -s X -t' (missing value) must not traceback;
+    # the parser raises NotImplementedError and the fallback/usage
+    # path handles it
+    p = __import__("subprocess").run(
+        [sys.executable, "-m", "proj_spark", "projinfo",
+         "-s", "EPSG:4326", "-t"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert "IndexError" not in p.stderr and "Traceback" not in p.stderr
+
+
+def test_projinfo_geoidgrids_canned_pipeline_gated_on_target():
+    # advisor r4: the -q -o PROJ geoidgrids shortcut is only correct for
+    # a plain EPSG:4326/4979 target; any other target must NOT get the
+    # canned 4-step pipeline
+    src = ("+proj=longlat +datum=WGS84 +geoidgrids=@foo.gtx "
+           "+type=crs")
+    ok = run(["projinfo", "-q", "-o", "PROJ", "-s", src,
+              "-t", "EPSG:4326"])
+    assert "+proj=vgridshift +grids=@foo.gtx" in ok
+    p = __import__("subprocess").run(
+        [sys.executable, "-m", "proj_spark", "projinfo", "-q", "-o",
+         "PROJ", "-s", src, "-t", "EPSG:32632"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert "+step +proj=axisswap +order=2,1" not in p.stdout

@@ -72,3 +72,29 @@ def test_null_grid_is_world_zero():
     g = null_grid()
     assert g.ll == (-math.pi, -math.pi / 2.0)
     assert not g.cvs.any()
+
+
+def test_register_grid_file_gtx_not_missniffed(tmp_path):
+    # advisor r4: an extensionless-magic match must use the reference's
+    # magic strings (gridinfo.cpp:917-927), not just the int at bytes
+    # 8:12 — this GTX's xorigin starts with BE int 11 (the old NTv2
+    # trigger) and must still load as GTX
+    import struct
+    from proj_spark.operations.datum import GRID_REGISTRY
+    from proj_spark.grids import register_grid_file
+    x = struct.unpack(">d", b"\x00\x00\x00\x0b\x00\x00\x00\x00")[0]
+    p = str(tmp_path / "adversarial.gtx")
+    vals = np.arange(6, dtype=np.float64).reshape(2, 3)
+    with open(p, "wb") as f:
+        f.write(struct.pack(">4d", 10.0, x, 1.0, 1.0))
+        f.write(struct.pack(">2i", 2, 3))
+        f.write(vals.astype(">f4").tobytes())
+    saved = dict(GRID_REGISTRY)
+    try:
+        register_grid_file("_sniff_gtx", p)
+        g = GRID_REGISTRY["_sniff_gtx"]
+        assert g.cvs.shape == (2, 3)
+        np.testing.assert_array_equal(g.cvs, vals)
+    finally:
+        GRID_REGISTRY.clear()
+        GRID_REGISTRY.update(saved)
