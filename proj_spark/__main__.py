@@ -338,6 +338,11 @@ def _projinfo_crs_display(definition: str, fmt: str | None) -> str:
     (the caller falls back to the engine's own summary)."""
     from proj_spark.projinfo_text import CrsDescription, proj4_string
     code = definition.strip()
+    if code.upper().startswith("GEOGCS") and fmt is None:
+        # raw WKT1 input: warnings (strict-grammar lint + recoverable
+        # parse notes) then the default PROJ.4 + WKT2:2019 display
+        from proj_spark.projinfo_text import wkt1_geogcs_display
+        return wkt1_geogcs_display(definition)
     if code.upper().startswith("EPSG:"):
         code = code.split(":", 1)[1]
     if not code.isdigit():

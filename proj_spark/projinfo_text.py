@@ -1429,3 +1429,174 @@ _ELLPS_RECOVER = {("6378137.0", "298.257223563"): "WGS84",
 #: prime meridian greenwich longitudes (degrees) -> proj pm name
 _PM_NAMES = [(12.452333333333332, "rome"), (2.337229166666667, "paris"),
              (2.337229169999998, "paris")]
+
+
+# ---------------------------------------------------------------------------
+# raw WKT1 input display (the testprojinfo "non compliant WKT1" segment)
+# ---------------------------------------------------------------------------
+
+_WKT1_MEMBER = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _wkt_error_text(text: str, n: int, msg: str) -> str:
+    """pj_wkt_error's caret-context formatting (src/wkt_parser.cpp:
+    35-60): 40 chars either side of the last-success position `n`,
+    newline handling included, caret under position n."""
+    start_i = max(0, n - 40)
+    ctxt: list[str] = []
+    i = start_i
+    while i < n + 40 and i < len(text):
+        ch = text[i]
+        if ch in "\r\n":
+            if i > n:
+                break
+            ctxt = []
+            start_i = i + 1
+        else:
+            ctxt.append(ch)
+        i += 1
+    return ("Parsing error : " + msg + ". Error occurred around:\n"
+            + "".join(ctxt) + "\n" + " " * (n - start_i) + "^")
+
+
+def wkt1_strict_error(text: str) -> str | None:
+    """Engine twin of pj_wkt1_parse for the member-ORDER productions of
+    the strict WKT1 grammar's geographic_cs (src/wkt1_grammar.y:160-162:
+    GEOGCS[name, DATUM, PRIMEM, UNIT, ...]).  Reports the first
+    out-of-order member keyword the way bison does ('syntax error,
+    unexpected X, expecting Y') with the wkt_parser.cpp caret context;
+    returns None when the checked productions hold (other WKT1 error
+    classes are outside this lint's scope)."""
+    head = _WKT1_MEMBER.match(text.lstrip())
+    if head is None or head.group(0).upper() != "GEOGCS":
+        return None
+    # top-level members: keywords at bracket depth 1
+    depth = 0
+    members: list[tuple[str, int]] = []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch == '"':                      # skip quoted strings
+            j = text.find('"', i + 1)
+            i = len(text) if j < 0 else j + 1
+            continue
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        elif depth == 1 and (ch.isalpha() or ch == "_"):
+            m = _WKT1_MEMBER.match(text, i)
+            members.append((m.group(0).upper(), i))
+            i = m.end()
+            continue
+        i += 1
+    expected = ["DATUM", "PRIMEM", "UNIT"]
+    for want, (got, pos) in zip(expected, members):
+        if got != want:
+            return _wkt_error_text(
+                text, pos,
+                f"syntax error, unexpected {got}, expecting {want}")
+        if got == "UNIT":
+            break
+    return None
+
+
+#: canonical datum name -> classic proj +datum= shorthand
+#: (the PROJ-string exporter's datum recognition, datum.cpp aliases)
+_PROJ_DATUM_NAMES = {
+    "World Geodetic System 1984": "WGS84",
+    "North American Datum 1983": "NAD83",
+    "North American Datum 1927": "NAD27",
+    "Deutsches Hauptdreiecksnetz": "potsdam",
+}
+
+
+def wkt1_geogcs_display(text: str) -> str:
+    """projinfo display for a raw WKT1 GEOGCS definition (projinfo.cpp
+    main: WKTParser with warnings, then the default PROJ.4 + WKT2:2019
+    output).  Mirrors io.cpp parse behaviors: missing PRIMEM defaults
+    to Greenwich WITH a recoverable warning (io.cpp:2640-2647) and the
+    EPSG:8901 identifier; a 'WGS_1984' datum name canonicalizes to the
+    EPSG 6326 name without acquiring identifiers (io.cpp:2000-2002);
+    WKT1 implicit CS yields lon-first lowercase 'longitude'/'latitude'
+    axes; the strict-grammar lint result is appended to the warning
+    list (createFromWKT, io.cpp:6085-6096).  Since the parsed object
+    carries no top-level ID, database-backed inner objects keep their
+    IDs (metre 9001, Greenwich 8901) — the WKTFormatter rule the
+    catalog-code displays invert."""
+    from proj_spark.wkt import parse_wkt
+    root = parse_wkt(text)
+    if root.name.upper() != "GEOGCS":
+        raise NotImplementedError("WKT1 display: GEOGCS only")
+    if root.child("AXIS") is not None:
+        raise NotImplementedError("WKT1 display: explicit AXIS nodes")
+    names = root.strings()
+    datum_node = root.child("DATUM")
+    unit_node = root.child("UNIT")
+    if not names or datum_node is None or unit_node is None:
+        raise NotImplementedError("WKT1 display: incomplete GEOGCS")
+    name = names[0]
+    warnings: list[str] = []
+
+    datum_name = (datum_node.strings() or ["unknown"])[0]
+    if datum_name == "WGS_1984":
+        datum_name = "World Geodetic System 1984"
+    sph = datum_node.child("SPHEROID", "ELLIPSOID")
+    if sph is None or len(sph.numbers()) < 2:
+        raise NotImplementedError("WKT1 display: SPHEROID")
+    ell_name = (sph.strings() or ["unknown"])[0]
+    a, rf = sph.numbers()[0], sph.numbers()[1]
+
+    primem = root.child("PRIMEM")
+    if primem is None:
+        warnings.append("GEOGCS should have a PRIMEM node")
+        pm_name, pm_lon, pm_id = "Greenwich", 0.0, 8901
+    else:
+        pm_name = (primem.strings() or ["Greenwich"])[0]
+        pm_lon = (primem.numbers() or [0.0])[0]
+        pm_id = None
+
+    u_name = (unit_node.strings() or ["degree"])[0]
+    u_conv = (unit_node.numbers() or [math.pi / 180.0])[0]
+
+    err = wkt1_strict_error(text)
+    if err is not None:
+        warnings.append(err)
+
+    def angleunit():
+        return N("ANGLEUNIT", Q(u_name), u_conv)
+
+    pm_args = [Q(pm_name), _num(pm_lon), angleunit()]
+    if pm_id is not None:
+        pm_args.append(N("ID", Q("EPSG"), pm_id))
+    tree = N(
+        "GEOGCRS", Q(name),
+        N("DATUM", Q(datum_name),
+          N("ELLIPSOID", Q(ell_name), a, rf,
+            N("LENGTHUNIT", Q("metre"), 1,
+              N("ID", Q("EPSG"), 9001)))),
+        N("PRIMEM", *pm_args),
+        N("CS", Raw("ellipsoidal"), 2),
+        N("AXIS", Q("longitude"), Raw("east"), N("ORDER", 1),
+          angleunit(), extra_indent=1),
+        N("AXIS", Q("latitude"), Raw("north"), N("ORDER", 2),
+          angleunit(), extra_indent=1))
+
+    datum_short = _PROJ_DATUM_NAMES.get(datum_name)
+    if datum_short is not None and pm_lon == 0.0:
+        proj = f"+proj=longlat +datum={datum_short} +no_defs +type=crs"
+    else:
+        from proj_spark.ellipsoids import ELLIPSOIDS
+        ellps = None
+        for ename, (ea, kind, ev) in ELLIPSOIDS.items():
+            if kind == "rf" and abs(ea - a) < 1e-6 and abs(ev - rf) < 1e-9:
+                ellps = ename
+                break
+        spec = (f"+ellps={ellps}" if ellps
+                else f"+a={_g(a)} +rf={_g(rf)}")
+        proj = f"+proj=longlat {spec} +no_defs +type=crs"
+
+    out = [f"Warning: {w}" for w in warnings]
+    out.append("PROJ.4 string:\n" + proj
+               + "\n\nWKT2:2019 string:\n" + format_wkt(tree))
+    return "\n".join(out)

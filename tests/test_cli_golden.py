@@ -722,6 +722,7 @@ _PROJINFO_IMPLEMENTED = [
     '--spatial-test intersects',
     'Testing -s "+proj=longlat +datum=WGS84 +geoidgrids=@foo.gtx '
     '+type=crs" -t EPSG:4326 -o PROJ -q',
+    "Testing non compliant WKT1",
 ]
 
 
@@ -759,7 +760,7 @@ def _projinfo_segments():
 def test_projinfo_golden_segments():
     """Replay test/cli/testprojinfo segment-by-segment; every segment in
     _PROJINFO_IMPLEMENTED must be byte-exact against
-    testprojinfo_out.dist (30 of 31; see COVERAGE.md for the rest)."""
+    testprojinfo_out.dist (ALL 31 as of round 5)."""
     segs, golden = _projinfo_segments()
     ran = set()
     for title, argv in segs:
@@ -771,7 +772,7 @@ def test_projinfo_golden_segments():
         want = golden.get(title) or golden[title.replace('"', '')]
         assert got == want, (title, got[:5], want[:5])
         ran.add(title)
-    assert len(ran) == len(_PROJINFO_IMPLEMENTED) == 30
+    assert len(ran) == len(_PROJINFO_IMPLEMENTED) == 31
 
 
 def test_cct_golden():
