@@ -50,3 +50,28 @@ def salted_distinct_count(df: DataFrame, key_cols: list[str], value_col: str,
                .agg(F.countDistinct(value_col).alias("_pn")))
     return (partial.groupBy(*key_cols)
             .agg(F.sum("_pn").alias(count_name)))
+
+
+def salted_topk(df: DataFrame, key_cols: list[str], stable_id: str,
+                order_cols: list[Column], k: int,
+                salt_k: int = 16) -> DataFrame:
+    """Two-phase per-key top-k, skew-immune and row-identical to the
+    naive `row_number().over(partitionBy(key).orderBy(...)) <= k` as
+    long as `order_cols` is a TOTAL order (include a unique tiebreaker).
+
+    phase 1: top-k within (key, salt) — the hot key's rows sort in
+             salt_k bounded tasks instead of one;
+    phase 2: top-k of the <= salt_k*k survivors per key (tiny).
+
+    Spark's own WindowGroupLimit pushdown already bounds the plain
+    rank<=k filter form; this helper is the explicit fallback for
+    rankings the pushdown cannot cover (see tools/stress_skew.py for
+    the measured comparison)."""
+    from pyspark.sql import Window
+    salted = df.withColumn("_salt", salt_col(F.col(stable_id), salt_k))
+    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*order_cols)
+    cand = (salted.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= k).drop("_r1", "_salt"))
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (cand.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k))
