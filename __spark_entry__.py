@@ -253,19 +253,35 @@ KNNJ_K = 3
 KNNJ_Z = 13
 
 
+def knnj_z(n: int) -> int:
+    """Density-matched cell zoom for the kNN/nn-dist cell joins: z=13
+    is tuned for <=600k pages (sf0.1); beyond that the zoom deepens so
+    cell occupancy n/4^z stays constant (each 4x in rows adds one
+    level).  A density-BLIND zoom costs 6.5-17x at 10x rows
+    (BASELINE.md stress10x table) — this is the knob, applied.
+    sf0.01/sf0.1 keep z=13, so oracles and bench history are
+    unchanged."""
+    import math
+    if n <= 600_000:
+        return KNNJ_Z
+    return KNNJ_Z + int(round(math.log(n / 600_000.0, 4)))
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-radius kNN self-JOIN: every geotagged page's <=3 nearest
     other pages via a one-shot cell + ring-1 candidate equi-join (no
     driver loop) — the distributed spatial-join flavor of kNN."""
     pts = _points(spark, sf_dir)
-    res = knn_self_join(pts, k=KNNJ_K, z=KNNJ_Z, ring=1, id_col="url")
+    res = knn_self_join(pts, k=KNNJ_K, z=knnj_z(_n_pages(sf_dir)),
+                        ring=1, id_col="url")
     return res.select("url", "nbr_id",
                       F.round("dist_m", 3).alias("dist_m"),
                       F.col("rank").cast("long").alias("rank"))
 
 
 def _sql_knn_join(n: int) -> str:
-    z, nmax = KNNJ_Z, (1 << KNNJ_Z) - 1
+    z = knnj_z(n)
+    nmax = (1 << z) - 1
     dist = haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
     return f"""WITH {_pages_cte(n)},
 pts AS (
@@ -2879,7 +2895,7 @@ def q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-joined.  FULL SQL ORACLE (_sql_clark_evans)."""
     from proj_spark.spatial.knn import nn_dist
     pts = _points(spark, sf_dir)
-    nn = nn_dist(pts, z=KNNJ_Z, ring=1, id_col="url")
+    nn = nn_dist(pts, z=knnj_z(_n_pages(sf_dir)), ring=1, id_col="url")
     mm = F.round(F.col("nn_m") * 1000, 0).cast("long")
     b1, b2, b3 = CE_BINS_MM
     stats = nn.select(mm.alias("mm")).agg(
@@ -2902,7 +2918,8 @@ def q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_clark_evans(n: int) -> str:
-    z, nmax = KNNJ_Z, (1 << KNNJ_Z) - 1
+    z = knnj_z(n)
+    nmax = (1 << z) - 1
     dist = haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
     b1, b2, b3 = CE_BINS_MM
     return f"""WITH {_pages_cte(n)},

@@ -48,6 +48,26 @@ def sexagesimal_to_deg(v: float) -> float:
     return sign * (d + m / 60.0 + s / 3600.0)
 
 
+def proj_double(v: float) -> str:
+    """The reference's PROJ-string double serialization
+    (io.cpp PROJStringFormatter::addParam -> formatToString:
+    round-to-tenth normalization when within 1e-8, then
+    internal::toString %.15g with the '9999999999' -> %.14g retry).
+
+    Catalog-derived pipelines in the reference are instantiated FROM
+    this serialized text (exportToPROJString -> proj_create), so the
+    doubles its kernels see are the reparsed %.15g values, not the
+    full-precision ones — e.g. sexagesimal 10d20 lowers to
+    10.3333333333333, one ulp below 10+20/60.  Matching this is what
+    lands the MGI tv_out segment on the correct printf boundary."""
+    if abs(v * 10 - round(v * 10)) < 1e-8:
+        v = round(v * 10) / 10.0
+    s = "%.15g" % v
+    if "9999999999" in s:
+        s = "%.14g" % v
+    return s
+
+
 def angle_to_deg(value: float, uom: str) -> float:
     if uom == "9110":
         return sexagesimal_to_deg(value)
@@ -329,7 +349,7 @@ def crs_definition(code) -> str:
             # axis; the +axis=w flip negates coordinates, so negate the
             # offset to keep W = FE - E_natural
             value = -value
-        parts.append(f"+{key}={value!r}")
+        parts.append(f"+{key}={proj_double(float(value))}")
     # LCC 1SP (9801/9826): proj's lcc wants the standard parallel spelled
     # out (lat_1 = latitude of natural origin), as the legacy init files did
     if method in ("9801", "9826"):

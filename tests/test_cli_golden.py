@@ -198,12 +198,13 @@ def _run_cli(argv, stdin):
 
 def test_tv_out_golden():
     """Replay every cs2cs heredoc of test/cli/testvarious and compare
-    per-segment against tv_out.dist (diff -b semantics).  66/67
-    segments byte-exact; the single remaining segment (MGI, #207) is
-    numerically within 2e-7 m — one final printf digit on one
-    coordinate (libm-level noise through cart/helmert/tmerc; the
-    planner now runs the reference's approximate small-angle helmert
-    for DB-derived 7-param ops, which closed the former 5 mm gap)."""
+    per-segment against tv_out.dist (diff -b semantics).  ALL 67
+    segments byte-exact as of round 5: the MGI segment's last printf
+    digit landed once the catalog lowering adopted the reference's
+    %.15g parameter serialization (factory.proj_double) — the
+    reference instantiates DB-derived pipelines from their serialized
+    PROJ strings, so its kernels see the REPARSED doubles (lon_0
+    10.3333333333333, one ulp below 10+20/60)."""
     import shlex
 
     segs = _tv_segments(f"{REF_CLI}/testvarious")
@@ -235,8 +236,8 @@ def test_tv_out_golden():
                     continue
                 assert abs(float(a) - float(b)) <= 2e-7, (seg["title"], a, b)
         near.append(seg["title"])
-    assert exact >= 66, (exact, near)
-    assert near == ["Test MGI datum gives expected results (#207)"], near
+    assert exact == 67, (exact, near)
+    assert near == [], near
 
 
 # ---------------------------------------------------------------------------
