@@ -172,14 +172,14 @@ def main() -> None:
         lambda: (pages.groupBy("domain")
                  .agg(F.count("*").alias("n"),
                       F.countDistinct("url").alias("nd"))
-                 .orderBy(F.desc("n")).limit(5).collect()), results)
+                 .orderBy(F.desc("n"), "domain").limit(5).collect()), results)
     salted = run_case(
         spark, "agg salted two-phase",
         lambda: (salted_count(pages, ["domain"], "i", k=16)
                  .join(salted_distinct_count(pages, ["domain"], "url",
                                              k=16, count_name="nd"),
                        "domain")
-                 .orderBy(F.desc("n")).limit(5).collect()), results)
+                 .orderBy(F.desc("n"), "domain").limit(5).collect()), results)
     assert sorted((r["domain"], r["n"], r["nd"]) for r in naive) == \
         sorted((r["domain"], r["n"], r["nd"]) for r in salted)
 
