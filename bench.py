@@ -113,8 +113,11 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float],
     # number that matters at 100 TB, where a plan compiles once and
     # then scans for hours.  Both are reported; regressions should be
     # judged on the steady number (per-query min, see below).
+    progress = os.environ.get("SPARK_GRAFT_PROGRESS")
     cold: dict[str, float] = {}
     for name in HEADLINE:
+        if progress:
+            print(f"# cold {name}", file=sys.stderr, flush=True)
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()
@@ -129,6 +132,9 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float],
     # min-of-2 never flatters a plan, it only sheds interference.
     for _pass in range(2):
         for name in HEADLINE:
+            if progress:
+                print(f"# steady{_pass} {name}", file=sys.stderr,
+                      flush=True)
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
@@ -152,6 +158,17 @@ def _clear_persisted(spark) -> None:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for jrdd in jmap.values():
         jrdd.unpersist()
+    # Shuffle-file hygiene: Spark's ContextCleaner deletes a query's
+    # shuffle files only when the JVM garbage-collects the dereferenced
+    # RDD objects.  A long one-session suite at sf1 accumulates ~100
+    # queries' shuffle spill before a natural full GC happens and fills
+    # the disk (measured: 77 GB exhausted at query ~100 of the sf1
+    # pass).  Forcing a GC after each timed query keeps local disk
+    # bounded by the LARGEST single query instead of the running sum —
+    # the timing window has already closed, so this costs the
+    # measurement nothing.  (Cluster equivalent:
+    # spark.cleaner.periodicGC.interval, default 30min, tightened.)
+    spark.sparkContext._jvm.System.gc()
 
 
 SCALING_ROWS = 32_000_000
