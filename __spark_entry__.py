@@ -1696,13 +1696,33 @@ def _lsh_bucket_rows(n_planes: int, n_tables: int, dim: int) -> str:
     return ",\n    ".join(rows)
 
 
+def ann_planes(n_vecs: int) -> int:
+    """Density-matched sign-LSH plane count: 4 planes (16 buckets per
+    table) is tuned for <= 2000 vectors (sf0.1); beyond that one plane
+    is added per 2x vectors so bucket occupancy n/2^planes stays
+    constant.  A density-BLIND plane count makes sum(bucket^2)
+    candidates grow ~n^2 (measured: 3M at 2k vecs -> 300M at 20k,
+    spilling the sandbox disk) — this is the knob, applied.
+    sf0.01/sf0.1 keep 4 planes, so oracles and bench history are
+    unchanged."""
+    import math
+    if n_vecs <= 2000:
+        return 4
+    return 4 + int(math.ceil(math.log2(n_vecs / 2000.0)))
+
+
+def _n_vecs(sf_dir: str) -> int:
+    return _n_pages(sf_dir) // 300
+
+
 def q_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs neighbors via sign-LSH buckets (rows-only:
     recall depends on the deterministic hyperplanes, verified against
     the exact query in tests)."""
     from proj_spark.text.similarity import knn_pairs_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return (knn_pairs_topk(emb, k=EMB_PAIR_K, dim=64, n_planes=4,
+    return (knn_pairs_topk(emb, k=EMB_PAIR_K, dim=64,
+                           n_planes=ann_planes(_n_vecs(sf_dir)),
                            n_tables=12)
             .select(F.col("vec_id").cast("long"),
                     F.col("nbr_id").cast("long"), "cosine",
@@ -1724,7 +1744,8 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     text/components.dedup_assign for group collapse)."""
     from proj_spark.text.similarity import neardup_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return (neardup_pairs(emb, tau=EMB_NEARDUP_TAU, dim=64, n_planes=4,
+    return (neardup_pairs(emb, tau=EMB_NEARDUP_TAU, dim=64,
+                          n_planes=ann_planes(_n_vecs(sf_dir)),
                           n_tables=12)
             .select(F.col("id_a").cast("long").alias("id_a"),
                     F.col("id_b").cast("long").alias("id_b"), "cosine"))
