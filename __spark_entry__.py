@@ -54,6 +54,37 @@ def _n_pages(sf_dir: str) -> int:
     return int(round(PAGES_PER_SF * sf))
 
 
+def _n_docs(sf_dir: str) -> int:
+    """documents-table cardinality by scale factor (50k/sf, floored at
+    the 500-doc sf0.001/sf0.01 corpora)."""
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else ORACLE_SF
+    return max(500, int(round(50_000 * sf)))
+
+
+def mh_params(n_docs: int) -> tuple[int, int]:
+    """Density-matched MinHash-LSH (num_hashes, rows_per_band): 64
+    hashes in 16 bands of 4 is tuned for <= 20k docs (S-curve midpoint
+    (1/16)^(1/4) = 0.50, the verify threshold).  On a corpus whose
+    shingle mass concentrates on few hot shingles (web boilerplate; the
+    31-word synthetic corpus is the extreme), the fixed per-hash
+    minimum is shared by every doc containing the hot shingle, so
+    4-hash band keys saturate and candidate volume grows ~n^2
+    (measured: 1.07M band pairs at 5k docs -> 102.8M at 50k, hottest
+    bucket 807 -> 7,576 docs; the verify join then ships shingle-set
+    arrays per pair — 100s of GB of shuffle at 50k docs).  Beyond 20k
+    docs: 128 hashes in 16 bands of 8 — the production web-dedup
+    operating point (cf. datatrove's 112/14x8) — cuts sf1 to 2.03M
+    band pairs / 1,445 max bucket (50x) at the cost of a sharper
+    S-curve (midpoint (1/16)^(1/8) = 0.71): near-threshold J~0.5 pairs
+    lose candidate recall, exact/boilerplate dups (J~1, every band
+    identical) keep 100%.  sf0.01/sf0.1 keep 64/4, so the DuckDB
+    oracle (sf0.01) and bench history are unchanged."""
+    if n_docs <= 20_000:
+        return 64, 4
+    return 128, 8
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pages -> geotagged points (url, domain, lang, lat, lon).
 
@@ -1924,10 +1955,15 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fatal at 10^9), no second text scan, no Python verify stage: at
     100 TB the set join shuffles on doc_id like any other join, and
     candidate volume from near-threshold corpora (LSH at r=4,b=16
-    passes ~half of J~0.45 pairs) is pruned before any array ships."""
+    passes ~half of J~0.45 pairs) is pruned before any array ships.
+    The (num_hashes, rows_per_band) pair is the density-matched
+    mh_params knob: hot-shingle corpora saturate 4-hash band keys
+    quadratically at scale (see mh_params for the measurements)."""
     from proj_spark.text.dedup import band_bucket_expr, minhash_sig_set_udf
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    f = minhash_sig_set_udf(num_hashes=64, shingle=5)
+    num_hashes, rows_per_band = mh_params(_n_docs(sf_dir))
+    n_bands = num_hashes // rows_per_band
+    f = minhash_sig_set_udf(num_hashes=num_hashes, shingle=5)
     base = (docs.select("doc_id", f(F.col("text")).alias("s"))
             .select("doc_id", "s.sig", "s.sh")
             .persist())
@@ -1935,10 +1971,9 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which would race the (expensive) UDF stage into 2-4 duplicate
     # computations before the cache fills
     base.count()
-    rows_per_band = 64 // 16
     buckets = [F.struct(F.lit(bi).alias("band"),
                         band_bucket_expr("sig", bi, rows_per_band)
-                        .alias("bucket")) for bi in range(16)]
+                        .alias("bucket")) for bi in range(n_bands)]
     banded = (base.select("doc_id", F.explode(F.array(*buckets)).alias("bb"))
               .select("doc_id", "bb.band", "bb.bucket"))
     # repartition the probe side: a single-file corpus would otherwise
@@ -1972,10 +2007,16 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (rows-only; hamming <= 3)."""
+    """SimHash near-dup pairs (rows-only; hamming <= 3).  Candidates
+    come from 4x16-bit bands at <= 20k docs (oracle/bench scales
+    unchanged) and from the WWW'07 block-permutation triple index
+    beyond — the exact Hamming verify makes the output identical under
+    either scheme; only hot-key candidate volume changes (68M band
+    pairs -> 5.9M at the 50k-doc sf1 corpus; see simhash_near_dups)."""
     from proj_spark.text.dedup import simhash_near_dups
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    d = simhash_near_dups(docs)
+    d = simhash_near_dups(
+        docs, scheme="bands" if _n_docs(sf_dir) <= 20_000 else "blocks")
     return d.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"),
                     F.col("hamming").cast("long")).orderBy("id_a", "id_b")
 

@@ -88,7 +88,8 @@ HEADLINE = [
 
 
 def run_queries(spark, sf_dir: str) -> tuple[dict[str, float],
-                                             dict[str, float]]:
+                                             dict[str, float],
+                                             dict[str, str]]:
     qs = entrymod.queries()
     out: dict[str, float] = {}
     # warm the python UDF workers + pages cache once, uncounted — at
@@ -122,16 +123,24 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float],
             if s}
     headline = [n for n in HEADLINE if n not in skip]
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in headline:
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        cold[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        try:
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            cold[name] = round(time.time() - t0, 3)
+            assert n >= 0
+        except Exception as e:  # noqa: BLE001 — a single blown query
+            # (e.g. a spill filling the disk) must not abort a
+            # multi-hour certification run; record it, skip its steady
+            # passes, keep going (the error lands in the payload)
+            errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
+        finally:
+            _clear_persisted(spark)
         if progress:
-            print(f"# cold {name} {cold[name]}", file=sys.stderr,
-                  flush=True)
-        _clear_persisted(spark)
+            print(f"# cold {name} {cold.get(name, 'ERROR')}",
+                  file=sys.stderr, flush=True)
     # the sandbox host is co-tenant: CPU steal sporadically inflates a
     # single measurement 2-10x (observed: the same query 4.3 s and 43 s
     # minutes apart on a load-0 guest).  The steady number is therefore
@@ -140,15 +149,22 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float],
     # min-of-2 never flatters a plan, it only sheds interference.
     for _pass in range(2):
         for name in headline:
+            if name in errors:
+                continue
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            dt = round(time.time() - t0, 3)
-            out[name] = min(out.get(name, dt), dt)
+            try:
+                qs[name](spark, sf_dir).count()
+                dt = round(time.time() - t0, 3)
+                out[name] = min(out.get(name, dt), dt)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {str(e)[:300]}"
+                out.pop(name, None)
+            finally:
+                _clear_persisted(spark)
             if progress:
-                print(f"# steady{_pass} {name} {dt}", file=sys.stderr,
-                      flush=True)
-            _clear_persisted(spark)
-    return out, cold
+                print(f"# steady{_pass} {name} {out.get(name, 'ERROR')}",
+                      file=sys.stderr, flush=True)
+    return out, cold, errors
 
 
 def _clear_persisted(spark) -> None:
@@ -275,7 +291,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     spark = get_spark("bench")
-    queries, cold = run_queries(spark, sf_dir)
+    queries, cold, errors = run_queries(spark, sf_dir)
     spark.stop()
     skipped = [s for s in os.environ.get("SPARK_GRAFT_SKIP", "")
                .split(",") if s]
@@ -293,6 +309,7 @@ def main() -> None:
         # make the 218-vs-headline delta self-explaining in the artifact)
         "excluded": _excluded(),
         "skipped": skipped,
+        "errors": errors,
     }
     if os.environ.get("SPARK_GRAFT_SCALING"):
         payload["scaling"] = scaling_probe(sf_dir, entrymod._n_pages(sf_dir))

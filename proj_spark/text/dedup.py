@@ -505,20 +505,63 @@ def simhash_udf(shingle: int = 3):
     return _f
 
 
+#: 6-way bit-block split of the 64-bit simhash for the block-permutation
+#: candidate scheme (Manku/Jain/Sarma, "Detecting near-duplicates for web
+#: crawling", WWW 2007 §3): any pair within Hamming distance 3 leaves at
+#: least 3 of the 6 blocks intact, so keying C(6,3)=20 tables on block
+#: TRIPLES (~32-bit keys) finds every such pair exactly — same recall
+#: guarantee as the 4x16 banding, but the far-more-selective keys bound
+#: hot-bucket blowup on bit-concentrated corpora.
+_SIM_BLOCKS = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+
+
+def _sim_block_tables(sim_col: str):
+    """The 20 (table, key) structs of the block-triple scheme; key packs
+    three blocks into <= 33 bits (11-bit lanes), well inside a long."""
+    from itertools import combinations
+    blocks = [F.shiftrightunsigned(F.col(sim_col), lo)
+              .bitwiseAND(F.lit((1 << width) - 1))
+              for lo, width in _SIM_BLOCKS]
+    out = []
+    for t, (i, j, k) in enumerate(combinations(range(6), 3)):
+        key = (F.shiftleft(blocks[i], 22)
+               .bitwiseOR(F.shiftleft(blocks[j], 11))
+               .bitwiseOR(blocks[k]))
+        out.append(F.struct(F.lit(t).alias("band"), key.alias("key")))
+    return out
+
+
 def simhash_near_dups(docs: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash: band 64 bits into 4x16 keys, join, verify
-    Hamming distance <= max_hamming (pigeonhole: any pair within 3 bits
-    shares at least one exact 16-bit band)."""
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      scheme: str = "bands") -> DataFrame:
+    """Near-dup pairs by simhash; the exact Hamming verify makes the
+    OUTPUT independent of the candidate scheme, which only has to
+    guarantee recall at max_hamming <= 3:
+
+    - scheme='bands': 4x16-bit bands (pigeonhole: <=3 flipped bits
+      leave one band intact).  Right default at modest corpus sizes.
+    - scheme='blocks': the WWW'07 block-permutation index — C(6,3)=20
+      tables keyed on ~32-bit block triples (<=3 flipped bits hit <=3
+      of 6 blocks, so one all-intact triple always matches).  The
+      density-matched choice at scale: on a bit-concentrated corpus the
+      16-bit band keys saturate (measured on the 50k-doc synthetic sf1
+      corpus: 68M band pairs, hottest 16-bit key shared by 7.0k docs;
+      block triples cut that to 5.9M / 765 — 11.5x — with identical
+      verified output, and selectivity grows with key width, not n).
+    """
     sh = simhash_udf()
     sig = docs.select(F.col(id_col), sh(F.col(text_col)).alias("sim"))
+    if scheme == "blocks":
+        keys = _sim_block_tables("sim")
+    else:
+        keys = [F.struct(F.lit(i).alias("band"),
+                         F.shiftrightunsigned(F.col("sim"), 16 * i)
+                         .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+                for i in range(4)]
     bands = sig.select(
         id_col, "sim",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.shiftrightunsigned(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for i in range(4)
-        ])).alias("bk")).select(id_col, "sim", "bk.band", "bk.key")
+        F.explode(F.array(*keys)).alias("bk")
+    ).select(id_col, "sim", "bk.band", "bk.key")
     # repartition the probe side (see minhash_lsh_candidates: a broadcast
     # band join otherwise inherits a 1-file source's single partition)
     l, r = bands.repartition(F.col(id_col)).alias("l"), bands.alias("r")
