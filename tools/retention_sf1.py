@@ -29,6 +29,8 @@ def main() -> None:
         sf1 = json.load(f)
     with open(ref_path) as f:
         ref = json.load(f)
+    sf1 = sf1.get("parsed", sf1)   # driver BENCH_r*.json wraps the
+    ref = ref.get("parsed", ref)   # payload under "parsed"
     q1, q0 = sf1["queries"], ref["queries"]
     rows = []
     for name, t1 in q1.items():
