@@ -5251,6 +5251,9 @@ HAUS_DOM_LO, HAUS_DOM_HI = 500, 507   # 8 mid-size domains (~400 pts each
                                       # at sf0.1 under the skewed dom law)
 
 
+HAUS_CELL = 1 << 20   # grid-prune cell side, µdeg (~1.05 deg)
+
+
 def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete HAUSDORFF distance between domain page-location
     footprints: for every pair of selected domains, H(A, B) =
@@ -5262,16 +5265,27 @@ def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANSI-safe — only min/max, never summed); ONE double sqrt of the
     same exact integer at the end, so cross-engine parity is exact.
 
-    Plan: each point of domain i explodes one row per partner domain j
-    (|D|-1 = 7 rows), equi-joined on the partner key against the
-    points relation — a hash join, never a nested-loop — then
-    min per (i, j, source point) with map-side partial agg, max per
-    (i, j), and the two directed values fold into the symmetric H by a
-    least/greatest regroup.  This is the exact small-|D| all-pairs
-    baseline (contract like embed_allpairs): work is |D| * sum |dom|^2,
-    bounded by the domain selection, and the scale path for large |D|
-    is grid pruning with ring-expansion lower bounds (spatial/knn.py
-    machinery).
+    Plan (r5: grid-pruned, EXACT — replaces the all-pairs explode
+    whose work grew as |D| * sum |dom|^2, the one sub-1.0 retention of
+    the sf1 certification):
+
+    - Points land in s = HAUS_CELL µdeg cells.  A point of A with a
+      partner B-cell in its 3x3 cell ring has nn-dist <= 2*sqrt(2)*s
+      < 3s, so its true nearest B-point lies within cell ring 3 —
+      a 7x7-cover equi-join (B-points replicated to their 49-cell
+      cover, joined on the point's exact cell key) is therefore
+      provably COMPLETE for these "near" points, and it is a pure
+      local-density join, never |A| x |B|.
+    - The residual "far" points (no B-cell in the 3x3 ring — the
+      isolated fringe that actually decides a Hausdorff max) fall
+      back to the exact partner-wide join; their count is the fringe,
+      not the corpus.  Every point is classified by a broadcast
+      left-semi/anti against the 9-dilated B-cell cover (bounded by
+      the domain selection: <= 9 x occupied cells).
+    - max(min) folds as before; near/far minima union BEFORE the max,
+      so the result is the exact discrete Hausdorff — verified
+      row-identical to the all-pairs baseline at three scales
+      (tests/test_spark_layer.py) and by the unchanged sf0.01 oracle.
 
     FULL SQL ORACLE (_sql_hausdorff_pairs): the unexploded theta join
     with identical integer arithmetic."""
@@ -5283,6 +5297,69 @@ def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("lon") * 1e6, 0).cast("long").alias("x"),
                     F.round(F.col("lat") * 1e6, 0).cast("long").alias("y"))
          .where((F.col("dom") >= HAUS_DOM_LO) & (F.col("dom") <= HAUS_DOM_HI)))
+    # density gate (measured crossover): at <= 600k pages the selected
+    # footprints are ~3k points total and the grid plan's ~10 extra
+    # stages cost more than the microjoin they avoid (sf0.1: all-pairs
+    # 1.0 s vs grid 4.2 s); at sf1 the grid path wins 2.3x (6.7 s vs
+    # 15.8 s) and the gap widens with footprint size.  sf<=0.1 keeps
+    # the all-pairs plan, so oracles and bench history are unchanged.
+    if _n_pages(sf_dir) <= 600_000:
+        return _hausdorff_allpairs(t)
+    return _hausdorff_grid(t)
+
+
+def _hausdorff_grid(t: DataFrame, cell: int = HAUS_CELL) -> DataFrame:
+    """Exact grid-pruned discrete Hausdorff over (dom, pid, x, y) —
+    see q_hausdorff_pairs for the completeness argument."""
+    s = float(cell)  # power of two: x/s and floor() are exact in double
+    t = (t.withColumn("cx", F.floor(F.col("x") / s).cast("long"))
+          .withColumn("cy", F.floor(F.col("y") / s).cast("long")))
+    partner = F.explode(F.array(*[
+        F.lit(j).cast("long") for j in range(HAUS_DOM_LO, HAUS_DOM_HI + 1)]))
+    left = (t.withColumn("partner", partner)
+            .where(F.col("partner") != F.col("dom")))
+    right = t.select(F.col("dom").alias("partner"),
+                     F.col("x").alias("bx"), F.col("y").alias("by"))
+    # 9-dilated occupied-cell cover of each partner domain (tiny)
+    cells = t.select(F.col("dom").alias("partner"), "cx", "cy").distinct()
+    bcell9 = (cells.select("partner", F.explode(F.array(*[
+                  F.struct((F.col("cx") + dx).alias("cx"),
+                           (F.col("cy") + dy).alias("cy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("c"))
+              .select("partner", "c.cx", "c.cy").distinct())
+    near = left.join(F.broadcast(bcell9), ["partner", "cx", "cy"],
+                     "left_semi")
+    far = left.join(F.broadcast(bcell9), ["partner", "cx", "cy"],
+                    "left_anti")
+    # B-points replicated to their 49-cell cover -> near nn is an
+    # equi-join on the exact cell key (complete for near points)
+    b49 = (t.select(F.col("dom").alias("partner"),
+                    F.col("x").alias("bx"), F.col("y").alias("by"),
+                    F.explode(F.array(*[
+                        F.struct((F.col("cx") + dx).alias("cx"),
+                                 (F.col("cy") + dy).alias("cy"))
+                        for dx in range(-3, 4) for dy in range(-3, 4)]))
+                    .alias("c"))
+           .select("partner", "bx", "by", "c.cx", "c.cy"))
+    d2 = ((F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+          + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by")))
+    near_nn = (near.join(b49, ["partner", "cx", "cy"])
+               .groupBy("dom", "partner", "pid")
+               .agg(F.min(d2).alias("mind2")))
+    far_nn = (far.join(right, "partner")
+              .groupBy("dom", "partner", "pid")
+              .agg(F.min(d2).alias("mind2")))
+    h = (near_nn.unionByName(far_nn)
+         .groupBy("dom", "partner").agg(F.max("mind2").alias("h2")))
+    return (h.select(F.least("dom", "partner").alias("dom_a"),
+                     F.greatest("dom", "partner").alias("dom_b"), "h2")
+            .groupBy("dom_a", "dom_b")
+            .agg(F.round(F.sqrt(F.max("h2")), 3).alias("hausdorff_udeg")))
+
+
+def _hausdorff_allpairs(t: DataFrame) -> DataFrame:
+    """The pre-r5 exact all-pairs baseline (|D| * sum |dom|^2 work) —
+    kept as the equivalence oracle for _hausdorff_grid."""
     partner = F.explode(F.array(*[
         F.lit(j).cast("long") for j in range(HAUS_DOM_LO, HAUS_DOM_HI + 1)]))
     left = (t.withColumn("partner", partner)
